@@ -1,0 +1,36 @@
+"""Ray-Data-native CDC / incremental-ingest engine.
+
+A from-scratch re-expression of the capabilities of the reference
+serverless ELT pipeline (``wyang10/AWS-Serverless-ELT-Pipeline-Enterprise``)
+as idiomatic Ray Data: a changelog tailer reads insert/update/delete
+events over conversation-transcript Parquet, hash-partitions by
+``conv_id`` (with hot-key salting), and applies idempotent
+last-writer-wins upserts keyed on ``(conv_id, turn_idx)`` via
+``map_batches`` over zero-copy Arrow batches, with a transactional
+manifest commit for exactly-once sink semantics, checkpoint/resume,
+additive schema evolution, DQ gates, quarantine, and compaction.
+
+Import as ``import aws_serverless_elt_pipeline_enterprise_ray as engine``.
+"""
+
+from .schema import (
+    CHANGELOG_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+    TableSpec,
+    default_spec,
+)
+from .pipelines.cdc import apply_changes, read_table
+from .state.manifest import Manifest, ManifestStore
+
+__all__ = [
+    "CHANGELOG_SCHEMA",
+    "TRANSCRIPT_SCHEMA",
+    "TableSpec",
+    "default_spec",
+    "apply_changes",
+    "read_table",
+    "Manifest",
+    "ManifestStore",
+]
+
+__version__ = "0.1.0"

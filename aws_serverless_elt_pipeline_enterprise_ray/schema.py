@@ -1,0 +1,350 @@
+"""Canonical schemas, table specs and vectorized normalization.
+
+Arrow-columnar equivalent of the reference's per-record normalization
+(``lambdas/shared/schemas.py:25-38`` ``normalize_record``: project onto
+declared columns, missing -> null, extras dropped, unknown type
+rejected) and timestamp canonicalization (``schemas.py:41-47``
+``_iso_to_iso_z``). Where the reference validates one dict at a time,
+we validate whole ``pyarrow.Table`` batches with ``pyarrow.compute``
+kernels; bad rows are masked and routed to quarantine instead of
+raising (``lambdas/ingest/app.py:112-118`` drop-bad-record semantics).
+
+Timestamps are ``timestamp[us]`` (UTC by convention, stored naive so
+Parquet/DuckDB/Arrow compare identically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TS_TYPE = pa.timestamp("us")
+
+#: The maintained lake table (payload) schema - primary key (conv_id, turn_idx).
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", TS_TYPE),
+    ]
+)
+
+#: Change-event envelope: op + seq + payload columns.
+CHANGELOG_SCHEMA = pa.schema(
+    [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+    + list(TRANSCRIPT_SCHEMA)
+)
+
+#: Internal (hidden) lake columns. `ts` doubles as the LWW ordering
+#: column; `_seq` is the final tie-break; `_deleted` marks tombstones
+#: (kept so late-arriving older upserts cannot resurrect deleted keys).
+INTERNAL_COLS = ("_deleted", "_seq")
+
+VALID_OPS = ("I", "U", "D")
+
+KEY_COLS = ("conv_id", "turn_idx")
+ORDER_COLS = ("ts", "_seq")
+
+
+@dataclasses.dataclass(frozen=True)
+class DQRules:
+    """Declarative DQ rules, mirroring the reference's GE suite
+    (``glue_ge_validation/scripts/ge_validate_silver.py:36-53``) and its
+    YAML mirror (``dq/ups_shipping/rules.yaml:4-10``)."""
+
+    not_null: tuple[str, ...] = ("conv_id", "turn_idx", "ts")
+    unique: tuple[tuple[str, ...], ...] = (("conv_id", "turn_idx"),)
+    # col -> (min, max); None = unbounded
+    ranges: dict = dataclasses.field(
+        default_factory=lambda: {"turn_idx": (0, 100_000)}
+    )
+    row_count_min: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """Per-table config: the engine equivalent of the reference's
+    dataset YAML (``configs/ups_shipping.yaml:1-37``): key columns,
+    ordering, payload columns, partitioning and DQ rules, plus an
+    optional per-batch transform hook (the UDF surface of
+    ``templates/transform_handler.py:31-49``)."""
+
+    name: str = "transcripts"
+    key_cols: tuple[str, ...] = KEY_COLS
+    order_cols: tuple[str, ...] = ("ts", "seq")
+    payload_schema: pa.Schema = TRANSCRIPT_SCHEMA
+    num_partitions: int = 64
+    # conv_ids listed (or detected) as hot are salted across this many
+    # sub-partitions; salt is derived from turn_idx so a given
+    # (conv_id, turn_idx) always lands in the same partition.
+    hot_key_salt: int = 8
+    hot_keys: tuple[str, ...] = ()
+    dq: DQRules = dataclasses.field(default_factory=DQRules)
+    # Optional vectorized UDF applied to good rows inside normalize.
+    transform: Callable[[pa.Table], pa.Table] | None = None
+    # "keep": additive schema evolution - unknown changelog columns are
+    # carried into the lake (back-filled as nulls for old data).
+    # "drop": reference normalize_record behavior (extras dropped).
+    extra_columns: str = "keep"
+
+    @property
+    def payload_cols(self) -> tuple[str, ...]:
+        return tuple(self.payload_schema.names)
+
+    def with_extras(self, extras: Sequence[tuple[str, pa.DataType]]) -> "TableSpec":
+        """Extend the payload schema with discovered additive columns."""
+        fields = list(self.payload_schema)
+        known = set(self.payload_schema.names)
+        for name, typ in extras:
+            if name not in known:
+                fields.append(pa.field(name, typ))
+                known.add(name)
+        return dataclasses.replace(self, payload_schema=pa.schema(fields))
+
+
+def default_spec(**overrides) -> TableSpec:
+    return dataclasses.replace(TableSpec(), **overrides)
+
+
+def spec_from_yaml(path: str) -> TableSpec:
+    """Load a TableSpec from YAML (the scaffold surface, mirroring
+    ``make scaffold`` / ``templates/dataset.yaml``)."""
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    dq_cfg = cfg.get("dq", {})
+    dq = DQRules(
+        not_null=tuple(dq_cfg.get("not_null", ("conv_id", "turn_idx", "ts"))),
+        unique=tuple(tuple(u) for u in dq_cfg.get("unique", [["conv_id", "turn_idx"]])),
+        ranges={k: tuple(v) for k, v in dq_cfg.get("ranges", {}).items()},
+        row_count_min=int(dq_cfg.get("row_count_min", 1)),
+    )
+    fields = [
+        pa.field(c["name"], _type_from_str(c["type"]))
+        for c in cfg.get("columns", [])
+    ] or list(TRANSCRIPT_SCHEMA)
+    return TableSpec(
+        name=cfg.get("name", "transcripts"),
+        key_cols=tuple(cfg.get("key_cols", KEY_COLS)),
+        order_cols=tuple(cfg.get("order_cols", ("ts", "seq"))),
+        payload_schema=pa.schema(fields),
+        num_partitions=int(cfg.get("num_partitions", 64)),
+        hot_key_salt=int(cfg.get("hot_key_salt", 8)),
+        hot_keys=tuple(cfg.get("hot_keys", ())),
+        dq=dq,
+        extra_columns=cfg.get("extra_columns", "keep"),
+    )
+
+
+_TYPES = {
+    "string": pa.string(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float64": pa.float64(),
+    "timestamp": TS_TYPE,
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+}
+
+
+def _type_from_str(s: str) -> pa.DataType:
+    return _TYPES[s]
+
+
+def lake_schema(spec: TableSpec) -> pa.Schema:
+    """Physical schema of lake partition files: payload + hidden cols."""
+    return pa.schema(
+        list(spec.payload_schema)
+        + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized normalization (M1-M4)
+# ---------------------------------------------------------------------------
+
+
+def _cast_col(col: pa.ChunkedArray | pa.Array, typ: pa.DataType) -> pa.Array:
+    """Cast with permissive string->timestamp handling; un-castable
+    values become null (caught later by the validity mask when the
+    column is required)."""
+    if col.type == typ:
+        return col
+    if pa.types.is_timestamp(typ) and (
+        pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    ):
+        # ISO-8601 strings; trailing 'Z' accepted (reference _iso_to_iso_z).
+        col = pc.replace_substring_regex(col, "Z$", "")
+        return pc.cast(pc.cast(col, pa.timestamp("us")), typ, safe=False)
+    try:
+        return pc.cast(col, typ)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return pc.cast(col, typ, safe=False)
+
+
+def normalize_batch(batch: pa.Table, spec: TableSpec) -> pa.Table:
+    """Vectorized M1+M2+M4: project onto ``op, seq, <payload>``, cast
+    types, and append a ``_bad`` string column (null = valid row).
+
+    Unknown ``op``, null key columns or a null/uncastable ``ts`` mark
+    the row bad instead of raising - the Arrow analogue of the
+    reference's try/except drop with structured log
+    (``lambdas/ingest/app.py:112-118``). Bad rows keep their original
+    values so quarantine output is inspectable.
+    """
+    n = len(batch)
+    target = pa.schema(
+        [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+        + list(spec.payload_schema)
+    )
+    cols = []
+    names = []
+    for field in target:
+        names.append(field.name)
+        if field.name in batch.column_names:
+            cols.append(_cast_col(batch[field.name], field.type))
+        else:
+            cols.append(pa.nulls(n, field.type))
+    out = pa.table(cols, names=names)
+
+    bad = np.full(n, None, dtype=object)
+    opv = out["op"].combine_chunks()
+    ok_op = pc.is_in(opv, value_set=pa.array(list(VALID_OPS)))
+    _mark(bad, pc.invert(pc.fill_null(ok_op, False)), "unknown_op")
+    for k in spec.key_cols:
+        _mark(bad, pc.is_null(out[k]), f"null_key:{k}")
+    _mark(bad, pc.is_null(out["ts"]), "null_ts")
+    _mark(bad, pc.is_null(out["seq"]), "null_seq")
+    out = out.append_column("_bad", pa.array(bad, pa.string()))
+    if spec.transform is not None:
+        out = spec.transform(out)
+    return out
+
+
+def _mark(bad: np.ndarray, mask, reason: str) -> None:
+    m = np.asarray(mask.to_numpy(zero_copy_only=False) if hasattr(mask, "to_numpy") else mask)
+    m = m & pd.isnull(bad)  # first failure reason wins
+    bad[m] = reason
+
+
+def split_quarantine(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Split a normalized batch into (good, quarantined) tables."""
+    mask = pc.is_null(batch["_bad"])
+    good = batch.filter(mask).drop_columns(["_bad"])
+    quar = batch.filter(pc.invert(mask))
+    return good, quar
+
+
+# ---------------------------------------------------------------------------
+# Partitioning (salted conv_id hash) - the one required shuffle key
+# ---------------------------------------------------------------------------
+
+
+def hash_strings(arr) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string column.
+
+    Uses pandas' SipHash-based ``hash_array`` with its fixed default
+    key, so every worker process computes identical hashes."""
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+
+
+def assign_part_id(
+    batch: pa.Table,
+    num_partitions: int,
+    hot_keys: frozenset[str] | None = None,
+    hot_key_salt: int = 8,
+) -> pa.Table:
+    """Append ``part_id = hash(conv_id) % P`` (A1 analogue: the lake
+    partitioning key). Hot conv_ids are salted across ``hot_key_salt``
+    sub-partitions using ``turn_idx % salt`` so a hot conversation fans
+    out across workers while each (conv_id, turn_idx) key still maps to
+    exactly one partition - the LWW-correctness requirement called out
+    in SURVEY §4."""
+    h = hash_strings(batch["conv_id"])
+    part = (h % np.uint64(num_partitions)).astype(np.int32)
+    if hot_keys:
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        hot_mask = np.isin(conv, list(hot_keys))
+        if hot_mask.any():
+            turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+            salt = (turn.astype(np.int64) % hot_key_salt).astype(np.uint64)
+            salted = ((h + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)).astype(np.int32)
+            part = np.where(hot_mask, salted, part)
+    return batch.append_column("part_id", pa.array(part, pa.int32()))
+
+
+# ---------------------------------------------------------------------------
+# LWW reduction kernel (vectorized; used by the merge stage and tests)
+# ---------------------------------------------------------------------------
+
+
+def lww_reduce(tbl: pa.Table, key_cols=KEY_COLS, ts_col="ts", seq_col="_seq") -> pa.Table:
+    """Keep, per key, the single row with the greatest ``(ts, seq)``.
+
+    Fully vectorized: one multi-column sort + run-boundary detection on
+    the sorted key columns. Order-insensitive (replay-safe): the result
+    is independent of input row order. Rows where op == 'D' are KEPT as
+    tombstones (``_deleted`` handling is the caller's concern).
+    """
+    if len(tbl) == 0:
+        return tbl
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(c, "ascending") for c in (*key_cols, ts_col, seq_col)],
+    )
+    s = tbl.take(idx)
+    last = _run_last_mask(s, key_cols)
+    return s.filter(pa.array(last))
+
+
+def _run_last_mask(sorted_tbl: pa.Table, key_cols) -> np.ndarray:
+    """Boolean mask marking the last row of each equal-key run in a
+    key-sorted table."""
+    n = len(sorted_tbl)
+    change = np.zeros(n, dtype=bool)
+    change[-1] = True
+    for c in key_cols:
+        col = sorted_tbl[c].to_numpy(zero_copy_only=False)
+        change[:-1] |= col[:-1] != col[1:]
+    return change
+
+
+def schema_union(schemas: Sequence[pa.Schema], base: pa.Schema) -> list[tuple[str, pa.DataType]]:
+    """Discover additive extra columns across changelog file schemas
+    (schema evolution - reference precedent: compaction's added
+    ``_ingested_at`` column, ``compact_silver.py:40``). Returns
+    (name, type) pairs not already in ``base``, in first-seen order."""
+    known = set(base.names) | {"op", "seq", "part_id", "_bad"}
+    extras: list[tuple[str, pa.DataType]] = []
+    seen = set()
+    for sch in schemas:
+        for field in sch:
+            if field.name not in known and field.name not in seen:
+                extras.append((field.name, field.type))
+                seen.add(field.name)
+    return extras
+
+
+def spec_to_json(spec: TableSpec) -> str:
+    return json.dumps(
+        {
+            "name": spec.name,
+            "key_cols": list(spec.key_cols),
+            "payload_cols": [
+                {"name": f.name, "type": str(f.type)} for f in spec.payload_schema
+            ],
+            "num_partitions": spec.num_partitions,
+        }
+    )

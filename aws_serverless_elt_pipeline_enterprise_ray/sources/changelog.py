@@ -1,0 +1,90 @@
+"""Change-log discovery and reading.
+
+The reference discovers work via S3 ``ObjectCreated`` events
+(``lambdas/shared/utils.py:60-71`` ``parse_s3_event_records``) and
+gates re-processing with a DynamoDB ``s3://bucket/key#etag`` record
+(``lambdas/ingest/app.py:43-44``). Our change log is a directory of
+ordered Parquet files (the "binlog/WAL"); discovery is a driver-side
+listing sorted by name, minus the files already recorded as applied in
+the current manifest's checkpoint - same object-level idempotency,
+no external service.
+
+Reading handles additive schema evolution: files written after a new
+column appears are read in their own schema group and the groups are
+unioned; ``normalize_batch`` pads earlier files with nulls.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def list_changelog_files(changelog_dir: str, pattern: str = "*.parquet") -> list[str]:
+    return sorted(glob.glob(os.path.join(changelog_dir, pattern)))
+
+
+def discover_pending(
+    changelog_dir: str, applied: set[str], pattern: str = "*.parquet"
+) -> list[str]:
+    """Files not yet applied, in log order (name order == emit order)."""
+    return [
+        p for p in list_changelog_files(changelog_dir, pattern)
+        if os.path.abspath(p) not in applied and p not in applied
+    ]
+
+
+def peek_schemas(files: list[str]) -> dict[str, pa.Schema]:
+    """Cheap footer-only schema read per file (no data IO)."""
+    return {p: pq.read_schema(p) for p in files}
+
+
+def group_by_schema(files: list[str]) -> list[list[str]]:
+    """Group files by identical schema so each group reads cleanly;
+    preserves log order within groups."""
+    groups: dict[str, list[str]] = {}
+    for p in files:
+        key = json.dumps(
+            [(f.name, str(f.type)) for f in pq.read_schema(p)], sort_keys=False
+        )
+        groups.setdefault(key, []).append(p)
+    return list(groups.values())
+
+
+def read_changelog(files: list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Ray Dataset over change files, tolerant of additive schema
+    drift across files (union of per-schema-group reads)."""
+    groups = group_by_schema(files)
+    datasets = [rd.read_parquet(g, columns=columns) for g in groups]
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    return ds
+
+
+def read_changelog_jsonl(files: list[str]) -> rd.Dataset:
+    """Compat reader for the reference's bronze format: newline-
+    delimited JSON change records (``lambdas/shared/utils.py:74-94``
+    ``iter_json_records``). Blank lines and non-dict elements are
+    skipped, matching the reference; normalization downstream handles
+    missing/extra fields."""
+    import json as _json
+
+    def parse(row: dict) -> list[dict]:
+        text = row["text"]
+        if not text.strip():
+            return []
+        try:
+            obj = _json.loads(text)
+        except _json.JSONDecodeError:
+            return [{"op": "?", "_raw": text}]  # poisoned -> quarantined later
+        if isinstance(obj, list):
+            return [o for o in obj if isinstance(o, dict)]
+        return [obj] if isinstance(obj, dict) else []
+
+    return rd.read_text(files).flat_map(parse)

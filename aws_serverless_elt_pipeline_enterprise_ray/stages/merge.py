@@ -1,0 +1,208 @@
+"""Per-partition LWW merge with copy-on-write Parquet rewrite.
+
+This is the engine's core stateful stage (SURVEY §2.3 T2): the
+reference *declares* record-level dedup via ``idempotency_key`` config
+(``configs/ups_shipping.yaml:9``) and enforces it only post-hoc with a
+GE ``unique`` expectation (``ge_validate_silver.py:40``); we enforce it
+structurally. Each ``PartitionMerger`` call receives ALL pending change
+events for one hash partition (delivered by the
+``groupby("part_id").map_groups`` shuffle), reduces them to one row per
+``(conv_id, turn_idx)`` by greatest ``(ts, seq)``, merges against the
+partition's current Parquet files, and writes a NEW uniquely-named file
+set - the copy-on-write analogue of the reference's uniquely-named
+batch files (``lambdas/transform/app.py:104``), but made exactly-once
+by the manifest commit that follows.
+
+Delete semantics: tombstones. A ``D`` event is kept as a row with
+``_deleted=true`` so a late-arriving older upsert for the same key
+cannot resurrect it (order-insensitive replay, the north-rule
+invariant). Tombstones are purged by compaction once the checkpoint
+watermark has passed them.
+
+Used as a callable class so Ray Data runs it on an actor pool: spec
+parsing, schema objects and file-listing state are built once per
+actor in ``__init__`` (not per batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import TableSpec, lake_schema, lww_reduce
+
+#: Schema of the small per-partition result rows returned to the driver.
+MERGE_RESULT_SCHEMA = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("files", pa.string()),       # JSON [{"path","rows","bytes"}]
+        pa.field("quarantine", pa.string()),  # JSON [{"path","rows"}]
+        pa.field("metrics", pa.string()),     # JSON counters
+        pa.field("max_seq", pa.int64()),
+    ]
+)
+
+
+def conform_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``tbl`` onto ``schema``: missing columns null-filled,
+    extra columns dropped, types cast. This is the read-side half of
+    additive schema evolution (old partition files lacking newly-added
+    payload columns are padded with nulls)."""
+    cols = []
+    n = len(tbl)
+    for field in schema:
+        if field.name in tbl.column_names:
+            col = tbl[field.name]
+            if col.type != field.type:
+                col = pc.cast(col, field.type, safe=False)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.table(cols, schema=schema)
+
+
+class PartitionMerger:
+    """Callable-class actor for ``groupby("part_id").map_groups``.
+
+    Parameters are plain picklable values; heavy setup happens once per
+    actor here (T3/T4 analogue: the reference caches config and clients
+    per Lambda container, ``ups_shipping/handler.py:14-19``).
+    """
+
+    def __init__(
+        self,
+        lake_dir: str,
+        spec: TableSpec,
+        current_files: dict[int, list[str]],
+        max_rows_per_file: int = 2_000_000,
+    ):
+        self.lake_dir = lake_dir
+        self.spec = spec
+        self.lake_schema = lake_schema(spec)
+        self.current_files = current_files
+        self.max_rows_per_file = max_rows_per_file
+        self.key_cols = spec.key_cols
+
+    # -- helpers -------------------------------------------------------
+    def _read_current(self, part_id: int) -> pa.Table | None:
+        paths = self.current_files.get(part_id) or self.current_files.get(str(part_id))
+        if not paths:
+            return None
+        tables = [
+            conform_to_schema(
+                pq.read_table(os.path.join(self.lake_dir, p)), self.lake_schema
+            )
+            for p in paths
+        ]
+        return pa.concat_tables(tables) if tables else None
+
+    def _write_partition(self, part_id: int, tbl: pa.Table) -> list[dict]:
+        part_dir = os.path.join(self.lake_dir, "data", f"part={part_id:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        files = []
+        n = len(tbl)
+        step = self.max_rows_per_file
+        for lo in range(0, n, step):
+            chunk = tbl.slice(lo, step)
+            name = f"f-{uuid.uuid4().hex}.parquet"
+            path = os.path.join(part_dir, name)
+            pq.write_table(chunk, path, compression="snappy")
+            files.append(
+                {
+                    "path": os.path.relpath(path, self.lake_dir),
+                    "rows": len(chunk),
+                    "bytes": os.path.getsize(path),
+                }
+            )
+        return files
+
+    def _write_quarantine(self, part_id: int, tbl: pa.Table) -> list[dict]:
+        qdir = os.path.join(self.lake_dir, "_quarantine", f"part={part_id:05d}")
+        os.makedirs(qdir, exist_ok=True)
+        path = os.path.join(qdir, f"q-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path, compression="snappy")
+        return [{"path": os.path.relpath(path, self.lake_dir), "rows": len(tbl)}]
+
+    # -- the merge -----------------------------------------------------
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return MERGE_RESULT_SCHEMA.empty_table()
+        part_id = int(group["part_id"][0].as_py())
+
+        bad_mask = pc.is_valid(group["_bad"])
+        n_bad = pc.sum(pc.cast(bad_mask, pa.int64())).as_py() or 0
+        quarantine: list[dict] = []
+        if n_bad:
+            quarantine = self._write_quarantine(part_id, group.filter(bad_mask))
+            group = group.filter(pc.invert(bad_mask))
+
+        metrics = {
+            "events_applied": len(group),
+            "quarantined": int(n_bad),
+            "upserts": 0,
+            "deletes": 0,
+            "dedup_hits": 0,
+            "rows_after": 0,
+            "files_rewritten": 0,
+            "bytes_written": 0,
+        }
+        max_seq = -1
+        if len(group) == 0:
+            return pa.table(
+                [
+                    pa.array([part_id], pa.int32()),
+                    pa.array([None], pa.string()),
+                    pa.array([json.dumps(quarantine)], pa.string()),
+                    pa.array([json.dumps(metrics)], pa.string()),
+                    pa.array([max_seq], pa.int64()),
+                ],
+                schema=MERGE_RESULT_SCHEMA,
+            )
+        max_seq = pc.max(group["seq"]).as_py()
+
+        # change rows -> lake layout: payload + (_deleted, _seq)
+        delta_cols = []
+        for field in self.lake_schema:
+            if field.name == "_deleted":
+                delta_cols.append(pc.equal(group["op"], "D"))
+            elif field.name == "_seq":
+                delta_cols.append(pc.cast(group["seq"], pa.int64()))
+            else:
+                delta_cols.append(group[field.name])
+        delta = pa.table(delta_cols, schema=self.lake_schema)
+        n_delta = len(delta)
+        delta = lww_reduce(delta, self.key_cols, "ts", "_seq")
+        metrics["dedup_hits"] = n_delta - len(delta)
+
+        current = self._read_current(part_id)
+        combined = (
+            pa.concat_tables([current, delta]) if current is not None else delta
+        )
+        merged = lww_reduce(combined, self.key_cols, "ts", "_seq")
+        # lww_reduce returns rows key-sorted: stable (conv_id, turn_idx)
+        # turn ordering falls out of the reduction sort (SURVEY §2.6 O4).
+
+        deleted = pc.sum(pc.cast(merged["_deleted"], pa.int64())).as_py() or 0
+        metrics["deletes"] = int(deleted)
+        metrics["upserts"] = len(merged) - int(deleted)
+        metrics["rows_after"] = len(merged)
+
+        files = self._write_partition(part_id, merged)
+        metrics["files_rewritten"] = len(files)
+        metrics["bytes_written"] = sum(f["bytes"] for f in files)
+
+        return pa.table(
+            [
+                pa.array([part_id], pa.int32()),
+                pa.array([json.dumps(files)], pa.string()),
+                pa.array([json.dumps(quarantine)], pa.string()),
+                pa.array([json.dumps(metrics)], pa.string()),
+                pa.array([max_seq], pa.int64()),
+            ],
+            schema=MERGE_RESULT_SCHEMA,
+        )

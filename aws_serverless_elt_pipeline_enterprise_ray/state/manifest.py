@@ -1,0 +1,170 @@
+"""Transactional manifest + checkpoint for the lake sink.
+
+The reference's sink is NOT exactly-once: a retried SQS batch writes
+duplicate uniquely-named Parquet files (``lambdas/transform/app.py:104``),
+mitigated only post-hoc by the GE ``unique`` gate. Its idempotency /
+resume state lives in a DynamoDB table keyed ``s3://bucket/key#etag``
+with TTL (``lambdas/ingest/app.py:84-126``,
+``infra/terraform/modules/dynamodb_table/main.tf:10-24``).
+
+We replace both with ONE atomic visibility point (strictly stronger,
+per SURVEY §4): writers emit uniquely-named files that are invisible
+until a manifest version references them; commit is a JSON temp-write +
+``os.replace`` of the versioned manifest, then of the ``CURRENT``
+pointer. The checkpoint (applied change-log files + watermark),
+per-partition lineage and metrics are embedded IN the manifest, so
+checkpoint and data commit are a single atomic action. A killed job
+leaves orphan files that no manifest references (collected by ``gc``);
+a resumed job skips change files already in ``applied`` - the engine
+analogue of the DynamoDB "seen this object+etag" gate.
+
+Layout::
+
+    lake/
+      data/part=00017/f-<hex>.parquet     # COW partition files
+      _manifest/manifest-000042.json      # immutable versions
+      _manifest/CURRENT                   # atomic pointer {"version": 42}
+      _quarantine/part=00017/q-<hex>.parquet
+      _dq/report-000042.json
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import uuid
+from typing import Any
+
+
+@dataclasses.dataclass
+class Manifest:
+    version: int
+    parent_version: int | None
+    created_at: str  # injected by caller for determinism (M7 precedent)
+    schema: list[dict]  # [{"name","type"}] - additive evolution history
+    # part_id(str) -> [{"path","rows","bytes"}]
+    partitions: dict[str, list[dict]]
+    # checkpoint: change-log files fully applied as of this version
+    applied: list[str]
+    watermark: int  # max seq applied (change-log lag = newest seq - watermark)
+    metrics: dict[str, Any]
+    # part_id -> {"src_files": [...], "events": n, ...} for this commit
+    lineage: dict[str, dict]
+    quarantine: list[dict]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+    def all_files(self) -> list[str]:
+        return [f["path"] for files in self.partitions.values() for f in files]
+
+    def total_rows(self) -> int:
+        return sum(f["rows"] for files in self.partitions.values() for f in files)
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class ManifestStore:
+    """Versioned manifest log rooted at ``<lake>/_manifest``."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.dir = os.path.join(lake_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+        os.makedirs(os.path.join(lake_dir, "data"), exist_ok=True)
+
+    # -- read ---------------------------------------------------------
+    def current_version(self) -> int | None:
+        p = os.path.join(self.dir, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def load(self, version: int | None = None) -> Manifest | None:
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return None
+        with open(os.path.join(self.dir, f"manifest-{version:06d}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def applied_files(self) -> set[str]:
+        m = self.load()
+        return set(m.applied) if m else set()
+
+    # -- write --------------------------------------------------------
+    def commit(self, manifest: Manifest) -> Manifest:
+        """Atomically publish a new version. The version file is
+        immutable once written; the CURRENT pointer swap is the single
+        visibility point (exactly-once sink semantics)."""
+        cur = self.current_version()
+        if manifest.parent_version != cur:
+            raise RuntimeError(
+                f"stale commit: parent={manifest.parent_version} current={cur}"
+            )
+        vpath = os.path.join(self.dir, f"manifest-{manifest.version:06d}.json")
+        if os.path.exists(vpath):
+            raise RuntimeError(f"version {manifest.version} already exists")
+        _atomic_write(vpath, manifest.to_json())
+        _atomic_write(
+            os.path.join(self.dir, "CURRENT"),
+            json.dumps({"version": manifest.version}),
+        )
+        return manifest
+
+    def rollback(self, to_version: int) -> None:
+        """Re-point CURRENT at an earlier version (DQ-gate demotion -
+        the engine analogue of the reference's quarantine path leaving
+        bad partitions unpromoted, ``workflow_ge_gate/main.tf:172-209``)."""
+        vpath = os.path.join(self.dir, f"manifest-{to_version:06d}.json")
+        if not os.path.exists(vpath):
+            raise FileNotFoundError(vpath)
+        _atomic_write(
+            os.path.join(self.dir, "CURRENT"), json.dumps({"version": to_version})
+        )
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                out.append(int(name[len("manifest-"):-len(".json")]))
+        return sorted(out)
+
+    # -- gc -----------------------------------------------------------
+    def gc(self, keep_versions: int = 2) -> list[str]:
+        """Delete data files not referenced by the last ``keep_versions``
+        manifests (orphans from failed attempts, COW-superseded files).
+        Never touches referenced files; safe to run any time."""
+        versions = self.versions()
+        live: set[str] = set()
+        keep = versions[-keep_versions:] if versions else []
+        cur = self.current_version()
+        if cur is not None and cur not in keep:
+            keep.append(cur)
+        for v in keep:
+            m = self.load(v)
+            live.update(m.all_files())
+            live.update(q["path"] for q in m.quarantine)
+        removed = []
+        data_dir = os.path.join(self.lake_dir, "data")
+        for root, _dirs, files in os.walk(data_dir):
+            for name in files:
+                p = os.path.join(root, name)
+                rel = os.path.relpath(p, self.lake_dir)
+                if rel not in live:
+                    os.remove(p)
+                    removed.append(rel)
+        return removed
