@@ -1,0 +1,183 @@
+"""CLI entry points: the engine's operational surface.
+
+Maps the reference's Make targets / ops workflows onto subcommands
+(``Makefile:131-158`` ops-start, ``:227-247`` ge-start, ``:320-359``
+verify-seed/verify-idempotency, ``scripts/gen_fake_events.py`` CLI):
+
+    python -m aws_serverless_elt_pipeline_enterprise_ray.cli gen ...
+    ... ingest --changelog DIR --lake DIR [--commit-every N]
+    ... replay --changelog DIR --lake DIR [--from-version V]
+    ... compact --lake DIR [--purge-tombstones]
+    ... dq --lake DIR [--gate]
+    ... gc --lake DIR
+    ... show --lake DIR
+
+Owns its Ray session (guarded init); library code never inits Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="aws_serverless_elt_pipeline_enterprise_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="seeded synthetic change stream")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--convs", type=int, default=1000)
+    g.add_argument("--files", type=int, default=16)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--bad-ratio", type=float, default=0.0)
+    g.add_argument("--evolve-after", type=int, default=None)
+
+    i = sub.add_parser("ingest", help="apply pending change files")
+    i.add_argument("--changelog", required=True)
+    i.add_argument("--lake", required=True)
+    i.add_argument("--commit-every", type=int, default=None)
+    i.add_argument("--partitions", type=int, default=64)
+    i.add_argument("--detect-hot-keys", action="store_true")
+
+    r = sub.add_parser("replay", help="re-apply from a checkpoint version")
+    r.add_argument("--changelog", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--from-version", type=int, default=None)
+    r.add_argument("--partitions", type=int, default=64)
+
+    c = sub.add_parser("compact", help="re-pack small files")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--target-rows", type=int, default=2_000_000)
+    c.add_argument("--purge-tombstones", action="store_true")
+
+    d = sub.add_parser("dq", help="data-quality report / gate")
+    d.add_argument("--lake", required=True)
+    d.add_argument("--gate", action="store_true", help="demote CURRENT on failure")
+
+    gc = sub.add_parser("gc", help="remove unreferenced data files")
+    gc.add_argument("--lake", required=True)
+    gc.add_argument("--keep-versions", type=int, default=2)
+
+    s = sub.add_parser("show", help="manifest / checkpoint status")
+    s.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .gen import gen_changes
+
+        paths = gen_changes(
+            args.out,
+            n_events=args.events,
+            n_convs=args.convs,
+            n_files=args.files,
+            seed=args.seed,
+            bad_ratio=args.bad_ratio,
+            evolve_after_file=args.evolve_after,
+        )
+        print(json.dumps({"files": len(paths), "dir": args.out}))
+        return 0
+
+    if args.cmd == "show":
+        from .state.manifest import ManifestStore
+
+        store = ManifestStore(args.lake)
+        m = store.load()
+        if m is None:
+            print(json.dumps({"version": None}))
+            return 0
+        print(
+            json.dumps(
+                {
+                    "version": m.version,
+                    "watermark": m.watermark,
+                    "applied_files": len(m.applied),
+                    "rows": m.total_rows(),
+                    "partitions": len(m.partitions),
+                    "metrics": m.metrics,
+                    "schema": [list(c) for c in m.schema],
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "gc":
+        from .state.manifest import ManifestStore
+
+        removed = ManifestStore(args.lake).gc(args.keep_versions)
+        print(json.dumps({"removed": len(removed)}))
+        return 0
+
+    _ray_up(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "ingest":
+            from . import apply_changes, default_spec
+
+            ms = apply_changes(
+                args.changelog,
+                args.lake,
+                default_spec(num_partitions=args.partitions),
+                commit_every_files=args.commit_every,
+                detect_hot_keys=args.detect_hot_keys,
+            )
+            print(
+                json.dumps(
+                    {
+                        "committed_versions": [m.version for m in ms],
+                        "watermark": ms[-1].watermark if ms else None,
+                        "metrics": ms[-1].metrics if ms else {},
+                    }
+                )
+            )
+        elif args.cmd == "replay":
+            from . import default_spec
+            from .pipelines.replay import replay
+
+            ms = replay(
+                args.changelog,
+                args.lake,
+                default_spec(num_partitions=args.partitions),
+                from_version=args.from_version,
+            )
+            print(json.dumps({"committed_versions": [m.version for m in ms]}))
+        elif args.cmd == "compact":
+            from .pipelines.compact import compact
+
+            m = compact(
+                args.lake,
+                target_rows_per_file=args.target_rows,
+                purge_tombstones=args.purge_tombstones,
+            )
+            print(json.dumps({"version": m.version if m else None}))
+        elif args.cmd == "dq":
+            from .pipelines.dq import dq_gate, run_dq
+
+            report = dq_gate(args.lake) if args.gate else run_dq(args.lake)
+            print(json.dumps(report, default=str))
+            return 0 if report.get("ok") else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

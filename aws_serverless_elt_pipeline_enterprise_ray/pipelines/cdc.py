@@ -142,7 +142,21 @@ def _apply_chunk(
         ]
         run_spec = run_spec.with_extras(prior_extras)
 
-    if detect_hot_keys and not run_spec.hot_keys:
+    # Partitioning is sticky: the first commit fixes (P, hot_keys,
+    # salt) in the manifest; later applies MUST reuse it, since a key's
+    # partition is a pure function of these (changing them would strand
+    # a key's existing rows in another partition - duplicate keys).
+    # Hot-key detection therefore only runs on the FIRST commit; a
+    # later re-salt requires a partition-migrating rebalance.
+    if parent and parent.partitioning:
+        pp = parent.partitioning
+        run_spec = dataclasses.replace(
+            run_spec,
+            num_partitions=pp["num_partitions"],
+            hot_keys=tuple(pp.get("hot_keys", ())),
+            hot_key_salt=pp.get("hot_key_salt", run_spec.hot_key_salt),
+        )
+    elif detect_hot_keys and not run_spec.hot_keys:
         hot = _sample_hot_keys(files, run_spec)
         if hot:
             run_spec = dataclasses.replace(run_spec, hot_keys=hot)
@@ -207,7 +221,7 @@ def _apply_chunk(
 
     applied = (list(parent.applied) if parent else []) + files
     manifest = Manifest(
-        version=(parent_version + 1) if parent_version is not None else 1,
+        version=store.next_version(),
         parent_version=parent_version,
         created_at=now or _now_iso(),
         schema=[(f.name, str(f.type)) for f in run_spec.payload_schema],
@@ -217,6 +231,11 @@ def _apply_chunk(
         metrics=agg,
         lineage=lineage,
         quarantine=quarantine,
+        partitioning={
+            "num_partitions": run_spec.num_partitions,
+            "hot_keys": list(run_spec.hot_keys),
+            "hot_key_salt": run_spec.hot_key_salt,
+        },
     )
     return store.commit(manifest)
 

@@ -1,0 +1,138 @@
+"""Small-file compaction over committed partitions.
+
+Engine analogue of the reference's Glue compaction job
+(``infra/terraform/modules/glue_catalog/scripts/compact_silver.py:36-42``:
+read a dt partition, add ``_ingested_at``, ``repartition(1)``,
+overwrite) - but copy-on-write + manifest-committed, so a reader never
+sees a half-compacted partition. Optionally purges tombstones (safe
+once every change file at or below the watermark is applied - a late
+replay of already-applied files is a checkpoint no-op, so resurrected
+deletes are impossible).
+
+One task per partition, no shuffle; partitions already too few files
+are skipped (rewrite only when it helps - the "small file problem" row
+of SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..schema import TableSpec, default_spec
+from ..state.manifest import Manifest, ManifestStore
+from .cdc import _now_iso
+
+
+class _Compactor:
+    def __init__(
+        self,
+        lake_dir: str,
+        purge_tombstones: bool,
+        target_rows_per_file: int,
+        stamp_ingested_at: str | None,
+    ):
+        self.lake_dir = lake_dir
+        self.purge = purge_tombstones
+        self.target = target_rows_per_file
+        self.stamp = stamp_ingested_at
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pid, out_files = [], []
+        for row in batch.to_pylist():
+            pid = int(row["part_id"])
+            paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
+            tbl = pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+            if self.purge:
+                tbl = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
+            if self.stamp is not None and "_ingested_at" not in tbl.column_names:
+                # reference precedent for additive schema evolution:
+                # compaction adds a constant timestamp column (M7);
+                # job-start time is passed in for determinism.
+                tbl = tbl.append_column(
+                    "_ingested_at",
+                    pa.array([self.stamp] * len(tbl), pa.string()),
+                )
+            part_dir = os.path.join(self.lake_dir, "data", f"part={pid:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            files = []
+            for lo in range(0, max(len(tbl), 1), self.target):
+                chunk = tbl.slice(lo, self.target)
+                path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
+                pq.write_table(chunk, path, compression="snappy")
+                files.append(
+                    {
+                        "path": os.path.relpath(path, self.lake_dir),
+                        "rows": len(chunk),
+                        "bytes": os.path.getsize(path),
+                    }
+                )
+            out_pid.append(pid)
+            out_files.append(json.dumps(files))
+        return pa.table({"part_id": out_pid, "files": out_files})
+
+
+def compact(
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    *,
+    target_rows_per_file: int = 2_000_000,
+    min_files_to_compact: int = 2,
+    purge_tombstones: bool = False,
+    stamp_ingested_at: str | None = None,
+    now: str | None = None,
+) -> Manifest | None:
+    """Re-pack partitions with >= ``min_files_to_compact`` files (or
+    any partition, when purging tombstones) and commit a new manifest
+    version. Returns the new manifest, or None if nothing to do."""
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    parent = store.load()
+    if parent is None:
+        return None
+    todo = [
+        {"part_id": int(pid), "files": json.dumps([f["path"] for f in files])}
+        for pid, files in parent.partitions.items()
+        if files and (len(files) >= min_files_to_compact or purge_tombstones or stamp_ingested_at)
+    ]
+    if not todo:
+        return None
+    ds = rd.from_items(todo).map_batches(
+        _Compactor,
+        fn_constructor_kwargs={
+            "lake_dir": lake_dir,
+            "purge_tombstones": purge_tombstones,
+            "target_rows_per_file": target_rows_per_file,
+            "stamp_ingested_at": stamp_ingested_at,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    partitions = dict(parent.partitions)
+    for r in ds.take_all():
+        partitions[str(int(r["part_id"]))] = json.loads(r["files"])
+    schema = [tuple(c) for c in parent.schema]
+    if stamp_ingested_at is not None and not any(n == "_ingested_at" for n, _ in schema):
+        schema.append(("_ingested_at", "string"))
+    manifest = Manifest(
+        version=store.next_version(),
+        parent_version=parent.version,
+        created_at=now or _now_iso(),
+        schema=schema,
+        partitions=partitions,
+        applied=list(parent.applied),
+        watermark=parent.watermark,
+        metrics={"compacted_partitions": len(todo)},
+        lineage={str(t["part_id"]): {"compaction_of": parent.version} for t in todo},
+        quarantine=list(parent.quarantine),
+        partitioning=dict(parent.partitioning),
+    )
+    return store.commit(manifest)

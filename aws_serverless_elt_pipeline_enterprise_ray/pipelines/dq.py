@@ -1,0 +1,181 @@
+"""Data-quality gate over committed lake versions.
+
+Engine analogue of the reference's Great-Expectations Glue gate
+(``glue_ge_validation/scripts/ge_validate_silver.py:21-56``: row_count
+between, not_null, unique keys, value ranges) and its declarative rule
+mirror (``dq/ups_shipping/rules.yaml:4-10``). Where the reference runs
+a Spark job per partition and quarantines via a Step Functions Catch
+(``workflow_ge_gate/main.tf:136-217``), we run ONE partition-parallel
+Ray Data pass (no shuffle - the uniqueness check exploits the
+structural invariant that keys are partition-local) and demote the
+manifest pointer on failure, leaving the previous version live.
+
+The report is written next to the manifest version it validated
+(``_dq/report-<version>.json``), like the reference's
+``ge/results/.../run_<id>.json`` (S7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..schema import TableSpec, default_spec
+from ..state.manifest import ManifestStore, _atomic_write
+
+
+class _PartitionChecker:
+    """Per-partition DQ partials: one task per partition, no shuffle.
+
+    Emits one result row per partition; the driver combines. Uniqueness
+    needs no cross-partition pass because the merge stage guarantees a
+    key lives in exactly one partition (salted keys included: the salt
+    is a pure function of the key)."""
+
+    def __init__(self, lake_dir: str, rules: dict):
+        self.lake_dir = lake_dir
+        self.rules = rules
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
+            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+            live = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
+            res = {"part_id": row["part_id"], "rows": len(live)}
+            nulls = {}
+            for c in self.rules["not_null"]:
+                if c in live.column_names:
+                    nulls[c] = live[c].null_count
+            res["null_counts"] = json.dumps(nulls)
+            dup = 0
+            for key in self.rules["unique"]:
+                if all(k in live.column_names for k in key):
+                    n_distinct = len(live.select(list(key)).group_by(list(key)).aggregate([]))
+                    dup += len(live) - n_distinct
+            res["dup_keys"] = dup
+            rng = {}
+            for c, (lo, hi) in self.rules["ranges"].items():
+                if c in live.column_names and len(live):
+                    cmin = pc.min(live[c]).as_py()
+                    cmax = pc.max(live[c]).as_py()
+                    viol = 0
+                    if lo is not None:
+                        viol += pc.sum(
+                            pc.cast(pc.less(live[c], lo), pa.int64())
+                        ).as_py() or 0
+                    if hi is not None:
+                        viol += pc.sum(
+                            pc.cast(pc.greater(live[c], hi), pa.int64())
+                        ).as_py() or 0
+                    rng[c] = {"min": cmin, "max": cmax, "violations": viol}
+            res["ranges"] = json.dumps(rng, default=str)
+            out.append(res)
+        if not out:
+            return pa.table(
+                {"part_id": pa.array([], pa.int64()), "rows": pa.array([], pa.int64()),
+                 "null_counts": pa.array([], pa.string()), "dup_keys": pa.array([], pa.int64()),
+                 "ranges": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "part_id": [r["part_id"] for r in out],
+                "rows": [r["rows"] for r in out],
+                "null_counts": [r["null_counts"] for r in out],
+                "dup_keys": [r["dup_keys"] for r in out],
+                "ranges": [r["ranges"] for r in out],
+            }
+        )
+
+
+def run_dq(
+    lake_dir: str, spec: TableSpec | None = None, version: int | None = None
+) -> dict:
+    """Validate a committed version; returns the report dict
+    (``ok``, per-check results, per-partition detail)."""
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        return {"ok": False, "error": "no committed version"}
+    rules = {
+        "not_null": list(spec.dq.not_null),
+        "unique": [list(u) for u in spec.dq.unique],
+        "ranges": {k: list(v) for k, v in spec.dq.ranges.items()},
+    }
+    items = [
+        {"part_id": int(pid), "files": json.dumps([f["path"] for f in files])}
+        for pid, files in m.partitions.items()
+        if files
+    ]
+    checks = {
+        "row_count": {"value": 0, "min": spec.dq.row_count_min, "ok": True},
+        "not_null": {c: {"nulls": 0, "ok": True} for c in rules["not_null"]},
+        "unique": {"dup_keys": 0, "ok": True},
+        "range": {c: {"violations": 0, "ok": True} for c in rules["ranges"]},
+    }
+    if items:
+        ds = rd.from_items(items).map_batches(
+            _PartitionChecker,
+            fn_constructor_kwargs={"lake_dir": lake_dir, "rules": rules},
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        for r in ds.take_all():
+            checks["row_count"]["value"] += r["rows"]
+            for c, n in json.loads(r["null_counts"]).items():
+                checks["not_null"][c]["nulls"] += n
+            checks["unique"]["dup_keys"] += r["dup_keys"]
+            for c, d in json.loads(r["ranges"]).items():
+                checks["range"][c]["violations"] += d["violations"]
+
+    checks["row_count"]["ok"] = checks["row_count"]["value"] >= spec.dq.row_count_min
+    for c in rules["not_null"]:
+        checks["not_null"][c]["ok"] = checks["not_null"][c]["nulls"] == 0
+    checks["unique"]["ok"] = checks["unique"]["dup_keys"] == 0
+    for c in rules["ranges"]:
+        checks["range"][c]["ok"] = checks["range"][c]["violations"] == 0
+    ok = (
+        checks["row_count"]["ok"]
+        and all(v["ok"] for v in checks["not_null"].values())
+        and checks["unique"]["ok"]
+        and all(v["ok"] for v in checks["range"].values())
+    )
+    report = {"ok": ok, "version": m.version, "checks": checks}
+    dq_dir = os.path.join(lake_dir, "_dq")
+    os.makedirs(dq_dir, exist_ok=True)
+    _atomic_write(
+        os.path.join(dq_dir, f"report-{m.version:06d}.json"),
+        json.dumps(report, indent=1, default=str),
+    )
+    return report
+
+
+def dq_gate(lake_dir: str, spec: TableSpec | None = None) -> dict:
+    """Validate CURRENT; on failure demote to the parent version and
+    write a quarantine marker (the reference's QuarantineMarker +
+    NotifyFailure path, ``workflow_ge_gate/main.tf:172-209``). The
+    failed version's files stay on disk for inspection until gc."""
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    report = run_dq(lake_dir, spec)
+    if not report.get("ok") and m is not None:
+        if m.parent_version is not None:
+            store.rollback(m.parent_version)
+        else:
+            store.reset()
+        marker_dir = os.path.join(lake_dir, "_quarantine", "dq")
+        os.makedirs(marker_dir, exist_ok=True)
+        _atomic_write(
+            os.path.join(marker_dir, f"version-{m.version:06d}.json"),
+            json.dumps({"demoted_version": m.version, "report": report}, default=str),
+        )
+        report["demoted_to"] = m.parent_version
+    return report

@@ -52,6 +52,12 @@ class Manifest:
     # part_id -> {"src_files": [...], "events": n, ...} for this commit
     lineage: dict[str, dict]
     quarantine: list[dict]
+    # Partitioning is a property of the LAKE, fixed at first commit:
+    # {"num_partitions": P, "hot_keys": [...], "hot_key_salt": k}.
+    # Later applies MUST reuse it - changing P or the hot-key set
+    # mid-stream would map existing keys to different partitions and
+    # duplicate them.
+    partitioning: dict = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=1, sort_keys=True)
@@ -135,6 +141,18 @@ class ManifestStore:
         _atomic_write(
             os.path.join(self.dir, "CURRENT"), json.dumps({"version": to_version})
         )
+
+    def next_version(self) -> int:
+        vs = self.versions()
+        return (vs[-1] + 1) if vs else 1
+
+    def reset(self) -> None:
+        """Remove the CURRENT pointer: the lake reads as empty and the
+        next apply starts from an empty checkpoint (full-replay entry
+        point). Old manifests/files remain until gc."""
+        p = os.path.join(self.dir, "CURRENT")
+        if os.path.exists(p):
+            os.remove(p)
 
     def versions(self) -> list[int]:
         out = []

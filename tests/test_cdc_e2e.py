@@ -172,3 +172,33 @@ def test_rollback(small_stream, tmp_lake):
     rows_v1 = final_table(tmp_lake).num_rows
     assert store.current_version() == 1
     assert rows_v1 != rows_v2 or rows_v1 > 0
+
+
+def test_partitioning_is_sticky(tmp_path):
+    """A later apply with a different spec P / hot-key config must keep
+    the lake's original partitioning (else keys duplicate across
+    partitions)."""
+    ch1, ch2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    lake = str(tmp_path / "lake")
+    gen_changes(ch1, n_events=2000, n_convs=40, n_files=2, seed=41)
+    gen_changes(ch2, n_events=2000, n_convs=40, n_files=2, seed=43)
+    engine.apply_changes(ch1, lake, engine.default_spec(num_partitions=4))
+    # second apply asks for 64 partitions + hot keys: must be ignored
+    engine.apply_changes(
+        ch2, lake, engine.default_spec(num_partitions=64, hot_keys=("conv_000001",))
+    )
+    store = ManifestStore(lake)
+    m = store.load()
+    assert m.partitioning["num_partitions"] == 4
+    assert m.partitioning["hot_keys"] == []
+    assert max(int(p) for p in m.partitions) < 4
+    # and the combined state is still key-unique / oracle-correct
+    import duckdb
+    both = str(tmp_path / "both")
+    os.makedirs(both)
+    for d in (ch1, ch2):
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            os.link(f, os.path.join(both, os.path.basename(d) + "_" + os.path.basename(f)))
+    got = final_table(lake)
+    keys = list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
+    assert len(keys) == len(set(keys))
