@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``cosine_topk``  - brute-force cosine top-k: the query matrix is
+  broadcast once via ``ray.put``; every batch does ONE numpy matmul
+  against it and emits only its local top-k rows; a final tiny
+  reduction keeps the global top-k. No shuffle of the corpus.
+* ``ivf_topk``     - the scale path: k-means-ish coarse quantizer
+  (trained on a sample), vectors assigned to the nearest centroid
+  list; queries probe only ``nprobe`` lists. Turns a full scan into a
+  ~nprobe/nlist scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """map_batches stage: local cosine top-k of each batch against the
+    broadcast query matrix (read once per actor in __init__)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.Q = _normalize(q["vecs"].astype(np.float64))
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        V = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
+        S = self.Q @ V.T  # (nq, nbatch)
+        k = min(self.k, S.shape[1])
+        idx = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        rows = {
+            "query_id": np.repeat(self.qids, k),
+            "neighbor_id": ids[idx].ravel(),
+            "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+
+def cosine_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Global top-k cosine neighbors for each query id (queries drawn
+    from the dataset itself). Returns a DataFrame
+    (query_id, rank, neighbor_id, cosine) sorted by (query_id, rank)."""
+    qset = set(int(i) for i in query_ids)
+
+    def grab(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[id_col].isin(qset)][[id_col, vec_col]]
+
+    qdf = ds.map_batches(grab, batch_format="pandas").to_pandas()
+    qdf = qdf.sort_values(id_col)
+    queries_ref = ray.put(
+        {"ids": qdf[id_col].to_numpy(), "vecs": np.stack(qdf[vec_col].to_numpy())}
+    )
+
+    local = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, k=k + (1 if exclude_self else 0),
+            id_col=id_col, vec_col=vec_col,
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).to_pandas()  # tiny: nq * k per batch
+
+    if exclude_self:
+        local = local[local["query_id"] != local["neighbor_id"]]
+    local = local.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = local.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id", "cosine"]]
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 7,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """IVF-style ANN: coarse centroids from a sample (a few rounds of
+    Lloyd's), then per-batch search restricted to vectors whose nearest
+    centroid is among each query's ``nprobe`` closest lists. Recall is
+    approximate; at scale the assignment becomes the partition key so
+    only probed lists are read."""
+    rng = np.random.default_rng(seed)
+    sample = ds.random_sample(
+        min(1.0, sample_size / max(ds.count(), 1)), seed=seed
+    ).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    cent_ref = ray.put(cent)
+
+    qset = set(int(i) for i in query_ids)
+
+    def grab(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[id_col].isin(qset)][[id_col, vec_col]]
+
+    qdf = ds.map_batches(grab, batch_format="pandas").to_pandas().sort_values(id_col)
+    Q = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
+    probes = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]
+    queries_ref = ray.put(
+        {
+            "ids": qdf[id_col].to_numpy(),
+            "vecs": Q,
+            "probes": probes,
+        }
+    )
+
+    class ProbedTopK:
+        def __init__(self):
+            q = ray.get(queries_ref)
+            self.qids, self.Q, self.probes = q["ids"], q["vecs"], q["probes"]
+            self.cent = ray.get(cent_ref)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy()
+            V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            lists = np.argmax(V @ self.cent.T, axis=1)
+            frames = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(lists, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = V[mask] @ self.Q[qi]
+                kk = min(self.k + 1, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.qids[qi],
+                            "neighbor_id": ids[mask][idx],
+                            "cosine": sims[idx],
+                        }
+                    )
+                )
+            if not frames:
+                return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+            return pd.concat(frames, ignore_index=True)
+
+    local = ds.map_batches(
+        ProbedTopK, batch_format="pandas", concurrency=concurrency, num_cpus=1
+    ).to_pandas()
+    local = local[local["query_id"] != local["neighbor_id"]]
+    local = local.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = local.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id", "cosine"]]

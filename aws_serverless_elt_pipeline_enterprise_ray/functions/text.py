@@ -1,0 +1,137 @@
+"""Text-analysis stages for training-data pipelines.
+
+All are vectorized per-batch transforms designed for
+``map_batches(..., batch_format="pandas"|"pyarrow")``; the classes are
+actor-pool stages that compile their regexes once per actor. Each has
+an ANSI-SQL-expressible definition so the driver's DuckDB oracle can
+verify it exactly (see ``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+ALPHA_RE = r"[^A-Za-z]"
+
+# Tiny per-language stopword alternations (n-gram heuristic lang-ID).
+# Deliberately SQL-mirrorable: counts of whole-word regex matches.
+LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "es": r"\b(el|la|de|que|y|en|un|por|con|los)\b",
+    "fr": r"\b(le|la|de|et|un|être|que|pour|dans|ce)\b",
+}
+LANG_PRIORITY = ("en", "es", "fr")  # tie-break order
+
+
+class TokenCounter:
+    """Whitespace/alnum token counting: ``n_tokens`` = number of
+    non-overlapping ``[A-Za-z0-9]+`` matches (SQL:
+    ``len(regexp_extract_all(text, '[A-Za-z0-9]+'))``)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.col = text_col
+        self.re = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens"] = (
+            batch[self.col].str.count(TOKEN_RE).fillna(0).astype("int64")
+        )
+        return batch
+
+
+class QualityScorer:
+    """Length / composition quality signals, integer-exact:
+    ``n_chars``, ``n_tokens``, ``alpha_chars`` (count of [A-Za-z]) and
+    an ``ok`` flag (token count in [5,1000] and n_chars < 5000)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("")
+        batch["n_chars"] = s.str.len().astype("int64")
+        batch["n_tokens"] = s.str.count(TOKEN_RE).astype("int64")
+        batch["alpha_chars"] = s.str.replace(ALPHA_RE, "", regex=True).str.len().astype("int64")
+        batch["ok"] = (
+            (batch["n_tokens"] >= 5) & (batch["n_tokens"] <= 1000) & (batch["n_chars"] < 5000)
+        )
+        return batch
+
+
+class LangId:
+    """Stopword-hit language ID over ``LANG_PATTERNS``; prediction is
+    the argmax hit count with ``LANG_PRIORITY`` tie-break. Compiles
+    patterns once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        self.col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[self.col].fillna("").str.lower()
+        scores = {
+            lang: low.str.count(pat).astype("int64")
+            for lang, pat in LANG_PATTERNS.items()
+        }
+        pred = pd.Series("en", index=batch.index)
+        best = scores["en"].copy()
+        for lang in LANG_PRIORITY[1:]:
+            better = scores[lang] > best
+            pred = pred.mask(better, lang)
+            best = best.mask(better, scores[lang])
+        for lang in LANG_PRIORITY:
+            batch[f"hits_{lang}"] = scores[lang]
+        batch["lang_pred"] = pred
+        return batch
+
+
+class Fingerprinter:
+    """Content fingerprint: md5 hex of the exact text bytes (matches
+    SQL ``md5(text)``) plus a 64-bit rolling polynomial hash of the
+    token stream (shift-invariant document fingerprint)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.col = text_col
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.col].fillna("")
+        batch["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        B = np.uint64(1000003)
+
+        def roll(t: str) -> int:
+            toks = self.tok.findall(t)
+            if not toks:
+                return 0
+            # deterministic cross-process word hashes (builtin hash()
+            # is process-salted - never use it for shuffled values)
+            hs = pd.util.hash_array(
+                np.array(toks, dtype=object), categorize=False
+            ).astype(np.uint64)
+            h = np.uint64(0)
+            for x in hs:
+                h = h * B + x  # uint64 wraps mod 2^64
+            return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+        with np.errstate(over="ignore"):
+            batch["rolling_fp"] = [roll(t) for t in texts]
+        return batch
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized 64-bit content hash column for exact dedup
+    (hash-partition + per-group-first strategy)."""
+    h = pd.util.hash_array(
+        np.asarray(batch[text_col].to_numpy(zero_copy_only=False), dtype=object),
+        categorize=False,
+    )
+    return batch.append_column("text_hash", pa.array(h.astype(np.int64), pa.int64()))

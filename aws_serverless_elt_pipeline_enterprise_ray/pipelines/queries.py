@@ -1,0 +1,765 @@
+"""Driver-verifiable query suite: every operator family from
+SURVEY.md §2 exposed as a callable(sf_dir) plus (where expressible) a
+DuckDB oracle SQL string over the same parquet tables.
+
+The CDC queries derive a deterministic change stream FROM the shared
+``events`` table (op/seq/key/payload are pure functions of event
+columns), so the full engine path - write changelog files, tail,
+normalize, salted-hash shuffle, LWW merge actors, manifest commit,
+read back - can be verified value-for-value against a pure-SQL
+reduction of the same derivation. Column names match the SQL exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+SCRATCH = "/tmp/aws_serverless_elt_pipeline_enterprise_ray_scratch"
+
+# ---------------------------------------------------------------------------
+# shared derivation: events -> transcript change stream
+# ---------------------------------------------------------------------------
+
+#: SQL half of the derivation - MUST stay in lockstep with _derive_batch.
+CH_SQL = """
+  SELECT
+    CASE WHEN event_id % 10 = 9 THEN 'D'
+         WHEN event_id % 10 >= 6 THEN 'U'
+         ELSE 'I' END AS op,
+    event_id AS seq,
+    'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id % 40 AS INTEGER) AS turn_idx,
+    event_type AS role,
+    props AS text,
+    CAST(NULL AS VARCHAR) AS tool,
+    ts
+  FROM events
+"""
+
+FINAL_SQL = f"""
+  WITH ch AS ({CH_SQL}),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM ch
+  )
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _derive_batch(batch: pa.Table, inject_bad: bool = False) -> pa.Table:
+    """Arrow half of the derivation (vectorized; mirrors CH_SQL)."""
+    eid = batch["event_id"].to_numpy(zero_copy_only=False)
+    uid = batch["user_id"].to_numpy(zero_copy_only=False)
+    mod = eid % 10
+    op = np.where(mod == 9, "D", np.where(mod >= 6, "U", "I")).astype(object)
+    if inject_bad:
+        op = np.where(eid % 97 == 0, "X", op).astype(object)
+    conv = np.char.add("conv_", uid.astype("U20")).astype(object)
+    return pa.table(
+        {
+            "op": pa.array(op, pa.string()),
+            "seq": pa.array(eid, pa.int64()),
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array((eid % 40).astype(np.int32), pa.int32()),
+            "role": batch["event_type"],
+            "text": batch["props"],
+            "tool": pa.nulls(len(batch), pa.string()),
+            "ts": batch["ts"],
+        }
+    )
+
+
+def _events(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+
+
+def _changes_ds(sf_dir: str, inject_bad: bool = False) -> rd.Dataset:
+    return _events(sf_dir).map_batches(
+        lambda b: _derive_batch(b, inject_bad), batch_format="pyarrow"
+    )
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(SCRATCH, f"{name}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_changelog(sf_dir: str, inject_bad: bool = False) -> str:
+    out = _scratch("changes")
+    _changes_ds(sf_dir, inject_bad).write_parquet(out)
+    return out
+
+
+def _spec(sf_dir: str):
+    from ..schema import default_spec
+
+    # small partition counts at test scale; the lake fixes P at first commit
+    return default_spec(num_partitions=16)
+
+
+def _final_df(lake_dir: str) -> pd.DataFrame:
+    from .cdc import read_table
+
+    df = read_table(lake_dir).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CDC family
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply_full(sf_dir: str):
+    """Full engine e2e (SURVEY §3.1): derived changelog -> files ->
+    tail -> normalize -> salted shuffle -> LWW merge -> commit -> read."""
+    from .cdc import apply_changes
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    return _final_df(lake)
+
+
+def q_cdc_apply_chunked_resume(sf_dir: str):
+    """Micro-batched commits + resume: apply a prefix, then resume over
+    the full directory (checkpoint skips applied files). Must equal the
+    one-shot application (T1/D1 idempotency semantics)."""
+    import glob
+
+    from .cdc import apply_changes
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    apply_changes(files[: max(1, len(files) // 2)], lake, _spec(sf_dir))
+    apply_changes(changes, lake, _spec(sf_dir), commit_every_files=2)
+    return _final_df(lake)
+
+
+def q_cdc_replay_idempotent(sf_dir: str):
+    """Apply, then full replay from an empty checkpoint (reference
+    replay semantics, workflows/replay/app.py:36-96): state must be
+    reproduced exactly."""
+    from .cdc import apply_changes
+    from .replay import replay
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    replay(changes, lake, _spec(sf_dir))
+    return _final_df(lake)
+
+
+def q_cdc_normalize(sf_dir: str):
+    """M1-M3 normalization projection of the raw change stream."""
+    from ..schema import default_spec, normalize_batch
+
+    spec = default_spec()
+    ds = _changes_ds(sf_dir).map_batches(
+        lambda b: normalize_batch(b, spec).drop_columns(["_bad"]),
+        batch_format="pyarrow",
+    )
+    return ds.sort("seq").to_pandas()
+
+
+def q_cdc_lww_latest(sf_dir: str):
+    """D2 record-level LWW dedup in isolation: winning row per key
+    (deletes included, exposed as last_op) via groupby+map_groups."""
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "seq"])
+        return g.tail(1)
+
+    ds = _changes_ds(sf_dir).groupby(["conv_id", "turn_idx"]).map_groups(
+        winner, batch_format="pandas"
+    )
+    df = ds.to_pandas().rename(
+        columns={"op": "last_op", "text": "last_text", "ts": "last_ts", "seq": "last_seq"}
+    )[["conv_id", "turn_idx", "last_op", "last_text", "last_ts", "last_seq"]]
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def q_cdc_op_counts(sf_dir: str):
+    """A5 counter semantics: events by op."""
+    from ray.data.aggregate import Count
+
+    out = _changes_ds(sf_dir).groupby("op").aggregate(Count(alias_name="n"))
+    return out.sort("op").to_pandas()
+
+
+def q_cdc_dt_rollup(sf_dir: str):
+    """A7 Athena rollup analogue: rows per dt partition."""
+    from ray.data.aggregate import Count
+
+    def add_dt(b: pa.Table) -> pa.Table:
+        return b.append_column("dt", pc.strftime(b["ts"], "%Y-%m-%d"))
+
+    out = (
+        _changes_ds(sf_dir)
+        .map_batches(add_dt, batch_format="pyarrow")
+        .groupby("dt")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.sort("dt").to_pandas()
+
+
+def q_cdc_sorted_recent(sf_dir: str):
+    """O2 ordered inspection: 20 most recent events."""
+    ds = _changes_ds(sf_dir).select_columns(["seq", "conv_id", "turn_idx", "ts"])
+    return ds.sort(["ts", "seq"], descending=True).limit(20).to_pandas()
+
+
+def q_cdc_quarantine_counts(sf_dir: str):
+    """M4 bad-record routing: rows by quarantine status (op poisoned
+    deterministically for event_id % 97 == 0)."""
+    from ..schema import default_spec, normalize_batch
+
+    spec = default_spec()
+
+    def status(b: pa.Table) -> pa.Table:
+        n = normalize_batch(b, spec)
+        st = pc.fill_null(n["_bad"], "ok")
+        return pa.table({"status": st})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        _changes_ds(sf_dir, inject_bad=True)
+        .map_batches(status, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.sort("status").to_pandas()
+
+
+def q_cdc_dq_stats(sf_dir: str):
+    """A6 DQ aggregate expectations over the committed table."""
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    t = pa.concat_tables(
+        list(read_table(lake).iter_batches(batch_format="pyarrow", batch_size=65536))
+    )
+    return pd.DataFrame(
+        {
+            "row_count": [len(t)],
+            "null_text": [t["text"].null_count],
+            "null_conv_id": [t["conv_id"].null_count],
+            "min_turn": [pc.min(t["turn_idx"]).as_py()],
+            "max_turn": [pc.max(t["turn_idx"]).as_py()],
+            "n_convs": [len(pc.unique(t["conv_id"]))],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: documents
+# ---------------------------------------------------------------------------
+
+
+def _documents(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _corpus_with_exact_dupes(sf_dir: str) -> rd.Dataset:
+    """documents ∪ exact copies (doc_id+1000000) of every 5th doc."""
+    base = _documents(sf_dir, ["doc_id", "text"])
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(f["doc_id"], 1_000_000),
+                "text": f["text"],
+            }
+        )
+
+    return base.union(base.map_batches(copies, batch_format="pyarrow"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition by content hash, keep min doc_id."""
+    from ..functions.dedup import exact_dedup
+
+    out = exact_dedup(_corpus_with_exact_dupes(sf_dir))
+    return out.sort("doc_id").to_pandas()
+
+
+def q_token_count(sf_dir: str):
+    from ..functions.text import TokenCounter
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=(1, 4)
+    )
+    return ds.select_columns(["doc_id", "n_tokens"]).sort("doc_id").to_pandas()
+
+
+def q_quality_score(sf_dir: str):
+    from ..functions.text import QualityScorer
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=(1, 4)
+    )
+    return (
+        ds.select_columns(["doc_id", "n_chars", "n_tokens", "alpha_chars", "ok"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from ..functions.text import LangId
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 4)
+    )
+    return (
+        ds.select_columns(["doc_id", "hits_en", "hits_es", "hits_fr", "lang_pred"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from ..functions.text import Fingerprinter
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=(1, 4)
+    )
+    return ds.select_columns(["doc_id", "md5"]).sort("doc_id").to_pandas()
+
+
+def _corpus_with_near_dupes(sf_dir: str) -> rd.Dataset:
+    """documents ∪ perturbed copies (first 2 words dropped) of every
+    4th doc - near-duplicates by construction."""
+    base = _documents(sf_dir, ["doc_id", "text"])
+
+    def perturb(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["doc_id"] % 4 == 0].copy()
+        f["doc_id"] = f["doc_id"] + 1_000_000
+        f["text"] = f["text"].str.split(n=2).str[2].fillna(f["text"])
+        return f
+
+    return base.union(base.map_batches(perturb, batch_format="pandas"))
+
+
+def q_minhash_near_dup(sf_dir: str):
+    """MinHash-LSH near-dup candidates + exact-Jaccard verification.
+    Returns verified (id_a, id_b) pairs. Rows-only check (no SQL)."""
+    from ..functions.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _corpus_with_near_dupes(sf_dir), threshold=0.5, num_perm=64, bands=16
+    )
+    return pd.DataFrame(
+        {"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]}
+    )
+
+
+def q_simhash_near_dup(sf_dir: str):
+    from ..functions.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(_corpus_with_near_dupes(sf_dir), max_hamming=12)
+    return pd.DataFrame(
+        {
+            "id_a": [p[0] for p in pairs],
+            "id_b": [p[1] for p in pairs],
+            "hamming": [p[2] for p in pairs],
+        }
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard over the constructed near-dup pairs
+    (original, perturbed-copy), scaled x1e6 and floored for exactness."""
+    from ..functions.dedup import jaccard
+
+    docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+
+    def perturbed(t):
+        parts = t.split(maxsplit=2)
+        return parts[2] if len(parts) > 2 else t
+
+    rows = []
+    for did in sorted(texts):
+        if did % 4 == 0:
+            j = jaccard(texts[did], perturbed(texts[did]), k=3)
+            rows.append({"doc_id": did, "jaccard_micro": int(j * 1_000_000)})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# similarity search: embeddings
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors vec_id < 8 (broadcast
+    query matrix, per-batch matmul, tiny global reduce)."""
+    from ..functions.similarity import cosine_topk
+
+    top = cosine_topk(_embeddings(sf_dir), list(range(8)), k=5)
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN variant (scale path; approximate - rows-only)."""
+    from ..functions.similarity import ivf_topk
+
+    top = ivf_topk(_embeddings(sf_dir), list(range(8)), k=5, nlist=8, nprobe=8)
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Cosine near-dups among embeddings ∪ noisy copies (rows-only)."""
+    from ..functions.dedup import embedding_near_dups
+
+    base = _embeddings(sf_dir)
+
+    def noisy(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["vec_id"] % 7 == 0].copy()
+        rng = np.random.default_rng(5)
+        f["embedding"] = [
+            (np.asarray(v) + rng.normal(0, 1e-3, len(v))).astype(np.float32)
+            for v in f["embedding"]
+        ]
+        f["vec_id"] = f["vec_id"] + 1_000_000
+        return f
+
+    corpus = base.union(base.map_batches(noisy, batch_format="pandas"))
+    pairs = embedding_near_dups(corpus, threshold=0.999)
+    return pd.DataFrame(
+        {"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_bytes(sf_dir: str):
+    """Binary-payload plumbing: wrap text as opaque bytes + metadata."""
+    from ..functions.multimodal import attach_binary_payload
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        attach_binary_payload, batch_format="pyarrow", batch_size=256
+    )
+    return ds.select_columns(["media_id", "n_bytes"]).sort("media_id").to_pandas()
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Actor-pool decode stage (deterministic fake codec; rows-only)."""
+    from ..functions.multimodal import DecodeStub, attach_binary_payload
+
+    ds = (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            DecodeStub,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+    )
+    return (
+        ds.select_columns(["media_id", "width", "height", "n_frames"])
+        .sort("media_id")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-window ops over the star schema
+# ---------------------------------------------------------------------------
+
+
+def q_window_events_hourly(sf_dir: str):
+    """Tumbling 1h event-time window per user: pre-aggregated inside
+    map_batches (partial combine), then a small groupby - the
+    aggregation-at-scale pattern."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(b["ts"], unit="hour")
+        cents = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        t = pa.table(
+            {"user_id": b["user_id"], "window_start": win, "value_cents": cents}
+        )
+        return (
+            t.group_by(["user_id", "window_start"])
+            .aggregate([("value_cents", "sum"), ("value_cents", "count")])
+            .rename_columns(["user_id", "window_start", "value_cents", "n_events"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )
+    df = out.sort(["user_id", "window_start"]).to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["value_cents"] = df["value_cents"].astype("int64")
+    return df[["user_id", "window_start", "n_events", "value_cents"]]
+
+
+def q_join_orders_nation(sf_dir: str):
+    """Broadcast (map-side) join: orders -> customer -> nation, small
+    sides shipped once via ray.put, groupby count."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk_to_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    lookup = {
+        ck: nk_to_name[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    lookup_ref = ray.put(lookup)
+
+    class JoinNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["nation"] = b["o_custkey"].map(self.lookup)
+            return b[["nation"]]
+
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    out = (
+        orders.map_batches(JoinNation, batch_format="pandas", concurrency=(1, 4))
+        .groupby("nation")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    return out.sort("nation").to_pandas()
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """Q1-style pruned-read rollup: columns pruned at the read, partial
+    aggregation per batch, small final groupby."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        qty = pc.cast(pc.floor(b["l_quantity"]), pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": qty,
+                "sum_price_cents": cents,
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("sum_qty", "sum"), ("sum_price_cents", "sum"), ("sum_qty", "count")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_rows"]
+            )
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+    )
+    df = out.sort(["l_returnflag", "l_linestatus"]).to_pandas()
+    for c in ("n_rows", "sum_qty", "sum_price_cents"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_apply_full": q_cdc_apply_full,
+    "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
+    "cdc_replay_idempotent": q_cdc_replay_idempotent,
+    "cdc_normalize": q_cdc_normalize,
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_op_counts": q_cdc_op_counts,
+    "cdc_dt_rollup": q_cdc_dt_rollup,
+    "cdc_sorted_recent": q_cdc_sorted_recent,
+    "cdc_quarantine_counts": q_cdc_quarantine_counts,
+    "cdc_dq_stats": q_cdc_dq_stats,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_bytes": q_multimodal_bytes,
+    "multimodal_decode": q_multimodal_decode,
+    "window_events_hourly": q_window_events_hourly,
+    "join_orders_nation": q_join_orders_nation,
+    "lineitem_rollup": q_lineitem_rollup,
+}
+
+_LANG_SQL_CASES = """
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) AS hits_en,
+    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|un|por|con|los)\\b')) AS hits_es,
+    len(regexp_extract_all(lower(text), '\\b(le|la|de|et|un|être|que|pour|dans|ce)\\b')) AS hits_fr
+"""
+
+ORACLES = {
+    "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_replay_idempotent": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_normalize": f"WITH ch AS ({CH_SQL}) SELECT op, seq, conv_id, turn_idx, role, text, tool, ts FROM ch ORDER BY seq",
+    "cdc_lww_latest": f"""
+      WITH ch AS ({CH_SQL}),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, turn_idx, op AS last_op, text AS last_text, ts AS last_ts, seq AS last_seq
+      FROM ranked WHERE rn = 1 ORDER BY conv_id, turn_idx
+    """,
+    "cdc_op_counts": f"WITH ch AS ({CH_SQL}) SELECT op, count(*) AS n FROM ch GROUP BY op ORDER BY op",
+    "cdc_dt_rollup": f"WITH ch AS ({CH_SQL}) SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n FROM ch GROUP BY dt ORDER BY dt",
+    "cdc_sorted_recent": f"WITH ch AS ({CH_SQL}) SELECT seq, conv_id, turn_idx, ts FROM ch ORDER BY ts DESC, seq DESC LIMIT 20",
+    "cdc_quarantine_counts": """
+      SELECT CASE WHEN event_id % 97 = 0 THEN 'unknown_op' ELSE 'ok' END AS status,
+             count(*) AS n
+      FROM events GROUP BY status ORDER BY status
+    """,
+    "cdc_dq_stats": f"""
+      WITH final AS ({FINAL_SQL})
+      SELECT count(*) AS row_count,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+             CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_conv_id,
+             min(turn_idx) AS min_turn,
+             max(turn_idx) AS max_turn,
+             count(DISTINCT conv_id) AS n_convs
+      FROM final
+    """,
+    "dedup_exact": """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      )
+      SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text ORDER BY doc_id
+    """,
+    "token_count": """
+      SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+      FROM documents ORDER BY doc_id
+    """,
+    "quality_score": """
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
+              AND length(text) < 5000) AS ok
+      FROM documents ORDER BY doc_id
+    """,
+    "lang_id": f"""
+      WITH scored AS (
+        SELECT doc_id, {_LANG_SQL_CASES}
+        FROM documents)
+      SELECT doc_id, hits_en, hits_es, hits_fr,
+             CASE WHEN hits_es > hits_en AND hits_es >= hits_fr THEN 'es'
+                  WHEN hits_fr > hits_en AND hits_fr > hits_es THEN 'fr'
+                  ELSE 'en' END AS lang_pred
+      FROM scored ORDER BY doc_id
+    """,
+    "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
+    "ann_cosine_topk": """
+      WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+      sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS cos
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sims)
+      SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """,
+    "multimodal_bytes": """
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents ORDER BY media_id
+    """,
+    "window_events_hourly": """
+      SELECT user_id, date_trunc('hour', ts) AS window_start,
+             count(*) AS n_events,
+             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY user_id, window_start ORDER BY user_id, window_start
+    """,
+    "join_orders_nation": """
+      SELECT n.n_name AS nation, count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY nation
+    """,
+    "lineitem_rollup": """
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n_rows,
+             CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """,
+    # minhash_near_dup / simhash_near_dup / ngram_jaccard / ann_ivf_topk /
+    # embedding_near_dup / multimodal_decode: not SQL-expressible ->
+    # rows-only checks (the driver records the weaker check).
+}
+
+
+def cleanup_scratch() -> None:
+    shutil.rmtree(SCRATCH, ignore_errors=True)
