@@ -78,7 +78,20 @@ def main(argv=None) -> int:
     s = sub.add_parser("show", help="manifest / checkpoint status")
     s.add_argument("--lake", required=True)
 
+    sc = sub.add_parser(
+        "scaffold", help="stamp spec YAML + transform + sample for a new table"
+    )
+    sc.add_argument("--name", required=True)
+    sc.add_argument("--dir", default="specs")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "scaffold":
+        from .scaffold import scaffold_dataset
+
+        paths = scaffold_dataset(args.name, args.dir)
+        print(json.dumps({"created": paths}))
+        return 0
 
     if args.cmd == "gen":
         from .gen import gen_changes

@@ -296,7 +296,12 @@ def _apply_chunk(
             "hash_impl": hash_impl_id(),
         },
     )
-    return store.commit(manifest)
+    committed = store.commit(manifest)
+    # S6 analogue: partition-ready events for downstream gates/consumers
+    from ..state.events import emit_partition_ready
+
+    emit_partition_ready(store.lake_dir, committed)
+    return committed
 
 
 def _sample_hot_keys(

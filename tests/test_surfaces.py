@@ -1,0 +1,110 @@
+"""Surface tests: spec YAML loading, transform hook (M6), JSONL compat
+reader (S2), partition-ready events (S6), readiness probes (A3/A4),
+scaffold (§2.10)."""
+
+import dataclasses
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import aws_serverless_elt_pipeline_enterprise_ray as engine
+from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+from aws_serverless_elt_pipeline_enterprise_ray.schema import spec_from_yaml
+from aws_serverless_elt_pipeline_enterprise_ray.sources.changelog import (
+    read_changelog_jsonl,
+)
+from aws_serverless_elt_pipeline_enterprise_ray.state.events import (
+    files_added_since,
+    read_events,
+    wait_for_manifest_version,
+)
+
+
+def test_spec_from_yaml_roundtrip():
+    spec = spec_from_yaml("/root/repo/specs/transcripts.yaml")
+    assert spec.name == "transcripts"
+    assert spec.key_cols == ("conv_id", "turn_idx")
+    assert spec.payload_schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert spec.dq.unique == (("conv_id", "turn_idx"),)
+    assert spec.dq.ranges["turn_idx"] == (0, 100000)
+    assert spec.num_partitions == 64
+
+
+def test_transform_hook_applies(tmp_path):
+    """M6: a vectorized per-table UDF (fallback-chain mapping) runs
+    inside normalize and its output lands in the lake."""
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=500, n_convs=10, n_files=1, seed=3)
+
+    def fill_tool(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("tool")
+        return batch.set_column(
+            i, "tool", pc.coalesce(batch["tool"], pa.scalar("none"))
+        )
+
+    spec = dataclasses.replace(
+        engine.default_spec(num_partitions=2), transform=fill_tool
+    )
+    engine.apply_changes(changes, lake, spec)
+    t = pa.concat_tables(
+        list(engine.read_table(lake).iter_batches(batch_format="pyarrow"))
+    )
+    assert t["tool"].null_count == 0
+    assert "none" in set(t["tool"].to_pylist())
+
+
+def test_jsonl_compat_reader(tmp_path):
+    """S2: bronze JSONL ingestion - newline-delimited records, blank
+    lines skipped, arrays flattened, bad JSON poisoned not fatal."""
+    p = tmp_path / "bronze.jsonl"
+    rows = [
+        {"op": "I", "seq": 1, "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hi", "ts": "2024-01-01T00:00:00Z"},
+        {"op": "I", "seq": 2, "conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "hello", "ts": "2024-01-01T00:00:01Z"},
+    ]
+    content = json.dumps(rows[0]) + "\n\n" + json.dumps([rows[1]]) + "\nnot json\n"
+    p.write_text(content)
+    ds = read_changelog_jsonl([str(p)])
+    got = ds.take_all()
+    ops = sorted(r.get("op") for r in got)
+    assert ops == ["?", "I", "I"]  # 2 good + 1 poisoned
+
+
+def test_partition_ready_events_and_probes(tmp_path):
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=1000, n_convs=20, n_files=2, seed=9)
+    ms = engine.apply_changes(changes, lake, engine.default_spec(num_partitions=4),
+                              commit_every_files=1)
+    events = read_events(lake)
+    assert all(e["event"] == "partition_ready" for e in events)
+    assert {e["version"] for e in events} == {1, 2}
+    # A3: exact files/rows added after v1
+    diff = files_added_since(lake, 1)
+    assert diff["version"] == 2 and diff["files"] > 0
+    total = sum(
+        f["rows"] for files in ms[-1].partitions.values() for f in files
+    )
+    full = files_added_since(lake, 0)
+    assert full["rows"] == total
+    # A4: readiness wait returns immediately when satisfied
+    assert wait_for_manifest_version(lake, 2, timeout_s=5) == 2
+    assert wait_for_manifest_version(lake, 99, timeout_s=0.5, poll_s=0.1) is None
+
+
+def test_scaffold(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.scaffold import scaffold_dataset
+
+    created = scaffold_dataset("agent_logs", str(tmp_path / "specs"))
+    assert len(created) == 3
+    spec = spec_from_yaml(created[0])
+    assert spec.name == "agent_logs"
+    assert os.path.exists(created[2])
+    # scaffolded sample applies cleanly
+    lake = str(tmp_path / "lake")
+    ms = engine.apply_changes(
+        os.path.dirname(created[2]), lake, dataclasses.replace(spec, num_partitions=2)
+    )
+    assert ms and ms[0].metrics["events_applied"] > 0
