@@ -74,13 +74,31 @@ def _det_hash_strings(strings: list[str]) -> np.ndarray:
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.uint64)
 
 
+_SH_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _windowed_shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """k-gram shingle hashes from per-token hashes via a vectorized
+    sliding-window polynomial mix (no string joins). Duplicates are
+    harmless for MinHash: min over a multiset equals min over its set."""
+    n = len(token_hashes)
+    if n == 0:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        acc = token_hashes[: n - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _SH_MIX ^ token_hashes[j : n - k + 1 + j]
+    return acc & np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Hashes of the k-word shingles of ``text`` (word-level shingling)."""
     words = text.split()
-    if len(words) < k:
-        return _det_hash_strings([" ".join(words)])
-    shingles = list({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
-    return _det_hash_strings(shingles)
+    if not words:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    return _windowed_shingle_hashes(_det_hash_strings(words), k)
 
 
 class MinHasher:
@@ -111,22 +129,54 @@ class MinHasher:
         v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
+    def _signatures(self, texts) -> np.ndarray:
+        """Vectorized batch signatures: one deterministic hash call for
+        ALL tokens in the batch, windowed shingle mixing, then chunked
+        (num_perm x n_shingles) universal hashing with a segmented
+        ``minimum.reduceat`` per document."""
+        token_lists = [(t or "").split() for t in texts]
+        flat = [w for toks in token_lists for w in toks]
+        flat_h = _det_hash_strings(flat)
+        sh_per_doc: list[np.ndarray] = []
+        pos = 0
+        for toks in token_lists:
+            th = flat_h[pos : pos + len(toks)]
+            pos += len(toks)
+            sh_per_doc.append(_windowed_shingle_hashes(th, self.k))
+        n_docs = len(texts)
+        sigs = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        # chunk docs so (num_perm x n_shingles) stays ~32MB
+        budget = max(1, (4 << 20) // self.num_perm)
+        i = 0
+        while i < n_docs:
+            j, tot = i, 0
+            while j < n_docs and (tot == 0 or tot + len(sh_per_doc[j]) <= budget):
+                tot += len(sh_per_doc[j])
+                j += 1
+            seg = np.concatenate(sh_per_doc[i:j])
+            starts = np.cumsum([0] + [len(s) for s in sh_per_doc[i:j]][:-1])
+            v = (self.a[:, None] * seg[None, :] + self.b[:, None]) % _MERSENNE
+            sigs[i:j] = np.minimum.reduceat(v, starts, axis=1).T
+            i = j
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Emit (id, band_id, band_hash) rows - the ONLY thing that
         shuffles in the LSH groupby."""
-        import hashlib
-
-        out_id, out_band, out_hash = [], [], []
-        for did, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                seg = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                digest = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
-                out_id.append(did)
-                out_band.append(band)
-                out_hash.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFFF)
+        ids = batch[self.id_col].to_numpy()
+        sigs = self._signatures(list(batch[self.text_col]))
+        banded = sigs.reshape(len(ids), self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((len(ids), self.bands), dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                bh = bh * _SH_MIX ^ banded[:, :, j]
+        bh &= np.uint64(0x7FFFFFFFFFFFFFFF)
         return pd.DataFrame(
-            {"doc_id": out_id, "band_id": out_band, "band_hash": out_hash}
+            {
+                "doc_id": np.repeat(ids, self.bands),
+                "band_id": np.tile(np.arange(self.bands), len(ids)),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+            }
         )
 
 
@@ -138,37 +188,71 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> list[tuple]:
     """Candidate near-duplicate id pairs via banded MinHash-LSH.
 
     Returns deduplicated (id_a, id_b) pairs (id_a < id_b). The bucket
     groupby shuffles only signature rows."""
-    sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            text_col=text_col, id_col=id_col,
-        ),
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
+    hasher = MinHasher(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col,
     )
+    if concurrency is None:
+        # task-based: the hasher state (two small arrays) ships as a
+        # serialized-once closure; no actor-pool startup latency
+        sig = ds.map_batches(hasher.__call__, batch_format="pandas")
+    else:
+        sig = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                text_col=text_col, id_col=id_col,
+            ),
+            batch_format="pandas",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    sig = sig.materialize()  # small: bands rows per doc; reused below
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
+    # Signature-table size decides the plan. Each extra Ray execution
+    # costs ~1-2s of fixed latency; below the threshold the whole
+    # signature table (bands x n_docs tiny rows, ~20B each) fits the
+    # driver trivially and one pandas groupby beats four distributed
+    # stages. Above it, a vectorized count-aggregate finds colliding
+    # buckets (NOT map_groups - per-group python calls on the ~all-
+    # singleton buckets would dominate) and only those rows come back.
+    if sig.count() <= 2_000_000:
+        cand = sig.to_pandas()
+        sizes = cand.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        cand = cand[sizes >= 2]
+    else:
+        from ray.data.aggregate import Count
 
-    pair_ds = sig.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
-    pairs = {
-        (int(r["id_a"]), int(r["id_b"]))
-        for r in pair_ds.take_all()
-    }
+        counts = sig.groupby(["band_id", "band_hash"]).aggregate(
+            Count(alias_name="n")
+        )
+        dup = counts.filter(expr="n >= 2").to_pandas()  # only real collisions
+        if len(dup) == 0:
+            return []
+        hot = set(zip(dup["band_id"].astype(int), dup["band_hash"].astype(int)))
+        hot_ref = ray.put(hot)
+
+        def in_hot(b: pd.DataFrame) -> pd.DataFrame:
+            h = ray.get(hot_ref)
+            keys = list(zip(b["band_id"].astype(int), b["band_hash"].astype(int)))
+            mask = np.fromiter((k in h for k in keys), dtype=bool, count=len(keys))
+            return b[mask]
+
+        cand = sig.map_batches(in_hot, batch_format="pandas").to_pandas()
+
+    # pair within buckets, vectorized pandas on the candidate set
+    pairs: set[tuple] = set()
+    for (_, _), g in cand.groupby(["band_id", "band_hash"], sort=False):
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                pairs.add((x, y))
     return sorted(pairs)
 
 
@@ -242,25 +326,45 @@ def minhash_dedup_pairs(
 
 class SimHasher:
     """64-bit simhash per document + ``sim_prefix`` bucket column
-    (top-16-bits) for near-dup blocking."""
+    (top-16-bits) for near-dup blocking. Batch-vectorized: one hash
+    call for all tokens, bit expansion + segmented ``add.reduceat``
+    per document."""
 
     def __init__(self, text_col: str = "text", prefix_bits: int = 16):
         self.text_col = text_col
         self.prefix_bits = prefix_bits
 
     def simhash(self, text: str) -> int:
-        words = (text or "").split()
-        if not words:
-            return 0
-        hashes = pd.util.hash_array(
-            np.array(words, dtype=object), categorize=False
+        return int(self._simhashes([text])[0])
+
+    def _simhashes(self, texts) -> np.ndarray:
+        token_lists = [(t or "").split() for t in texts]
+        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+        flat = [w for toks in token_lists for w in toks]
+        if not flat:
+            return np.zeros(len(texts), dtype=np.uint64)
+        H = pd.util.hash_array(
+            np.array(flat, dtype=object), categorize=False
         ).astype(np.uint64)
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        # (T x 64) sign matrix, summed per doc segment
+        bits = (
+            (H[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int32)
+        signs = 2 * bits - 1
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        # empty docs alias a neighbor's start (clamped in range); their
+        # rows are masked out below
+        sums = np.add.reduceat(signs, np.clip(starts, 0, len(flat) - 1), axis=0)
+        sums[counts == 0] = -1  # all-zero simhash for empty docs
+        out = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1
+        )
+        out[counts == 0] = 0
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = np.array([self.simhash(t) for t in batch[self.text_col]], dtype=np.uint64)
+        sh = self._simhashes(list(batch[self.text_col]))
         batch["simhash"] = sh.astype("int64")  # two's complement for arrow
         batch["sim_prefix"] = (sh >> np.uint64(64 - self.prefix_bits)).astype("int64")
         return batch
@@ -276,33 +380,54 @@ def simhash_near_dups(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> list[tuple]:
     """Near-dup pairs whose simhashes agree on the 16-bit prefix bucket
-    and differ by <= max_hamming bits overall. Bucketing keeps the
-    pairwise check per-group."""
-    sh = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pandas",
-        concurrency=concurrency,
-        num_cpus=1,
-    ).select_columns([id_col, "simhash", "sim_prefix"])
+    and differ by <= max_hamming bits overall.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col], g["simhash"]))
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = hamming64(rows[i][1], rows[j][1])
-                if d <= max_hamming:
-                    out_a.append(rows[i][0]); out_b.append(rows[j][0]); out_d.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+    Same shape as MinHash-LSH candidate generation: a vectorized
+    count-aggregate finds colliding prefix buckets (the overwhelming
+    majority are singletons and never touch Python), then only those
+    rows are collected and pair-checked with a vectorized XOR+popcount.
+    """
+    hasher = SimHasher(text_col=text_col)
+    sh = ds.map_batches(hasher.__call__, batch_format="pandas").select_columns(
+        [id_col, "simhash", "sim_prefix"]
+    ).materialize()
 
-    res = sh.groupby("sim_prefix").map_groups(pairs, batch_format="pandas")
-    return sorted(
-        {(int(r["id_a"]), int(r["id_b"]), int(r["hamming"])) for r in res.take_all()}
-    )
+    from ray.data.aggregate import Count
+
+    counts = sh.groupby("sim_prefix").aggregate(Count(alias_name="n"))
+    dup = counts.filter(expr="n >= 2").to_pandas()
+    if len(dup) == 0:
+        return []
+    hot = set(int(x) for x in dup["sim_prefix"])
+    hot_ref = ray.put(hot)
+
+    def in_hot(b: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        return b[b["sim_prefix"].isin(h)]
+
+    cand = sh.map_batches(in_hot, batch_format="pandas").to_pandas()
+
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        return _POP[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+    out: set[tuple] = set()
+    for _, g in cand.groupby("sim_prefix", sort=False):
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        d = popcount64(hs[iu] ^ hs[ju])
+        keep = d <= max_hamming
+        for a, b, dd in zip(ids[iu[keep]], ids[ju[keep]], d[keep]):
+            out.add((int(a), int(b), int(dd)))
+    return sorted(out)
 
 
 # ---------------------------------------------------------------------------

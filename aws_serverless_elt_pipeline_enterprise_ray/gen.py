@@ -73,8 +73,13 @@ def gen_changes(
     hot = rng.choice(n_convs, size=min(n_hot, n_convs), replace=False)
     probs = rng.dirichlet(np.ones(n_convs) * 0.5)
     probs[hot] = 0.0
-    probs = probs / probs.sum() * (1.0 - hot_fraction)
-    probs[hot] = hot_fraction / len(hot)
+    cold_mass = probs.sum()
+    if len(hot) >= n_convs or cold_mass <= 0:
+        probs = np.full(n_convs, 1.0 / n_convs)  # degenerate: uniform
+    else:
+        probs = probs / cold_mass * (1.0 - hot_fraction)
+        probs[hot] = hot_fraction / len(hot)
+        probs = probs / probs.sum()
     conv_idx = rng.choice(n_convs, size=n, p=probs)
     conv = conv_ids_all[conv_idx]
     turn = rng.integers(0, max_turns, size=n).astype(np.int32)
