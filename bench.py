@@ -116,12 +116,29 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).count()
 
+    import glob
+
     lake = os.path.join(SCRATCH, f"lake-{NUM_CPUS}-{time.time_ns()}")
     spec = engine.default_spec(num_partitions=max(64, 2 * NUM_CPUS))
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    n_tail = max(1, len(files) // 10)
+    head, tail = files[:-n_tail], files[-n_tail:]
+
+    # bulk load: most of the stream into an empty lake
     t0 = time.perf_counter()
-    manifests = engine.apply_changes(changes, lake, spec)
+    manifests = engine.apply_changes(head, lake, spec)
     cdc_sec = time.perf_counter() - t0
     assert manifests, "no commit happened"
+    head_events = int(n_events * len(head) / len(files))
+
+    # steady-state increment: the tail applied against the populated
+    # lake - exercises current-state read + COW rewrite, the true CDC
+    # operating mode
+    t0 = time.perf_counter()
+    inc_manifests = engine.apply_changes(changes, lake, spec)
+    inc_sec = time.perf_counter() - t0
+    assert inc_manifests
+    inc_events = n_events - head_events
 
     qtimes = {}
     qnames = () if os.environ.get("BENCH_SKIP_QUERIES") else (
@@ -146,8 +163,11 @@ def run_bench() -> dict:
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "events": n_events,
-        "events_per_sec": round(n_events / cdc_sec),
+        "events": head_events,
+        "events_per_sec": round(head_events / cdc_sec),
+        "incremental_sec": round(inc_sec, 3),
+        "incremental_events": inc_events,
+        "incremental_events_per_sec": round(inc_events / inc_sec),
     }
     ray.shutdown()
     return result
