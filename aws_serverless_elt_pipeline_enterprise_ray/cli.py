@@ -65,7 +65,10 @@ def main(argv=None) -> int:
     c = sub.add_parser("compact", help="re-pack small files")
     c.add_argument("--lake", required=True)
     c.add_argument("--target-rows", type=int, default=2_000_000)
-    c.add_argument("--purge-tombstones", action="store_true")
+    c.add_argument("--purge-tombstones", action="store_true",
+                   help="purge ALL tombstones (assert no more late data)")
+    c.add_argument("--purge-tombstones-before-us", type=int, default=None,
+                   help="purge tombstones with event-time below this us epoch")
 
     d = sub.add_parser("dq", help="data-quality report / gate")
     d.add_argument("--lake", required=True)
@@ -179,6 +182,7 @@ def main(argv=None) -> int:
                 args.lake,
                 target_rows_per_file=args.target_rows,
                 purge_tombstones=args.purge_tombstones,
+                purge_tombstones_before_us=args.purge_tombstones_before_us,
             )
             print(json.dumps({"version": m.version if m else None}))
         elif args.cmd == "dq":

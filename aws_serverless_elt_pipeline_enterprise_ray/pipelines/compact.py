@@ -4,10 +4,13 @@ Engine analogue of the reference's Glue compaction job
 (``infra/terraform/modules/glue_catalog/scripts/compact_silver.py:36-42``:
 read a dt partition, add ``_ingested_at``, ``repartition(1)``,
 overwrite) - but copy-on-write + manifest-committed, so a reader never
-sees a half-compacted partition. Optionally purges tombstones (safe
-once every change file at or below the watermark is applied - a late
-replay of already-applied files is a checkpoint no-op, so resurrected
-deletes are impossible).
+sees a half-compacted partition. Tombstone purging is gated by an
+explicit event-time horizon: a tombstone at ts=T guards against
+out-of-order upserts with ts < T arriving in FUTURE change files, so
+purging is only safe for tombstones older than the stream's maximum
+lateness bound. ``purge_tombstones=True`` purges everything (operator
+asserts no more late data); ``purge_tombstones_before_us=<us epoch>``
+purges only tombstones below the horizon.
 
 One task per partition, no shuffle; partitions already too few files
 are skipped (rewrite only when it helps - the "small file problem" row
@@ -37,9 +40,11 @@ class _Compactor:
         purge_tombstones: bool,
         target_rows_per_file: int,
         stamp_ingested_at: str | None,
+        purge_before_us: int | None = None,
     ):
         self.lake_dir = lake_dir
         self.purge = purge_tombstones
+        self.purge_before_us = purge_before_us
         self.target = target_rows_per_file
         self.stamp = stamp_ingested_at
 
@@ -49,8 +54,18 @@ class _Compactor:
             pid = int(row["part_id"])
             paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
             tbl = pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+            deleted = pc.fill_null(tbl["_deleted"], False)
             if self.purge:
-                tbl = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
+                tbl = tbl.filter(pc.invert(deleted))
+            elif self.purge_before_us is not None:
+                old_tomb = pc.and_(
+                    deleted,
+                    pc.less(
+                        tbl["ts"],
+                        pa.scalar(self.purge_before_us, pa.timestamp("us")),
+                    ),
+                )
+                tbl = tbl.filter(pc.invert(pc.fill_null(old_tomb, False)))
             if self.stamp is not None and "_ingested_at" not in tbl.column_names:
                 # reference precedent for additive schema evolution:
                 # compaction adds a constant timestamp column (M7);
@@ -85,6 +100,7 @@ def compact(
     target_rows_per_file: int = 2_000_000,
     min_files_to_compact: int = 2,
     purge_tombstones: bool = False,
+    purge_tombstones_before_us: int | None = None,
     stamp_ingested_at: str | None = None,
     now: str | None = None,
 ) -> Manifest | None:
@@ -99,22 +115,26 @@ def compact(
     todo = [
         {"part_id": int(pid), "files": json.dumps([f["path"] for f in files])}
         for pid, files in parent.partitions.items()
-        if files and (len(files) >= min_files_to_compact or purge_tombstones or stamp_ingested_at)
+        if files
+        and (
+            len(files) >= min_files_to_compact
+            or purge_tombstones
+            or purge_tombstones_before_us is not None
+            or stamp_ingested_at
+        )
     ]
     if not todo:
         return None
+    compactor = _Compactor(
+        lake_dir=lake_dir,
+        purge_tombstones=purge_tombstones,
+        target_rows_per_file=target_rows_per_file,
+        stamp_ingested_at=stamp_ingested_at,
+        purge_before_us=purge_tombstones_before_us,
+    )
+    # task-based (state serialized once): no actor-pool startup latency
     ds = rd.from_items(todo).map_batches(
-        _Compactor,
-        fn_constructor_kwargs={
-            "lake_dir": lake_dir,
-            "purge_tombstones": purge_tombstones,
-            "target_rows_per_file": target_rows_per_file,
-            "stamp_ingested_at": stamp_ingested_at,
-        },
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=(1, 8),
-        num_cpus=1,
+        compactor.__call__, batch_format="pyarrow", batch_size=1
     )
     partitions = dict(parent.partitions)
     for r in ds.take_all():

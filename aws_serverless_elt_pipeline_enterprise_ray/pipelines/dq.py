@@ -120,13 +120,10 @@ def run_dq(
         "range": {c: {"violations": 0, "ok": True} for c in rules["ranges"]},
     }
     if items:
+        checker = _PartitionChecker(lake_dir=lake_dir, rules=rules)
+        # task-based (state serialized once): no actor-pool startup latency
         ds = rd.from_items(items).map_batches(
-            _PartitionChecker,
-            fn_constructor_kwargs={"lake_dir": lake_dir, "rules": rules},
-            batch_format="pyarrow",
-            batch_size=1,
-            concurrency=(1, 8),
-            num_cpus=1,
+            checker.__call__, batch_format="pyarrow", batch_size=1
         )
         for r in ds.take_all():
             checks["row_count"]["value"] += r["rows"]

@@ -138,3 +138,36 @@ def test_cli_roundtrip(tmp_path):
     assert dq["ok"]
     gc = run("gc", "--lake", lake)
     assert "removed" in gc
+
+
+def test_tombstone_purge_horizon(tmp_path):
+    """A purged tombstone can be resurrected by a later out-of-order
+    older upsert - so purging is gated by an event-time horizon and
+    only removes tombstones below it."""
+    import pyarrow as pa
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import EPOCH_US
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=2000, n_convs=30, n_files=2, seed=47,
+                delete_ratio=0.3)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+    store = ManifestStore(lake)
+
+    # horizon in the middle of the stream: only old tombstones purged
+    horizon = EPOCH_US + 1000 * 1_000_000
+    m = compact(lake, purge_tombstones_before_us=horizon, min_files_to_compact=1)
+    assert m is not None
+    kept_old, kept_new = 0, 0
+    for p in m.all_files():
+        t = pq.read_table(os.path.join(lake, p), columns=["_deleted", "ts"])
+        for dele, ts in zip(t["_deleted"].to_pylist(), t["ts"].to_pylist()):
+            if dele:
+                epoch_us = int(ts.timestamp() * 1_000_000)
+                if epoch_us < horizon:
+                    kept_old += 1
+                else:
+                    kept_new += 1
+    assert kept_old == 0, "tombstones below the horizon must be purged"
+    assert kept_new > 0, "tombstones above the horizon must survive"
+    # live data unchanged
+    assert_matches_oracle(lake, changes)
