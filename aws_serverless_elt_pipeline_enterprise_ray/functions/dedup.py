@@ -40,19 +40,29 @@ from .text import content_hash_batch
 
 
 def exact_dedup(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
 ) -> rd.Dataset:
-    """Keep one representative (min id) per exact text. The shuffle
-    moves only (hash, id, payload) grouped by the 64-bit content hash;
-    per-group first is a vectorized pandas head after sort."""
-    ds = ds.map_batches(
+    """Keep one representative (min id) per exact text.
+
+    Shuffle key is a 64-bit content hash, so only (hash, id, payload)
+    rows move and groups are exact-duplicate sets. Per-group first is a
+    vectorized pandas head. (A left-semi ``Dataset.join`` of the corpus
+    against a C-level ``groupby(hash).min(id)`` aggregate would avoid
+    the one-python-call-per-singleton-group overhead at billion-doc
+    scale, but Ray 2.49.2's hash-join finalize raises an Acero
+    field-ref error on this shape - revisit when Dataset.join
+    stabilizes.)"""
+    hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
     )
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col).head(1)
 
-    return ds.groupby("text_hash").map_groups(
+    return hashed.groupby("text_hash").map_groups(
         first_per_group, batch_format="pandas"
     ).drop_columns(["text_hash"])
 
