@@ -56,6 +56,13 @@ def main(argv=None) -> int:
     i.add_argument("--partitions", type=int, default=64)
     i.add_argument("--detect-hot-keys", action="store_true")
 
+    t = sub.add_parser("tail", help="always-on poll-and-apply loop")
+    t.add_argument("--changelog", required=True)
+    t.add_argument("--lake", required=True)
+    t.add_argument("--partitions", type=int, default=64)
+    t.add_argument("--poll-seconds", type=float, default=1.0)
+    t.add_argument("--max-idle-rounds", type=int, default=5)
+
     r = sub.add_parser("replay", help="re-apply from a checkpoint version")
     r.add_argument("--changelog", required=True)
     r.add_argument("--lake", required=True)
@@ -164,6 +171,18 @@ def main(argv=None) -> int:
                     }
                 )
             )
+        elif args.cmd == "tail":
+            from . import default_spec
+            from .pipelines.tail import tail as tail_loop
+
+            stats = tail_loop(
+                args.changelog,
+                args.lake,
+                default_spec(num_partitions=args.partitions),
+                poll_seconds=args.poll_seconds,
+                max_idle_rounds=args.max_idle_rounds,
+            )
+            print(json.dumps(stats))
         elif args.cmd == "replay":
             from . import default_spec
             from .pipelines.replay import replay

@@ -1,0 +1,73 @@
+"""Always-on change-log tailer.
+
+The reference's ingest path is event-driven: S3 ``ObjectCreated``
+notifications invoke the ingest Lambda per object
+(``envs/dev/main.tf:127-135``). A filesystem changelog has no push
+notifications, so the tailer polls the directory and applies any files
+not yet in the checkpoint - each poll round is exactly one idempotent
+``apply_changes`` call, so crashes mid-round, duplicate rounds and
+overlapping deliveries are all safe by construction.
+
+Producers must land files atomically (write to a temp name, rename
+into the watched directory) - the tailer assumes a listed file is
+complete, like S3's object-level atomicity in the reference.
+
+Runs until ``max_idle_rounds`` consecutive empty polls (or forever
+with ``max_idle_rounds=None``); returns aggregate stats. Lag metric =
+newest file seq minus committed watermark (the engine analogue of
+``ApproximateAgeOfOldestMessage``).
+"""
+
+from __future__ import annotations
+
+import time
+
+from ..schema import TableSpec, default_spec
+from ..state.manifest import ManifestStore
+from .cdc import apply_changes
+
+
+def tail(
+    changelog_dir: str,
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    *,
+    poll_seconds: float = 1.0,
+    max_idle_rounds: int | None = 5,
+    max_rounds: int | None = None,
+    on_commit=None,
+    **apply_kwargs,
+) -> dict:
+    """Poll-and-apply loop. ``on_commit(manifest)`` is called per
+    committed version (test/metrics hook)."""
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    idle = 0
+    rounds = 0
+    committed = 0
+    events = 0
+    while True:
+        rounds += 1
+        manifests = apply_changes(changelog_dir, lake_dir, spec, **apply_kwargs)
+        if manifests:
+            idle = 0
+            committed += len(manifests)
+            for m in manifests:
+                events += m.metrics.get("events_applied", 0)
+                if on_commit is not None:
+                    on_commit(m)
+        else:
+            idle += 1
+            if max_idle_rounds is not None and idle >= max_idle_rounds:
+                break
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        time.sleep(poll_seconds)
+    cur = store.load()
+    return {
+        "rounds": rounds,
+        "commits": committed,
+        "events_applied": events,
+        "version": cur.version if cur else None,
+        "watermark": cur.watermark if cur else None,
+    }

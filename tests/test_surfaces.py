@@ -108,3 +108,39 @@ def test_scaffold(tmp_path):
         os.path.dirname(created[2]), lake, dataclasses.replace(spec, num_partitions=2)
     )
     assert ms and ms[0].metrics["events_applied"] > 0
+
+
+def test_tail_loop_applies_incrementally(tmp_path):
+    """§3.1 always-on ingest: files dropped while the tailer runs are
+    picked up in later polls; final state matches the oracle."""
+    import shutil
+    import threading
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tail import tail
+
+    staged = str(tmp_path / "staged")
+    changes = str(tmp_path / "ch")
+    lake = str(tmp_path / "lake")
+    os.makedirs(changes)
+    files = gen_changes(staged, n_events=3000, n_convs=30, n_files=6, seed=51)
+
+    # drip files into the watched dir while the tailer polls
+    def drip():
+        for f in files:
+            shutil.copy(f, os.path.join(changes, os.path.basename(f)))
+            import time as _t
+
+            _t.sleep(0.3)
+
+    t = threading.Thread(target=drip)
+    t.start()
+    stats = tail(
+        changes, lake, engine.default_spec(num_partitions=4),
+        poll_seconds=0.2, max_idle_rounds=8,
+    )
+    t.join()
+    assert stats["commits"] >= 2, "tailer should have committed across polls"
+    assert stats["watermark"] == 2999
+    from test_cdc_e2e import assert_matches_oracle
+
+    assert_matches_oracle(lake, changes)
