@@ -6,9 +6,9 @@ End-to-end analogue of the reference's ingest+transform path
 write), re-expressed Ray-Data-first:
 
     discover pending change files (vs. checkpoint)          [driver]
-    ray.data.read_parquet(pending)                          [streamed]
-      .map_batches(normalize + salted part_id, pyarrow)     [stateless tasks]
-      .groupby("part_id").map_groups(PartitionMerger, ...)  [actor pool, THE shuffle]
+    ray.data.read_parquet(pending, ~1 block/CPU)            [streamed]
+      .map_batches(normalize + salted part_id + combiner)   [stateless tasks, zero-copy]
+      .groupby("part_id").map_groups(PartitionMerger, ...)  [THE shuffle; tasks (default) or actor pool]
     collect P small result rows                             [driver]
     atomic manifest + checkpoint commit                     [driver]
 

@@ -19,9 +19,12 @@ cannot resurrect it (order-insensitive replay, the north-rule
 invariant). Tombstones are purged by compaction once the checkpoint
 watermark has passed them.
 
-Used as a callable class so Ray Data runs it on an actor pool: spec
-parsing, schema objects and file-listing state are built once per
-actor in ``__init__`` (not per batch).
+A callable class either way it runs: as an actor pool
+(``merge_compute="actors"``: spec parsing, schema objects and the
+current-file map built once per actor in ``__init__``) or, the
+measured-faster default, as tasks over a serialized-once instance
+(``merge_compute="tasks"``: same state rides the closure, no pool
+startup, restart safety from COW writes + the manifest commit).
 """
 
 from __future__ import annotations
