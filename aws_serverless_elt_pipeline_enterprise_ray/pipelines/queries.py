@@ -220,6 +220,30 @@ def q_cdc_sorted_recent(sf_dir: str):
     return ds.sort(["ts", "seq"], descending=True).limit(20).to_pandas()
 
 
+def q_cdc_distinct_roles(sf_dir: str):
+    """Set op: distinct values of a column (D-family; ds.unique is a
+    shuffle - fine for a low-cardinality column)."""
+    vals = sorted(
+        v for v in _changes_ds(sf_dir).unique("role") if v is not None
+    )
+    return pd.DataFrame({"role": vals})
+
+
+def q_cdc_top_convs(sf_dir: str):
+    """Top-k: 10 busiest conversations (groupby count -> sort -> limit,
+    ties broken by conv_id for determinism)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _changes_ds(sf_dir)
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "conv_id"], descending=[True, False])
+        .limit(10)
+    )
+    return out.to_pandas()
+
+
 def q_cdc_quarantine_counts(sf_dir: str):
     """M4 bad-record routing: rows by quarantine status (op poisoned
     deterministically for event_id % 97 == 0)."""
@@ -625,6 +649,8 @@ QUERIES = {
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dt_rollup": q_cdc_dt_rollup,
     "cdc_sorted_recent": q_cdc_sorted_recent,
+    "cdc_distinct_roles": q_cdc_distinct_roles,
+    "cdc_top_convs": q_cdc_top_convs,
     "cdc_quarantine_counts": q_cdc_quarantine_counts,
     "cdc_dq_stats": q_cdc_dq_stats,
     "dedup_exact": q_dedup_exact,
@@ -668,6 +694,12 @@ ORACLES = {
     "cdc_op_counts": f"WITH ch AS ({CH_SQL}) SELECT op, count(*) AS n FROM ch GROUP BY op ORDER BY op",
     "cdc_dt_rollup": f"WITH ch AS ({CH_SQL}) SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n FROM ch GROUP BY dt ORDER BY dt",
     "cdc_sorted_recent": f"WITH ch AS ({CH_SQL}) SELECT seq, conv_id, turn_idx, ts FROM ch ORDER BY ts DESC, seq DESC LIMIT 20",
+    "cdc_distinct_roles": f"WITH ch AS ({CH_SQL}) SELECT DISTINCT role FROM ch WHERE role IS NOT NULL ORDER BY role",
+    "cdc_top_convs": f"""
+      WITH ch AS ({CH_SQL})
+      SELECT conv_id, count(*) AS n FROM ch GROUP BY conv_id
+      ORDER BY n DESC, conv_id LIMIT 10
+    """,
     "cdc_quarantine_counts": """
       SELECT CASE WHEN event_id % 97 = 0 THEN 'unknown_op' ELSE 'ok' END AS status,
              count(*) AS n
