@@ -91,6 +91,7 @@ def apply_changes(
     batch_size: int | None = None,
     merge_concurrency: int | tuple[int, int] | None = None,
     merge_compute: str = "tasks",
+    stage_barrier: bool = True,
     max_rows_per_file: int = 2_000_000,
     now: str | None = None,
     detect_hot_keys: bool = False,
@@ -127,6 +128,7 @@ def apply_changes(
             batch_size=batch_size,
             merge_concurrency=merge_concurrency,
             merge_compute=merge_compute,
+            stage_barrier=stage_barrier,
             max_rows_per_file=max_rows_per_file,
             now=now,
             detect_hot_keys=detect_hot_keys,
@@ -143,6 +145,7 @@ def _apply_chunk(
     batch_size: int,
     merge_concurrency,
     merge_compute: str,
+    stage_barrier: bool,
     max_rows_per_file: int,
     now: str | None,
     detect_hot_keys: bool,
@@ -226,6 +229,14 @@ def _apply_chunk(
         batch_size=batch_size or 262_144,
         zero_copy_batch=True,
     )
+    if stage_barrier:
+        # Materialize the combiner-reduced stream before the sort:
+        # letting the sort's map tasks interleave with read/normalize
+        # thrashes when CPU slots are scarce (measured ~1.8x slower at
+        # 4 CPUs; neutral at 16-32). The pinned set is post-combine
+        # (already key-reduced) and bounded per commit chunk; the
+        # object store spills if it must.
+        ds = ds.materialize()
 
     current_files = (
         {int(k): [f["path"] for f in v] for k, v in parent.partitions.items()}

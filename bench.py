@@ -12,7 +12,8 @@ plus efficiency = (t_8 / t_32) / 4  (1.0 = perfectly linear).
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
      BENCH_REPEAT (changelog = events table replicated this many times,
-                   default 20 -> ~2M change events at sf0.1)
+                   default 200 -> ~20M change events at sf0.1, large
+                   enough that fixed startup costs stop dominating)
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPEAT = int(os.environ.get("BENCH_REPEAT", "20"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "200"))
 SCRATCH = "/tmp/aws_serverless_elt_pipeline_enterprise_ray_bench"
 
 

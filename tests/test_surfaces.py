@@ -136,7 +136,7 @@ def test_tail_loop_applies_incrementally(tmp_path):
     t.start()
     stats = tail(
         changes, lake, engine.default_spec(num_partitions=4),
-        poll_seconds=0.2, max_idle_rounds=8,
+        poll_seconds=0.2, max_idle_rounds=20,
     )
     t.join()
     assert stats["commits"] >= 2, "tailer should have committed across polls"
