@@ -91,7 +91,7 @@ def apply_changes(
     batch_size: int | None = None,
     merge_concurrency: int | tuple[int, int] | None = None,
     merge_compute: str = "tasks",
-    stage_barrier: bool = True,
+    stage_barrier: bool | str = "auto",
     max_rows_per_file: int = 2_000_000,
     now: str | None = None,
     detect_hot_keys: bool = False,
@@ -145,7 +145,7 @@ def _apply_chunk(
     batch_size: int,
     merge_concurrency,
     merge_compute: str,
-    stage_barrier: bool,
+    stage_barrier: bool | str,
     max_rows_per_file: int,
     now: str | None,
     detect_hot_keys: bool,
@@ -229,13 +229,14 @@ def _apply_chunk(
         batch_size=batch_size or 262_144,
         zero_copy_batch=True,
     )
+    if stage_barrier == "auto":
+        # Barrier pays when the working set is modest or CPUs scarce
+        # (fused sort-map/normalize interleaving thrashes: ~1.8x slower
+        # at 4 CPUs on 18M events; neutral at 16-32). At large volumes
+        # the materialization cost and lost read/sort overlap flip the
+        # sign (~30% slower at 90M events), so stream instead.
+        stage_barrier = est_bytes <= (4 << 30) or ncpu <= 8
     if stage_barrier:
-        # Materialize the combiner-reduced stream before the sort:
-        # letting the sort's map tasks interleave with read/normalize
-        # thrashes when CPU slots are scarce (measured ~1.8x slower at
-        # 4 CPUs; neutral at 16-32). The pinned set is post-combine
-        # (already key-reduced) and bounded per commit chunk; the
-        # object store spills if it must.
         ds = ds.materialize()
 
     current_files = (
@@ -361,6 +362,64 @@ def _parse_type(s: str) -> pa.DataType:
 # ---------------------------------------------------------------------------
 
 
+def read_conversations(
+    lake_dir: str,
+    conv_ids: list[str],
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Partition-pruned read: compute the (salted) partitions that can
+    contain the requested conversations from the manifest's recorded
+    partitioning and read ONLY those files - the payoff of hashing the
+    lake by conv_id (a point lookup touches 1/P of the data; a hot
+    salted conversation touches its k sub-partitions)."""
+    import numpy as np
+
+    from ..schema import hash_strings
+
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+    pp = m.partitioning
+    P = pp["num_partitions"]
+    hot = set(pp.get("hot_keys", ()))
+    salt_k = pp.get("hot_key_salt", 8)
+    h = hash_strings(np.array(conv_ids, dtype=object)).astype(np.uint64)
+    parts: set[int] = set()
+    for cid, hv in zip(conv_ids, h):
+        if cid in hot:
+            for s in range(salt_k):
+                parts.add(
+                    int((hv + np.uint64(s) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P))
+                )
+        else:
+            parts.add(int(hv % np.uint64(P)))
+    paths = [
+        os.path.join(lake_dir, f["path"])
+        for pid, files in m.partitions.items()
+        if int(pid) in parts
+        for f in files
+    ]
+    if not paths:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+    ds = _read_lake_files(lake_dir, paths, m, columns=None)
+    want = set(conv_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["conv_id"], value_set=pa.array(list(want)))
+        return batch.filter(mask)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_table(
     lake_dir: str,
     version: int | None = None,
@@ -381,8 +440,24 @@ def read_table(
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
 
     paths = [os.path.join(lake_dir, p) for p in m.all_files()]
-    target = pa.schema([pa.field(n, _parse_type(t)) for n, t in (tuple(c) for c in m.schema)])
+    ds = _read_lake_files(lake_dir, paths, m, include_internal=include_internal)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
 
+
+def _read_lake_files(
+    lake_dir: str,
+    paths: list[str],
+    m: Manifest,
+    columns: list[str] | None = None,
+    include_internal: bool = False,
+) -> rd.Dataset:
+    """Shared lake-file reader: tombstone filter + schema-evolution
+    conformance over an explicit file list."""
+    target = pa.schema(
+        [pa.field(n, _parse_type(t)) for n, t in (tuple(c) for c in m.schema)]
+    )
     groups = group_by_schema(paths)
     datasets = [rd.read_parquet(g) for g in groups]
     ds = datasets[0]
@@ -393,7 +468,7 @@ def read_table(
         live = batch.filter(pc.invert(pc.fill_null(batch["_deleted"], False)))
         from ..stages.merge import conform_to_schema
 
-        out = conform_to_schema(
+        return conform_to_schema(
             live,
             target
             if not include_internal
@@ -402,7 +477,6 @@ def read_table(
                 + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
             ),
         )
-        return out
 
     ds = ds.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
     if columns:

@@ -144,3 +144,28 @@ def test_tail_loop_applies_incrementally(tmp_path):
     from test_cdc_e2e import assert_matches_oracle
 
     assert_matches_oracle(lake, changes)
+
+
+def test_read_conversations_partition_pruned(tmp_path):
+    """Point lookup reads only the partitions that can hold the keys."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+        read_conversations,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import oracle_final_state
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=4000, n_convs=50, n_files=2, seed=61)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=16))
+
+    want_full = oracle_final_state(changes).to_pandas()
+    targets = ["conv_000003", "conv_000017"]
+    got = read_conversations(lake, targets).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = (
+        want_full[want_full.conv_id.isin(targets)]
+        [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # and a missing conversation returns empty, not an error
+    assert len(read_conversations(lake, ["conv_nope"]).to_pandas()) == 0
