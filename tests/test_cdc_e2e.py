@@ -202,3 +202,14 @@ def test_partitioning_is_sticky(tmp_path):
     got = final_table(lake)
     keys = list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
     assert len(keys) == len(set(keys))
+
+
+def test_actor_pool_merge_matches_oracle(small_stream, tmp_lake):
+    """merge_compute='actors' (the actor-pool path) must produce the
+    identical committed state as the default task path."""
+    spec = engine.default_spec(num_partitions=8)
+    engine.apply_changes(
+        small_stream, tmp_lake, spec, merge_compute="actors",
+        merge_concurrency=2,
+    )
+    assert_matches_oracle(tmp_lake, small_stream)
