@@ -590,6 +590,44 @@ def q_join_orders_nation(sf_dir: str):
     return out.sort("nation").to_pandas()
 
 
+def q_asof_join_events(sf_dir: str):
+    """As-of join: for each 'query' event (event_id % 5 == 0), the
+    latest other event of the same user at or before it (one co-group
+    shuffle + vectorized merge_asof per user)."""
+    from ..functions.joins import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def queries_side(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(eid % 5 == 0))
+        return pa.table(
+            {"user_id": f["user_id"], "ts": f["ts"], "query_id": f["event_id"]}
+        )
+
+    def quotes_side(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(eid % 5 != 0))
+        return pa.table(
+            {"user_id": f["user_id"], "ts": f["ts"], "quote_id": f["event_id"]}
+        )
+
+    left = ev.map_batches(queries_side, batch_format="pyarrow")
+    right = ev.map_batches(quotes_side, batch_format="pyarrow")
+    out = asof_join(left, right, by="user_id", on="ts", right_cols=["ts", "quote_id"])
+    df = out.to_pandas()[["query_id", "user_id", "quote_id"]]
+    # inner semantics: drop unmatched queries so quote_id stays a clean
+    # int64 in both engines (nullable-int vs float NaN hash ambiguity)
+    df = df.dropna(subset=["quote_id"])
+    # ints resurface as float64 after riding the null-padded union
+    for c in ("query_id", "user_id", "quote_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("query_id").reset_index(drop=True)
+
+
 def q_lineitem_rollup(sf_dir: str):
     """Q1-style pruned-read rollup: columns pruned at the read, partial
     aggregation per batch, small final groupby."""
@@ -666,6 +704,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_decode": q_multimodal_decode,
+    "asof_join_events": q_asof_join_events,
     "window_events_hourly": q_window_events_hourly,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
@@ -763,6 +802,16 @@ ORACLES = {
     "multimodal_bytes": """
       SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
       FROM documents ORDER BY media_id
+    """,
+    "asof_join_events": """
+      WITH q AS (
+        SELECT event_id AS query_id, user_id, ts FROM events WHERE event_id % 5 = 0),
+      qt AS (
+        SELECT event_id AS quote_id, user_id, ts FROM events WHERE event_id % 5 <> 0)
+      SELECT q.query_id, q.user_id, qt.quote_id
+      FROM q ASOF JOIN qt
+        ON q.user_id = qt.user_id AND qt.ts <= q.ts
+      ORDER BY q.query_id
     """,
     "window_events_hourly": """
       SELECT user_id, date_trunc('hour', ts) AS window_start,

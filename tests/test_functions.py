@@ -135,3 +135,28 @@ def test_multimodal_payload_and_decode():
     frames = FrameSampler(every_nth=2)(decoded)
     assert frames.column_names == ["media_id", "frame_idx"]
     assert len(frames) >= len(decoded)
+
+
+def test_asof_join():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import asof_join
+
+    left = rd.from_items(
+        [
+            {"k": "a", "t": 10, "q": 1},
+            {"k": "a", "t": 20, "q": 2},
+            {"k": "b", "t": 5, "q": 3},
+            {"k": "c", "t": 9, "q": 4},  # key with no right rows
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": "a", "t": 8, "v": 100},
+            {"k": "a", "t": 15, "v": 200},
+            {"k": "a", "t": 25, "v": 300},
+            {"k": "b", "t": 5, "v": 400},  # exact-ts match allowed
+        ]
+    )
+    out = asof_join(left, right, by="k", on="t").to_pandas()
+    out = out.sort_values("q").reset_index(drop=True)
+    got = {int(r.q): (None if pd.isna(r.v) else int(r.v)) for r in out.itertuples()}
+    assert got == {1: 100, 2: 200, 3: 400, 4: None}
