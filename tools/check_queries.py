@@ -31,14 +31,14 @@ def to_pandas(obj):
 
 
 def value_hash(df):
-    import pandas as pd
+    from collections import Counter
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object or str(df[c].dtype).startswith("string"):
             df[c] = df[c].astype("string")
-    rows = [tuple(str(v) for v in row) for row in df.itertuples(index=False)]
-    return hash(frozenset((r, rows.count(r)) for r in set(rows)))
+    rows = Counter(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    return hash(frozenset(rows.items()))
 
 
 def main():
