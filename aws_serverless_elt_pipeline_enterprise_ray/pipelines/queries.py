@@ -590,6 +590,38 @@ def q_join_orders_nation(sf_dir: str):
     return out.sort("nation").to_pandas()
 
 
+def q_assemble_conversations(sf_dir: str):
+    """Transcript-native training-data op: assemble each conversation's
+    turns (post-CDC-merge final state) into one ordered document with
+    role prefixes - the lake-to-training-corpus step. Runs the full
+    engine, then groupby(conv_id).map_groups over the committed table
+    (groups are partition-local by construction)."""
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        doc = "\n".join(f"{r}: {t}" for r, t in zip(g["role"], g["text"]))
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": [len(g)],
+                "document": [doc],
+            }
+        )
+
+    out = (
+        read_table(lake)
+        .groupby("conv_id")
+        .map_groups(assemble, batch_format="pandas")
+    )
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    df["n_turns"] = df["n_turns"].astype("int64")
+    return df
+
+
 def q_asof_join_events(sf_dir: str):
     """As-of join: for each 'query' event (event_id % 5 == 0), the
     latest other event of the same user at or before it (one co-group
@@ -704,6 +736,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_decode": q_multimodal_decode,
+    "assemble_conversations": q_assemble_conversations,
     "asof_join_events": q_asof_join_events,
     "window_events_hourly": q_window_events_hourly,
     "join_orders_nation": q_join_orders_nation,
@@ -802,6 +835,13 @@ ORACLES = {
     "multimodal_bytes": """
       SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
       FROM documents ORDER BY media_id
+    """,
+    "assemble_conversations": f"""
+      WITH final AS ({FINAL_SQL})
+      SELECT conv_id,
+             count(*) AS n_turns,
+             string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS document
+      FROM final GROUP BY conv_id ORDER BY conv_id
     """,
     "asof_join_events": """
       WITH q AS (
