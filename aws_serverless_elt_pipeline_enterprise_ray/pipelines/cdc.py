@@ -92,6 +92,7 @@ def apply_changes(
     merge_concurrency: int | tuple[int, int] | None = None,
     merge_compute: str = "tasks",
     stage_barrier: bool | str = "auto",
+    delta_threshold: float = 0.2,
     max_rows_per_file: int = 2_000_000,
     now: str | None = None,
     detect_hot_keys: bool = False,
@@ -129,6 +130,7 @@ def apply_changes(
             merge_concurrency=merge_concurrency,
             merge_compute=merge_compute,
             stage_barrier=stage_barrier,
+            delta_threshold=delta_threshold,
             max_rows_per_file=max_rows_per_file,
             now=now,
             detect_hot_keys=detect_hot_keys,
@@ -146,6 +148,7 @@ def _apply_chunk(
     merge_concurrency,
     merge_compute: str,
     stage_barrier: bool | str,
+    delta_threshold: float,
     max_rows_per_file: int,
     now: str | None,
     detect_hot_keys: bool,
@@ -240,15 +243,14 @@ def _apply_chunk(
         ds = ds.materialize()
 
     current_files = (
-        {int(k): [f["path"] for f in v] for k, v in parent.partitions.items()}
-        if parent
-        else {}
+        {int(k): list(v) for k, v in parent.partitions.items()} if parent else {}
     )
     merge_kwargs = {
         "lake_dir": store.lake_dir,
         "spec": run_spec,
         "current_files": current_files,
         "max_rows_per_file": max_rows_per_file,
+        "delta_threshold": delta_threshold,
     }
     if merge_compute == "actors":
         # Actor-pool merge: state (spec, schemas, current-file map) is
@@ -313,6 +315,7 @@ def _apply_chunk(
             "hot_keys": list(run_spec.hot_keys),
             "hot_key_salt": run_spec.hot_key_salt,
             "hash_impl": hash_impl_id(),
+            "key_cols": list(run_spec.key_cols),
         },
     )
     committed = store.commit(manifest)
@@ -397,17 +400,12 @@ def read_conversations(
                 )
         else:
             parts.add(int(hv % np.uint64(P)))
-    paths = [
-        os.path.join(lake_dir, f["path"])
-        for pid, files in m.partitions.items()
-        if int(pid) in parts
-        for f in files
-    ]
-    if not paths:
+    sub = {pid: files for pid, files in m.partitions.items() if int(pid) in parts}
+    if not any(sub.values()):
         from ..schema import TRANSCRIPT_SCHEMA
 
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
-    ds = _read_lake_files(lake_dir, paths, m, columns=None)
+    ds = _read_lake_partitions(lake_dir, sub, m)
     want = set(conv_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -439,46 +437,70 @@ def read_table(
 
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
 
-    paths = [os.path.join(lake_dir, p) for p in m.all_files()]
-    ds = _read_lake_files(lake_dir, paths, m, include_internal=include_internal)
+    ds = _read_lake_partitions(
+        lake_dir, m.partitions, m, include_internal=include_internal
+    )
     if columns:
         ds = ds.select_columns(columns)
     return ds
 
 
-def _read_lake_files(
+def _read_lake_partitions(
     lake_dir: str,
-    paths: list[str],
+    partitions: dict[str, list[dict]],
     m: Manifest,
-    columns: list[str] | None = None,
     include_internal: bool = False,
 ) -> rd.Dataset:
-    """Shared lake-file reader: tombstone filter + schema-evolution
-    conformance over an explicit file list."""
+    """Partition-parallel lake reader with LWW merge-on-read.
+
+    A partition may hold multiple RUNS (delta-append commits since the
+    last compaction); the reader concatenates a partition's runs,
+    LWW-reduces when there is more than one file (files of a single
+    run hold disjoint key ranges, so single-file partitions skip the
+    reduce), filters tombstones and conforms to the manifest schema.
+    One task per partition - the same parallelism the merge used."""
     target = pa.schema(
         [pa.field(n, _parse_type(t)) for n, t in (tuple(c) for c in m.schema)]
     )
-    groups = group_by_schema(paths)
-    datasets = [rd.read_parquet(g) for g in groups]
-    ds = datasets[0]
-    for other in datasets[1:]:
-        ds = ds.union(other)
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        live = batch.filter(pc.invert(pc.fill_null(batch["_deleted"], False)))
-        from ..stages.merge import conform_to_schema
-
-        return conform_to_schema(
-            live,
-            target
-            if not include_internal
-            else pa.schema(
-                list(target)
-                + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
-            ),
+    if include_internal:
+        target = pa.schema(
+            list(target)
+            + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
         )
+    items = [
+        {"files": json.dumps([f["path"] for f in files])}
+        for files in partitions.values()
+        if files
+    ]
+    if not items:
+        return rd.from_arrow(target.empty_table())
 
-    ds = ds.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
-    if columns:
-        ds = ds.select_columns(columns)
-    return ds
+    from ..schema import lww_reduce
+    from ..stages.merge import conform_to_schema
+
+    key_cols = tuple(m.partitioning.get("key_cols", ("conv_id", "turn_idx")))
+    internal = pa.schema(
+        [pa.field(n, _parse_type(t)) for n, t in (tuple(c) for c in m.schema)]
+        + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
+    )
+
+    def read_partition(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            paths = json.loads(row["files"])
+            tbls = [
+                conform_to_schema(
+                    pq.read_table(os.path.join(lake_dir, p)), internal
+                )
+                for p in paths
+            ]
+            t = pa.concat_tables(tbls)
+            if len(paths) > 1:
+                t = lww_reduce(t, key_cols, "ts", "_seq")
+            live = t.filter(pc.invert(pc.fill_null(t["_deleted"], False)))
+            out.append(conform_to_schema(live, target))
+        return pa.concat_tables(out) if out else target.empty_table()
+
+    return rd.from_items(items).map_batches(
+        read_partition, batch_format="pyarrow", batch_size=1
+    )

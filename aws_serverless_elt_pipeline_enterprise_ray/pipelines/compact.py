@@ -41,7 +41,9 @@ class _Compactor:
         target_rows_per_file: int,
         stamp_ingested_at: str | None,
         purge_before_us: int | None = None,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     ):
+        self.key_cols = key_cols
         self.lake_dir = lake_dir
         self.purge = purge_tombstones
         self.purge_before_us = purge_before_us
@@ -50,10 +52,21 @@ class _Compactor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pid, out_files = [], []
+        from ..schema import lww_reduce
+        from ..stages.merge import conform_to_schema
+
         for row in batch.to_pylist():
             pid = int(row["part_id"])
             paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
-            tbl = pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+            tbls = [pq.read_table(p) for p in paths]
+            if len(tbls) > 1:
+                uni = pa.unify_schemas([t.schema for t in tbls], promote_options="permissive")
+                tbls = [conform_to_schema(t, uni) for t in tbls]
+            tbl = pa.concat_tables(tbls)
+            if len(paths) > 1:
+                # LSM compaction proper: merge delta-append runs down
+                # to a single sorted run per partition
+                tbl = lww_reduce(tbl, self.key_cols, "ts", "_seq")
             deleted = pc.fill_null(tbl["_deleted"], False)
             if self.purge:
                 tbl = tbl.filter(pc.invert(deleted))
@@ -131,6 +144,7 @@ def compact(
         target_rows_per_file=target_rows_per_file,
         stamp_ingested_at=stamp_ingested_at,
         purge_before_us=purge_tombstones_before_us,
+        key_cols=tuple(parent.partitioning.get("key_cols", spec.key_cols)),
     )
     # task-based (state serialized once): no actor-pool startup latency
     ds = rd.from_items(todo).map_batches(

@@ -43,9 +43,20 @@ class _PartitionChecker:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
+        from ..schema import lww_reduce
+        from ..stages.merge import conform_to_schema
+
         for row in batch.to_pylist():
             paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
-            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+            tbls = [pq.read_table(p) for p in paths]
+            if len(tbls) > 1:
+                uni = pa.unify_schemas([t.schema for t in tbls], promote_options="permissive")
+                tbls = [conform_to_schema(t, uni) for t in tbls]
+            tbl = pa.concat_tables(tbls)
+            if len(paths) > 1:
+                # merge delta-append runs before checking, else rows
+                # superseded by later runs read as duplicates
+                tbl = lww_reduce(tbl, tuple(self.rules["unique"][0]) if self.rules["unique"] else ("conv_id", "turn_idx"), "ts", "_seq")
             live = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
             res = {"part_id": row["part_id"], "rows": len(live)}
             nulls = {}

@@ -81,26 +81,43 @@ class PartitionMerger:
         self,
         lake_dir: str,
         spec: TableSpec,
-        current_files: dict[int, list[str]],
+        current_files: dict[int, list[dict]],
         max_rows_per_file: int = 2_000_000,
+        delta_threshold: float = 0.2,
     ):
         self.lake_dir = lake_dir
         self.spec = spec
         self.lake_schema = lake_schema(spec)
+        # part_id -> [{"path","rows","bytes"}] from the parent manifest
         self.current_files = current_files
         self.max_rows_per_file = max_rows_per_file
         self.key_cols = spec.key_cols
+        # LSM-style hybrid: when this commit's (reduced) delta is small
+        # relative to the partition (< delta_threshold x current rows),
+        # APPEND it as a new run instead of rewriting the partition -
+        # readers and compaction LWW-merge runs per partition. Kills
+        # the O(partition)/commit write amplification of pure COW at
+        # steady state; compaction re-merges runs down to one.
+        self.delta_threshold = delta_threshold
 
     # -- helpers -------------------------------------------------------
+    def _existing(self, part_id: int) -> list[dict]:
+        return (
+            self.current_files.get(part_id)
+            or self.current_files.get(str(part_id))
+            or []
+        )
+
     def _read_current(self, part_id: int) -> pa.Table | None:
-        paths = self.current_files.get(part_id) or self.current_files.get(str(part_id))
-        if not paths:
+        files = self._existing(part_id)
+        if not files:
             return None
         tables = [
             conform_to_schema(
-                pq.read_table(os.path.join(self.lake_dir, p)), self.lake_schema
+                pq.read_table(os.path.join(self.lake_dir, f["path"])),
+                self.lake_schema,
             )
-            for p in paths
+            for f in files
         ]
         return pa.concat_tables(tables) if tables else None
 
@@ -182,22 +199,38 @@ class PartitionMerger:
         delta = lww_reduce(delta, self.key_cols, "ts", "_seq")
         metrics["dedup_hits"] = n_delta - len(delta)
 
-        current = self._read_current(part_id)
-        combined = (
-            pa.concat_tables([current, delta]) if current is not None else delta
-        )
-        merged = lww_reduce(combined, self.key_cols, "ts", "_seq")
-        # lww_reduce returns rows key-sorted: stable (conv_id, turn_idx)
-        # turn ordering falls out of the reduction sort (SURVEY §2.6 O4).
+        existing = self._existing(part_id)
+        n_current = sum(f["rows"] for f in existing)
+        if existing and len(delta) < self.delta_threshold * max(n_current, 1):
+            # delta-append run: no read-modify-write; LWW deferred to
+            # read/compaction (run count bounded by compaction cadence)
+            deleted = pc.sum(pc.cast(delta["_deleted"], pa.int64())).as_py() or 0
+            metrics["deletes"] = int(deleted)
+            metrics["upserts"] = len(delta) - int(deleted)
+            metrics["rows_after"] = n_current + len(delta)  # pre-merge bound
+            metrics["delta_appends"] = 1
+            new_files = self._write_partition(part_id, delta)
+            files = list(existing) + new_files  # keep runs + the new one
+            metrics["files_rewritten"] = len(new_files)
+            metrics["bytes_written"] = sum(f["bytes"] for f in new_files)
+        else:
+            current = self._read_current(part_id)
+            combined = (
+                pa.concat_tables([current, delta]) if current is not None else delta
+            )
+            merged = lww_reduce(combined, self.key_cols, "ts", "_seq")
+            # lww_reduce returns rows key-sorted: stable (conv_id,
+            # turn_idx) turn ordering falls out of the reduction sort
+            # (SURVEY §2.6 O4).
 
-        deleted = pc.sum(pc.cast(merged["_deleted"], pa.int64())).as_py() or 0
-        metrics["deletes"] = int(deleted)
-        metrics["upserts"] = len(merged) - int(deleted)
-        metrics["rows_after"] = len(merged)
+            deleted = pc.sum(pc.cast(merged["_deleted"], pa.int64())).as_py() or 0
+            metrics["deletes"] = int(deleted)
+            metrics["upserts"] = len(merged) - int(deleted)
+            metrics["rows_after"] = len(merged)
 
-        files = self._write_partition(part_id, merged)
-        metrics["files_rewritten"] = len(files)
-        metrics["bytes_written"] = sum(f["bytes"] for f in files)
+            files = self._write_partition(part_id, merged)
+            metrics["files_rewritten"] = len(files)
+            metrics["bytes_written"] = sum(f["bytes"] for f in files)
 
         return pa.table(
             [

@@ -213,3 +213,60 @@ def test_actor_pool_merge_matches_oracle(small_stream, tmp_lake):
         merge_concurrency=2,
     )
     assert_matches_oracle(tmp_lake, small_stream)
+
+
+def test_lsm_delta_append_and_compact(tmp_path):
+    """A small tail against a large base must APPEND delta runs (no
+    partition rewrite), reads must LWW-merge runs, and compaction must
+    merge runs back down - all oracle-identical."""
+    import json as _json
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    files = gen_changes(changes, n_events=20_000, n_convs=80, n_files=40, seed=71)
+    spec = engine.default_spec(num_partitions=4)
+    # base: 39 files; tail: 1 file (~2.5% of volume -> delta per
+    # partition well under the 0.2 threshold after the base merges)
+    engine.apply_changes(files[:39], lake, spec)
+    store = ManifestStore(lake)
+    base = store.load()
+    base_file_count = {pid: len(fs) for pid, fs in base.partitions.items()}
+
+    ms = engine.apply_changes(changes, lake, spec)
+    m = ms[-1]
+    assert m.metrics.get("delta_appends", 0) >= 1, m.metrics
+    grew = [
+        pid for pid, fs in m.partitions.items()
+        if len(fs) > base_file_count.get(pid, 0)
+    ]
+    assert grew, "delta commits should add run files"
+    # base run files are still referenced (not rewritten) for delta'd parts
+    for pid in grew:
+        base_paths = {f["path"] for f in base.partitions[pid]}
+        new_paths = {f["path"] for f in m.partitions[pid]}
+        assert base_paths <= new_paths
+
+    assert_matches_oracle(lake, changes)
+
+    # point lookup across runs
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+        read_conversations,
+    )
+
+    one = read_conversations(lake, ["conv_000001"]).to_pandas()
+    want = oracle_final_state(changes).to_pandas()
+    assert len(one) == (want.conv_id == "conv_000001").sum()
+
+    # DQ sees no duplicate keys across runs
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dq import run_dq
+
+    report = run_dq(lake, spec)
+    assert report["ok"], report
+
+    # compaction merges runs down to one per partition
+    c = compact(lake, spec, min_files_to_compact=2)
+    assert c is not None
+    for pid, fs in c.partitions.items():
+        assert len(fs) == 1, f"partition {pid} still has {len(fs)} runs"
+    assert_matches_oracle(lake, changes)
