@@ -270,3 +270,19 @@ def test_lsm_delta_append_and_compact(tmp_path):
     for pid, fs in c.partitions.items():
         assert len(fs) == 1, f"partition {pid} still has {len(fs)} runs"
     assert_matches_oracle(lake, changes)
+
+
+def test_schema_evolution_across_delta_runs(tmp_path):
+    """Additive columns appearing mid-stream while partitions carry
+    delta-append runs: old runs lack the new columns, the reader must
+    unify and the final state must match the oracle."""
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=12_000, n_convs=400, n_files=24, seed=79,
+                evolve_after_file=20, duplicate_ratio=0.0)
+    spec = engine.default_spec(num_partitions=4)
+    # many small commits so late chunks take the delta-append path
+    ms = engine.apply_changes(changes, lake, spec, commit_every_files=2)
+    assert any(m.metrics.get("delta_appends", 0) for m in ms), \
+        "fixture should have triggered delta appends"
+    assert_matches_oracle(lake, changes,
+                          extra_cols=("tool_call_id", "meta_tokens"))
