@@ -40,15 +40,39 @@ def tail(
 ) -> dict:
     """Poll-and-apply loop. ``on_commit(manifest)`` is called per
     committed version (test/metrics hook)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.changelog import discover_pending
+
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
     idle = 0
     rounds = 0
     committed = 0
     events = 0
+
+    def _ready(path: str) -> bool:
+        # defensive against non-atomic producers: a file whose footer
+        # doesn't parse yet (still being written/copied) is deferred to
+        # the next poll instead of failing the round
+        try:
+            pq.read_schema(path)
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
     while True:
         rounds += 1
-        manifests = apply_changes(changelog_dir, lake_dir, spec, **apply_kwargs)
+        pending = [
+            p
+            for p in discover_pending(changelog_dir, store.applied_files())
+            if _ready(p)
+        ]
+        manifests = (
+            apply_changes(pending, lake_dir, spec, **apply_kwargs)
+            if pending
+            else []
+        )
         if manifests:
             idle = 0
             committed += len(manifests)

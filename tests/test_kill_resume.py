@@ -20,7 +20,6 @@ from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestSt
 from test_cdc_e2e import assert_matches_oracle
 
 
-@pytest.mark.timeout(300)
 def test_sigkill_mid_ingest_then_resume(tmp_path):
     changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
     gen_changes(changes, n_events=20_000, n_convs=100, n_files=10, seed=77)

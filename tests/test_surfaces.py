@@ -124,10 +124,13 @@ def test_tail_loop_applies_incrementally(tmp_path):
     os.makedirs(changes)
     files = gen_changes(staged, n_events=3000, n_convs=30, n_files=6, seed=51)
 
-    # drip files into the watched dir while the tailer polls
+    # drip files into the watched dir while the tailer polls - landing
+    # atomically (temp + rename), per the tailer's producer contract
     def drip():
         for f in files:
-            shutil.copy(f, os.path.join(changes, os.path.basename(f)))
+            tmp = os.path.join(changes, "." + os.path.basename(f) + ".tmp")
+            shutil.copy(f, tmp)
+            os.rename(tmp, os.path.join(changes, os.path.basename(f)))
             import time as _t
 
             _t.sleep(0.3)
