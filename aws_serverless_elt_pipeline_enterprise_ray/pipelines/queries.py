@@ -99,9 +99,14 @@ def _scratch(name: str) -> str:
     return d
 
 
-def _write_changelog(sf_dir: str, inject_bad: bool = False) -> str:
+def _write_changelog(
+    sf_dir: str, inject_bad: bool = False, n_files: int = 1
+) -> str:
     out = _scratch("changes")
-    _changes_ds(sf_dir, inject_bad).write_parquet(out)
+    ds = _changes_ds(sf_dir, inject_bad)
+    if n_files > 1:
+        ds = ds.repartition(n_files)
+    ds.write_parquet(out)
     return out
 
 
@@ -146,6 +151,26 @@ def q_cdc_apply_chunked_resume(sf_dir: str):
     files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
     apply_changes(files[: max(1, len(files) // 2)], lake, _spec(sf_dir))
     apply_changes(changes, lake, _spec(sf_dir), commit_every_files=2)
+    return _final_df(lake)
+
+
+def q_cdc_apply_delta_lsm(sf_dir: str):
+    """LSM delta-append path under the oracle gate: bulk-load most of
+    the stream, then apply the tail with a high delta threshold so the
+    merge APPENDS run files; the merged read must still equal the pure
+    SQL reduction."""
+    import glob
+
+    from .cdc import apply_changes
+
+    changes, lake = _write_changelog(sf_dir, n_files=10), _scratch("lake")
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    apply_changes(files[:-2], lake, _spec(sf_dir))
+    ms = apply_changes(
+        changes, lake, _spec(sf_dir), commit_every_files=1, delta_threshold=0.95
+    )
+    assert any(m.metrics.get("delta_appends", 0) for m in ms), \
+        "tail should append delta runs"
     return _final_df(lake)
 
 
@@ -713,6 +738,7 @@ def q_lineitem_rollup(sf_dir: str):
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
+    "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
     "cdc_normalize": q_cdc_normalize,
     "cdc_lww_latest": q_cdc_lww_latest,
@@ -752,6 +778,7 @@ _LANG_SQL_CASES = """
 ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_apply_delta_lsm": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_replay_idempotent": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_normalize": f"WITH ch AS ({CH_SQL}) SELECT op, seq, conv_id, turn_idx, role, text, tool, ts FROM ch ORDER BY seq",
     "cdc_lww_latest": f"""
