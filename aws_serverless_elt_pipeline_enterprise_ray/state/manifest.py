@@ -122,9 +122,21 @@ class ManifestStore:
                 f"stale commit: parent={manifest.parent_version} current={cur}"
             )
         vpath = os.path.join(self.dir, f"manifest-{manifest.version:06d}.json")
-        if os.path.exists(vpath):
-            raise RuntimeError(f"version {manifest.version} already exists")
-        _atomic_write(vpath, manifest.to_json())
+        # O_EXCL makes version creation atomic: of two racing committers
+        # with the same parent, exactly one wins (the loser gets a
+        # stale-commit error, not a silently clobbered manifest)
+        try:
+            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"version {manifest.version} already exists (concurrent commit?)"
+            ) from None
+        try:
+            data = manifest.to_json().encode()
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         _atomic_write(
             os.path.join(self.dir, "CURRENT"),
             json.dumps({"version": manifest.version}),

@@ -1,0 +1,72 @@
+"""Manifest commit-protocol unit tests: atomicity, stale-commit
+rejection, single-winner version race, rollback/reset, gc."""
+
+import json
+import os
+
+import pytest
+
+from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+    Manifest,
+    ManifestStore,
+)
+
+
+def mk(version, parent, partitions=None, applied=None):
+    return Manifest(
+        version=version,
+        parent_version=parent,
+        created_at="2026-01-01T00:00:00Z",
+        schema=[("conv_id", "string")],
+        partitions=partitions or {},
+        applied=applied or [],
+        watermark=-1,
+        metrics={},
+        lineage={},
+        quarantine=[],
+        partitioning={"num_partitions": 4, "hot_keys": [], "hot_key_salt": 8,
+                      "hash_impl": "x", "key_cols": ["conv_id", "turn_idx"]},
+    )
+
+
+def test_commit_roundtrip_and_stale_rejection(tmp_path):
+    store = ManifestStore(str(tmp_path / "lake"))
+    store.commit(mk(1, None))
+    assert store.current_version() == 1
+    m = store.load()
+    assert m.partitioning["num_partitions"] == 4
+    # stale parent rejected
+    with pytest.raises(RuntimeError, match="stale"):
+        store.commit(mk(2, None))
+    store.commit(mk(2, 1))
+    assert store.versions() == [1, 2]
+
+
+def test_version_race_single_winner(tmp_path):
+    """Two committers with the same parent: exactly one wins."""
+    store = ManifestStore(str(tmp_path / "lake"))
+    store.commit(mk(1, None))
+    a, b = mk(2, 1), mk(2, 1)
+    store.commit(a)
+    with pytest.raises(RuntimeError, match="already exists|stale"):
+        store.commit(b)
+    assert store.current_version() == 2
+
+
+def test_reset_and_rollback(tmp_path):
+    store = ManifestStore(str(tmp_path / "lake"))
+    store.commit(mk(1, None))
+    store.commit(mk(2, 1))
+    store.rollback(1)
+    assert store.current_version() == 1
+    store.reset()
+    assert store.current_version() is None
+    # next_version continues past existing immutable versions
+    assert store.next_version() == 3
+
+
+def test_current_pointer_is_json(tmp_path):
+    store = ManifestStore(str(tmp_path / "lake"))
+    store.commit(mk(1, None))
+    with open(os.path.join(store.dir, "CURRENT")) as f:
+        assert json.load(f) == {"version": 1}
