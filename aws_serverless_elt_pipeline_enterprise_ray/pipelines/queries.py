@@ -576,6 +576,22 @@ def q_window_events_hourly(sf_dir: str):
     return df[["user_id", "window_start", "n_events", "value_cents"]]
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-based session windows (30-min gap) per user - the streaming
+    window op Ray Data lacks natively, as groupby+map_groups."""
+    from ..functions.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    out = sessionize(ds, key="user_id", ts_col="ts", tiebreak="event_id")
+    df = out.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    for c in ("user_id", "session_id", "n_events"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+
 def q_join_orders_nation(sf_dir: str):
     """Broadcast (map-side) join: orders -> customer -> nation, small
     sides shipped once via ray.put, groupby count."""
@@ -765,6 +781,7 @@ QUERIES = {
     "assemble_conversations": q_assemble_conversations,
     "asof_join_events": q_asof_join_events,
     "window_events_hourly": q_window_events_hourly,
+    "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
 }
@@ -885,6 +902,27 @@ ORACLES = {
              count(*) AS n_events,
              CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events GROUP BY user_id, window_start ORDER BY user_id, window_start
+    """,
+    "sessionize_events": """
+      WITH e AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      m AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM m)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "join_orders_nation": """
       SELECT n.n_name AS nation, count(*) AS n_orders
