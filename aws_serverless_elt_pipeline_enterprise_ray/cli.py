@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     d.add_argument("--lake", required=True)
     d.add_argument("--gate", action="store_true", help="demote CURRENT on failure")
 
+    rd_p = sub.add_parser("redrive", help="re-emit quarantined rows as a change file")
+    rd_p.add_argument("--lake", required=True)
+    rd_p.add_argument("--changelog", required=True)
+
     gc = sub.add_parser("gc", help="remove unreferenced data files")
     gc.add_argument("--lake", required=True)
     gc.add_argument("--keep-versions", type=int, default=2)
@@ -204,6 +208,10 @@ def main(argv=None) -> int:
                 purge_tombstones_before_us=args.purge_tombstones_before_us,
             )
             print(json.dumps({"version": m.version if m else None}))
+        elif args.cmd == "redrive":
+            from .pipelines.redrive import redrive as redrive_fn
+
+            print(json.dumps(redrive_fn(args.lake, args.changelog)))
         elif args.cmd == "dq":
             from .pipelines.dq import dq_gate, run_dq
 

@@ -217,6 +217,15 @@ def normalize_batch(batch: pa.Table, spec: TableSpec) -> pa.Table:
             cols.append(pa.nulls(n, field.type))
     out = pa.table(cols, names=names)
 
+    # The per-table UDF runs BEFORE validity marking, like the
+    # reference's transform_record constructing the record ahead of
+    # validation (templates/transform_handler.py:31-49): a fallback-
+    # chain / fix-up transform can repair rows that would otherwise
+    # quarantine (the redrive recovery path depends on this).
+    if spec.transform is not None:
+        out = spec.transform(out)
+        n = len(out)
+
     bad = np.full(n, None, dtype=object)
     opv = out["op"].combine_chunks()
     ok_op = pc.is_in(opv, value_set=pa.array(list(VALID_OPS)))
@@ -225,10 +234,7 @@ def normalize_batch(batch: pa.Table, spec: TableSpec) -> pa.Table:
         _mark(bad, pc.is_null(out[k]), f"null_key:{k}")
     _mark(bad, pc.is_null(out["ts"]), "null_ts")
     _mark(bad, pc.is_null(out["seq"]), "null_seq")
-    out = out.append_column("_bad", pa.array(bad, pa.string()))
-    if spec.transform is not None:
-        out = spec.transform(out)
-    return out
+    return out.append_column("_bad", pa.array(bad, pa.string()))
 
 
 def _mark(bad: np.ndarray, mask, reason: str) -> None:

@@ -171,3 +171,49 @@ def test_tombstone_purge_horizon(tmp_path):
     assert kept_new > 0, "tombstones above the horizon must survive"
     # live data unchanged
     assert_matches_oracle(lake, changes)
+
+
+def test_redrive_quarantined_rows(tmp_path):
+    """DLQ redrive analogue: quarantined rows re-emitted as a new
+    change file; a permissive transform then accepts the fixable ones;
+    unfixable rows land back in quarantine. Quarantine ledger clears."""
+    import dataclasses
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.redrive import redrive
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=2000, n_convs=30, n_files=2, seed=83,
+                bad_ratio=0.05)
+    spec = engine.default_spec(num_partitions=4)
+    ms = engine.apply_changes(changes, lake, spec)
+    n_quar = ms[-1].metrics["quarantined"]
+    assert n_quar > 0
+    store = ManifestStore(lake)
+    assert store.load().quarantine
+
+    res = redrive(lake, changes, spec)
+    assert res["rows"] == n_quar
+    assert os.path.basename(res["file"]).startswith("redrive-")
+    assert store.load().quarantine == []
+
+    # fix-up transform: unknown ops become inserts (the "cause fixed"
+    # scenario); null-key / null-ts rows remain genuinely bad
+    def fix_ops(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("op")
+        fixed = pc.if_else(
+            pc.is_in(batch["op"], value_set=pa.array(["I", "U", "D"])),
+            batch["op"],
+            pa.scalar("I"),
+        )
+        return batch.set_column(i, "op", fixed)
+
+    fix_spec = dataclasses.replace(spec, transform=fix_ops)
+    ms2 = engine.apply_changes(changes, lake, fix_spec)
+    assert ms2, "redrive file should be pending"
+    m2 = ms2[-1]
+    # unknown-op rows recovered; null-key/null-ts rows re-quarantined
+    assert m2.metrics["events_applied"] > 0
+    assert m2.metrics["quarantined"] < n_quar
