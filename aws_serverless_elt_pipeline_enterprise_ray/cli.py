@@ -88,6 +88,10 @@ def main(argv=None) -> int:
     gc = sub.add_parser("gc", help="remove unreferenced data files")
     gc.add_argument("--lake", required=True)
     gc.add_argument("--keep-versions", type=int, default=2)
+    gc.add_argument(
+        "--min-age-seconds", type=float, default=300.0,
+        help="only delete orphans older than this (safe with live writers)",
+    )
 
     s = sub.add_parser("show", help="manifest / checkpoint status")
     s.add_argument("--lake", required=True)
@@ -148,7 +152,7 @@ def main(argv=None) -> int:
     if args.cmd == "gc":
         from .state.manifest import ManifestStore
 
-        removed = ManifestStore(args.lake).gc(args.keep_versions)
+        removed = ManifestStore(args.lake).gc(args.keep_versions, args.min_age_seconds)
         print(json.dumps({"removed": len(removed)}))
         return 0
 

@@ -42,7 +42,13 @@ from ..schema import (
 )
 from ..sources.changelog import discover_pending, group_by_schema, peek_schemas
 from ..stages.merge import PartitionMerger
-from ..state.manifest import Manifest, ManifestStore
+from ..state.manifest import (
+    Manifest,
+    ManifestStore,
+    manifest_payload_schema,
+    parse_type_string,
+    schema_to_ipc,
+)
 
 
 def _now_iso() -> str:
@@ -110,12 +116,14 @@ def apply_changes(
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
 
+    current = store.load()
     if isinstance(changelog_dir, list):
-        current = store.load()
-        applied = set(current.applied) if current else set()
-        pending = [p for p in sorted(changelog_dir) if p not in applied]
+        pending = [
+            p for p in sorted(changelog_dir)
+            if current is None or not current.is_applied(p)
+        ]
     else:
-        pending = discover_pending(changelog_dir, store.applied_files())
+        pending = discover_pending(changelog_dir, manifest=current)
     if not pending:
         return []
 
@@ -161,11 +169,10 @@ def _apply_chunk(
     extras = schema_union(list(schemas.values()), spec.payload_schema)
     run_spec = spec.with_extras(extras) if (extras and spec.extra_columns == "keep") else spec
     if parent:
-        prior = [tuple(c) for c in parent.schema]
         prior_extras = [
-            (n, _parse_type(t))
-            for n, t in prior
-            if n not in run_spec.payload_schema.names
+            (f.name, f.type)
+            for f in manifest_payload_schema(parent)
+            if f.name not in run_spec.payload_schema.names
         ]
         run_spec = run_spec.with_extras(prior_extras)
 
@@ -298,14 +305,20 @@ def _apply_chunk(
         if r["max_seq"] is not None:
             max_seq = max(max_seq, int(r["max_seq"]))
 
-    applied = (list(parent.applied) if parent else []) + files
+    applied, applied_watermarks = _compact_checkpoint(
+        list(parent.applied) if parent else [],
+        dict(parent.applied_watermarks) if parent else {},
+        files,
+    )
     manifest = Manifest(
         version=store.next_version(),
         parent_version=parent_version,
         created_at=now or _now_iso(),
         schema=[(f.name, str(f.type)) for f in run_spec.payload_schema],
+        schema_ipc=schema_to_ipc(run_spec.payload_schema),
         partitions=partitions,
         applied=applied,
+        applied_watermarks=applied_watermarks,
         watermark=int(max_seq),
         metrics=agg,
         lineage=lineage,
@@ -343,21 +356,46 @@ def _sample_hot_keys(
     return tuple(h for h in hot if h is not None)
 
 
-_TYPE_PARSE = {
-    "string": pa.string(),
-    "large_string": pa.large_string(),
-    "int32": pa.int32(),
-    "int64": pa.int64(),
-    "float": pa.float32(),
-    "double": pa.float64(),
-    "bool": pa.bool_(),
-    "binary": pa.binary(),
-    "timestamp[us]": pa.timestamp("us"),
-}
+#: legacy alias - lossless parsing (raises on unknown) lives in state.manifest
+_parse_type = parse_type_string
 
 
-def _parse_type(s: str) -> pa.DataType:
-    return _TYPE_PARSE.get(s, pa.string())
+def _compact_checkpoint(
+    applied: list[str], watermarks: dict[str, str], new_files: list[str]
+) -> tuple[list[str], dict[str, str]]:
+    """Fold newly-applied files into the watermark+exceptions
+    checkpoint (the DDB-TTL analogue, ``dynamodb_table/main.tf:10-24``:
+    the reference lets idempotency records expire; we advance a
+    per-directory watermark instead, keeping only out-of-order
+    exceptions explicit).
+
+    For each directory touched, the watermark advances over the
+    CURRENT listing as long as every listed file is applied; applied
+    files beyond the first gap stay in the exception list. Files that
+    have vanished from the listing are absorbed (they can never be
+    rediscovered). Manifest size stays O(dirs + out-of-order files)
+    for an always-on tailer committing a 10^10-event stream."""
+    import glob as _glob
+
+    pool = {os.path.abspath(p) for p in applied}
+    pool |= {os.path.abspath(p) for p in new_files}
+    wms = dict(watermarks)
+    for d in sorted({os.path.dirname(p) for p in pool}):
+        listing = sorted(
+            os.path.abspath(p) for p in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+        wm = wms.get(d)
+        for p in listing:
+            if wm is not None and p <= wm:
+                continue
+            if p in pool:
+                wm = p
+            else:
+                break
+        if wm is not None:
+            wms[d] = wm
+            pool = {p for p in pool if os.path.dirname(p) != d or p > wm}
+    return sorted(pool), wms
 
 
 # ---------------------------------------------------------------------------
@@ -459,9 +497,7 @@ def _read_lake_partitions(
     run hold disjoint key ranges, so single-file partitions skip the
     reduce), filters tombstones and conforms to the manifest schema.
     One task per partition - the same parallelism the merge used."""
-    target = pa.schema(
-        [pa.field(n, _parse_type(t)) for n, t in (tuple(c) for c in m.schema)]
-    )
+    target = manifest_payload_schema(m)
     if include_internal:
         target = pa.schema(
             list(target)
@@ -480,7 +516,7 @@ def _read_lake_partitions(
 
     key_cols = tuple(m.partitioning.get("key_cols", ("conv_id", "turn_idx")))
     internal = pa.schema(
-        [pa.field(n, _parse_type(t)) for n, t in (tuple(c) for c in m.schema)]
+        list(manifest_payload_schema(m))
         + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
     )
 

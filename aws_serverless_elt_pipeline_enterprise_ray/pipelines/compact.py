@@ -153,16 +153,20 @@ def compact(
     partitions = dict(parent.partitions)
     for r in ds.take_all():
         partitions[str(int(r["part_id"]))] = json.loads(r["files"])
-    schema = [tuple(c) for c in parent.schema]
-    if stamp_ingested_at is not None and not any(n == "_ingested_at" for n, _ in schema):
-        schema.append(("_ingested_at", "string"))
+    from ..state.manifest import manifest_payload_schema, schema_to_ipc
+
+    pay = manifest_payload_schema(parent)
+    if stamp_ingested_at is not None and "_ingested_at" not in pay.names:
+        pay = pay.append(pa.field("_ingested_at", pa.string()))
     manifest = Manifest(
         version=store.next_version(),
         parent_version=parent.version,
         created_at=now or _now_iso(),
-        schema=schema,
+        schema=[(f.name, str(f.type)) for f in pay],
+        schema_ipc=schema_to_ipc(pay),
         partitions=partitions,
         applied=list(parent.applied),
+        applied_watermarks=dict(parent.applied_watermarks),
         watermark=parent.watermark,
         metrics={"compacted_partitions": len(todo)},
         lineage={str(t["part_id"]): {"compaction_of": parent.version} for t in todo},

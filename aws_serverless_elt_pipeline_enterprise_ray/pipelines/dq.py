@@ -37,9 +37,15 @@ class _PartitionChecker:
     key lives in exactly one partition (salted keys included: the salt
     is a pure function of the key)."""
 
-    def __init__(self, lake_dir: str, rules: dict):
+    def __init__(self, lake_dir: str, rules: dict, key_cols: tuple[str, ...]):
         self.lake_dir = lake_dir
         self.rules = rules
+        # the MERGE key from the manifest's partitioning - NOT the DQ
+        # unique rule: reducing multi-run partitions by a custom
+        # dq.unique key would collapse legitimately distinct rows and
+        # make the uniqueness check vacuous (it would merge away the
+        # very duplicates it exists to catch)
+        self.key_cols = key_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -56,7 +62,7 @@ class _PartitionChecker:
             if len(paths) > 1:
                 # merge delta-append runs before checking, else rows
                 # superseded by later runs read as duplicates
-                tbl = lww_reduce(tbl, tuple(self.rules["unique"][0]) if self.rules["unique"] else ("conv_id", "turn_idx"), "ts", "_seq")
+                tbl = lww_reduce(tbl, self.key_cols, "ts", "_seq")
             live = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
             res = {"part_id": row["part_id"], "rows": len(live)}
             nulls = {}
@@ -131,7 +137,11 @@ def run_dq(
         "range": {c: {"violations": 0, "ok": True} for c in rules["ranges"]},
     }
     if items:
-        checker = _PartitionChecker(lake_dir=lake_dir, rules=rules)
+        checker = _PartitionChecker(
+            lake_dir=lake_dir,
+            rules=rules,
+            key_cols=tuple(m.partitioning.get("key_cols", spec.key_cols)),
+        )
         # task-based (state serialized once): no actor-pool startup latency
         ds = rd.from_items(items).map_batches(
             checker.__call__, batch_format="pyarrow", batch_size=1
@@ -166,11 +176,20 @@ def run_dq(
     return report
 
 
-def dq_gate(lake_dir: str, spec: TableSpec | None = None) -> dict:
+def dq_gate(
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    on_fail=None,
+) -> dict:
     """Validate CURRENT; on failure demote to the parent version and
     write a quarantine marker (the reference's QuarantineMarker +
     NotifyFailure path, ``workflow_ge_gate/main.tf:172-209``). The
-    failed version's files stay on disk for inspection until gc."""
+    failed version's files stay on disk for inspection until gc.
+
+    ``on_fail(report)`` is the notification hook - the engine analogue
+    of the gate's SNS notify (``workflow_ge_gate/main.tf:192-209``);
+    it runs after demotion, and its exceptions are swallowed (a broken
+    notifier must not block the gate)."""
     store = ManifestStore(lake_dir)
     m = store.load()
     report = run_dq(lake_dir, spec)
@@ -186,4 +205,9 @@ def dq_gate(lake_dir: str, spec: TableSpec | None = None) -> dict:
             json.dumps({"demoted_version": m.version, "report": report}, default=str),
         )
         report["demoted_to"] = m.parent_version
+        if on_fail is not None:
+            try:
+                on_fail(report)
+            except Exception:
+                pass
     return report

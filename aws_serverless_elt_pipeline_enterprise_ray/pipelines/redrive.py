@@ -12,7 +12,8 @@ normalization simply land back in quarantine (counted), so redrive is
 safe to repeat.
 
 Redriven rows are removed from the manifest's quarantine ledger in a
-new committed version; the old quarantine files are swept by gc.
+new committed version; the source quarantine files are deleted right
+after that commit (and gc also sweeps unreferenced quarantine files).
 """
 
 from __future__ import annotations
@@ -46,12 +47,14 @@ def redrive(
         return {"rows": 0, "file": None, "version": None}
 
     tables = []
+    src_paths = []
     for q in parent.quarantine:
         p = os.path.join(lake_dir, q["path"])
         if os.path.exists(p):
             t = pq.read_table(p)
             drop = [c for c in ("_bad", "part_id") if c in t.column_names]
             tables.append(t.drop_columns(drop))
+            src_paths.append(p)
     if not tables:
         rows = 0
         out_path = None
@@ -61,8 +64,11 @@ def redrive(
         tbl = pa.concat_tables(tables)
         rows = len(tbl)
         os.makedirs(changelog_dir, exist_ok=True)
-        # atomic landing, per the tailer's producer contract
-        name = f"redrive-{uuid.uuid4().hex[:12]}.parquet"
+        # atomic landing, per the tailer's producer contract; the
+        # manifest version prefix keeps redrive file names MONOTONE
+        # (the checkpoint watermark requires future files to sort
+        # above it - a bare uuid name would not)
+        name = f"redrive-{store.next_version():06d}-{uuid.uuid4().hex[:12]}.parquet"
         tmp = os.path.join(changelog_dir, f".{name}.tmp")
         pq.write_table(tbl, tmp, compression="snappy")
         out_path = os.path.join(changelog_dir, name)
@@ -73,8 +79,10 @@ def redrive(
         parent_version=parent.version,
         created_at=now or _now_iso(),
         schema=list(parent.schema),
+        schema_ipc=parent.schema_ipc,
         partitions=dict(parent.partitions),
         applied=list(parent.applied),
+        applied_watermarks=dict(parent.applied_watermarks),
         watermark=parent.watermark,
         metrics={"redriven_rows": rows},
         lineage={"_redrive": {"rows": rows, "file": out_path}},
@@ -82,4 +90,12 @@ def redrive(
         partitioning=dict(parent.partitioning),
     )
     committed = store.commit(manifest)
+    # the rows now live in the re-emitted change file; the source
+    # quarantine parquet is unreferenced as of this commit - delete it
+    # here rather than waiting for a gc that only walks data/
+    for p in src_paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     return {"rows": rows, "file": out_path, "version": committed.version}

@@ -65,7 +65,7 @@ def tail(
         rounds += 1
         pending = [
             p
-            for p in discover_pending(changelog_dir, store.applied_files())
+            for p in discover_pending(changelog_dir, manifest=store.load())
             if _ready(p)
         ]
         manifests = (

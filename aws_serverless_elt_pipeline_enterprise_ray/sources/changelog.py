@@ -30,11 +30,23 @@ def list_changelog_files(changelog_dir: str, pattern: str = "*.parquet") -> list
 
 
 def discover_pending(
-    changelog_dir: str, applied: set[str], pattern: str = "*.parquet"
+    changelog_dir: str,
+    applied: set[str] | None = None,
+    pattern: str = "*.parquet",
+    manifest=None,
 ) -> list[str]:
-    """Files not yet applied, in log order (name order == emit order)."""
+    """Files not yet applied, in log order (name order == emit order).
+
+    Pass ``manifest`` (the current committed one) for watermark-aware
+    membership: every file sorting <= the dir's applied watermark is
+    applied, plus the explicit exception set - the compact checkpoint
+    representation (see ``state.manifest.Manifest.applied_watermarks``)."""
+    files = list_changelog_files(changelog_dir, pattern)
+    if manifest is not None:
+        return [p for p in files if not manifest.is_applied(p)]
+    applied = applied or set()
     return [
-        p for p in list_changelog_files(changelog_dir, pattern)
+        p for p in files
         if os.path.abspath(p) not in applied and p not in applied
     ]
 

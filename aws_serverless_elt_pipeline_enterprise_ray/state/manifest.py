@@ -30,11 +30,15 @@ Layout::
 
 from __future__ import annotations
 
+import base64
 import dataclasses
 import json
 import os
+import time
 import uuid
 from typing import Any
+
+import pyarrow as pa
 
 
 @dataclasses.dataclass
@@ -56,8 +60,21 @@ class Manifest:
     # {"num_partitions": P, "hot_keys": [...], "hot_key_salt": k}.
     # Later applies MUST reuse it - changing P or the hot-key set
     # mid-stream would map existing keys to different partitions and
-    # duplicate them.
+    # duplicate them (use pipelines.rebalance to migrate).
     partitioning: dict = dataclasses.field(default_factory=dict)
+    # Lossless Arrow payload schema (base64 IPC). The human-readable
+    # `schema` list stringifies types, which does NOT round-trip for
+    # every Arrow type (list<...>, decimal, date32, ...): an evolved
+    # column of such a type would silently come back as string on the
+    # next apply and be cast with safe=False - cross-run corruption.
+    # Readers prefer this field; `schema` stays for inspection.
+    schema_ipc: str | None = None
+    # Checkpoint compaction (the DDB-TTL analogue): per-changelog-dir
+    # watermark path. Every file in a dir sorting <= its watermark is
+    # applied; `applied` holds only the out-of-order exceptions above
+    # the watermarks. Keeps manifest size O(P + pending) instead of
+    # O(total files ever applied).
+    applied_watermarks: dict = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=1, sort_keys=True)
@@ -72,6 +89,84 @@ class Manifest:
     def total_rows(self) -> int:
         return sum(f["rows"] for files in self.partitions.values() for f in files)
 
+    def is_applied(self, path: str) -> bool:
+        """Checkpoint membership under watermark+exceptions semantics."""
+        ap = os.path.abspath(path)
+        if ap in self.applied or path in self.applied:
+            return True
+        wm = self.applied_watermarks.get(os.path.dirname(ap))
+        return wm is not None and ap <= wm
+
+
+# -- lossless schema round-trip --------------------------------------------
+
+_TYPE_PARSE = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "halffloat": pa.float16(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "date32[day]": pa.date32(),
+    "date64[ms]": pa.date64(),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"),
+}
+
+
+def parse_type_string(s: str) -> pa.DataType:
+    """Parse a stringified Arrow type from a legacy manifest. Raises on
+    anything outside the table - silently falling back to string would
+    corrupt an evolved column's type on the next apply."""
+    try:
+        return _TYPE_PARSE[s]
+    except KeyError:
+        raise RuntimeError(
+            f"manifest schema type {s!r} is not losslessly parseable; "
+            "this manifest predates schema_ipc - re-commit (any apply/"
+            "compact) with the current engine to upgrade it"
+        ) from None
+
+
+def schema_to_ipc(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_ipc(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def manifest_payload_schema(m: Manifest) -> pa.Schema:
+    """The committed payload schema, exact: prefer the IPC-serialized
+    form; fall back to parsing the stringified legacy list."""
+    if m.schema_ipc:
+        return schema_from_ipc(m.schema_ipc)
+    return pa.schema(
+        [pa.field(n, parse_type_string(t)) for n, t in (tuple(c) for c in m.schema)]
+    )
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a completed rename survives power loss
+    (process-crash safety never needed this; durability does)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
 
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
@@ -80,6 +175,7 @@ def _atomic_write(path: str, data: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(os.path.abspath(path)))
 
 
 class ManifestStore:
@@ -108,6 +204,10 @@ class ManifestStore:
             return Manifest.from_json(f.read())
 
     def applied_files(self) -> set[str]:
+        """DEPRECATED for discovery: returns only the out-of-order
+        exception set. Use ``Manifest.is_applied`` /
+        ``discover_pending(..., manifest=...)`` which also honor the
+        per-directory watermarks."""
         m = self.load()
         return set(m.applied) if m else set()
 
@@ -137,6 +237,7 @@ class ManifestStore:
             os.fsync(fd)
         finally:
             os.close(fd)
+        _fsync_dir(self.dir)
         _atomic_write(
             os.path.join(self.dir, "CURRENT"),
             json.dumps({"version": manifest.version}),
@@ -174,10 +275,18 @@ class ManifestStore:
         return sorted(out)
 
     # -- gc -----------------------------------------------------------
-    def gc(self, keep_versions: int = 2) -> list[str]:
-        """Delete data files not referenced by the last ``keep_versions``
-        manifests (orphans from failed attempts, COW-superseded files).
-        Never touches referenced files; safe to run any time."""
+    def gc(self, keep_versions: int = 2, min_age_seconds: float = 300.0) -> list[str]:
+        """Delete data and quarantine files not referenced by the last
+        ``keep_versions`` manifests (orphans from failed attempts,
+        COW-superseded files, redriven quarantine rows).
+
+        Safe to run concurrently with writers because deletion is gated
+        on file age (Iceberg-style orphan cleanup): an in-flight apply
+        writes its partition files BEFORE the manifest commit makes
+        them referenced, so only orphans older than ``min_age_seconds``
+        - far beyond any single commit's write-to-commit window - are
+        removed. Pass ``min_age_seconds=0`` only when no writer is live.
+        """
         versions = self.versions()
         live: set[str] = set()
         keep = versions[-keep_versions:] if versions else []
@@ -189,12 +298,23 @@ class ManifestStore:
             live.update(m.all_files())
             live.update(q["path"] for q in m.quarantine)
         removed = []
-        data_dir = os.path.join(self.lake_dir, "data")
-        for root, _dirs, files in os.walk(data_dir):
-            for name in files:
-                p = os.path.join(root, name)
-                rel = os.path.relpath(p, self.lake_dir)
-                if rel not in live:
-                    os.remove(p)
-                    removed.append(rel)
+        cutoff = time.time() - min_age_seconds
+        # _quarantine/dq/ holds DQ demotion markers (diagnostics, not
+        # row data) - never swept.
+        roots = [os.path.join(self.lake_dir, "data")]
+        qroot = os.path.join(self.lake_dir, "_quarantine")
+        if os.path.isdir(qroot):
+            roots += [
+                os.path.join(qroot, d)
+                for d in os.listdir(qroot)
+                if d.startswith("part=")
+            ]
+        for top in roots:
+            for root, _dirs, files in os.walk(top):
+                for name in files:
+                    p = os.path.join(root, name)
+                    rel = os.path.relpath(p, self.lake_dir)
+                    if rel not in live and os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        removed.append(rel)
         return removed

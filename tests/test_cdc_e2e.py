@@ -53,7 +53,10 @@ def test_full_apply_matches_oracle(small_stream, tmp_lake):
     m = manifests[0]
     assert m.metrics["events_applied"] > 0
     assert m.watermark == 7999  # max seq
-    assert len(m.applied) == 6
+    files = sorted(glob.glob(os.path.join(small_stream, "*.parquet")))
+    assert all(m.is_applied(f) for f in files)
+    # watermark-compacted checkpoint: no per-file exception entries
+    assert m.applied == [] and len(m.applied_watermarks) == 1
 
 
 def test_chunked_apply_equals_full(small_stream, tmp_lake):
@@ -88,11 +91,13 @@ def test_kill_and_resume(small_stream, tmp_lake):
     files = sorted(glob.glob(os.path.join(small_stream, "*.parquet")))
     engine.apply_changes(files[:3], tmp_lake, spec)
     store = ManifestStore(tmp_lake)
-    assert len(store.load().applied) == 3
+    m = store.load()
+    assert all(m.is_applied(f) for f in files[:3])
+    assert not any(m.is_applied(f) for f in files[3:])
     # resume over the whole directory: already-applied files skipped
     manifests = engine.apply_changes(small_stream, tmp_lake, spec)
     assert len(manifests) == 1
-    assert sorted(store.load().applied) == files
+    assert all(store.load().is_applied(f) for f in files)
     assert_matches_oracle(tmp_lake, small_stream)
 
 
@@ -108,7 +113,7 @@ def test_orphan_files_invisible_and_gc(small_stream, tmp_lake):
 
     pq.write_table(pa.table({"x": [1]}), orphan)
     assert final_table(tmp_lake).num_rows == rows_before
-    removed = ManifestStore(tmp_lake).gc()
+    removed = ManifestStore(tmp_lake).gc(min_age_seconds=0)
     assert any("f-orphan" in r for r in removed)
     assert final_table(tmp_lake).num_rows == rows_before
 

@@ -56,8 +56,11 @@ def test_sigkill_mid_ingest_then_resume(tmp_path):
     os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
     proc.wait()
 
+    import glob as _glob
+    all_files = sorted(_glob.glob(os.path.join(changes, "*.parquet")))
     v_killed = store.current_version()
-    applied_killed = set(store.load().applied)
+    m_killed = store.load()
+    applied_killed = {f for f in all_files if m_killed.is_applied(f)}
     assert v_killed >= 1
     assert len(applied_killed) == v_killed  # commit_every=1
 
@@ -67,10 +70,12 @@ def test_sigkill_mid_ingest_then_resume(tmp_path):
     )
     assert manifests, "resume should have pending work"
     final = store.load()
-    assert len(final.applied) == 10
-    assert applied_killed <= set(final.applied)
+    assert all(final.is_applied(f) for f in all_files)
+    assert all(final.is_applied(f) for f in applied_killed)
+    # checkpoint stays compact: exceptions list bounded, watermark set
+    assert len(final.applied) == 0 and final.applied_watermarks
     assert_matches_oracle(lake, changes)
 
     # orphans from the killed attempt are unreferenced; gc removes them
-    removed = store.gc()
+    removed = store.gc(min_age_seconds=0)
     assert_matches_oracle(lake, changes)

@@ -1,0 +1,282 @@
+"""Round-2 hardening tests: checkpoint watermark compaction, age-gated
+gc, lossless schema round-trip, redrive cleanup, DQ key-cols fix and
+the dq_gate notify hook."""
+
+import glob
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import aws_serverless_elt_pipeline_enterprise_ray as engine
+from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+    Manifest,
+    ManifestStore,
+    manifest_payload_schema,
+    parse_type_string,
+    schema_from_ipc,
+    schema_to_ipc,
+)
+
+from test_cdc_e2e import assert_matches_oracle
+
+
+# ---------------------------------------------------------------------------
+# checkpoint watermark compaction
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_stays_bounded_over_many_micro_commits(tmp_path):
+    """The DDB-TTL analogue: an always-on tailer micro-committing must
+    not grow the manifest O(files ever applied). 60 single-file commits
+    -> applied stays empty, watermark advances, manifest bytes flat."""
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=6000, n_convs=60, n_files=60, seed=3)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(changes, lake, spec, commit_every_files=1)
+    store = ManifestStore(lake)
+    m = store.load()
+    assert m.version == 60
+    assert m.applied == []
+    assert len(m.applied_watermarks) == 1
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    assert all(m.is_applied(f) for f in files)
+    # the CHECKPOINT's byte size does not trend with commit count
+    # (pre-compaction manifests still list accumulated LSM run files -
+    # that part is bounded by compaction cadence, below)
+    ck_bytes = len(
+        json.dumps({"applied": m.applied, "wm": m.applied_watermarks})
+    )
+    assert ck_bytes < 500, ck_bytes
+    # compaction folds the accumulated runs: the post-compact manifest
+    # is back to O(P) size
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+
+    cm = compact(lake, spec)
+    sz10 = os.path.getsize(os.path.join(lake, "_manifest", "manifest-000010.json"))
+    szc = os.path.getsize(
+        os.path.join(lake, "_manifest", f"manifest-{cm.version:06d}.json")
+    )
+    assert szc < sz10 * 2, (sz10, szc)
+    assert_matches_oracle(lake, changes)
+
+
+def test_out_of_order_apply_keeps_exception_then_absorbs(tmp_path):
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=2000, n_convs=40, n_files=5, seed=11)
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = engine.default_spec(num_partitions=4)
+    # apply the LAST file first: watermark cannot advance, exception kept
+    engine.apply_changes([files[4]], lake, spec)
+    store = ManifestStore(lake)
+    m = store.load()
+    assert m.applied == [os.path.abspath(files[4])]
+    assert m.is_applied(files[4]) and not m.is_applied(files[0])
+    # applying the rest closes the gap: watermark jumps to the end,
+    # the exception is absorbed
+    engine.apply_changes(changes, lake, spec)
+    m = store.load()
+    assert m.applied == []
+    assert all(m.is_applied(f) for f in files)
+    assert_matches_oracle(lake, changes)
+
+
+def test_future_file_below_watermark_is_producer_error(tmp_path):
+    """The watermark contract: producers emit monotone names. A file
+    landing BELOW the watermark is (correctly) treated as applied."""
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=500, n_convs=10, n_files=2, seed=5)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+    m = ManifestStore(lake).load()
+    assert m.is_applied(os.path.join(changes, "changes-000000.parquet"))
+    # a name sorting above the watermark is pending
+    assert not m.is_applied(os.path.join(changes, "zz-next.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# gc: age gate + quarantine sweep
+# ---------------------------------------------------------------------------
+
+
+def test_gc_age_gate_protects_inflight_writes(tmp_path):
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=1000, n_convs=20, n_files=2, seed=9)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+    store = ManifestStore(lake)
+    # a fresh orphan models an in-flight apply's pre-commit write:
+    # default gc must NOT touch it
+    orphan = os.path.join(lake, "data", "part=00000", "f-inflight.parquet")
+    pq.write_table(pa.table({"x": [1]}), orphan)
+    removed = store.gc()
+    assert os.path.exists(orphan) and removed == []
+    # an old orphan is collected
+    os.utime(orphan, (time.time() - 3600, time.time() - 3600))
+    removed = store.gc()
+    assert not os.path.exists(orphan)
+    assert any("f-inflight" in r for r in removed)
+
+
+def test_gc_sweeps_unreferenced_quarantine_files(tmp_path):
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=1000, n_convs=20, n_files=2, seed=13, bad_ratio=0.1)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+    store = ManifestStore(lake)
+    qfiles = glob.glob(os.path.join(lake, "_quarantine", "part=*", "*.parquet"))
+    assert qfiles, "bad rows should be quarantined"
+    # referenced quarantine files survive gc
+    store.gc(min_age_seconds=0)
+    assert all(os.path.exists(q) for q in qfiles)
+    # an unreferenced one (e.g. left by a failed attempt) is swept
+    stray = os.path.join(lake, "_quarantine", "part=00000", "q-stray.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    pq.write_table(pa.table({"x": [1]}), stray)
+    removed = store.gc(min_age_seconds=0)
+    assert not os.path.exists(stray)
+    assert any("q-stray" in r for r in removed)
+    # DQ markers are never swept
+    marker = os.path.join(lake, "_quarantine", "dq", "version-000001.json")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("{}")
+    store.gc(min_age_seconds=0)
+    assert os.path.exists(marker)
+
+
+def test_redrive_deletes_source_quarantine_files(tmp_path):
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=1000, n_convs=20, n_files=2, seed=13, bad_ratio=0.1)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+    qfiles = glob.glob(os.path.join(lake, "_quarantine", "part=*", "*.parquet"))
+    assert qfiles
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.redrive import redrive
+
+    res = redrive(lake, changes)
+    assert res["rows"] > 0
+    assert not any(os.path.exists(q) for q in qfiles)
+    # monotone naming: redrive file sorts above the applied watermark
+    m = ManifestStore(lake).load()
+    assert not m.is_applied(res["file"])
+
+
+# ---------------------------------------------------------------------------
+# lossless schema round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_schema_ipc_roundtrip_exotic_types():
+    sch = pa.schema(
+        [
+            pa.field("a", pa.date32()),
+            pa.field("b", pa.decimal128(10, 2)),
+            pa.field("c", pa.list_(pa.float32())),
+            pa.field("d", pa.int16()),
+        ]
+    )
+    assert schema_from_ipc(schema_to_ipc(sch)).equals(sch)
+
+
+def test_parse_type_string_raises_on_lossy():
+    assert parse_type_string("int32") == pa.int32()
+    with pytest.raises(RuntimeError, match="not losslessly parseable"):
+        parse_type_string("list<item: float>")
+
+
+def test_evolved_exotic_column_type_survives_two_applies(tmp_path):
+    """ADVICE scenario: an additive int16 column must keep its type
+    across a second apply (legacy stringified schema would degrade it
+    to string)."""
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    files = gen_changes(
+        changes, n_events=1000, n_convs=20, n_files=4, seed=21, duplicate_ratio=0.0
+    )
+
+    def widen(path):
+        t = pq.read_table(path)
+        t = t.append_column(
+            "score16", pa.array(list(range(len(t))), pa.int16())
+        )
+        pq.write_table(t, path)
+
+    for p in files[2:]:
+        widen(p)
+    spec = engine.default_spec(num_partitions=2)
+    engine.apply_changes(files[:3], lake, spec)
+    store = ManifestStore(lake)
+    m1 = store.load()
+    assert manifest_payload_schema(m1).field("score16").type == pa.int16()
+    engine.apply_changes(changes, lake, spec)
+    m2 = store.load()
+    assert manifest_payload_schema(m2).field("score16").type == pa.int16()
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+
+    tbl = pa.concat_tables(
+        list(read_table(lake).iter_batches(batch_format="pyarrow", batch_size=4096))
+    )
+    assert tbl.schema.field("score16").type == pa.int16()
+
+
+# ---------------------------------------------------------------------------
+# DQ: merge key + notify hook
+# ---------------------------------------------------------------------------
+
+
+def test_dq_multi_run_uses_partition_key_not_unique_rule(tmp_path):
+    """With delta-append runs present and a dq.unique rule NARROWER
+    than the merge key, the pre-check reduce must use the manifest's
+    key_cols: reducing by the unique rule would collapse the very
+    duplicates the gate counts (vacuously passing) and corrupt
+    row_count."""
+    import glob as g
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dq import run_dq
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import DQRules
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=4000, n_convs=30, n_files=6, seed=31)
+    files = sorted(g.glob(os.path.join(changes, "*.parquet")))
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(files[:-2], lake, spec)
+    # force delta-append runs for the tail
+    engine.apply_changes(
+        changes, lake, spec, commit_every_files=1, delta_threshold=0.95
+    )
+    # conv_id alone is NOT unique (many turns per conv): the gate must
+    # report duplicates for it instead of merging them away
+    narrow = engine.default_spec(
+        num_partitions=4,
+        dq=DQRules(unique=(("conv_id",),), not_null=("conv_id",), ranges={}),
+    )
+    report = run_dq(lake, narrow)
+    assert report["checks"]["unique"]["dup_keys"] > 0
+    # and with the true key the lake is clean
+    report2 = run_dq(lake, engine.default_spec(num_partitions=4))
+    assert report2["ok"], report2
+
+
+def test_dq_gate_on_fail_hook(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dq import dq_gate
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import DQRules
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=500, n_convs=10, n_files=1, seed=41)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+    seen = []
+    bad_spec = engine.default_spec(
+        num_partitions=2, dq=DQRules(ranges={"turn_idx": (0, 1)})
+    )
+    report = dq_gate(lake, bad_spec, on_fail=seen.append)
+    assert not report["ok"]
+    assert seen and seen[0]["version"] == report["version"]
+    # a raising hook is swallowed
+    ManifestStore(lake)  # lake demoted to empty; re-apply for a clean gate
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=2))
+
+    def boom(_):
+        raise RuntimeError("notifier down")
+
+    report2 = dq_gate(lake, bad_spec, on_fail=boom)
+    assert not report2["ok"]
