@@ -96,6 +96,23 @@ def main(argv=None) -> int:
     s = sub.add_parser("show", help="manifest / checkpoint status")
     s.add_argument("--lake", required=True)
 
+    rb = sub.add_parser(
+        "rebalance", help="migrate lake to new partitioning (P / hot keys / salt)"
+    )
+    rb.add_argument("--lake", required=True)
+    rb.add_argument("--partitions", type=int, default=None)
+    rb.add_argument("--hot-keys", nargs="*", default=None)
+    rb.add_argument("--hot-key-salt", type=int, default=None)
+
+    rt = sub.add_parser(
+        "route", help="split a mixed record_type stream into per-type lakes and apply"
+    )
+    rt.add_argument("--changelog", required=True)
+    rt.add_argument("--lake-root", required=True)
+    rt.add_argument("--types", nargs="+", required=True)
+    rt.add_argument("--type-col", default="record_type")
+    rt.add_argument("--partitions", type=int, default=64)
+
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
     )
@@ -216,6 +233,37 @@ def main(argv=None) -> int:
             from .pipelines.redrive import redrive as redrive_fn
 
             print(json.dumps(redrive_fn(args.lake, args.changelog)))
+        elif args.cmd == "rebalance":
+            from .pipelines.rebalance import rebalance
+
+            m = rebalance(
+                args.lake,
+                num_partitions=args.partitions,
+                hot_keys=tuple(args.hot_keys) if args.hot_keys is not None else None,
+                hot_key_salt=args.hot_key_salt,
+            )
+            print(json.dumps({"version": m.version, "partitioning": m.partitioning}))
+        elif args.cmd == "route":
+            from . import default_spec
+            from .pipelines.route import route_and_apply
+
+            res = route_and_apply(
+                args.changelog,
+                args.lake_root,
+                {t: default_spec(name=t, num_partitions=args.partitions) for t in args.types},
+                type_col=args.type_col,
+            )
+            print(
+                json.dumps(
+                    {
+                        "staged": res["staged"],
+                        "versions": {
+                            k: [m.version for m in v]
+                            for k, v in res["manifests"].items()
+                        },
+                    }
+                )
+            )
         elif args.cmd == "dq":
             from .pipelines.dq import dq_gate, run_dq
 

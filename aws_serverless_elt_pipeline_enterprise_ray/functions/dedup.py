@@ -2,26 +2,36 @@
 
 Strategies, each expressed Ray-Data-first:
 
-* ``exact_dedup``            - content-hash + groupby + per-group first.
+* ``exact_dedup``            - content-hash + bucketed shuffle + vectorized
+                               keep-first (min id) per hash run.
 * ``minhash_lsh_candidates`` - shingle -> minhash -> banded LSH buckets ->
-                               groupby bucket -> candidate pairs -> Jaccard
-                               verification. The scale path: only the small
-                               (band_id, band_hash) rows shuffle, never
-                               full documents.
-* ``simhash_dedup``          - 64-bit simhash + bucket-by-prefix near-dup.
+                               count-aggregate collisions -> distributed
+                               pair emission -> distributed exact-Jaccard
+                               verification. Only (id, band, hash) rows
+                               shuffle; documents never do.
+* ``simhash_near_dups``      - 64-bit simhash, multi-table rotated-prefix
+                               blocking, distributed XOR+popcount pairing.
 * ``ngram_jaccard_pairs``    - exact n-gram Jaccard verification over
-                               candidate pairs (used as MinHash's verifier
-                               and standalone for small candidate sets).
-* ``embedding_near_dups``    - cosine near-dup over an embedding column
-                               (see functions/similarity.py for the ANN
-                               machinery it shares).
+                               candidate pairs.
+* ``embedding_near_dups``    - cosine near-dup via banded random-hyperplane
+                               tables; bucket count scales with corpus size.
 
-Partitioning assumption (documented per SURVEY's custom-operator rule):
-candidate generation shuffles only (bucket_key, doc_id[, signature])
-rows; verification re-reads text for candidate pairs via a broadcast
-doc->text map when the candidate set is small, else a hash-join by
-doc_id. At 100 TB the broadcast side must be the *candidates*, not the
-corpus.
+Partitioning assumptions (documented per SURVEY's custom-operator rule):
+
+- Candidate generation shuffles only (bucket_key, doc_id[, signature])
+  rows. Colliding buckets are found with a vectorized count-aggregate
+  (the ~all-singleton bucket mass never touches Python), then only
+  collision rows are re-shuffled into a bounded number of pairing
+  groups where the all-pairs kernel runs vectorized per bucket.
+- Degenerate buckets (universal shingles / zero vectors) are CAPPED at
+  ``max_bucket`` members; members beyond the cap emit no pairs. This is
+  deliberate: a bucket with 10^5 members carries no near-dup signal and
+  would otherwise emit 5x10^9 pairs.
+- Verification joins candidate ids back to texts DISTRIBUTED: the
+  broadcast side is the candidate-id set (small), the texts ride a
+  bucketed co-group shuffle; the corpus is never collected to the
+  driver.
+- Doc ids must be integers (used as bucket keys for the co-group).
 """
 
 from __future__ import annotations
@@ -29,10 +39,42 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
 from .text import content_hash_batch
+
+
+def _n_shuffle_groups() -> int:
+    """Bounded number of pairing/co-group partitions: enough for every
+    CPU, few enough that per-group Python overhead stays negligible."""
+    try:
+        return max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover - ray not initialised
+        return 32
+
+
+def _hot_buckets(ds: rd.Dataset, cols: list[str], min_count: int = 2) -> pd.DataFrame:
+    """Bucket keys with >= min_count members: per-block ARROW partial
+    counts (C-level group_by) + a tiny driver combine over bucket KEYS
+    only - never rows. Measured 0.2s where Ray's distributed
+    ``groupby().aggregate(Count)`` took 10.6s on arrow blocks and 197s
+    on pandas blocks for the same 400k rows / 33k groups (its combine
+    step pays per-group Python). At extreme key cardinality this
+    combine would become a second (hierarchical) partial pass."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(cols)
+            .aggregate([(cols[-1], "count")])
+            .rename_columns([*cols, "n"])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby(cols, sort=False)["n"].sum().reset_index()
+    return tot[tot["n"] >= min_count]
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -43,28 +85,43 @@ def exact_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Keep one representative (min id) per exact text.
 
-    Shuffle key is a 64-bit content hash, so only (hash, id, payload)
-    rows move and groups are exact-duplicate sets. Per-group first is a
-    vectorized pandas head. (A left-semi ``Dataset.join`` of the corpus
-    against a C-level ``groupby(hash).min(id)`` aggregate would avoid
-    the one-python-call-per-singleton-group overhead at billion-doc
-    scale, but Ray 2.49.2's hash-join finalize raises an Acero
-    field-ref error on this shape - revisit when Dataset.join
-    stabilizes.)"""
-    hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+    Scale shape: rows shuffle once, bucketed by ``text_hash % P`` (P
+    bounded, ~2/CPU), and each bucket is reduced with ONE vectorized
+    kernel - sort by (hash, id), keep the first row of every equal-hash
+    run - the same run-boundary pattern as ``schema.lww_reduce``. No
+    per-duplicate-group Python call (the previous head(1)-per-group
+    form paid one pandas call per ~singleton group; a left-semi
+    ``Dataset.join`` against groupby(hash).min(id) remains blocked by
+    Ray 2.49.2's Acero field-ref bug)."""
+    P = num_partitions or _n_shuffle_groups()
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        b = content_hash_batch(b, text_col)
+        h = b["text_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "bucket", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("text_hash", "ascending"), (id_col, "ascending")]
+        )
+        s = g.take(idx)
+        h = s["text_hash"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(s), dtype=bool)
+        first[0] = True
+        first[1:] = h[1:] != h[:-1]
+        return s.filter(pa.array(first)).drop_columns(["text_hash", "bucket"])
+
+    return (
+        ds.map_batches(hash_and_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
-
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
-    return hashed.groupby("text_hash").map_groups(
-        first_per_group, batch_format="pandas"
-    ).drop_columns(["text_hash"])
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +247,93 @@ class MinHasher:
         )
 
 
-def minhash_lsh_candidates(
+def _bucket_key(g: pd.DataFrame, bucket_cols: list[str]) -> np.ndarray:
+    v = g[bucket_cols[-1]].to_numpy().astype(np.int64)
+    if len(bucket_cols) > 1:
+        with np.errstate(over="ignore"):
+            v = v * np.int64(1000003) + g[bucket_cols[0]].to_numpy().astype(np.int64)
+    return v
+
+
+def _bucket_pairs_ds(
+    keyed: rd.Dataset,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    extra_emit=None,
+) -> rd.Dataset:
+    """Distributed pair emission from bucketed collision rows.
+
+    ``keyed`` holds only rows of buckets with >= 2 members. Rows are
+    re-bucketed into a BOUNDED number of pairing groups (~2/CPU). Each
+    group call is fully vectorized: one lexsort by (bucket, id), run-
+    boundary detection, triu pair-position generation per run (capped
+    at ``max_bucket`` members - a degenerate 10^5-member bucket carries
+    no near-dup signal and would emit 5x10^9 pairs), and ONE
+    ``extra_emit(g_sorted, IA, IB, df)`` call per group computing any
+    pair feature (hamming / cosine) over all pairs at once. No pandas
+    call per bucket."""
+    NB = _n_shuffle_groups()
+
+    def add_gb(b: pd.DataFrame) -> pd.DataFrame:
+        v = _bucket_key(b, bucket_cols)
+        b["gb"] = (v % NB + NB) % NB
+        return b
+
+    def _empty() -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
+        if extra_emit is not None:
+            df = extra_emit(None, None, None, df)
+        return df
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return _empty()
+        k = _bucket_key(g, bucket_cols)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, k))
+        k, ids = k[order], ids[order]
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        keep[1:] = (k[1:] != k[:-1]) | (ids[1:] != ids[:-1])
+        sel = order[keep]
+        k, ids = k[keep], ids[keep]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        lens = np.diff(np.r_[starts, len(k)])
+        IA, IB = [], []
+        tri_cache: dict[int, tuple] = {}
+        for s, L in zip(starts, lens):
+            if L < 2:
+                continue
+            L2 = int(min(L, max_bucket))
+            tri = tri_cache.get(L2)
+            if tri is None:
+                tri = np.triu_indices(L2, k=1)
+                tri_cache[L2] = tri
+            IA.append(tri[0] + s)
+            IB.append(tri[1] + s)
+        if not IA:
+            return _empty()
+        IA = np.concatenate(IA)
+        IB = np.concatenate(IB)
+        # ids sorted ascending within each run => id_a < id_b already
+        df = pd.DataFrame({"id_a": ids[IA], "id_b": ids[IB]})
+        if extra_emit is not None:
+            df = extra_emit(g.iloc[sel], IA, IB, df)
+        return df
+
+    return (
+        keyed.map_batches(add_gb, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(emit, batch_format="pandas")
+    )
+
+
+def minhash_lsh_candidate_ds(
     ds: rd.Dataset,
     *,
     num_perm: int = 64,
@@ -199,11 +342,17 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency=None,
-) -> list[tuple]:
-    """Candidate near-duplicate id pairs via banded MinHash-LSH.
+    max_bucket: int = 512,
+) -> rd.Dataset:
+    """Candidate near-duplicate pairs via banded MinHash-LSH, fully
+    distributed: returns a Dataset of distinct (id_a, id_b) rows.
 
-    Returns deduplicated (id_a, id_b) pairs (id_a < id_b). The bucket
-    groupby shuffles only signature rows."""
+    Plan: signature rows (bands per doc) -> vectorized count-aggregate
+    finds colliding (band_id, band_hash) buckets (the ~all-singleton
+    mass stays in C) -> only collision rows re-shuffle into bounded
+    pairing groups -> triu pairs per bucket (capped) -> distinct via a
+    C-level count-aggregate. The driver only ever holds the colliding
+    BUCKET KEYS (broadcast as a filter set), never rows or texts."""
     hasher = MinHasher(
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         text_col=text_col, id_col=id_col,
@@ -225,45 +374,67 @@ def minhash_lsh_candidates(
         )
     sig = sig.materialize()  # small: bands rows per doc; reused below
 
-    # Signature-table size decides the plan. Each extra Ray execution
-    # costs ~1-2s of fixed latency; below the threshold the whole
-    # signature table (bands x n_docs tiny rows, ~20B each) fits the
-    # driver trivially and one pandas groupby beats four distributed
-    # stages. Above it, a vectorized count-aggregate finds colliding
-    # buckets (NOT map_groups - per-group python calls on the ~all-
-    # singleton buckets would dominate) and only those rows come back.
-    if sig.count() <= 2_000_000:
-        cand = sig.to_pandas()
-        sizes = cand.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
-        cand = cand[sizes >= 2]
-    else:
-        from ray.data.aggregate import Count
-
-        counts = sig.groupby(["band_id", "band_hash"]).aggregate(
-            Count(alias_name="n")
+    dup = _hot_buckets(sig, ["band_id", "band_hash"])  # bucket KEYS only
+    if len(dup) == 0:
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
         )
-        dup = counts.filter(expr="n >= 2").to_pandas()  # only real collisions
-        if len(dup) == 0:
-            return []
-        hot = set(zip(dup["band_id"].astype(int), dup["band_hash"].astype(int)))
-        hot_ref = ray.put(hot)
+    hot_by_band = {
+        int(t): g["band_hash"].to_numpy().astype(np.int64)
+        for t, g in dup.groupby("band_id")
+    }
+    hot_ref = ray.put(hot_by_band)
 
-        def in_hot(b: pd.DataFrame) -> pd.DataFrame:
-            h = ray.get(hot_ref)
-            keys = list(zip(b["band_id"].astype(int), b["band_hash"].astype(int)))
-            mask = np.fromiter((k in h for k in keys), dtype=bool, count=len(keys))
-            return b[mask]
+    def in_hot(b: pd.DataFrame) -> pd.DataFrame:
+        hb = ray.get(hot_ref)
+        bid = b["band_id"].to_numpy()
+        bh = b["band_hash"].to_numpy()
+        mask = np.zeros(len(b), dtype=bool)
+        for t, arr in hb.items():
+            sel = bid == t
+            if sel.any():
+                mask[sel] = np.isin(bh[sel], arr)
+        return b[mask]
 
-        cand = sig.map_batches(in_hot, batch_format="pandas").to_pandas()
+    cand = sig.map_batches(in_hot, batch_format="pandas")
+    pairs = _bucket_pairs_ds(
+        cand, ["band_id", "band_hash"], "doc_id", max_bucket
+    )
+    # distinct (a pair collides in many bands): per-block pandas
+    # drop_duplicates (C-level) then a driver dedup over the candidate
+    # set - the small side by design
+    def dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id_a", "id_b"])
 
-    # pair within buckets, vectorized pandas on the candidate set
-    pairs: set[tuple] = set()
-    for (_, _), g in cand.groupby(["band_id", "band_hash"], sort=False):
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        for i, x in enumerate(ids):
-            for y in ids[i + 1 :]:
-                pairs.add((x, y))
-    return sorted(pairs)
+    uniq = pairs.map_batches(dd, batch_format="pandas").to_pandas()
+    uniq = uniq.drop_duplicates(["id_a", "id_b"])
+    return rd.from_arrow(
+        pa.table({"id_a": uniq["id_a"].to_numpy().astype(np.int64),
+                  "id_b": uniq["id_b"].to_numpy().astype(np.int64)})
+    )
+
+
+def minhash_lsh_candidates(
+    ds: rd.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=None,
+    max_bucket: int = 512,
+) -> list[tuple]:
+    """List form of :func:`minhash_lsh_candidate_ds` (the candidate set
+    is small relative to the corpus; collecting IT is the documented
+    broadcast direction)."""
+    out = minhash_lsh_candidate_ds(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col, concurrency=concurrency,
+        max_bucket=max_bucket,
+    ).take_all()
+    return sorted((int(r["id_a"]), int(r["id_b"])) for r in out)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -286,14 +457,122 @@ def verify_pairs_jaccard(
     threshold: float = 0.8,
     k: int = 3,
 ) -> list[tuple]:
-    """Verify candidate pairs with exact n-gram Jaccard. ``texts`` is a
-    broadcast id->text mapping (candidates only, NOT the corpus)."""
+    """Verify candidate pairs with exact n-gram Jaccard against an
+    in-memory id->text mapping (for unit tests / tiny candidate sets;
+    the engine path is :func:`verify_pairs_distributed`)."""
     out = []
     for a, b in pairs:
         j = jaccard(texts.get(a), texts.get(b), k)
         if j >= threshold:
             out.append((a, b, j))
     return out
+
+
+def verify_pairs_distributed(
+    ds: rd.Dataset,
+    cand_pairs: list[tuple],
+    *,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple]:
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    The corpus is NEVER collected: the candidate-id set (small) is
+    broadcast to filter it; texts then ride a doc_id-bucketed co-group
+    shuffle where each pair side picks up its text, and a second
+    pair-bucketed co-group scores Jaccard. Returns verified
+    (id_a, id_b, jaccard) tuples - the final result, which is small."""
+    if not cand_pairs:
+        return []
+    NB = _n_shuffle_groups()
+    need = {int(i) for p in cand_pairs for i in p[:2]}
+    need_ref = ray.put(need)
+
+    # side rows: one per (pair, side)
+    pa_ids = np.array([p[0] for p in cand_pairs], dtype=np.int64)
+    pb_ids = np.array([p[1] for p in cand_pairs], dtype=np.int64)
+    probes = pa.table(
+        {
+            "doc_id": np.concatenate([pa_ids, pb_ids]),
+            "id_a": np.concatenate([pa_ids, pa_ids]),
+            "id_b": np.concatenate([pb_ids, pb_ids]),
+            "side": np.concatenate(
+                [np.zeros(len(pa_ids), np.int8), np.ones(len(pb_ids), np.int8)]
+            ),
+            text_col: pa.nulls(2 * len(pa_ids), pa.string()),
+        }
+    )
+
+    def corpus_rows(b: pa.Table) -> pa.Table:
+        ids = ray.get(need_ref)
+        mask = pc.is_in(
+            b[id_col], value_set=pa.array(list(ids), b[id_col].type)
+        )
+        f = b.filter(mask)
+        n = len(f)
+        return pa.table(
+            {
+                "doc_id": pc.cast(f[id_col], pa.int64()),
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "side": pa.nulls(n, pa.int8()),
+                text_col: pc.cast(f[text_col], pa.string()),
+            }
+        )
+
+    union = rd.from_arrow(probes).union(
+        ds.map_batches(corpus_rows, batch_format="pyarrow")
+    )
+
+    def add_db(b: pd.DataFrame) -> pd.DataFrame:
+        b["db"] = (b["doc_id"].to_numpy().astype(np.int64) % NB + NB) % NB
+        return b
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        texts_part = g[g["side"].isna()][["doc_id", text_col]]
+        probes_part = g[g["side"].notna()][["doc_id", "id_a", "id_b", "side"]]
+        m = probes_part.merge(texts_part, on="doc_id", how="inner")
+        return m[["id_a", "id_b", "side", text_col]]
+
+    sided = (
+        union.map_batches(add_db, batch_format="pandas")
+        .groupby("db")
+        .map_groups(attach_text, batch_format="pandas")
+    )
+
+    def add_pb(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["id_a"].to_numpy().astype(np.int64) * np.int64(1000003) + b[
+            "id_b"
+        ].to_numpy().astype(np.int64)
+        b["pb"] = (key % NB + NB) % NB
+        return b
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["id_a", "id_b", text_col]].rename(
+            columns={text_col: "text_a"}
+        )
+        b = g[g["side"] == 1][["id_a", "id_b", text_col]].rename(
+            columns={text_col: "text_b"}
+        )
+        m = a.merge(b, on=["id_a", "id_b"], how="inner")
+        # per-pair set ops are inherent to exact Jaccard; they run
+        # distributed here, over candidate pairs only
+        js = [jaccard(ta, tb, k) for ta, tb in zip(m["text_a"], m["text_b"])]
+        m["jaccard"] = js
+        m = m[m["jaccard"] >= threshold]
+        return m[["id_a", "id_b", "jaccard"]]
+
+    res = (
+        sided.map_batches(add_pb, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(score, batch_format="pandas")
+    )
+    return sorted(
+        (int(r["id_a"]), int(r["id_b"]), float(r["jaccard"]))
+        for r in res.take_all()
+    )
 
 
 def minhash_dedup_pairs(
@@ -304,29 +583,16 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     **lsh_kwargs,
 ) -> list[tuple]:
-    """End-to-end MinHash-LSH near-dup: candidates then exact-Jaccard
-    verification. Texts for verification are fetched for CANDIDATE ids
-    only via a filtered pass over the dataset (broadcast-sized)."""
+    """End-to-end MinHash-LSH near-dup: distributed candidate
+    generation then distributed exact-Jaccard verification. Only the
+    candidate PAIR LIST and the verified result (both small) ever
+    reach the driver."""
     cands = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col, **lsh_kwargs)
     if not cands:
         return []
-    need = {i for p in cands for i in p}
-    need_ref = ray.put(need)
-
-    def fetch(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = ray.get(need_ref)
-        mask = pc.is_in(b[id_col], value_set=pa.array(list(ids), b[id_col].type))
-        return b.filter(mask).select([id_col, text_col])
-
-    texts = {}
-    for batch in ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            texts[i] = t
-    return verify_pairs_jaccard(cands, texts, threshold)
+    return verify_pairs_distributed(
+        ds, cands, threshold=threshold, text_col=text_col, id_col=id_col
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -335,14 +601,28 @@ def minhash_dedup_pairs(
 
 
 class SimHasher:
-    """64-bit simhash per document + ``sim_prefix`` bucket column
-    (top-16-bits) for near-dup blocking. Batch-vectorized: one hash
-    call for all tokens, bit expansion + segmented ``add.reduceat``
-    per document."""
+    """64-bit simhash per document + multi-table rotated-prefix bucket
+    keys. Batch-vectorized: one hash call for all tokens, bit expansion
+    + segmented ``add.reduceat`` per document.
 
-    def __init__(self, text_col: str = "text", prefix_bits: int = 16):
+    ``n_tables`` rotated prefix windows fix the single-table recall
+    hole: a pair within ``max_hamming`` whose differing bits all fall
+    in THE prefix is missed by one table; with T tables the windows
+    tile the word, so any pair with hamming < T is guaranteed at least
+    one clean window (and larger distances are caught with high
+    probability)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        prefix_bits: int = 16,
+        n_tables: int = 4,
+    ):
         self.text_col = text_col
+        self.id_col = id_col
         self.prefix_bits = prefix_bits
+        self.n_tables = n_tables
 
     def simhash(self, text: str) -> int:
         return int(self._simhashes([text])[0])
@@ -374,14 +654,36 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Emit (doc_id, table_id, prefix, simhash) rows - one per
+        (doc, table); the only thing that shuffles."""
+        ids = batch[self.id_col].to_numpy()
         sh = self._simhashes(list(batch[self.text_col]))
-        batch["simhash"] = sh.astype("int64")  # two's complement for arrow
-        batch["sim_prefix"] = (sh >> np.uint64(64 - self.prefix_bits)).astype("int64")
-        return batch
+        T = self.n_tables
+        rot = np.uint64(64 // T)
+        prefixes = np.empty((len(ids), T), dtype=np.uint64)
+        for t in range(T):
+            r = np.uint64(t) * rot
+            rotated = (sh << r | sh >> (np.uint64(64) - r)) if t else sh
+            prefixes[:, t] = rotated >> np.uint64(64 - self.prefix_bits)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, T),
+                "table_id": np.tile(np.arange(T, dtype=np.int64), len(ids)),
+                "prefix": prefixes.reshape(-1).astype(np.int64),
+                "simhash": np.repeat(sh.astype(np.int64), T),
+            }
+        )
 
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+_POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
 
 
 def simhash_near_dups(
@@ -391,53 +693,69 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency=None,
+    n_tables: int = 4,
+    prefix_bits: int = 16,
+    max_bucket: int = 1024,
 ) -> list[tuple]:
-    """Near-dup pairs whose simhashes agree on the 16-bit prefix bucket
-    and differ by <= max_hamming bits overall.
+    """Near-dup (id_a, id_b, hamming) pairs whose simhashes collide in
+    at least one rotated prefix table and differ by <= max_hamming bits.
 
-    Same shape as MinHash-LSH candidate generation: a vectorized
-    count-aggregate finds colliding prefix buckets (the overwhelming
-    majority are singletons and never touch Python), then only those
-    rows are collected and pair-checked with a vectorized XOR+popcount.
-    """
-    hasher = SimHasher(text_col=text_col)
-    sh = ds.map_batches(hasher.__call__, batch_format="pandas").select_columns(
-        [id_col, "simhash", "sim_prefix"]
-    ).materialize()
+    Same distributed shape as MinHash-LSH: count-aggregate finds
+    colliding (table, prefix) buckets in C; only collision rows
+    re-shuffle into bounded pairing groups where the XOR+popcount pair
+    check runs vectorized; a final C-level aggregate dedups pairs seen
+    by multiple tables. Only bucket keys are broadcast; only the final
+    pair list reaches the driver."""
+    hasher = SimHasher(
+        text_col=text_col, id_col=id_col,
+        prefix_bits=prefix_bits, n_tables=n_tables,
+    )
+    sig = ds.map_batches(hasher.__call__, batch_format="pandas").materialize()
 
-    from ray.data.aggregate import Count
-
-    counts = sh.groupby("sim_prefix").aggregate(Count(alias_name="n"))
-    dup = counts.filter(expr="n >= 2").to_pandas()
+    dup = _hot_buckets(sig, ["table_id", "prefix"])
     if len(dup) == 0:
         return []
-    hot = set(int(x) for x in dup["sim_prefix"])
-    hot_ref = ray.put(hot)
+    hot_by_table = {
+        int(t): g["prefix"].to_numpy().astype(np.int64)
+        for t, g in dup.groupby("table_id")
+    }
+    hot_ref = ray.put(hot_by_table)
 
     def in_hot(b: pd.DataFrame) -> pd.DataFrame:
-        h = ray.get(hot_ref)
-        return b[b["sim_prefix"].isin(h)]
+        ht = ray.get(hot_ref)
+        tid = b["table_id"].to_numpy()
+        pf = b["prefix"].to_numpy()
+        mask = np.zeros(len(b), dtype=bool)
+        for t, arr in ht.items():
+            sel = tid == t
+            if sel.any():
+                mask[sel] = np.isin(pf[sel], arr)
+        return b[mask]
 
-    cand = sh.map_batches(in_hot, batch_format="pandas").to_pandas()
+    cand = sig.map_batches(in_hot, batch_format="pandas")
 
-    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+    def with_hamming(gs, IA, IB, df: pd.DataFrame):
+        if gs is None or not len(df):
+            df["hamming"] = pd.Series([], dtype="int64")
+            return df
+        hs = gs["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        df["hamming"] = _popcount64(hs[IA] ^ hs[IB]).astype(np.int64)
+        return df[df["hamming"] <= max_hamming]
 
-    def popcount64(x: np.ndarray) -> np.ndarray:
-        return _POP[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-
-    out: set[tuple] = set()
-    for _, g in cand.groupby("sim_prefix", sort=False):
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        d = popcount64(hs[iu] ^ hs[ju])
-        keep = d <= max_hamming
-        for a, b, dd in zip(ids[iu[keep]], ids[ju[keep]], d[keep]):
-            out.add((int(a), int(b), int(dd)))
-    return sorted(out)
+    pairs = _bucket_pairs_ds(
+        cand, ["table_id", "prefix"], "doc_id", max_bucket,
+        extra_emit=with_hamming,
+    )
+    # hamming-filtered pairs = the final result (small); dedup across
+    # tables on the driver
+    pr = pairs.to_pandas()
+    if not len(pr):
+        return []
+    uniq = pr.groupby(["id_a", "id_b"], sort=False)["hamming"].min().reset_index()
+    return sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(uniq["id_a"], uniq["id_b"], uniq["hamming"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -451,51 +769,123 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_buckets: int = 8,
+    n_tables: int = 4,
+    target_bucket_rows: int = 128,
+    max_bucket: int = 1024,
     seed: int = 99,
+    dim: int | None = None,
+    corpus_size: int | None = None,
 ) -> list[tuple]:
-    """Cosine near-duplicates via random-hyperplane LSH bucketing:
-    vectors shuffle only once into sign-pattern buckets; exact cosine
-    runs per-bucket (a vector lands in one bucket; near-identical
-    vectors share it with high probability for small angles)."""
-    import numpy.linalg as npl
+    """Cosine near-duplicates via BANDED random-hyperplane LSH tables.
 
-    first = ds.take(1)
-    dim = len(first[0][vec_col])
+    Scale shape: bucket count grows with the corpus (``bits`` chosen so
+    expected bucket size ~= target_bucket_rows, so per-bucket all-pairs
+    stays O(n * target_bucket) total, never O((n/const)^2)); ``n_tables``
+    independent hyperplane sets give recall a small-angle pair loses to
+    any single quantization. Two passes over the corpus: pass 1 shuffles
+    only (id, table, bucket) keys into a count-aggregate; pass 2
+    re-emits id+vector ONLY for rows in colliding buckets (broadcast
+    bucket-key set), which then pair-check vectorized per bucket in
+    bounded groups. Pairs dedup via a C-level aggregate; only the final
+    pair list reaches the driver."""
+    ds = ds.materialize()  # guard: upstream transforms must yield the
+    # same rows on both passes; at scale the corpus is a stable parquet
+    # table and this materialize is unnecessary (drop it there)
+    n = corpus_size or ds.count()
+    if n < 2:
+        return []
+    if dim is None:
+        dim = len(ds.take(1)[0][vec_col])
+    bits = max(1, int(np.ceil(np.log2(max(n / target_bucket_rows, 2)))))
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((int(np.log2(n_buckets)) or 1, dim))
+    planes = rng.standard_normal((n_tables, bits, dim))
     planes_ref = ray.put(planes)
 
-    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+    def _buckets(V: np.ndarray) -> np.ndarray:
         P = ray.get(planes_ref)
-        V = np.stack(b[vec_col].to_numpy())
-        signs = (V @ P.T) > 0
-        b["bucket"] = signs.dot(1 << np.arange(signs.shape[1])).astype("int64")
-        return b[[id_col, vec_col, "bucket"]]
+        out = np.empty((len(V), n_tables), dtype=np.int64)
+        w = 1 << np.arange(bits, dtype=np.int64)
+        for t in range(n_tables):
+            signs = (V @ P[t].T) > 0
+            out[:, t] = signs.dot(w)
+        return out
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        V = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        V = V / np.maximum(npl.norm(V, axis=1, keepdims=True), 1e-12)
-        S = V @ V.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = S[iu] >= threshold
+    def keys_only(b: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        bk = _buckets(V)
+        ids = b[id_col].to_numpy()
         return pd.DataFrame(
             {
-                "id_a": ids[iu[0][mask]],
-                "id_b": ids[iu[1][mask]],
-                "cosine": S[iu][mask],
+                "vid": np.repeat(ids, n_tables),
+                "table_id": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
+                "bucket": bk.reshape(-1),
             }
         )
 
-    res = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+    dup = _hot_buckets(
+        ds.map_batches(keys_only, batch_format="pandas"), ["table_id", "bucket"]
     )
+    if len(dup) == 0:
+        return []
+    hot_by_table = {
+        int(t): g["bucket"].to_numpy().astype(np.int64)
+        for t, g in dup.groupby("table_id")
+    }
+    hot_ref = ray.put(hot_by_table)
+
+    def emit_hot(b: pd.DataFrame) -> pd.DataFrame:
+        ht = ray.get(hot_ref)
+        V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        bk = _buckets(V)
+        ids = b[id_col].to_numpy()
+        rows = []
+        for t in range(n_tables):
+            arr = ht.get(t)
+            mask = (
+                np.isin(bk[:, t], arr) if arr is not None
+                else np.zeros(len(ids), dtype=bool)
+            )
+            if mask.any():
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "vid": ids[mask],
+                            "table_id": np.int64(t),
+                            "bucket": bk[mask, t],
+                            vec_col: list(V[mask]),
+                        }
+                    )
+                )
+        if not rows:
+            return pd.DataFrame(
+                {"vid": pd.Series([], dtype="int64"),
+                 "table_id": pd.Series([], dtype="int64"),
+                 "bucket": pd.Series([], dtype="int64"),
+                 vec_col: pd.Series([], dtype="object")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    cand = ds.map_batches(emit_hot, batch_format="pandas")
+
+    def with_cosine(gs, IA, IB, df: pd.DataFrame):
+        if gs is None or not len(df):
+            df["cosine"] = pd.Series([], dtype="float64")
+            return df
+        V = np.stack(gs[vec_col].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        df["cosine"] = np.einsum("ij,ij->i", V[IA], V[IB])
+        return df[df["cosine"] >= threshold]
+
+    pairs = _bucket_pairs_ds(
+        cand, ["table_id", "bucket"], "vid", max_bucket, extra_emit=with_cosine
+    )
+    # threshold-filtered pairs = the final result (small); dedup across
+    # tables on the driver
+    pr = pairs.to_pandas()
+    if not len(pr):
+        return []
+    uniq = pr.groupby(["id_a", "id_b"], sort=False)["cosine"].max().reset_index()
     return sorted(
-        {
-            (int(r["id_a"]), int(r["id_b"]), round(float(r["cosine"]), 6))
-            for r in res.take_all()
-        }
+        (int(a), int(b), round(float(c), 6))
+        for a, b, c in zip(uniq["id_a"], uniq["id_b"], uniq["cosine"])
     )

@@ -461,6 +461,7 @@ def read_table(
     version: int | None = None,
     columns: list[str] | None = None,
     include_internal: bool = False,
+    keep_tombstones: bool = False,
 ) -> rd.Dataset:
     """Dataset over the committed lake state at ``version`` (default
     CURRENT): tombstones filtered, internal columns dropped, old files
@@ -476,7 +477,8 @@ def read_table(
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
 
     ds = _read_lake_partitions(
-        lake_dir, m.partitions, m, include_internal=include_internal
+        lake_dir, m.partitions, m,
+        include_internal=include_internal, keep_tombstones=keep_tombstones,
     )
     if columns:
         ds = ds.select_columns(columns)
@@ -488,6 +490,7 @@ def _read_lake_partitions(
     partitions: dict[str, list[dict]],
     m: Manifest,
     include_internal: bool = False,
+    keep_tombstones: bool = False,
 ) -> rd.Dataset:
     """Partition-parallel lake reader with LWW merge-on-read.
 
@@ -533,8 +536,9 @@ def _read_lake_partitions(
             t = pa.concat_tables(tbls)
             if len(paths) > 1:
                 t = lww_reduce(t, key_cols, "ts", "_seq")
-            live = t.filter(pc.invert(pc.fill_null(t["_deleted"], False)))
-            out.append(conform_to_schema(live, target))
+            if not keep_tombstones:
+                t = t.filter(pc.invert(pc.fill_null(t["_deleted"], False)))
+            out.append(conform_to_schema(t, target))
         return pa.concat_tables(out) if out else target.empty_table()
 
     return rd.from_items(items).map_batches(

@@ -201,13 +201,25 @@ def q_cdc_normalize(sf_dir: str):
 
 def q_cdc_lww_latest(sf_dir: str):
     """D2 record-level LWW dedup in isolation: winning row per key
-    (deletes included, exposed as last_op) via groupby+map_groups."""
-    def winner(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "seq"])
-        return g.tail(1)
+    (deletes included, exposed as last_op), via the engine's vectorized
+    kernel - hash-partition to P groups, then ONE sort + run-boundary
+    reduction per group (``schema.lww_reduce``), never a Python call
+    per key. This is the scale pattern the merge stage itself uses."""
+    from ..schema import assign_part_id, lww_reduce
 
-    ds = _changes_ds(sf_dir).groupby(["conv_id", "turn_idx"]).map_groups(
-        winner, batch_format="pandas"
+    def assign(b: pa.Table) -> pa.Table:
+        return assign_part_id(b, 32)
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return lww_reduce(
+            g.drop_columns(["part_id"]), ("conv_id", "turn_idx"), "ts", "seq"
+        )
+
+    ds = (
+        _changes_ds(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(reduce_group, batch_format="pyarrow")
     )
     df = ds.to_pandas().rename(
         columns={"op": "last_op", "text": "last_text", "ts": "last_ts", "seq": "last_seq"}
@@ -311,6 +323,93 @@ def q_cdc_dq_stats(sf_dir: str):
             "n_convs": [len(pc.unique(t["conv_id"]))],
         }
     )
+
+
+def q_cdc_multitable(sf_dir: str):
+    """Multi-record-type routing (the reference's (record_type, dt)
+    fan-out, lambdas/transform/app.py:93-104): one mixed change stream
+    splits into per-type staged changelogs, each applied into its own
+    lake with independent checkpoints; both lakes read back, tagged and
+    unioned. record_type is derived per conversation so the LWW
+    reduction per lake matches the global one."""
+    from ..schema import default_spec
+    from .cdc import read_table
+    from .route import route_and_apply
+
+    def with_type(b: pa.Table) -> pa.Table:
+        uid = b["conv_id"].to_pylist()
+        rt = np.array(
+            ["shipments" if int(c.rsplit("_", 1)[1]) % 2 == 0 else "tracking"
+             for c in uid], dtype=object,
+        )
+        return b.append_column("record_type", pa.array(rt, pa.string()))
+
+    changes, lake_root = _scratch("mt-changes"), _scratch("mt-root")
+    _changes_ds(sf_dir).map_batches(
+        with_type, batch_format="pyarrow"
+    ).repartition(4).write_parquet(changes)
+    specs = {
+        "shipments": default_spec(name="shipments", num_partitions=8),
+        "tracking": default_spec(name="tracking", num_partitions=8),
+    }
+    route_and_apply(changes, lake_root, specs)
+    dfs = []
+    for name in specs:
+        df = read_table(os.path.join(lake_root, name)).to_pandas()
+        df.insert(0, "record_type", name)
+        dfs.append(df)
+    out = pd.concat(dfs, ignore_index=True)
+    return out.sort_values(["record_type", "conv_id", "turn_idx"]).reset_index(
+        drop=True
+    )
+
+
+def q_cdc_rebalance(sf_dir: str):
+    """Re-salt / rebalance migration: commit under P=16, migrate to
+    P=64 with two conv_ids newly salted hot, then apply MORE changes
+    (exercising post-migration key routing) - final state must still
+    equal the pure SQL reduction."""
+    import glob
+
+    from .cdc import apply_changes
+    from .rebalance import rebalance
+
+    changes, lake = _write_changelog(sf_dir, n_files=6), _scratch("lake")
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = _spec(sf_dir)
+    apply_changes(files[:3], lake, spec)
+    m = rebalance(
+        lake, num_partitions=64, hot_keys=("conv_1", "conv_2"), hot_key_salt=4
+    )
+    assert m.partitioning["num_partitions"] == 64
+    apply_changes(changes, lake, spec)  # picks up the NEW partitioning
+    return _final_df(lake)
+
+
+def q_cdc_catalog_sql(sf_dir: str):
+    """Catalog/SQL surface (Glue+Athena analogue): register a DuckDB
+    view over the committed manifest's files - LWW across delta runs
+    and tombstone filtering baked into the view - and query it. Uses
+    the LSM path (delta-append runs present) so the view's
+    merge-on-read is actually exercised."""
+    import glob
+
+    from ..catalog import register_duckdb_view
+    from .cdc import apply_changes
+
+    changes, lake = _write_changelog(sf_dir, n_files=10), _scratch("lake")
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    apply_changes(files[:-2], lake, _spec(sf_dir))
+    apply_changes(
+        changes, lake, _spec(sf_dir), commit_every_files=1, delta_threshold=0.95
+    )
+    con = register_duckdb_view(lake, view_name="t")
+    df = con.execute(
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM t "
+        "ORDER BY conv_id, turn_idx"
+    ).df()
+    con.close()
+    return df.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -433,22 +532,28 @@ def q_simhash_near_dup(sf_dir: str):
 
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram Jaccard over the constructed near-dup pairs
-    (original, perturbed-copy), scaled x1e6 and floored for exactness."""
+    (original, perturbed-copy), scaled x1e6 and floored for exactness.
+    Computed inside map_batches - the corpus streams, the driver sees
+    only (doc_id, score) rows."""
     from ..functions.dedup import jaccard
 
-    docs = _documents(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts = dict(zip(docs["doc_id"], docs["text"]))
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["doc_id"] % 4 == 0]
+        ids, js = [], []
+        for did, t in zip(f["doc_id"], f["text"]):
+            parts = t.split(maxsplit=2)
+            pt = parts[2] if len(parts) > 2 else t
+            ids.append(int(did))
+            js.append(int(jaccard(t, pt, k=3) * 1_000_000))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "jaccard_micro": pd.Series(js, dtype="int64")}
+        )
 
-    def perturbed(t):
-        parts = t.split(maxsplit=2)
-        return parts[2] if len(parts) > 2 else t
-
-    rows = []
-    for did in sorted(texts):
-        if did % 4 == 0:
-            j = jaccard(texts[did], perturbed(texts[did]), k=3)
-            rows.append({"doc_id": did, "jaccard_micro": int(j * 1_000_000)})
-    return pd.DataFrame(rows)
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+    return ds.sort("doc_id").to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -765,6 +870,9 @@ QUERIES = {
     "cdc_top_convs": q_cdc_top_convs,
     "cdc_quarantine_counts": q_cdc_quarantine_counts,
     "cdc_dq_stats": q_cdc_dq_stats,
+    "cdc_multitable": q_cdc_multitable,
+    "cdc_rebalance": q_cdc_rebalance,
+    "cdc_catalog_sql": q_cdc_catalog_sql,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -821,6 +929,22 @@ ORACLES = {
              count(*) AS n
       FROM events GROUP BY status ORDER BY status
     """,
+    "cdc_multitable": f"""
+      WITH ch AS ({CH_SQL}),
+      typed AS (
+        SELECT CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+                    THEN 'shipments' ELSE 'tracking' END AS record_type, *
+        FROM ch),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM typed)
+      SELECT record_type, conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY record_type, conv_id, turn_idx
+    """,
+    "cdc_rebalance": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_catalog_sql": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_dq_stats": f"""
       WITH final AS ({FINAL_SQL})
       SELECT count(*) AS row_count,

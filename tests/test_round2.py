@@ -280,3 +280,132 @@ def test_dq_gate_on_fail_hook(tmp_path):
 
     report2 = dq_gate(lake, bad_spec, on_fail=boom)
     assert not report2["ok"]
+
+
+# ---------------------------------------------------------------------------
+# multi-record-type routing
+# ---------------------------------------------------------------------------
+
+
+def _mixed_changelog(tmp_path, n_files=4, seed=51):
+    """gen_changes output with a record_type column derived from
+    conv_id parity, plus a few unroutable rows."""
+    changes = str(tmp_path / "mixed")
+    files = gen_changes(changes, n_events=3000, n_convs=40, n_files=n_files, seed=seed)
+    import pyarrow.compute as pc
+
+    for p in files:
+        t = pq.read_table(p)
+        parity = [
+            "shipments" if int(c.rsplit("_", 1)[1]) % 2 == 0 else "tracking"
+            for c in t["conv_id"].to_pylist()
+        ]
+        # poison a couple of rows with an unregistered type
+        for i in range(0, len(parity), 997):
+            parity[i] = "weird"
+        t = t.append_column("record_type", pa.array(parity, pa.string()))
+        pq.write_table(t, p)
+    return changes
+
+
+def test_route_and_apply_splits_types_and_checkpoints(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import oracle_final_state
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.route import route_and_apply
+
+    changes = _mixed_changelog(tmp_path)
+    lake_root = str(tmp_path / "root")
+    specs = {
+        "shipments": engine.default_spec(name="shipments", num_partitions=4),
+        "tracking": engine.default_spec(name="tracking", num_partitions=4),
+    }
+    res = route_and_apply(changes, lake_root, specs)
+    assert res["staged"]["shipments"] > 0 and res["staged"]["tracking"] > 0
+    assert res["staged"].get("_unknown", 0) > 0  # unroutable rows quarantined
+    assert res["manifests"]["shipments"] and res["manifests"]["tracking"]
+    # each per-type lake equals the LWW oracle over ITS staged changelog
+    for name in specs:
+        staged = os.path.join(lake_root, "_staged", name)
+        oracle = oracle_final_state(staged).to_pandas()
+        got = read_table(os.path.join(lake_root, name)).to_pandas()
+        oracle = oracle.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(got[oracle.columns.tolist()], oracle, check_dtype=False)
+    # idempotent re-run: nothing staged, no new versions
+    v1 = ManifestStore(os.path.join(lake_root, "shipments")).current_version()
+    res2 = route_and_apply(changes, lake_root, specs)
+    assert res2["pending_files"] == 0 and res2["staged"] == {}
+    assert not res2["manifests"]["shipments"]
+    assert ManifestStore(os.path.join(lake_root, "shipments")).current_version() == v1
+
+
+# ---------------------------------------------------------------------------
+# rebalance migration
+# ---------------------------------------------------------------------------
+
+
+def test_rebalance_migrates_partitioning_and_preserves_state(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.rebalance import rebalance
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=4000, n_convs=30, n_files=6, seed=61)
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = engine.default_spec(num_partitions=8)
+    engine.apply_changes(files[:3], lake, spec)
+    store = ManifestStore(lake)
+    assert store.load().partitioning["num_partitions"] == 8
+    m = rebalance(lake, num_partitions=32, hot_keys=("conv_000003",), hot_key_salt=4)
+    assert m.partitioning["num_partitions"] == 32
+    assert m.partitioning["hot_keys"] == ["conv_000003"]
+    # post-migration applies route by the NEW partitioning and still
+    # converge (deletes/out-of-order included in the generated stream)
+    engine.apply_changes(changes, lake, spec)
+    assert store.load().partitioning["num_partitions"] == 32
+    assert_matches_oracle(lake, changes)
+    # the hot conversation's rows are spread across its salt sub-partitions
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+        read_conversations,
+    )
+
+    hot_rows = read_conversations(lake, ["conv_000003"]).to_pandas()
+    assert len(hot_rows) > 0
+
+
+def test_rebalance_requires_commit(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.rebalance import rebalance
+
+    with pytest.raises(RuntimeError, match="nothing committed"):
+        rebalance(str(tmp_path / "empty-lake"), num_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# duckdb catalog view
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_view_matches_engine_read(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.catalog import register_duckdb_view
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=3000, n_convs=30, n_files=6, seed=71)
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(files[:-2], lake, spec)
+    # delta-append runs so the view's merge-on-read matters
+    engine.apply_changes(changes, lake, spec, commit_every_files=1, delta_threshold=0.95)
+    con = register_duckdb_view(lake, view_name="t")
+    via_sql = con.execute(
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM t ORDER BY conv_id, turn_idx"
+    ).df().reset_index(drop=True)
+    con.close()
+    via_engine = (
+        read_table(lake).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        via_sql, via_engine[via_sql.columns.tolist()], check_dtype=False
+    )
