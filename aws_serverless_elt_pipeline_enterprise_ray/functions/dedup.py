@@ -374,30 +374,40 @@ def minhash_lsh_candidate_ds(
         )
     sig = sig.materialize()  # small: bands rows per doc; reused below
 
-    dup = _hot_buckets(sig, ["band_id", "band_hash"])  # bucket KEYS only
-    if len(dup) == 0:
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64())})
-        )
-    hot_by_band = {
-        int(t): g["band_hash"].to_numpy().astype(np.int64)
-        for t, g in dup.groupby("band_id")
-    }
-    hot_ref = ray.put(hot_by_band)
+    # Plan selection on the KNOWN materialized size (count is free on a
+    # materialized dataset): the hot-bucket prefilter exists to keep
+    # the ~all-singleton signature mass out of the pairing shuffle - a
+    # volume concern. Below the threshold the whole signature table is
+    # one cheap sort, and the prefilter's two extra Ray executions are
+    # pure fixed latency; the pairing kernel skips singleton runs
+    # either way, so both plans emit IDENTICAL pairs.
+    if sig.count() <= 5_000_000:
+        cand = sig
+    else:
+        dup = _hot_buckets(sig, ["band_id", "band_hash"])  # bucket KEYS only
+        if len(dup) == 0:
+            return rd.from_arrow(
+                pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+            )
+        hot_by_band = {
+            int(t): g["band_hash"].to_numpy().astype(np.int64)
+            for t, g in dup.groupby("band_id")
+        }
+        hot_ref = ray.put(hot_by_band)
 
-    def in_hot(b: pd.DataFrame) -> pd.DataFrame:
-        hb = ray.get(hot_ref)
-        bid = b["band_id"].to_numpy()
-        bh = b["band_hash"].to_numpy()
-        mask = np.zeros(len(b), dtype=bool)
-        for t, arr in hb.items():
-            sel = bid == t
-            if sel.any():
-                mask[sel] = np.isin(bh[sel], arr)
-        return b[mask]
+        def in_hot(b: pd.DataFrame) -> pd.DataFrame:
+            hb = ray.get(hot_ref)
+            bid = b["band_id"].to_numpy()
+            bh = b["band_hash"].to_numpy()
+            mask = np.zeros(len(b), dtype=bool)
+            for t, arr in hb.items():
+                sel = bid == t
+                if sel.any():
+                    mask[sel] = np.isin(bh[sel], arr)
+            return b[mask]
 
-    cand = sig.map_batches(in_hot, batch_format="pandas")
+        cand = sig.map_batches(in_hot, batch_format="pandas")
     pairs = _bucket_pairs_ds(
         cand, ["band_id", "band_hash"], "doc_id", max_bucket
     )
@@ -479,75 +489,50 @@ def verify_pairs_distributed(
 ) -> list[tuple]:
     """Distributed exact-Jaccard verification of candidate pairs.
 
-    The corpus is NEVER collected: the candidate-id set (small) is
-    broadcast to filter it; texts then ride a doc_id-bucketed co-group
-    shuffle where each pair side picks up its text, and a second
+    The corpus is NEVER collected: the candidate PAIR LIST (the small
+    side, per the module's partitioning contract) is broadcast as a
+    doc_id -> [(id_a, id_b, side)] map; one streaming pass over the
+    corpus emits a (pair, side, text) row per membership, and ONE
     pair-bucketed co-group scores Jaccard. Returns verified
     (id_a, id_b, jaccard) tuples - the final result, which is small."""
     if not cand_pairs:
         return []
     NB = _n_shuffle_groups()
-    need = {int(i) for p in cand_pairs for i in p[:2]}
-    need_ref = ray.put(need)
+    need_map: dict[int, list[tuple[int, int, int]]] = {}
+    for p in cand_pairs:
+        a, b = int(p[0]), int(p[1])
+        need_map.setdefault(a, []).append((a, b, 0))
+        need_map.setdefault(b, []).append((a, b, 1))
+    map_ref = ray.put(need_map)
 
-    # side rows: one per (pair, side)
-    pa_ids = np.array([p[0] for p in cand_pairs], dtype=np.int64)
-    pb_ids = np.array([p[1] for p in cand_pairs], dtype=np.int64)
-    probes = pa.table(
-        {
-            "doc_id": np.concatenate([pa_ids, pb_ids]),
-            "id_a": np.concatenate([pa_ids, pa_ids]),
-            "id_b": np.concatenate([pb_ids, pb_ids]),
-            "side": np.concatenate(
-                [np.zeros(len(pa_ids), np.int8), np.ones(len(pb_ids), np.int8)]
-            ),
-            text_col: pa.nulls(2 * len(pa_ids), pa.string()),
-        }
-    )
-
-    def corpus_rows(b: pa.Table) -> pa.Table:
-        ids = ray.get(need_ref)
-        mask = pc.is_in(
-            b[id_col], value_set=pa.array(list(ids), b[id_col].type)
+    def emit_sides(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        ids = batch[id_col].to_pylist()
+        texts = None
+        ia, ib, side, txt = [], [], [], []
+        for row_i, did in enumerate(ids):
+            hits = m.get(int(did))
+            if not hits:
+                continue
+            if texts is None:
+                texts = batch[text_col].to_pylist()
+            for a, b, s in hits:
+                ia.append(a)
+                ib.append(b)
+                side.append(s)
+                txt.append(texts[row_i])
+        key = np.array(ia, dtype=np.int64) * np.int64(1000003) + np.array(
+            ib, dtype=np.int64
         )
-        f = b.filter(mask)
-        n = len(f)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_id": pc.cast(f[id_col], pa.int64()),
-                "id_a": pa.nulls(n, pa.int64()),
-                "id_b": pa.nulls(n, pa.int64()),
-                "side": pa.nulls(n, pa.int8()),
-                text_col: pc.cast(f[text_col], pa.string()),
+                "id_a": pd.Series(ia, dtype="int64"),
+                "id_b": pd.Series(ib, dtype="int64"),
+                "side": pd.Series(side, dtype="int8"),
+                text_col: pd.Series(txt, dtype="object"),
+                "pb": pd.Series((key % NB + NB) % NB, dtype="int64"),
             }
         )
-
-    union = rd.from_arrow(probes).union(
-        ds.map_batches(corpus_rows, batch_format="pyarrow")
-    )
-
-    def add_db(b: pd.DataFrame) -> pd.DataFrame:
-        b["db"] = (b["doc_id"].to_numpy().astype(np.int64) % NB + NB) % NB
-        return b
-
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
-        texts_part = g[g["side"].isna()][["doc_id", text_col]]
-        probes_part = g[g["side"].notna()][["doc_id", "id_a", "id_b", "side"]]
-        m = probes_part.merge(texts_part, on="doc_id", how="inner")
-        return m[["id_a", "id_b", "side", text_col]]
-
-    sided = (
-        union.map_batches(add_db, batch_format="pandas")
-        .groupby("db")
-        .map_groups(attach_text, batch_format="pandas")
-    )
-
-    def add_pb(b: pd.DataFrame) -> pd.DataFrame:
-        key = b["id_a"].to_numpy().astype(np.int64) * np.int64(1000003) + b[
-            "id_b"
-        ].to_numpy().astype(np.int64)
-        b["pb"] = (key % NB + NB) % NB
-        return b
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
         a = g[g["side"] == 0][["id_a", "id_b", text_col]].rename(
@@ -556,7 +541,9 @@ def verify_pairs_distributed(
         b = g[g["side"] == 1][["id_a", "id_b", text_col]].rename(
             columns={text_col: "text_b"}
         )
-        m = a.merge(b, on=["id_a", "id_b"], how="inner")
+        m = a.drop_duplicates(["id_a", "id_b"]).merge(
+            b.drop_duplicates(["id_a", "id_b"]), on=["id_a", "id_b"], how="inner"
+        )
         # per-pair set ops are inherent to exact Jaccard; they run
         # distributed here, over candidate pairs only
         js = [jaccard(ta, tb, k) for ta, tb in zip(m["text_a"], m["text_b"])]
@@ -565,7 +552,7 @@ def verify_pairs_distributed(
         return m[["id_a", "id_b", "jaccard"]]
 
     res = (
-        sided.map_batches(add_pb, batch_format="pandas")
+        ds.map_batches(emit_sides, batch_format="pyarrow")
         .groupby("pb")
         .map_groups(score, batch_format="pandas")
     )
@@ -712,27 +699,33 @@ def simhash_near_dups(
     )
     sig = ds.map_batches(hasher.__call__, batch_format="pandas").materialize()
 
-    dup = _hot_buckets(sig, ["table_id", "prefix"])
-    if len(dup) == 0:
-        return []
-    hot_by_table = {
-        int(t): g["prefix"].to_numpy().astype(np.int64)
-        for t, g in dup.groupby("table_id")
-    }
-    hot_ref = ray.put(hot_by_table)
+    # same plan selection as MinHash: below the threshold the hot-
+    # bucket prefilter is pure fixed latency (identical output - the
+    # pairing kernel skips singleton runs)
+    if sig.count() <= 5_000_000:
+        cand = sig
+    else:
+        dup = _hot_buckets(sig, ["table_id", "prefix"])
+        if len(dup) == 0:
+            return []
+        hot_by_table = {
+            int(t): g["prefix"].to_numpy().astype(np.int64)
+            for t, g in dup.groupby("table_id")
+        }
+        hot_ref = ray.put(hot_by_table)
 
-    def in_hot(b: pd.DataFrame) -> pd.DataFrame:
-        ht = ray.get(hot_ref)
-        tid = b["table_id"].to_numpy()
-        pf = b["prefix"].to_numpy()
-        mask = np.zeros(len(b), dtype=bool)
-        for t, arr in ht.items():
-            sel = tid == t
-            if sel.any():
-                mask[sel] = np.isin(pf[sel], arr)
-        return b[mask]
+        def in_hot(b: pd.DataFrame) -> pd.DataFrame:
+            ht = ray.get(hot_ref)
+            tid = b["table_id"].to_numpy()
+            pf = b["prefix"].to_numpy()
+            mask = np.zeros(len(b), dtype=bool)
+            for t, arr in ht.items():
+                sel = tid == t
+                if sel.any():
+                    mask[sel] = np.isin(pf[sel], arr)
+            return b[mask]
 
-    cand = sig.map_batches(in_hot, batch_format="pandas")
+        cand = sig.map_batches(in_hot, batch_format="pandas")
 
     def with_hamming(gs, IA, IB, df: pd.DataFrame):
         if gs is None or not len(df):

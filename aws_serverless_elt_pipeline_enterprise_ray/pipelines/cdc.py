@@ -88,13 +88,44 @@ class _NormalizeAssign:
         return out
 
 
+class _CombineOnly:
+    """Second-stage LWW combiner: coalesces several first-stage
+    combiner outputs into one bigger batch and reduces again, shrinking
+    what the shuffle and the stage barrier move by another multiple on
+    update-heavy streams (the deepened map-side combine).
+
+    ADAPTIVE: combining is optional for correctness (the merge reduces
+    authoritatively), so each task watches its own reduction ratio and
+    switches to pass-through when a batch fails to shrink by
+    ``min_reduction`` - on low-duplication streams the second stage
+    costs one lexsort per task and then gets out of the way."""
+
+    def __init__(self, spec: TableSpec, min_reduction: float = 0.15):
+        self.spec = spec
+        self.min_reduction = min_reduction
+        self.enabled = True  # per-task state (instance deserialized per task)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.enabled or len(batch) == 0:
+            return batch
+        good_mask = pc.is_null(batch["_bad"])
+        bad = batch.filter(pc.invert(good_mask))
+        red = lww_combine_fast(
+            batch.filter(good_mask), self.spec.key_cols, "ts", "seq"
+        )
+        out = pa.concat_tables([red, bad]) if len(bad) else red
+        if len(out) > (1.0 - self.min_reduction) * len(batch):
+            self.enabled = False
+        return out
+
+
 def apply_changes(
     changelog_dir: str | list[str],
     lake_dir: str,
     spec: TableSpec | None = None,
     *,
     commit_every_files: int | None = None,
-    batch_size: int | None = None,
+    batch_size: int | None | str = "default",
     merge_concurrency: int | tuple[int, int] | None = None,
     merge_compute: str = "tasks",
     stage_barrier: bool | str = "auto",
@@ -212,14 +243,17 @@ def _apply_chunk(
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     est_bytes = sum(os.path.getsize(f) for f in files) * 3  # snappy ~3x
     target_block = rd.DataContext.get_current().target_max_block_size or (128 << 20)
-    # Clamp block count to [ncpu, 8*ncpu]: below ncpu wastes cores,
-    # far above it the sort exchange churns (fragments ~ blocks^2
-    # through the object store; 140 blocks ran 3x slower than 64 on
-    # the same 100M-event input). When clamped, blocks simply grow
-    # past target_max_block_size - acceptable while
-    # bytes/(8*ncpu) fits worker heaps; beyond that a commit chunk
-    # (commit_every_files) bounds per-run volume anyway.
-    num_blocks = int(min(max(ncpu, -(-est_bytes // target_block)), 8 * ncpu))
+    # Block count: at least 1/CPU (parallelism), at most 8*ncpu (the
+    # sort exchange churns with block count: 140 blocks ran 3x slower
+    # than 64 on the same 100M-event input) - but NEVER let the cap
+    # push a block past ~4x the target block size: a multi-GB block
+    # sorts with pathological cache behavior and can spill, which is
+    # both slow and (on a small cluster) makes low-parallelism runs
+    # degrade superlinearly. Bytes win over the per-CPU cap.
+    num_blocks = int(max(ncpu, -(-est_bytes // target_block)))
+    cap = 8 * ncpu
+    if num_blocks > cap and est_bytes // cap <= 4 * target_block:
+        num_blocks = cap
 
     groups = group_by_schema(files, schemas)
     per_group = max(1, num_blocks // len(groups))
@@ -230,15 +264,32 @@ def _apply_chunk(
 
     # Batch size here is a COMBINER knob: bigger batches let the
     # per-batch LWW pre-reduce collapse more duplicate keys before the
-    # shuffle (a 30k-row scan batch barely reduces; a 256k-row batch
-    # collapses update-heavy streams ~10x). Blocks are already sized
+    # shuffle (a 30k-row scan batch barely reduces; a 512k-row batch
+    # collapses update-heavy streams ~10x and cut shuffle+merge time
+    # 2.5x at 4-8 CPUs on a 54M-event stream; whole-block batches
+    # overshoot - multi-GB sorts thrash). Blocks are already sized
     # ~1/CPU above, so this does not cost task parallelism.
+    if batch_size == "default":
+        batch_size = 524_288
     ds = ds.map_batches(
         _NormalizeAssign(run_spec),
         batch_format="pyarrow",
-        batch_size=batch_size or 262_144,
+        batch_size=batch_size,  # None = per-block batches (no coalesce copy)
         zero_copy_batch=True,
     )
+    if batch_size and est_bytes >= (1 << 30):
+        # second-stage combine over ~4 first-stage outputs (adaptive:
+        # disables itself per task when the stream isn't duplicate-
+        # heavy); cuts barrier+shuffle bytes another ~4x on update-
+        # heavy bulk streams. Volume-gated: on a small (incremental)
+        # apply the stage's fixed cost exceeds any shuffle saving
+        # (measured ~2x slower on a 2M-event tail apply).
+        ds = ds.map_batches(
+            _CombineOnly(run_spec),
+            batch_format="pyarrow",
+            batch_size=4 * batch_size,
+            zero_copy_batch=True,
+        )
     if stage_barrier == "auto":
         # Barrier pays when the working set is modest or CPUs scarce
         # (fused sort-map/normalize interleaving thrashes: ~1.8x slower
@@ -246,8 +297,13 @@ def _apply_chunk(
         # the materialization cost and lost read/sort overlap flip the
         # sign (~30% slower at 90M events), so stream instead.
         stage_barrier = est_bytes <= (4 << 30) or ncpu <= 8
+    import time as _time
+
+    _timing = bool(os.environ.get("GRAFT_PHASE_TIMING"))
+    _t0 = _time.perf_counter()
     if stage_barrier:
         ds = ds.materialize()
+    _t_norm = _time.perf_counter() - _t0
 
     current_files = (
         {int(k): list(v) for k, v in parent.partitions.items()} if parent else {}
@@ -286,7 +342,17 @@ def _apply_chunk(
         )
 
     # -- tiny driver-side collect + atomic commit ----------------------
+    _t0 = _time.perf_counter()
     rows = results.take_all()
+    if _timing:
+        import sys as _sys
+
+        print(
+            f"[phase] files={len(files)} normalize={_t_norm:.2f}s "
+            f"shuffle+merge+write={_time.perf_counter() - _t0:.2f}s "
+            f"barrier={stage_barrier} blocks={num_blocks}",
+            file=_sys.stderr,
+        )
     partitions = dict(parent.partitions) if parent else {}
     lineage: dict[str, dict] = {}
     quarantine = list(parent.quarantine) if parent else []
