@@ -76,6 +76,8 @@ def main(argv=None) -> int:
                    help="purge ALL tombstones (assert no more late data)")
     c.add_argument("--purge-tombstones-before-us", type=int, default=None,
                    help="purge tombstones with event-time below this us epoch")
+    c.add_argument("--purge-tombstones-auto", action="store_true",
+                   help="derive the purge horizon from observed event-time skew")
 
     d = sub.add_parser("dq", help="data-quality report / gate")
     d.add_argument("--lake", required=True)
@@ -227,6 +229,7 @@ def main(argv=None) -> int:
                 target_rows_per_file=args.target_rows,
                 purge_tombstones=args.purge_tombstones,
                 purge_tombstones_before_us=args.purge_tombstones_before_us,
+                purge_tombstones_auto=args.purge_tombstones_auto,
             )
             print(json.dumps({"version": m.version if m else None}))
         elif args.cmd == "redrive":

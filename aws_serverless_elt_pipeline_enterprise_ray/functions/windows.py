@@ -1,12 +1,17 @@
 """Event-time window operators over keyed streams.
 
 Ray Data has no event-time windows or watermarks (SURVEY §2.9), so
-stream-shaped semantics are expressed as ``groupby(key).map_groups``
-over time-sorted groups (the guide's prescribed pattern):
+stream-shaped semantics are expressed as bucketed group reductions:
 
 * ``sessionize`` - gap-based session windows: a new session starts
-  when the gap to the previous event of the same key exceeds
-  ``gap``. Vectorized per group (sort + diff + cumsum).
+  when the gap to the previous event of the same key exceeds ``gap``.
+
+Scale shape: keys are hash-bucketed into a BOUNDED number of groups
+(~2/CPU), and each group call computes sessions for ALL its keys with
+one vectorized pandas pass (sort -> key-boundary + gap masks -> cumsum
+-> C-level groupby aggregate). The naive ``groupby(key).map_groups``
+form pays one Python call per key - at 10^8 users that per-key overhead
+dominates everything; this form pays ~2 calls per CPU total.
 
 Tumbling windows need no grouping at all (floor the timestamp inside
 ``map_batches`` + a small groupby - see ``q_window_events_hourly``).
@@ -18,8 +23,19 @@ incremental watermark state - this is a batch-over-log engine).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
+
+
+def _key_buckets(v: pd.Series, nb: int) -> np.ndarray:
+    """Cross-process-deterministic bucket of a key column (Python's
+    builtin hash is per-process salted and must never shuffle)."""
+    if pd.api.types.is_integer_dtype(v):
+        return ((v.to_numpy().astype(np.int64) % nb) + nb) % nb
+    from ..schema import hash_strings
+
+    return (hash_strings(v.to_numpy()) % np.uint64(nb)).astype(np.int64)
 
 
 def sessionize(
@@ -29,27 +45,49 @@ def sessionize(
     ts_col: str = "ts",
     gap: pd.Timedelta = pd.Timedelta(minutes=30),
     tiebreak: str | None = None,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Per-key session aggregation: one row per (key, session_id) with
     n_events, session_start, session_end. ``session_id`` is 1-based in
     time order within each key."""
+    if num_buckets is None:
+        try:
+            import ray
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tiebreak] if tiebreak else [])
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:  # pragma: no cover
+            num_buckets = 32
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_sb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def build_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + ([tiebreak] if tiebreak else [])
         g = g.sort_values(order, kind="mergesort")
-        new_sess = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
-        sess = new_sess.cumsum()
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        gap_break = (g[ts_col].diff() > gap).to_numpy()
+        sid = np.cumsum(key_change | gap_break)
         out = (
-            g.assign(session_id=sess)
-            .groupby("session_id", sort=True)
+            g.assign(_sid=sid)
+            .groupby("_sid", sort=True)
             .agg(
-                n_events=(ts_col, "size"),
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
+                **{
+                    key: (key, "first"),
+                    "n_events": (ts_col, "size"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                }
             )
-            .reset_index()
+            .reset_index(drop=True)
         )
-        out.insert(0, key, g[key].iloc[0])
+        # 1-based session numbering within each key (groups arrive in
+        # (key, time) order, so cumcount is the per-key session rank)
+        out.insert(1, "session_id", out.groupby(key, sort=False).cumcount() + 1)
         return out
 
-    return ds.groupby(key).map_groups(build, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(build_bucket, batch_format="pandas")
+    )

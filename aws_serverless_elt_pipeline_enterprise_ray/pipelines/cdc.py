@@ -358,6 +358,8 @@ def _apply_chunk(
     quarantine = list(parent.quarantine) if parent else []
     agg: dict[str, int] = {}
     max_seq = parent.watermark if parent else -1
+    min_ts_us: int | None = None
+    max_ts_us: int | None = None
     for r in rows:
         pid = str(int(r["part_id"]))
         if r["files"] is not None:
@@ -370,6 +372,22 @@ def _apply_chunk(
         lineage[pid] = {"src_files": files, **m}
         if r["max_seq"] is not None:
             max_seq = max(max_seq, int(r["max_seq"]))
+        if r["min_ts_us"] is not None:
+            v = int(r["min_ts_us"])
+            min_ts_us = v if min_ts_us is None else min(min_ts_us, v)
+        if r["max_ts_us"] is not None:
+            v = int(r["max_ts_us"])
+            max_ts_us = v if max_ts_us is None else max(max_ts_us, v)
+
+    # observed-lateness watermark: only CROSS-commit earliness counts
+    # (a later commit's min ts below the running max event ts)
+    prev_max_ts = parent.max_event_ts_us if parent else None
+    max_lateness = parent.max_lateness_us if parent else 0
+    if prev_max_ts is not None and min_ts_us is not None and min_ts_us < prev_max_ts:
+        max_lateness = max(max_lateness, prev_max_ts - min_ts_us)
+    new_max_ts = max(
+        v for v in (prev_max_ts, max_ts_us) if v is not None
+    ) if (prev_max_ts is not None or max_ts_us is not None) else None
 
     applied, applied_watermarks = _compact_checkpoint(
         list(parent.applied) if parent else [],
@@ -386,6 +404,8 @@ def _apply_chunk(
         applied=applied,
         applied_watermarks=applied_watermarks,
         watermark=int(max_seq),
+        max_event_ts_us=new_max_ts,
+        max_lateness_us=int(max_lateness),
         metrics=agg,
         lineage=lineage,
         quarantine=quarantine,

@@ -114,17 +114,36 @@ def compact(
     min_files_to_compact: int = 2,
     purge_tombstones: bool = False,
     purge_tombstones_before_us: int | None = None,
+    purge_tombstones_auto: bool = False,
+    lateness_multiplier: float = 2.0,
+    min_lateness_us: int = 3_600_000_000,
     stamp_ingested_at: str | None = None,
     now: str | None = None,
 ) -> Manifest | None:
     """Re-pack partitions with >= ``min_files_to_compact`` files (or
     any partition, when purging tombstones) and commit a new manifest
-    version. Returns the new manifest, or None if nothing to do."""
+    version. Returns the new manifest, or None if nothing to do.
+
+    ``purge_tombstones_auto`` derives the purge horizon from the
+    manifest's OBSERVED event-time skew instead of an operator-provided
+    one: ``horizon = max_event_ts - max(lateness_multiplier *
+    max_lateness, min_lateness_us)``. A tombstone below the horizon can
+    only be wrongly purged if a future commit arrives more than
+    ``lateness_multiplier`` times later than anything ever observed
+    (floored at ``min_lateness_us``, default 1h, so a stream that has
+    shown zero skew still keeps a safety window)."""
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
     parent = store.load()
     if parent is None:
         return None
+    if purge_tombstones_auto and purge_tombstones_before_us is None:
+        if parent.max_event_ts_us is not None:
+            guard = max(
+                int(lateness_multiplier * parent.max_lateness_us),
+                int(min_lateness_us),
+            )
+            purge_tombstones_before_us = parent.max_event_ts_us - guard
     todo = [
         {"part_id": int(pid), "files": json.dumps([f["path"] for f in files])}
         for pid, files in parent.partitions.items()
@@ -168,6 +187,8 @@ def compact(
         applied=list(parent.applied),
         applied_watermarks=dict(parent.applied_watermarks),
         watermark=parent.watermark,
+        max_event_ts_us=parent.max_event_ts_us,
+        max_lateness_us=parent.max_lateness_us,
         metrics={"compacted_partitions": len(todo)},
         lineage={str(t["part_id"]): {"compaction_of": parent.version} for t in todo},
         quarantine=list(parent.quarantine),

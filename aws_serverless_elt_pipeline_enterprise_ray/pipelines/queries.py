@@ -740,28 +740,37 @@ def q_assemble_conversations(sf_dir: str):
     """Transcript-native training-data op: assemble each conversation's
     turns (post-CDC-merge final state) into one ordered document with
     role prefixes - the lake-to-training-corpus step. Runs the full
-    engine, then groupby(conv_id).map_groups over the committed table
-    (groups are partition-local by construction)."""
+    engine, then a BUCKETED assembly over the committed table: each of
+    ~2/CPU group calls assembles ALL its conversations with one
+    vectorized pandas pass (per-conversation map_groups would pay one
+    Python call per conversation - the anti-pattern at 10^8 convs)."""
+    from ..functions.windows import _key_buckets
     from .cdc import apply_changes, read_table
 
     changes, lake = _write_changelog(sf_dir), _scratch("lake")
     apply_changes(changes, lake, _spec(sf_dir))
+    NB = 64
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        doc = "\n".join(f"{r}: {t}" for r, t in zip(g["role"], g["text"]))
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": [len(g)],
-                "document": [doc],
-            }
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_cb"] = _key_buckets(b["conv_id"], NB)
+        return b
+
+    def assemble_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = g["role"].astype(str) + ": " + g["text"].astype(str)
+        out = (
+            g.assign(_line=line)
+            .groupby("conv_id", sort=True)
+            .agg(n_turns=("turn_idx", "size"), document=("_line", "\n".join))
+            .reset_index()
         )
+        return out[["conv_id", "n_turns", "document"]]
 
     out = (
         read_table(lake)
-        .groupby("conv_id")
-        .map_groups(assemble, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(assemble_bucket, batch_format="pandas")
     )
     df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
     df["n_turns"] = df["n_turns"].astype("int64")

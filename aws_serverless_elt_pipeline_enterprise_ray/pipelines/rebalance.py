@@ -124,6 +124,8 @@ def rebalance(
         applied=list(parent.applied),
         applied_watermarks=dict(parent.applied_watermarks),
         watermark=parent.watermark,
+        max_event_ts_us=parent.max_event_ts_us,
+        max_lateness_us=parent.max_lateness_us,
         metrics={
             "rebalanced_rows": total,
             "old_num_partitions": pp["num_partitions"],

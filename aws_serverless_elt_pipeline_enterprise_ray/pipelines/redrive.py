@@ -84,6 +84,8 @@ def redrive(
         applied=list(parent.applied),
         applied_watermarks=dict(parent.applied_watermarks),
         watermark=parent.watermark,
+        max_event_ts_us=parent.max_event_ts_us,
+        max_lateness_us=parent.max_lateness_us,
         metrics={"redriven_rows": rows},
         lineage={"_redrive": {"rows": rows, "file": out_path}},
         quarantine=[],

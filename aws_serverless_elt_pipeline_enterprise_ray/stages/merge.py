@@ -47,6 +47,10 @@ MERGE_RESULT_SCHEMA = pa.schema(
         pa.field("quarantine", pa.string()),  # JSON [{"path","rows"}]
         pa.field("metrics", pa.string()),     # JSON counters
         pa.field("max_seq", pa.int64()),
+        # event-time extent of this commit's applied events - feeds the
+        # manifest's observed-lateness watermark (tombstone GC horizon)
+        pa.field("min_ts_us", pa.int64()),
+        pa.field("max_ts_us", pa.int64()),
     ]
 )
 
@@ -180,10 +184,15 @@ class PartitionMerger:
                     pa.array([json.dumps(quarantine)], pa.string()),
                     pa.array([json.dumps(metrics)], pa.string()),
                     pa.array([max_seq], pa.int64()),
+                    pa.array([None], pa.int64()),
+                    pa.array([None], pa.int64()),
                 ],
                 schema=MERGE_RESULT_SCHEMA,
             )
         max_seq = pc.max(group["seq"]).as_py()
+        ts_i64 = pc.cast(group["ts"], pa.int64())
+        min_ts_us = pc.min(ts_i64).as_py()
+        max_ts_us = pc.max(ts_i64).as_py()
 
         # change rows -> lake layout: payload + (_deleted, _seq)
         delta_cols = []
@@ -239,6 +248,8 @@ class PartitionMerger:
                 pa.array([json.dumps(quarantine)], pa.string()),
                 pa.array([json.dumps(metrics)], pa.string()),
                 pa.array([max_seq], pa.int64()),
+                pa.array([min_ts_us], pa.int64()),
+                pa.array([max_ts_us], pa.int64()),
             ],
             schema=MERGE_RESULT_SCHEMA,
         )

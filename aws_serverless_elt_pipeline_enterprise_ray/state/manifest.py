@@ -75,6 +75,16 @@ class Manifest:
     # the watermarks. Keeps manifest size O(P + pending) instead of
     # O(total files ever applied).
     applied_watermarks: dict = dataclasses.field(default_factory=dict)
+    # Event-time watermark state for tombstone GC: the max event ts
+    # ever applied, and the max observed CROSS-COMMIT lateness (how far
+    # below the then-current max a later commit's min ts landed).
+    # Within-commit disorder is irrelevant - LWW application is
+    # order-insensitive; only events arriving in FUTURE commits can
+    # resurrect a purged tombstone, and their earliness is bounded (in
+    # practice) by this observed skew. compact(purge_tombstones_auto=
+    # True) derives its horizon from these.
+    max_event_ts_us: int | None = None
+    max_lateness_us: int = 0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=1, sort_keys=True)

@@ -409,3 +409,82 @@ def test_catalog_view_matches_engine_read(tmp_path):
     pdt.assert_frame_equal(
         via_sql, via_engine[via_sql.columns.tolist()], check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# tombstone GC: observed-lateness watermark
+# ---------------------------------------------------------------------------
+
+
+def _write_change_file(path, rows):
+    """rows: list of (op, seq, conv_id, turn_idx, ts_us)."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "op": pa.array([r[0] for r in rows], pa.string()),
+            "seq": pa.array([r[1] for r in rows], pa.int64()),
+            "conv_id": pa.array([r[2] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.nulls(len(rows), pa.string()),
+            "ts": pa.array([r[4] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_auto_tombstone_purge_uses_observed_lateness(tmp_path):
+    """The manifest tracks max event ts + max CROSS-commit lateness;
+    compact(purge_tombstones_auto=True) purges only tombstones below
+    max_ts - max(2*lateness, floor)."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    os.makedirs(changes)
+    HOUR = 3_600_000_000
+    T0 = 1_700_000_000_000_000  # base us epoch
+    # commit 1: two inserts then deletes - one tombstone far in the
+    # past (T0-10h), one recent (T0-1h); max event ts T0
+    _write_change_file(
+        os.path.join(changes, "changes-000000.parquet"),
+        [
+            ("I", 1, "a", 0, T0 - 11 * HOUR),
+            ("D", 2, "a", 0, T0 - 10 * HOUR),
+            ("I", 3, "b", 0, T0 - 2 * HOUR),
+            ("D", 4, "b", 0, T0 - 1 * HOUR),
+            ("I", 5, "c", 0, T0),
+        ],
+    )
+    spec = engine.default_spec(num_partitions=2)
+    engine.apply_changes(changes, lake, spec)
+    store = ManifestStore(lake)
+    m1 = store.load()
+    assert m1.max_event_ts_us == T0
+    assert m1.max_lateness_us == 0  # within-commit disorder doesn't count
+    # commit 2: an event arriving 2h later than the observed max
+    _write_change_file(
+        os.path.join(changes, "changes-000001.parquet"),
+        [("I", 6, "d", 0, T0 - 2 * HOUR)],
+    )
+    engine.apply_changes(changes, lake, spec)
+    m2 = store.load()
+    assert m2.max_event_ts_us == T0
+    assert m2.max_lateness_us == 2 * HOUR
+    # auto purge: horizon = T0 - max(2 * 2h, 1h) = T0 - 4h
+    cm = compact(lake, spec, purge_tombstones_auto=True)
+    tbl = pa.concat_tables(
+        list(
+            read_table(lake, include_internal=True, keep_tombstones=True)
+            .iter_batches(batch_format="pyarrow", batch_size=4096)
+        )
+    )
+    tombs = tbl.filter(tbl["_deleted"]).to_pylist()
+    convs = {t["conv_id"] for t in tombs}
+    assert "a" not in convs, "old tombstone (T0-10h) should be purged"
+    assert "b" in convs, "recent tombstone (T0-1h) must survive the horizon"
+    assert cm.max_event_ts_us == T0 and cm.max_lateness_us == 2 * HOUR
