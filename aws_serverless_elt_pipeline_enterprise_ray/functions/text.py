@@ -135,3 +135,41 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         categorize=False,
     )
     return batch.append_column("text_hash", pa.array(h.astype(np.int64), pa.int64()))
+
+
+def term_frequencies(
+    ds,
+    *,
+    text_col: str = "text",
+    top_n: int | None = 100,
+) -> pd.DataFrame:
+    """Corpus term-frequency (the map-reduce word count): per-batch
+    partial counts (one C-level value_counts per block - the token
+    explosion never leaves the worker), a distributed groupby-sum over
+    terms, then a global top-N. The shuffle carries one row per
+    (block, distinct term), not per token occurrence.
+
+    Terms are lowercase ``[a-z0-9]+`` runs (SQL:
+    ``unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        vc = toks.explode().dropna().value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if top_n is not None:
+        out = out.sort(["n", "term"], descending=[True, False]).limit(top_n)
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df

@@ -861,6 +861,98 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_term_topk(sf_dir: str):
+    """Corpus term frequency (map-reduce word count): partial counts
+    per block, distributed groupby-sum over terms, global top-100."""
+    from ..functions.text import term_frequencies
+
+    return term_frequencies(_documents(sf_dir, ["text"]), top_n=100)
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event_type: local
+    Arrow dedup -> one value-bucketed shuffle with a vectorized global
+    dedup per bucket -> tiny per-group sum."""
+    from ..functions.aggregates import distinct_count
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    df = distinct_count(ev, "event_type", "user_id")
+    return df.rename(columns={"n_distinct": "n_users"})
+
+
+def q_window_events_hopping(sf_dir: str):
+    """Sliding (hopping) event-time windows - 1h windows every 30min:
+    each event replicated to its 2 windows inside map_batches, partial
+    combine per block, one small groupby-sum. Tumbling is the
+    size==hop special case (see q_window_events_hourly)."""
+    from ..functions.aggregates import hopping_window
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+    out = hopping_window(ev, size_s=3600, hop_s=1800)
+    df = out.sort("window_start").to_pandas()
+    for c in ("n_events", "value_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["window_start", "n_events", "value_cents"]]
+
+
+def q_topk_events_per_type(sf_dir: str):
+    """Per-group top-k: the 3 highest-value events per event_type
+    (ties by event_id). Per-batch local prune to k rows per group keeps
+    the shuffle result-sized."""
+    from ..functions.aggregates import topk_per_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    df = topk_per_group(
+        ev, group_col="event_type", order_col="value", tiebreak_col="event_id", k=3
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    return df[["event_type", "rank", "event_id"]]
+
+
+def q_sample_deterministic(sf_dir: str):
+    """Deterministic ~5% sample via multiplicative hashing (Knuth) of
+    the key - reproducible across runs/processes (unlike builtin
+    hash()), embarrassingly parallel, no shuffle, SQL-mirrorable."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return b.filter(pa.array(h % np.uint64(20) == 0))
+
+    ds = ev.map_batches(pick, batch_format="pyarrow")
+    return ds.sort("event_id").to_pandas()
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Exact nearest-rank p50/p90/p99 of value (in integer cents) per
+    event_type via a distributed counting histogram - shuffle volume is
+    O(distinct values), not O(rows); no approximation sketch needed
+    when the measure is discrete."""
+    from ..functions.aggregates import grouped_quantiles
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> np.ndarray:
+        return pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+
+    return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -901,6 +993,12 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "term_topk": q_term_topk,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "window_events_hopping": q_window_events_hopping,
+    "topk_events_per_type": q_topk_events_per_type,
+    "sample_deterministic": q_sample_deterministic,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
 }
 
 _LANG_SQL_CASES = """
@@ -1074,9 +1172,101 @@ ORACLES = {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus
     """,
-    # minhash_near_dup / simhash_near_dup / ngram_jaccard / ann_ivf_topk /
-    # embedding_near_dup / multimodal_decode: not SQL-expressible ->
-    # rows-only checks (the driver records the weaker check).
+    # ngram_jaccard: word-3-gram shingle sets built with DuckDB list
+    # comprehension; the perturbation regexp falls back to the original
+    # text when there are <3 words, exactly like split(maxsplit=2).
+    # Division order matches jaccard() (inter/union first, then *1e6).
+    "ngram_jaccard": r"""
+      WITH d AS (
+        SELECT doc_id, text AS t,
+               regexp_replace(text, '^\s*\S+\s+\S+\s+(\S.*)$', '\1', 's') AS pt
+        FROM documents WHERE doc_id % 4 = 0),
+      w AS (
+        SELECT doc_id,
+               regexp_extract_all(t, '\S+') AS wa,
+               regexp_extract_all(pt, '\S+') AS wb
+        FROM d),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(wa) < 3 THEN [array_to_string(wa, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(wa) - 1),
+                    i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) END AS ga,
+          CASE WHEN len(wb) < 3 THEN [array_to_string(wb, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(wb) - 1),
+                    i -> wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2])) END AS gb
+        FROM w)
+      SELECT doc_id,
+             CAST(FLOOR((CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS jaccard_micro
+      FROM g ORDER BY doc_id
+    """,
+    # ann_ivf_topk probes nprobe=nlist lists here, i.e. the probe filter
+    # admits every vector - the result is exact and shares the
+    # brute-force oracle (recall-lossy only when nprobe < nlist).
+    "ann_ivf_topk": """
+      WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+      sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS cos
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sims)
+      SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """,
+    "term_topk": """
+      WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+      SELECT term, count(*) AS n FROM toks
+      GROUP BY term ORDER BY n DESC, term LIMIT 100
+    """,
+    "distinct_users_by_type": """
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "window_events_hopping": """
+      WITH e AS (
+        SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS w0,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events),
+      x AS (
+        SELECT make_timestamp((w0 - k * 1800) * 1000000) AS window_start, cents
+        FROM e, (VALUES (0), (1)) t(k))
+      SELECT window_start, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM x GROUP BY window_start ORDER BY window_start
+    """,
+    "topk_events_per_type": """
+      WITH ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+        FROM events)
+      SELECT event_type, rank, event_id FROM ranked WHERE rank <= 3
+      ORDER BY event_type, rank
+    """,
+    "sample_deterministic": """
+      SELECT event_id, user_id, ts FROM events
+      WHERE (event_id * 2654435761) % 4294967296 % 20 = 0
+      ORDER BY event_id
+    """,
+    "value_quantiles_by_type": """
+      WITH e AS (
+        SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT event_type,
+             quantile_disc(cents, 0.5) AS p50_cents,
+             quantile_disc(cents, 0.9) AS p90_cents,
+             quantile_disc(cents, 0.99) AS p99_cents
+      FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    # minhash_near_dup / simhash_near_dup / embedding_near_dup /
+    # multimodal_decode: not SQL-expressible -> rows-only checks
+    # (the driver records the weaker check).
 }
 
 

@@ -1,0 +1,148 @@
+"""Unit tests for the distributed aggregate operators
+(functions/aggregates.py + text.term_frequencies): semantics checked
+against brute-force in-memory computation on multi-block inputs (the
+oracle-parity sweep at sf scale lives in tools/check_queries.py)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+    distinct_count,
+    grouped_quantiles,
+    hopping_window,
+    topk_per_group,
+)
+from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+    term_frequencies,
+)
+
+
+def _events_df(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], size=n),
+            "user_id": rng.integers(0, 200, size=n).astype(np.int64),
+            "value": rng.normal(50, 20, size=n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400 * 3, size=n), unit="s"),
+        }
+    )
+
+
+def _ds(df, blocks=7):
+    # multiple blocks so local partials + the shuffle both do real work
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_distinct_count_exact():
+    df = _events_df()
+    got = distinct_count(_ds(df), "event_type", "user_id", num_buckets=8)
+    want = (
+        df.groupby("event_type")["user_id"].nunique().sort_index().rename("n_distinct")
+    )
+    assert list(got["event_type"]) == list(want.index)
+    assert list(got["n_distinct"]) == list(want.values)
+
+
+def test_hopping_window_each_event_in_two_windows():
+    df = _events_df(n=2000)
+    out = (
+        hopping_window(_ds(df[["ts", "value"]]), size_s=3600, hop_s=1800)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # brute force: event with hop-floor w0 belongs to windows w0, w0-1800
+    cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+    w0 = (df["ts"].astype("int64").to_numpy() // (1800 * 10**9)) * 1800
+    rows = pd.DataFrame(
+        {
+            "window_start": pd.to_datetime(
+                np.concatenate([w0, w0 - 1800]), unit="s"
+            ),
+            "cents": np.tile(cents, 2),
+        }
+    )
+    want = (
+        rows.groupby("window_start")
+        .agg(n_events=("cents", "size"), value_cents=("cents", "sum"))
+        .reset_index()
+    )
+    assert int(out["n_events"].sum()) == 2 * len(df)
+    merged = out.merge(want, on="window_start", suffixes=("", "_w"))
+    assert len(merged) == len(want) == len(out)
+    assert (merged["n_events"] == merged["n_events_w"]).all()
+    assert (merged["value_cents"] == merged["value_cents_w"]).all()
+
+
+def test_topk_per_group_with_cross_block_ties():
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(12, dtype=np.int64),
+            "event_type": ["a"] * 6 + ["b"] * 6,
+            # group a: a three-way tie at the top -> tiebreak by event_id
+            "value": [9.0, 9.0, 9.0, 1.0, 2.0, 3.0, 5.0, 6.0, 7.0, 8.0, 8.0, 0.0],
+        }
+    )
+    got = topk_per_group(
+        _ds(df, blocks=4),
+        group_col="event_type",
+        order_col="value",
+        tiebreak_col="event_id",
+        k=3,
+    )
+    a = got[got["event_type"] == "a"]
+    assert list(a["rank"]) == [1, 2, 3]
+    assert list(a["event_id"]) == [0, 1, 2]  # tie broken by id
+    b = got[got["event_type"] == "b"]
+    assert list(b["event_id"]) == [9, 10, 8]  # 8.0(id9), 8.0(id10), 7.0(id8)
+
+
+def test_grouped_quantiles_nearest_rank():
+    df = _events_df(n=3000)
+    cents_np = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+    df = df.assign(cents=cents_np)
+
+    def cents(b: pa.Table):
+        import pyarrow.compute as pc
+
+        return pc.cast(
+            pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    got = grouped_quantiles(
+        _ds(df[["event_type", "value"]]),
+        group_col="event_type",
+        cents_expr=cents,
+        quantiles=(0.5, 0.9, 0.99),
+        col_names=("p50_cents", "p90_cents", "p99_cents"),
+    )
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df["event_type"] == row["event_type"], "cents"].to_numpy())
+        n = len(vals)
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents"), (0.99, "p99_cents")):
+            # nearest-rank: 1-based rank ceil(q*n)
+            assert row[col] == vals[math.ceil(q * n) - 1], (row["event_type"], col)
+
+
+def test_term_frequencies_matches_counter():
+    from collections import Counter
+
+    texts = [
+        "The quick brown fox", "the lazy dog 42", "Fox and DOG and fox",
+        "", "punct!!! only???", "a a a b b c",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = term_frequencies(_ds(df, blocks=3), top_n=None)
+    want = Counter()
+    for t in texts:
+        import re
+
+        want.update(re.findall(r"[a-z0-9]+", t.lower()))
+    assert dict(zip(got["term"], got["n"])) == dict(want)

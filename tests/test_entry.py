@@ -24,6 +24,10 @@ SUBSET = [
     "token_count",
     "ann_cosine_topk",
     "window_events_hourly",
+    "term_topk",
+    "distinct_users_by_type",
+    "value_quantiles_by_type",
+    "ngram_jaccard",
 ]
 
 
