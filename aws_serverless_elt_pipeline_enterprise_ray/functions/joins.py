@@ -1,16 +1,27 @@
 """Distributed join patterns the Dataset API lacks as primitives.
 
+(``Dataset.join`` exists in Ray 2.49 but its Acero field-reference bug
+makes it unusable - see functions/dedup.py; these operators express
+the same semantics through the shuffle primitives that do work.)
+
 ``asof_join`` — for each left row, the latest right row of the same
 key with ``on <= left.on`` (market-data-style as-of semantics). Ray
 Data has no co-group primitive, so both sides are tagged, unioned and
-hash-grouped by key in ONE shuffle; inside each group a vectorized
-``pandas.merge_asof`` over the time-sorted halves does the matching.
+co-partitioned in ONE shuffle; keys are hash-BUCKETED (~2 buckets per
+CPU) and each bucket is matched with a single vectorized
+``pandas.merge_asof(by=key)`` call over its time-sorted halves - one
+Python call per bucket, never per key.
+
+``hash_join`` — generic equi-join (inner/left) by the same
+tagged-union co-partition: one shuffle, then one vectorized
+``pandas.merge`` per bucket.
 
 Partitioning assumption (documented per SURVEY's custom-operator
-rule): the join key's groups must individually fit a worker (same
-assumption as any ``map_groups``); skewed keys can be salted by a
-coarse time-bucket IF the right side is replicated into the following
-bucket (not needed at current scales, noted for 100 TB).
+rule): a BUCKET (not a key) must fit a worker; bucket count scales
+with the cluster. A skewed hot key that overflows its bucket is
+handled outside: broadcast-join the hot subset (see
+``q_join_orders_nation``) and union, or salt the key upstream the way
+the CDC merge salts hot conversations (schema.py).
 """
 
 from __future__ import annotations
@@ -21,6 +32,15 @@ import ray.data as rd
 _TAG = "__asof_side"
 
 
+def _buckets_for_cluster() -> int:
+    try:
+        import ray
+
+        return max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover
+        return 32
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -29,17 +49,21 @@ def asof_join(
     on: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Left as-of join: latest right row per key with on <= left.on."""
+    from .windows import _key_buckets
 
     lcols = left.schema().names
     rcols = right.schema().names
     allcols = list(dict.fromkeys(lcols + rcols))
+    nb = num_buckets or _buckets_for_cluster()
 
     def tag(side: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             b = b.reindex(columns=allcols)  # pad to the union schema
             b[_TAG] = side
+            b["_jb"] = _key_buckets(b[by], nb)
             return b
 
         return fn
@@ -48,19 +72,100 @@ def asof_join(
     rt = right.map_batches(tag("r"), batch_format="pandas")
     both = lt.union(rt)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g[_TAG] == "l"][lcols]
         rg = g[g[_TAG] == "r"][rcols]
         if len(lg) == 0:
             return lg
+        # merge_asof(by=...) matches within each key after ONE stable
+        # sort by the time column per side - all keys in the bucket in
+        # a single vectorized call
         lg = lg.sort_values(on, kind="mergesort")
         if len(rg) == 0:
             return lg
         rg = rg.sort_values(on, kind="mergesort")
-        keep = rg[[c for c in (right_cols or rg.columns) if c != by]]
+        keep_cols = [c for c in (right_cols or rcols) if c != by]
         out = pd.merge_asof(
-            lg, keep, on=on, direction="backward", suffixes=("", suffix)
+            lg,
+            rg[[by] + keep_cols],
+            on=on,
+            by=by,
+            direction="backward",
+            suffixes=("", suffix),
         )
         return out
 
-    return both.groupby(by).map_groups(merge_group, batch_format="pandas")
+    return both.groupby("_jb").map_groups(merge_bucket, batch_format="pandas")
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str | list[str],
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed hash equi-join (inner or left): both sides tagged
+    and unioned so co-partitioning costs ONE shuffle, keys hash-bucketed
+    (~2 buckets/CPU), one vectorized ``pandas.merge`` per bucket.
+
+    For a small right side prefer the broadcast pattern
+    (``q_join_orders_nation``) - no shuffle at all. Use this when both
+    sides are large."""
+    from .windows import _key_buckets
+
+    assert how in ("inner", "left"), how
+    on_cols = [on] if isinstance(on, str) else list(on)
+    lcols = left.schema().names
+    rcols = right.schema().names
+    allcols = list(dict.fromkeys(lcols + rcols))
+    nb = num_buckets or _buckets_for_cluster()
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.reindex(columns=allcols)
+            b[_TAG] = side
+            b["_jb"] = _key_buckets(b[on_cols[0]], nb)
+            return b
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    # right-side dtypes degrade to float64 through the null-padded
+    # tagged union; remember the originals to restore after the merge
+    import pyarrow as _pa
+
+    base = getattr(right.schema(), "base_schema", None)
+    if isinstance(base, _pa.Schema):
+        rdtypes = {
+            f.name: f.type.to_pandas_dtype() for f in base if f.name not in on_cols
+        }
+    elif base is not None:  # PandasBlockSchema
+        rdtypes = {
+            n: t for n, t in zip(base.names, base.types) if n not in on_cols
+        }
+    else:  # pragma: no cover
+        rdtypes = {}
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_TAG] == "l"][lcols]
+        keep = on_cols + [
+            c for c in (right_cols or rcols) if c not in on_cols
+        ]
+        rg = g[g[_TAG] == "r"][keep]
+        out = lg.merge(rg, on=on_cols, how=how, suffixes=("", suffix))
+        for c, dt in rdtypes.items():
+            if c in out.columns and out[c].dtype != dt and not out[c].isna().any():
+                try:
+                    out[c] = out[c].astype(dt)
+                except (TypeError, ValueError):  # pragma: no cover
+                    pass
+        return out
+
+    return both.groupby("_jb").map_groups(merge_bucket, batch_format="pandas")

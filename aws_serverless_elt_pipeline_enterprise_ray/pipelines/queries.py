@@ -861,6 +861,53 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_join_orders_mktsegment(sf_dir: str):
+    """Distributed hash (co-partition) join: orders ⋈ customer on
+    custkey - ONE shuffle co-partitions both sides, one vectorized
+    pandas merge per bucket - then a rollup per market segment. The
+    large⋈large complement of the broadcast join
+    (q_join_orders_nation)."""
+    from ..functions.joins import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b["c_custkey"], "c_mktsegment": b["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(orders, cust, on="o_custkey", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"c_mktsegment": b["c_mktsegment"], "price_cents": cents})
+        return (
+            t.group_by("c_mktsegment")
+            .aggregate([("price_cents", "sum"), ("price_cents", "count")])
+            .rename_columns(["c_mktsegment", "price_cents", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("price_cents", alias_name="price_cents"),
+        )
+    )
+    df = out.sort("c_mktsegment").to_pandas()
+    for c in ("n_orders", "price_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["c_mktsegment", "n_orders", "price_cents"]]
+
+
 def q_term_topk(sf_dir: str):
     """Corpus term frequency (map-reduce word count): partial counts
     per block, distributed groupby-sum over terms, global top-100."""
@@ -993,6 +1040,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "join_orders_mktsegment": q_join_orders_mktsegment,
     "term_topk": q_term_topk,
     "distinct_users_by_type": q_distinct_users_by_type,
     "window_events_hopping": q_window_events_hopping,
@@ -1216,6 +1264,12 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    "join_orders_mktsegment": """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "term_topk": """
       WITH toks AS (

@@ -272,3 +272,69 @@ def test_embedding_near_dups_scales_past_1e5_vectors(tmp_path):
     hit = sum(1 for p in planted if p in found)
     assert hit >= 16, f"only {hit}/20 planted pairs found"
     assert dt < 120, f"took {dt:.1f}s - all-pairs blowup?"
+
+
+def test_hash_join_inner_and_left():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import hash_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2, 2, 3, 4], "lv": ["a", "b", "c", "d", "e"]}
+    )
+    right = pd.DataFrame({"k": [2, 3, 3, 5], "rv": [20, 30, 31, 50]})
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+
+    inner = (
+        hash_join(lds, rds, on="k", how="inner", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inner[["k", "lv", "rv"]], want)
+
+    lj = (
+        hash_join(lds, rds, on="k", how="left", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    wantl = left.merge(right, on="k", how="left").sort_values(
+        ["k", "lv", "rv"]
+    ).reset_index(drop=True)
+    assert len(lj) == len(wantl)
+    assert lj["rv"].isna().sum() == 2  # k=1 and k=4 unmatched
+
+
+def test_hash_join_matches_duckdb_on_star_schema():
+    import duckdb
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import hash_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    cust = rd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b["c_custkey"], "c_mktsegment": b["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+    )
+    got = (
+        hash_join(orders, cust, on="o_custkey", how="inner")
+        .to_pandas()
+        .sort_values(["o_orderkey"])
+        .reset_index(drop=True)
+    )
+    got["o_custkey"] = got["o_custkey"].astype("int64")
+    got["o_orderkey"] = got["o_orderkey"].astype("int64")
+    want = duckdb.sql(
+        f"""
+        SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
