@@ -173,3 +173,52 @@ def term_frequencies(
     df = out.to_pandas()
     df["n"] = df["n"].astype("int64")
     return df
+
+
+# RE2-compatible (no lookaround/backrefs) so the DuckDB oracle can
+# mirror the exact replacements; applied strictly in this order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+class PIIRedactor:
+    """Regex PII redaction (emails, phone-like numbers, IPv4 literals):
+    patterns compiled once per actor, replacements applied in
+    ``PII_PATTERNS`` order with per-row hit counts. Adds
+    ``text_redacted`` and ``pii_hits``."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.col = text_col
+        self.pats = [(re.compile(p), repl) for _, p, repl in PII_PATTERNS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("")
+        hits = pd.Series(0, index=batch.index, dtype="int64")
+        for pat, repl in self.pats:
+            hits = hits + s.str.count(pat).astype("int64")
+            s = s.str.replace(pat, repl, regex=True)
+        batch["text_redacted"] = s
+        batch["pii_hits"] = hits
+        return batch
+
+
+class TextCleaner:
+    """Whitespace normalization: collapse every whitespace run to one
+    space and strip the ends (the canonical pre-tokenization cleanup).
+    Adds ``text_clean``."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.col = text_col
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("")
+        batch["text_clean"] = s.str.replace(self.ws, " ", regex=True).str.strip()
+        return batch

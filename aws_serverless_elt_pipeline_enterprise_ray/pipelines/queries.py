@@ -716,14 +716,24 @@ def q_join_orders_nation(sf_dir: str):
     lookup_ref = ray.put(lookup)
 
     class JoinNation:
+        """Broadcast-join + map-side combine: each batch maps custkey ->
+        nation through the once-per-actor lookup and emits per-nation
+        PARTIAL counts (25 rows), so the exchange aggregates result-sized
+        Arrow blocks instead of shuffling one row per order."""
+
         def __init__(self):
             self.lookup = ray.get(lookup_ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b["nation"] = b["o_custkey"].map(self.lookup)
-            return b[["nation"]]
+        def __call__(self, b: pd.DataFrame) -> pa.Table:
+            vc = b["o_custkey"].map(self.lookup).value_counts()
+            return pa.table(
+                {
+                    "nation": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                    "n_orders": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
@@ -731,9 +741,11 @@ def q_join_orders_nation(sf_dir: str):
     out = (
         orders.map_batches(JoinNation, batch_format="pandas", concurrency=(1, 4))
         .groupby("nation")
-        .aggregate(Count(alias_name="n_orders"))
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
-    return out.sort("nation").to_pandas()
+    df = out.sort("nation").to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
 
 
 def q_assemble_conversations(sf_dir: str):
@@ -859,6 +871,73 @@ def q_lineitem_rollup(sf_dir: str):
     for c in ("n_rows", "sum_qty", "sum_price_cents"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction over documents with deterministic synthetic PII
+    injected (the corpus itself is clean), so the op's replacements are
+    observable and oracle-verifiable."""
+    from ..functions.text import PIIRedactor
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64")
+        b["text"] = (
+            b["text"].fillna("")
+            + " contact user"
+            + did.astype(str)
+            + "@example.com from 10.0.0."
+            + (did % 256).astype(str)
+        )
+        return b
+
+    ds = (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pandas")
+        .map_batches(PIIRedactor, batch_format="pandas", concurrency=(1, 4))
+    )
+    return (
+        ds.select_columns(["doc_id", "pii_hits", "text_redacted"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+def q_clean_text(sf_dir: str):
+    """Whitespace normalization (collapse runs + strip) - the canonical
+    pre-tokenization cleanup stage."""
+    from ..functions.text import TextCleaner
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TextCleaner, batch_format="pandas", concurrency=(1, 4)
+    )
+    return ds.select_columns(["doc_id", "text_clean"]).sort("doc_id").to_pandas()
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: exactly 3 events per
+    event_type, chosen by multiplicative-hash order (a reproducible
+    'random' draw with no RNG state, SQL-mirrorable) - implemented as
+    topk_per_group over the hash."""
+    from ..functions.aggregates import topk_per_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "event_type"]
+    )
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return b.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
+
+    df = topk_per_group(
+        ev.map_batches(add_hash, batch_format="pyarrow"),
+        group_col="event_type",
+        order_col="h",
+        tiebreak_col="event_id",
+        k=3,
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    return df[["event_type", "rank", "event_id"]]
 
 
 def q_join_orders_mktsegment(sf_dir: str):
@@ -1040,6 +1119,9 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "redact_pii": q_redact_pii,
+    "clean_text": q_clean_text,
+    "stratified_sample": q_stratified_sample,
     "join_orders_mktsegment": q_join_orders_mktsegment,
     "term_topk": q_term_topk,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -1264,6 +1346,47 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    # mirrors PIIRedactor's sequential replace: count hits on the
+    # CURRENT text before each pattern's own replacement, in
+    # PII_PATTERNS order (email -> phone -> ipv4)
+    "redact_pii": r"""
+      WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS s0
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+               len(regexp_extract_all(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS h1,
+               regexp_replace(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+        FROM injected),
+      p AS (
+        SELECT doc_id, h1,
+               len(regexp_extract_all(s1, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS h2,
+               regexp_replace(s1, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS s2
+        FROM e),
+      i AS (
+        SELECT doc_id, h1, h2,
+               len(regexp_extract_all(s2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS h3,
+               regexp_replace(s2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s3
+        FROM p)
+      SELECT doc_id, CAST(h1 + h2 + h3 AS BIGINT) AS pii_hits, s3 AS text_redacted
+      FROM i ORDER BY doc_id
+    """,
+    "clean_text": r"""
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
+      FROM documents ORDER BY doc_id
+    """,
+    "stratified_sample": """
+      WITH ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY (event_id * 2654435761) % 4294967296 DESC, event_id) AS rank
+        FROM events)
+      SELECT event_type, rank, event_id FROM ranked WHERE rank <= 3
+      ORDER BY event_type, rank
     """,
     "join_orders_mktsegment": """
       SELECT c_mktsegment, count(*) AS n_orders,

@@ -338,3 +338,31 @@ def test_hash_join_matches_duckdb_on_star_schema():
         """
     ).df()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_pii_redactor_and_cleaner():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        PIIRedactor,
+        TextCleaner,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at jo.doe+x@corp.example.org or 555-123-4567",
+                "server at 192.168.0.1 ok; not-an-ip 1234.5.6.7",
+                "  lots\t of \n whitespace  here  ",
+            ],
+        }
+    )
+    red = PIIRedactor()(df.copy())
+    assert red.loc[0, "text_redacted"] == "mail me at <EMAIL> or <PHONE>"
+    assert red.loc[0, "pii_hits"] == 2
+    # \b guards: 1234.5.6.7 must NOT redact (leading digit run too long
+    # is still 3 digits max per octet... the \b only blocks mid-number
+    # starts; 234.5.6.7 inside 1234... has no boundary)
+    assert "<IP>" in red.loc[1, "text_redacted"]
+    assert "1234.5.6.7" in red.loc[1, "text_redacted"]
+    cl = TextCleaner()(df.copy())
+    assert cl.loc[2, "text_clean"] == "lots of whitespace here"
