@@ -146,3 +146,57 @@ def test_term_frequencies_matches_counter():
 
         want.update(re.findall(r"[a-z0-9]+", t.lower()))
     assert dict(zip(got["term"], got["n"])) == dict(want)
+
+
+def test_hash_join_property_random_frames():
+    """Randomized parity with pandas merge across skewed keys, empty
+    buckets, unmatched rows and duplicate keys on both sides."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import hash_join
+
+    @settings(
+        max_examples=int(os.environ.get("HYP_EXAMPLES", "6")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        seed=st.integers(0, 10_000),
+        nl=st.integers(0, 300),
+        nr=st.integers(0, 300),
+        key_space=st.integers(1, 40),
+        how=st.sampled_from(["inner", "left"]),
+    )
+    def run(seed, nl, nr, key_space, how):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, key_space, size=nl).astype(np.int64),
+                "lv": rng.integers(0, 1000, size=nl).astype(np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, key_space, size=nr).astype(np.int64),
+                "rv": rng.integers(0, 1000, size=nr).astype(np.int64),
+            }
+        )
+        if len(left) == 0:
+            return  # from_pandas of an empty frame has no schema to join on
+        got = hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="k",
+            how=how,
+            num_buckets=5,
+        ).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        key = ["k", "lv", "rv"]
+        got_s = sorted(map(tuple, got[key].fillna(-1).astype("int64").to_numpy()))
+        want_s = sorted(map(tuple, want[key].fillna(-1).astype("int64").to_numpy()))
+        assert got_s == want_s
+
+    run()
