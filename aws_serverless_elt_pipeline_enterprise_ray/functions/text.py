@@ -222,3 +222,68 @@ class TextCleaner:
         s = batch[self.col].fillna("")
         batch["text_clean"] = s.str.replace(self.ws, " ", regex=True).str.strip()
         return batch
+
+
+def pack_sequences(
+    ds,
+    *,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sequence packing for training batches: greedy first-fit IN ID
+    ORDER within each bucket - documents are assigned consecutive
+    ``bin_id``s such that each bin's token sum stays <= max_tokens
+    (oversized docs get a bin of their own). Returns (id, n_tokens,
+    pack_bucket, bin_id, bin_tokens).
+
+    Scale shape: docs are hash-bucketed (~2 buckets/CPU); each bucket
+    packs ALL its docs with one numpy pass (sort + cumulative greedy
+    scan). Bins never span buckets - the global result is a valid
+    packing, just not the single-stream greedy order (documented
+    partitioning assumption; at 100 TB a global greedy stream is the
+    bottleneck you must not want)."""
+    import ray.data as rd  # noqa: F401  (type only)
+
+    from .windows import _key_buckets
+
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:  # pragma: no cover
+            num_buckets = 32
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, token_col]].copy()
+        b["pack_bucket"] = _key_buckets(b[id_col], num_buckets)
+        return b
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        toks = g[token_col].to_numpy(dtype=np.int64)
+        n = len(toks)
+        bins = np.empty(n, dtype=np.int64)
+        cur_bin, cur_sum = 0, 0
+        # greedy first-fit in order: one tight C-speed-ish loop per
+        # BUCKET (not per doc across the cluster); numpy can't express
+        # the running reset, so this is the one sanctioned Python loop
+        for i in range(n):
+            t = int(toks[i])
+            if cur_sum > 0 and cur_sum + t > max_tokens:
+                cur_bin += 1
+                cur_sum = 0
+            bins[i] = cur_bin
+            cur_sum += t
+        g["bin_id"] = bins
+        sums = g.groupby("bin_id")[token_col].transform("sum")
+        g["bin_tokens"] = sums.astype("int64")
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("pack_bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+    )

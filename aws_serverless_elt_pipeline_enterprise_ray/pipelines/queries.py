@@ -873,6 +873,48 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (context-window assembly): token-count the
+    corpus, then greedy first-fit bins per hash bucket - each bucket
+    packed in one pass, bins never span buckets. num_buckets fixed at 8
+    so the oracle's bucket arithmetic (doc_id % 8) matches."""
+    from ..functions.text import TokenCounter, pack_sequences
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=(1, 4)
+    )
+    out = pack_sequences(
+        ds, token_col="n_tokens", id_col="doc_id", max_tokens=256, num_buckets=8
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("n_tokens", "pack_bucket", "bin_id", "bin_tokens"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_tokens", "pack_bucket", "bin_id", "bin_tokens"]]
+
+
+def q_mix_corpora(sf_dir: str):
+    """Deterministic training-mixture assembly: documents at 70% +
+    event texts at 10%, hash-sampled (nested/reproducible), tagged and
+    unioned - no shuffle anywhere."""
+    from ..functions.mixing import mix_corpora
+
+    docs = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"sid": b["doc_id"], "text": b["text"]}),
+        batch_format="pyarrow",
+    )
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    ).map_batches(
+        lambda b: pa.table({"sid": b["event_id"], "text": b["props"]}),
+        batch_format="pyarrow",
+    )
+    out = mix_corpora(
+        {"docs": (docs, 0.7), "events": (ev, 0.1)}, id_col="sid"
+    )
+    df = out.to_pandas().sort_values(["source", "sid"]).reset_index(drop=True)
+    return df[["source", "sid", "text"]]
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction over documents with deterministic synthetic PII
     injected (the corpus itself is clean), so the op's replacements are
@@ -1119,6 +1161,8 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "pack_sequences": q_pack_sequences,
+    "mix_corpora": q_mix_corpora,
     "redact_pii": q_redact_pii,
     "clean_text": q_clean_text,
     "stratified_sample": q_stratified_sample,
@@ -1346,6 +1390,40 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    # greedy first-fit packing is a sequential recurrence; the oracle
+    # expresses it as a recursive CTE walking each bucket in id order
+    # (recursion depth = docs per bucket, driver gate scale only)
+    "pack_sequences": """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+               doc_id % 8 AS pack_bucket
+        FROM documents),
+      t AS (
+        SELECT *, row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
+        FROM tok),
+      acc AS (
+        SELECT pack_bucket, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_id, n_tokens AS cur_sum
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.pack_bucket, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN a.cur_sum > 0 AND a.cur_sum + t.n_tokens > 256
+                    THEN a.bin_id + 1 ELSE a.bin_id END,
+               CASE WHEN a.cur_sum > 0 AND a.cur_sum + t.n_tokens > 256
+                    THEN t.n_tokens ELSE a.cur_sum + t.n_tokens END
+        FROM acc a JOIN t ON t.pack_bucket = a.pack_bucket AND t.rn = a.rn + 1)
+      SELECT doc_id, n_tokens, pack_bucket, bin_id,
+             CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket, bin_id) AS BIGINT) AS bin_tokens
+      FROM acc ORDER BY doc_id
+    """,
+    "mix_corpora": """
+      SELECT 'docs' AS source, doc_id AS sid, text FROM documents
+      WHERE (doc_id * 2654435761) % 4294967296 < CAST(floor(0.7 * 4294967296) AS BIGINT)
+      UNION ALL
+      SELECT 'events' AS source, event_id AS sid, props AS text FROM events
+      WHERE (event_id * 2654435761) % 4294967296 < CAST(floor(0.1 * 4294967296) AS BIGINT)
+      ORDER BY source, sid
     """,
     # mirrors PIIRedactor's sequential replace: count hits on the
     # CURRENT text before each pattern's own replacement, in

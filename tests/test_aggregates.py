@@ -200,3 +200,71 @@ def test_hash_join_property_random_frames():
         assert got_s == want_s
 
     run()
+
+
+def test_pack_sequences_invariants_and_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "n_tokens": rng.integers(1, 300, size=400).astype(np.int64),
+        }
+    )
+    # one oversized doc must still get its own bin
+    df.loc[7, "n_tokens"] = 999
+    out = (
+        pack_sequences(
+            _ds(df, blocks=5),
+            token_col="n_tokens",
+            id_col="doc_id",
+            max_tokens=256,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(df)
+    # greedy reference per bucket
+    for bkt, g in out.groupby("pack_bucket"):
+        g = g.sort_values("doc_id")
+        cur_bin, cur_sum = 0, 0
+        for _, r in g.iterrows():
+            t = int(r["n_tokens"])
+            if cur_sum > 0 and cur_sum + t > 256:
+                cur_bin, cur_sum = cur_bin + 1, 0
+            assert r["bin_id"] == cur_bin, (bkt, r["doc_id"])
+            cur_sum += t
+    # bins respect the cap except single-doc oversize bins
+    sums = out.groupby(["pack_bucket", "bin_id"]).agg(
+        tok=("n_tokens", "sum"), n=("n_tokens", "size")
+    )
+    bad = sums[(sums["tok"] > 256) & (sums["n"] > 1)]
+    assert len(bad) == 0
+    assert (out.loc[out["doc_id"] == 7, "bin_tokens"] == 999).all()
+
+
+def test_mix_corpora_fractions_and_nesting():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        mix_corpora,
+    )
+
+    n = 20000
+    df = pd.DataFrame(
+        {"sid": np.arange(n, dtype=np.int64), "text": ["x"] * n}
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    half = mix_corpora({"a": (ds, 0.5)}, id_col="sid").to_pandas()
+    tenth = mix_corpora({"a": (ds, 0.1)}, id_col="sid").to_pandas()
+    assert abs(len(half) / n - 0.5) < 0.02
+    assert abs(len(tenth) / n - 0.1) < 0.01
+    # nested: the 10% sample is a subset of the 50% sample
+    assert set(tenth["sid"]) <= set(half["sid"])
+    both = mix_corpora(
+        {"a": (ds, 0.2), "b": (ds, 0.3)}, id_col="sid"
+    ).to_pandas()
+    assert set(both["source"]) == {"a", "b"}
