@@ -85,6 +85,26 @@ def prepare_changelog() -> tuple[str, int]:
     return out, total
 
 
+def host_probe() -> dict:
+    """Host-health context for the measured numbers: first-touch
+    (page-fault) and warm DRAM write bandwidth in GB/s. The sandbox
+    hypervisor has intermittent windows where fresh-page faulting drops
+    to ~0.1 GB/s (vs ~2+ normally), which roughly halves any Ray run
+    (object-store pages are fresh mmaps); recording both makes a slow
+    benchmark distinguishable from a slow engine."""
+    import numpy as np
+
+    gb = 0.4
+    buf = np.empty(50_000_000)  # 400 MB, untouched
+    t0 = time.perf_counter()
+    buf.fill(1.0)  # first touch: page faults + zeroing
+    cold = gb / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    buf.fill(2.0)  # warm: pure DRAM write
+    warm = gb / (time.perf_counter() - t0)
+    return {"host_fault_gbps": round(cold, 2), "host_dram_gbps": round(warm, 2)}
+
+
 def run_bench() -> dict:
     import ray
 
@@ -174,6 +194,7 @@ def run_bench() -> dict:
         "incremental_sec": round(inc_sec, 3),
         "incremental_events": inc_events,
         "incremental_events_per_sec": round(inc_events / inc_sec),
+        **host_probe(),
     }
     ray.shutdown()
     return result
