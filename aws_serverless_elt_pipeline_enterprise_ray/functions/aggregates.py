@@ -54,23 +54,20 @@ def distinct_count(
     every surviving copy of a (group, value) pair lands in the same
     bucket, where a single vectorized pandas pass dedups globally and
     emits per-group partial counts. One Python call per bucket (~2 per
-    CPU), never per pair; the final sum sees n_buckets * n_groups rows."""
-    from .windows import _key_buckets
+    CPU), never per pair; the final sum sees n_buckets * n_groups rows.
+
+    NULL semantics match SQL COUNT(DISTINCT): null values are excluded
+    from the count; rows with a null group still form their own group
+    (``dropna=False``)."""
+    from .windows import _buckets_for_cluster, _key_buckets
 
     if num_buckets is None:
-        try:
-            import ray
-
-            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        except Exception:  # pragma: no cover
-            num_buckets = 32
+        num_buckets = _buckets_for_cluster()
 
     def local_dedupe(b: pa.Table) -> pa.Table:
-        return (
-            b.select([group_col, value_col])
-            .group_by([group_col, value_col])
-            .aggregate([])
-        )
+        t = b.select([group_col, value_col])
+        t = t.filter(pc.is_valid(t[value_col]))  # SQL: nulls don't count
+        return t.group_by([group_col, value_col]).aggregate([])
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b["_b"] = _key_buckets(b[value_col], num_buckets)
@@ -79,12 +76,19 @@ def distinct_count(
     def dedupe_count(g: pd.DataFrame) -> pd.DataFrame:
         vc = (
             g.drop_duplicates([group_col, value_col])
-            .groupby(group_col, sort=False)
+            .groupby(group_col, sort=False, dropna=False)
             .size()
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {group_col: vc.index, "n_distinct": vc.to_numpy(dtype=np.int64)}
         )
+        # a null group can't ride Ray's sort-based aggregate next to
+        # real keys (mixed NaN/str won't sort): split into a null flag
+        # + a filled key, restored after the (result-sized) rollup
+        out["_gnull"] = out[group_col].isna()
+        fill = "" if out[group_col].dtype == object else 0
+        out[group_col] = out[group_col].fillna(fill)
+        return out
 
     partials = (
         ds.map_batches(local_dedupe, batch_format="pyarrow")
@@ -92,10 +96,12 @@ def distinct_count(
         .groupby("_b")
         .map_groups(dedupe_count, batch_format="pandas")
     )
-    out = partials.groupby(group_col).aggregate(
+    out = partials.groupby([group_col, "_gnull"]).aggregate(
         Sum("n_distinct", alias_name="n_distinct")
     )
     df = out.sort(group_col).to_pandas()
+    df.loc[df["_gnull"], group_col] = None
+    df = df.drop(columns=["_gnull"]).reset_index(drop=True)
     df["n_distinct"] = df["n_distinct"].astype("int64")
     return df
 

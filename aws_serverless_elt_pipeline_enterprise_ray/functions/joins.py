@@ -29,16 +29,43 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
+from .windows import _buckets_for_cluster, _key_buckets
+
 _TAG = "__asof_side"
 
 
-def _buckets_for_cluster() -> int:
-    try:
-        import ray
+def _schema_dtypes(ds: rd.Dataset, exclude: list[str]) -> dict:
+    """Pandas dtype per column of a Dataset (arrow- or pandas-backed),
+    minus ``exclude`` - the dtypes the tagged union's null padding will
+    degrade and the merge must restore."""
+    import pyarrow as _pa
 
-        return max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    except Exception:  # pragma: no cover
-        return 32
+    base = getattr(ds.schema(), "base_schema", None)
+    if isinstance(base, _pa.Schema):
+        return {
+            f.name: f.type.to_pandas_dtype() for f in base if f.name not in exclude
+        }
+    if base is not None:  # PandasBlockSchema
+        return {n: t for n, t in zip(base.names, base.types) if n not in exclude}
+    return {}  # pragma: no cover
+
+
+def _nullable_name(dt) -> str | None:
+    """Pandas nullable-extension dtype name for an integer/bool numpy
+    dtype (int64 -> Int64, uint32 -> UInt32, bool -> boolean)."""
+    import numpy as _np
+
+    try:
+        s = _np.dtype(dt).name
+    except TypeError:  # pragma: no cover
+        return None
+    if s.startswith("uint"):
+        return "UInt" + s[4:]
+    if s.startswith("int"):
+        return "Int" + s[3:]
+    if s == "bool":
+        return "boolean"
+    return None
 
 
 def asof_join(
@@ -52,8 +79,6 @@ def asof_join(
     num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Left as-of join: latest right row per key with on <= left.on."""
-    from .windows import _key_buckets
-
     lcols = left.schema().names
     rcols = right.schema().names
     allcols = list(dict.fromkeys(lcols + rcols))
@@ -72,19 +97,26 @@ def asof_join(
     rt = right.map_batches(tag("r"), batch_format="pandas")
     both = lt.union(rt)
 
+    keep_cols = [c for c in (right_cols or rcols) if c != by]
+    # merge_asof emits lcols + keep_cols (the on key once, collisions
+    # suffixed); every bucket must emit THIS schema, including buckets
+    # where one side is empty, or downstream arrow unification breaks
+    out_cols = list(lcols) + [
+        (c + suffix if c in lcols else c) for c in keep_cols if c != on
+    ]
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g[_TAG] == "l"][lcols]
         rg = g[g[_TAG] == "r"][rcols]
         if len(lg) == 0:
-            return lg
+            return pd.DataFrame(columns=out_cols)
         # merge_asof(by=...) matches within each key after ONE stable
         # sort by the time column per side - all keys in the bucket in
         # a single vectorized call
         lg = lg.sort_values(on, kind="mergesort")
         if len(rg) == 0:
-            return lg
+            return lg.reindex(columns=out_cols)  # right cols all-NaN
         rg = rg.sort_values(on, kind="mergesort")
-        keep_cols = [c for c in (right_cols or rcols) if c != by]
         out = pd.merge_asof(
             lg,
             rg[[by] + keep_cols],
@@ -93,7 +125,7 @@ def asof_join(
             direction="backward",
             suffixes=("", suffix),
         )
-        return out
+        return out[out_cols]
 
     return both.groupby("_jb").map_groups(merge_bucket, batch_format="pandas")
 
@@ -115,8 +147,6 @@ def hash_join(
     For a small right side prefer the broadcast pattern
     (``q_join_orders_nation``) - no shuffle at all. Use this when both
     sides are large."""
-    from .windows import _key_buckets
-
     assert how in ("inner", "left"), how
     on_cols = [on] if isinstance(on, str) else list(on)
     lcols = left.schema().names
@@ -137,21 +167,22 @@ def hash_join(
         right.map_batches(tag("r"), batch_format="pandas")
     )
 
-    # right-side dtypes degrade to float64 through the null-padded
-    # tagged union; remember the originals to restore after the merge
-    import pyarrow as _pa
-
-    base = getattr(right.schema(), "base_schema", None)
-    if isinstance(base, _pa.Schema):
-        rdtypes = {
-            f.name: f.type.to_pandas_dtype() for f in base if f.name not in on_cols
-        }
-    elif base is not None:  # PandasBlockSchema
-        rdtypes = {
-            n: t for n, t in zip(base.names, base.types) if n not in on_cols
-        }
-    else:  # pragma: no cover
-        rdtypes = {}
+    # BOTH sides' payload dtypes degrade to float64 through the
+    # null-padded tagged union; restore them after the merge. The cast
+    # policy must be bucket-INDEPENDENT so every block agrees:
+    #   * left payload + (inner-join) right payload carry no
+    #     join-induced nulls -> cast back to the original dtype
+    #   * left-join right payload can be legitimately null -> integer/
+    #     bool dtypes go to the pandas NULLABLE extension dtype
+    #     (Int64/boolean) in EVERY bucket, matched or not
+    ldtypes = _schema_dtypes(left, exclude=on_cols)
+    rdtypes = _schema_dtypes(right, exclude=on_cols)
+    casts: dict[str, object] = dict(ldtypes)
+    for c, dt in rdtypes.items():
+        if how == "left":
+            casts[c] = _nullable_name(dt) or dt
+        else:
+            casts[c] = dt
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g[_TAG] == "l"][lcols]
@@ -160,8 +191,8 @@ def hash_join(
         ]
         rg = g[g[_TAG] == "r"][keep]
         out = lg.merge(rg, on=on_cols, how=how, suffixes=("", suffix))
-        for c, dt in rdtypes.items():
-            if c in out.columns and out[c].dtype != dt and not out[c].isna().any():
+        for c, dt in casts.items():
+            if c in out.columns and str(out[c].dtype) != str(dt):
                 try:
                     out[c] = out[c].astype(dt)
                 except (TypeError, ValueError):  # pragma: no cover

@@ -22,14 +22,21 @@ _KNUTH = np.uint64(2654435761)
 _M32 = np.uint64(1 << 32)
 
 
+def knuth_hash32(ids: np.ndarray) -> np.ndarray:
+    """32-bit multiplicative (Knuth) hash of an integer id array - THE
+    deterministic hash every sampling op and its SQL oracle share
+    (`(CAST(id AS HUGEINT) * 2654435761) % 4294967296` in DuckDB;
+    identical for ids < 2^64 because 2^32 divides 2^64)."""
+    return (ids.astype(np.uint64) * _KNUTH) % _M32
+
+
 def hash_fraction_filter(frac: float, id_col: str):
     """Batch filter keeping rows whose 32-bit multiplicative key hash
     falls below floor(frac * 2^32) (exact integer threshold)."""
     thresh = np.uint64(int(frac * (1 << 32)))
 
     def fn(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * _KNUTH) % _M32
+        h = knuth_hash32(b[id_col].to_numpy(zero_copy_only=False))
         return b.filter(pa.array(h < thresh))
 
     return fn

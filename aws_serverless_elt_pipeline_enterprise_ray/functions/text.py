@@ -246,15 +246,10 @@ def pack_sequences(
     bottleneck you must not want)."""
     import ray.data as rd  # noqa: F401  (type only)
 
-    from .windows import _key_buckets
+    from .windows import _buckets_for_cluster, _key_buckets
 
     if num_buckets is None:
-        try:
-            import ray
-
-            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        except Exception:  # pragma: no cover
-            num_buckets = 32
+        num_buckets = _buckets_for_cluster()
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[id_col, token_col]].copy()

@@ -38,6 +38,18 @@ def _key_buckets(v: pd.Series, nb: int) -> np.ndarray:
     return (hash_strings(v.to_numpy()) % np.uint64(nb)).astype(np.int64)
 
 
+def _buckets_for_cluster() -> int:
+    """Canonical bucket count for bucketed group reductions: ~2 per
+    CPU so per-group Python overhead stays constant while every core
+    keeps a group. Shared by sessionize, joins, aggregates, packing."""
+    try:
+        import ray
+
+        return max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:  # pragma: no cover
+        return 32
+
+
 def sessionize(
     ds: rd.Dataset,
     *,
@@ -51,12 +63,7 @@ def sessionize(
     n_events, session_start, session_end. ``session_id`` is 1-based in
     time order within each key."""
     if num_buckets is None:
-        try:
-            import ray
-
-            num_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        except Exception:  # pragma: no cover
-            num_buckets = 32
+        num_buckets = _buckets_for_cluster()
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b["_sb"] = _key_buckets(b[key], num_buckets)

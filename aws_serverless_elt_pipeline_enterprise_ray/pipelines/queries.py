@@ -967,8 +967,9 @@ def q_stratified_sample(sf_dir: str):
     )
 
     def add_hash(b: pa.Table) -> pa.Table:
-        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        from ..functions.mixing import knuth_hash32
+
+        h = knuth_hash32(b["event_id"].to_numpy(zero_copy_only=False))
         return b.append_column("h", pa.array(h.astype(np.int64), pa.int64()))
 
     df = topk_per_group(
@@ -1094,8 +1095,9 @@ def q_sample_deterministic(sf_dir: str):
     )
 
     def pick(b: pa.Table) -> pa.Table:
-        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        from ..functions.mixing import knuth_hash32
+
+        h = knuth_hash32(b["event_id"].to_numpy(zero_copy_only=False))
         return b.filter(pa.array(h % np.uint64(20) == 0))
 
     ds = ev.map_batches(pick, batch_format="pyarrow")
@@ -1419,10 +1421,10 @@ ORACLES = {
     """,
     "mix_corpora": """
       SELECT 'docs' AS source, doc_id AS sid, text FROM documents
-      WHERE (doc_id * 2654435761) % 4294967296 < CAST(floor(0.7 * 4294967296) AS BIGINT)
+      WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(floor(0.7 * 4294967296) AS BIGINT)
       UNION ALL
       SELECT 'events' AS source, event_id AS sid, props AS text FROM events
-      WHERE (event_id * 2654435761) % 4294967296 < CAST(floor(0.1 * 4294967296) AS BIGINT)
+      WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(floor(0.1 * 4294967296) AS BIGINT)
       ORDER BY source, sid
     """,
     # mirrors PIIRedactor's sequential replace: count hits on the
@@ -1461,7 +1463,7 @@ ORACLES = {
         SELECT event_type, event_id,
                row_number() OVER (
                  PARTITION BY event_type
-                 ORDER BY (event_id * 2654435761) % 4294967296 DESC, event_id) AS rank
+                 ORDER BY (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 DESC, event_id) AS rank
         FROM events)
       SELECT event_type, rank, event_id FROM ranked WHERE rank <= 3
       ORDER BY event_type, rank
@@ -1506,7 +1508,7 @@ ORACLES = {
     """,
     "sample_deterministic": """
       SELECT event_id, user_id, ts FROM events
-      WHERE (event_id * 2654435761) % 4294967296 % 20 = 0
+      WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 % 20 = 0
       ORDER BY event_id
     """,
     "value_quantiles_by_type": """

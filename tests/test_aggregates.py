@@ -268,3 +268,29 @@ def test_mix_corpora_fractions_and_nesting():
         {"a": (ds, 0.2), "b": (ds, 0.3)}, id_col="sid"
     ).to_pandas()
     assert set(both["source"]) == {"a", "b"}
+
+
+def test_distinct_count_null_semantics_match_sql():
+    """NULL values excluded from the count; NULL groups kept - exactly
+    COUNT(DISTINCT v) GROUP BY g semantics."""
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", None, "b", "b", None, "a"],
+            "v": pd.array([1, None, 2, None, 2, None, 1], dtype="Int64"),
+        }
+    )
+    got = distinct_count(_ds(df, blocks=3), "g", "v", num_buckets=4)
+    want = duckdb.sql(
+        "SELECT g, count(DISTINCT v) AS n_distinct FROM df GROUP BY g ORDER BY g"
+    ).df()
+    got_map = {
+        (None if pd.isna(r["g"]) else r["g"]): int(r["n_distinct"])
+        for _, r in got.iterrows()
+    }
+    want_map = {
+        (None if pd.isna(r["g"]) else r["g"]): int(r["n_distinct"])
+        for _, r in want.iterrows()
+    }
+    assert got_map == want_map
