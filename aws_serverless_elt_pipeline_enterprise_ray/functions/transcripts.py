@@ -1,0 +1,109 @@
+"""Transcript-native training-data operators over the committed lake.
+
+``conversation_examples`` — the lake -> SFT-examples step: for every
+turn that has conversational history, emit (context = up to the last
+``context_turns`` role-prefixed turns, target = the turn's text).
+Conversations are hash-BUCKETED (~2/CPU) and each bucket builds ALL its
+examples in one vectorized pandas pass (sort + per-conversation
+``groupby().shift(i)`` — C-level, no Python per turn). The
+lag-composition mirrors SQL ``lag()`` + ``concat_ws`` exactly, so the
+DuckDB oracle verifies it value-for-value.
+
+``assign_split`` — deterministic train/val/test assignment by
+multiplicative key hash: splits are stable across runs and machines,
+assignment is per-KEY (every turn of a conversation lands in the same
+split — no train/test leakage within a conversation), and the op is a
+pure per-batch map (no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .mixing import knuth_hash32
+from .windows import _buckets_for_cluster, _key_buckets
+
+
+def conversation_examples(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    context_turns: int = 3,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Emit (conv, turn, context, target) training examples; rows
+    without history (a conversation's first turn) are skipped."""
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_tb"] = _key_buckets(b[conv_col], num_buckets)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        line = g[role_col].astype(str) + ": " + g[text_col].astype(str)
+        prevs = []
+        for i in range(context_turns, 0, -1):
+            prevs.append(line.groupby(g[conv_col], sort=False).shift(i))
+        # concat_ws semantics: join present parts with \n (shifts are
+        # monotone within a conversation, so missing parts are always a
+        # prefix - a strip of leading separators is exact)
+        ctx = None
+        for p in prevs:
+            part = p.fillna("")
+            ctx = part if ctx is None else ctx + "\n" + part
+        ctx = ctx.str.lstrip("\n")
+        has_history = prevs[-1].notna()  # shift(1): at least one prev turn
+        out = pd.DataFrame(
+            {
+                conv_col: g[conv_col],
+                order_col: g[order_col],
+                "context": ctx,
+                "target": g[text_col].astype(str),
+            }
+        )
+        return out[has_history.to_numpy()]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def assign_split(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic split assignment: the key's 32-bit multiplicative
+    hash is mapped to cumulative fraction ranges (insertion order of
+    ``fractions``; must sum to 1). Integer keys hash directly; string
+    keys are expected to carry a numeric suffix-free id - pass the
+    numeric id column."""
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names])
+    assert abs(bounds[-1] - 1.0) < 1e-9, "fractions must sum to 1"
+    # exact integer thresholds so the SQL mirror is bit-identical
+    cuts = np.array([int(b * (1 << 32)) for b in bounds], dtype=np.uint64)
+
+    def fn(b: pa.Table) -> pa.Table:
+        h = knuth_hash32(b[key_col].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(cuts, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = np.array(names, dtype=object)[idx]
+        return b.append_column(split_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -873,6 +873,52 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_training_examples(sf_dir: str):
+    """Lake -> SFT examples: run the full CDC engine, then emit
+    (context = last 3 role-prefixed turns, target = turn text) for
+    every turn with history - bucketed, one vectorized pass per bucket
+    (groupby().shift is C-level; no Python per turn)."""
+    from ..functions.transcripts import conversation_examples
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    out = conversation_examples(read_table(lake), context_turns=3)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df[["conv_id", "turn_idx", "context", "target"]]
+
+
+def q_assign_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by doc_id hash -
+    stable across runs, no shuffle, leakage-free per key."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.transcripts import assign_split
+
+    ds = assign_split(
+        _documents(sf_dir, ["doc_id"]),
+        key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("split")
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["split", "n_docs"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    df = out.sort("split").to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (context-window assembly): token-count the
     corpus, then greedy first-fit bins per hash bucket - each bucket
@@ -1163,6 +1209,8 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "training_examples": q_training_examples,
+    "assign_split": q_assign_split,
     "pack_sequences": q_pack_sequences,
     "mix_corpora": q_mix_corpora,
     "redact_pii": q_redact_pii,
@@ -1392,6 +1440,36 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    "training_examples": f"""
+      WITH final AS ({FINAL_SQL}),
+      lines AS (
+        SELECT conv_id, turn_idx, text, role || ': ' || text AS line
+        FROM final),
+      lagged AS (
+        SELECT conv_id, turn_idx, text,
+               lag(line, 1) OVER w AS p1,
+               lag(line, 2) OVER w AS p2,
+               lag(line, 3) OVER w AS p3
+        FROM lines WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+      SELECT conv_id, turn_idx,
+             concat_ws(chr(10), p3, p2, p1) AS context,
+             text AS target
+      FROM lagged WHERE p1 IS NOT NULL
+      ORDER BY conv_id, turn_idx
+    """,
+    "assign_split": """
+      WITH h AS (
+        SELECT (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
+        FROM documents),
+      labeled AS (
+        SELECT CASE
+          WHEN hv < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+          WHEN hv < CAST(floor((0.8 + 0.1) * 4294967296) AS BIGINT) THEN 'val'
+          ELSE 'test' END AS split
+        FROM h)
+      SELECT split, count(*) AS n_docs FROM labeled
+      GROUP BY split ORDER BY split
     """,
     # greedy first-fit packing is a sequential recurrence; the oracle
     # expresses it as a recursive CTE walking each bucket in id order

@@ -294,3 +294,57 @@ def test_distinct_count_null_semantics_match_sql():
         for _, r in want.iterrows()
     }
     assert got_map == want_map
+
+
+def test_conversation_examples_context_windows():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        conversation_examples,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 3, 0, 1],
+            "role": ["user", "assistant", "user", "assistant", "user", "assistant"],
+            "text": ["hi", "hello", "how?", "fine", "yo", "hey"],
+        }
+    )
+    out = (
+        conversation_examples(_ds(df, blocks=3), context_turns=3, num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # first turns have no history -> skipped
+    assert len(out) == 4
+    r = out[(out.conv_id == "c1") & (out.turn_idx == 3)].iloc[0]
+    assert r["context"] == "user: hi\nassistant: hello\nuser: how?"
+    assert r["target"] == "fine"
+    r1 = out[(out.conv_id == "c1") & (out.turn_idx == 1)].iloc[0]
+    assert r1["context"] == "user: hi"  # single-turn history, no leading \n
+    r2 = out[(out.conv_id == "c2") & (out.turn_idx == 1)].iloc[0]
+    assert r2["context"] == "user: yo"  # never leaks across conversations
+
+
+def test_assign_split_stable_and_leakage_free():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        assign_split,
+    )
+
+    n = 5000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    # the same keys repeated across two datasets get the same split
+    a = assign_split(
+        _ds(df, blocks=4), key_col="k",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    b = assign_split(
+        _ds(df.sample(frac=1.0, random_state=1), blocks=2), key_col="k",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    ma = dict(zip(a["k"], a["split"]))
+    mb = dict(zip(b["k"], b["split"]))
+    assert ma == mb
+    frac_train = (a["split"] == "train").mean()
+    assert abs(frac_train - 0.8) < 0.02
+    assert set(a["split"]) == {"train", "val", "test"}
