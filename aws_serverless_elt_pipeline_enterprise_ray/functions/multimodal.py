@@ -12,7 +12,6 @@ from the bytes so pipelines and tests can exercise the full path.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

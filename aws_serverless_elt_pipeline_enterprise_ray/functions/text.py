@@ -14,7 +14,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 ALPHA_RE = r"[^A-Za-z]"

@@ -18,7 +18,6 @@ after that commit (and gc also sweeps unreferenced quarantine files).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import uuid
 
