@@ -305,22 +305,48 @@ def q_cdc_quarantine_counts(sf_dir: str):
 
 
 def q_cdc_dq_stats(sf_dir: str):
-    """A6 DQ aggregate expectations over the committed table."""
+    """A6 DQ aggregate expectations over the committed table, computed
+    DISTRIBUTED: one map_batches pass emits per-block partial stats
+    (count/nulls/min/max + the block's distinct conv set as rows), a
+    small groupby dedups convs globally, and the driver combines only
+    block-count-sized partials - the table itself never leaves the
+    workers."""
     from .cdc import apply_changes, read_table
 
     changes, lake = _write_changelog(sf_dir), _scratch("lake")
     apply_changes(changes, lake, _spec(sf_dir))
-    t = pa.concat_tables(
-        list(read_table(lake).iter_batches(batch_format="pyarrow", batch_size=65536))
+    tbl = read_table(lake)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rows": pa.array([len(b)], pa.int64()),
+                "null_text": pa.array([b["text"].null_count], pa.int64()),
+                "null_conv_id": pa.array([b["conv_id"].null_count], pa.int64()),
+                "min_turn": pa.array([pc.min(b["turn_idx"]).as_py()], pa.int32()),
+                "max_turn": pa.array([pc.max(b["turn_idx"]).as_py()], pa.int32()),
+            }
+        )
+
+    parts = tbl.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def conv_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.unique(b["conv_id"])})
+
+    n_convs = (
+        tbl.map_batches(conv_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .count()
+        .count()
     )
     return pd.DataFrame(
         {
-            "row_count": [len(t)],
-            "null_text": [t["text"].null_count],
-            "null_conv_id": [t["conv_id"].null_count],
-            "min_turn": [pc.min(t["turn_idx"]).as_py()],
-            "max_turn": [pc.max(t["turn_idx"]).as_py()],
-            "n_convs": [len(pc.unique(t["conv_id"]))],
+            "row_count": [int(parts["rows"].sum())],
+            "null_text": [int(parts["null_text"].sum())],
+            "null_conv_id": [int(parts["null_conv_id"].sum())],
+            "min_turn": [int(parts["min_turn"].min())],
+            "max_turn": [int(parts["max_turn"].max())],
+            "n_convs": [int(n_convs)],
         }
     )
 
