@@ -176,22 +176,29 @@ def topk_per_group(
     """Top-k rows per group ordered by (order_col DESC, tiebreak ASC).
     Per-batch local prune keeps the shuffle at <= k rows per (group,
     block); the final per-group prune sees <= k * n_blocks rows."""
+    from .windows import _buckets_for_cluster, _key_buckets
+
     sort_cols = [group_col, order_col, tiebreak_col]
     ascending = [True, False, True]
+    nb = _buckets_for_cluster()
 
     def local_top(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-        return b.groupby(group_col, sort=False).head(k)
+        b = b.groupby(group_col, sort=False).head(k).copy()
+        b["_kb"] = _key_buckets(b[group_col], nb)
+        return b
 
     def final_top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        # ALL of the bucket's groups pruned and ranked in one
+        # vectorized pass - one Python call per bucket, not per group
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        g = g.groupby(group_col, sort=False).head(k).copy()
+        g["rank"] = g.groupby(group_col, sort=False).cumcount() + 1
         return g[[group_col, "rank"] + (out_cols or [tiebreak_col])]
 
     out = (
         ds.map_batches(local_top, batch_format="pandas")
-        .groupby(group_col)
+        .groupby("_kb")
         .map_groups(final_top, batch_format="pandas")
     )
     df = out.to_pandas().sort_values([group_col, "rank"]).reset_index(drop=True)
@@ -227,15 +234,35 @@ def grouped_quantiles(
             .rename_columns([group_col, "cents", "n"])
         )
 
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_qb"] = _key_buckets(b[group_col], nb)
+        return b
+
     def walk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cents", kind="mergesort")
-        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
-        total = int(cum[-1])
+        # CDF walk for EVERY group in the bucket in one vectorized
+        # pass: the global cumsum is monotone, so each group's
+        # nearest-rank index is ONE searchsorted against
+        # (total-before-group + target) - no per-group Python
+        g = g.sort_values([group_col, "cents"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = g["n"].to_numpy(dtype=np.int64)
+        codes, keys = pd.factorize(g[group_col], sort=False)
+        starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+        ends = np.r_[starts[1:], len(g)]
+        cum = n.cumsum()
+        prev = np.r_[0, cum[ends[:-1] - 1]]  # total before each group
+        totals = cum[ends - 1] - prev
         vals = g["cents"].to_numpy(dtype=np.int64)
-        row = {group_col: [g[group_col].iloc[0]]}
+        row = {group_col: keys[codes[starts]]}
         for q, name in zip(quantiles, col_names):
-            target = int(np.ceil(q * total))
-            row[name] = [int(vals[np.searchsorted(cum, target)])]
+            targets = np.ceil(q * totals).astype(np.int64)
+            idx = np.searchsorted(cum, prev + targets)
+            row[name] = vals[idx]
         return pd.DataFrame(row)
 
     hist = (
@@ -243,7 +270,11 @@ def grouped_quantiles(
         .groupby([group_col, "cents"])
         .aggregate(Sum("n", alias_name="n"))
     )
-    out = hist.groupby(group_col).map_groups(walk, batch_format="pandas")
+    out = (
+        hist.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_qb")
+        .map_groups(walk, batch_format="pandas")
+    )
     df = out.to_pandas().sort_values(group_col).reset_index(drop=True)
     for c in col_names:
         df[c] = df[c].astype("int64")

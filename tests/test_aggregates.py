@@ -348,3 +348,36 @@ def test_assign_split_stable_and_leakage_free():
     frac_train = (a["split"] == "train").mean()
     assert abs(frac_train - 0.8) < 0.02
     assert set(a["split"]) == {"train", "val", "test"}
+
+
+def test_grouped_quantiles_many_groups_vectorized_walk():
+    """2000 groups through the bucketed walk - exercises the
+    multi-group-per-bucket vectorized CDF path."""
+    rng = np.random.default_rng(21)
+    n = 30000
+    df = pd.DataFrame(
+        {
+            "event_type": [f"g{int(i):04d}" for i in rng.integers(0, 2000, size=n)],
+            "value": rng.normal(100, 30, size=n),
+        }
+    )
+
+    def cents(b: pa.Table):
+        import pyarrow.compute as pc
+
+        return pc.cast(
+            pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    got = grouped_quantiles(
+        _ds(df, blocks=6), group_col="event_type", cents_expr=cents,
+        quantiles=(0.5, 0.99), col_names=("p50_cents", "p99_cents"),
+    )
+    assert len(got) == df["event_type"].nunique()
+    df = df.assign(cents=np.floor(df["value"].to_numpy() * 100).astype(np.int64))
+    sample = got.sample(n=40, random_state=7)
+    for _, row in sample.iterrows():
+        vals = np.sort(df.loc[df["event_type"] == row["event_type"], "cents"].to_numpy())
+        nn = len(vals)
+        assert row["p50_cents"] == vals[math.ceil(0.5 * nn) - 1]
+        assert row["p99_cents"] == vals[math.ceil(0.99 * nn) - 1]
