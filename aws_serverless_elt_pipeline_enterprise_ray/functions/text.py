@@ -281,3 +281,86 @@ def pack_sequences(
         .groupby("pack_bucket")
         .map_groups(pack_bucket, batch_format="pandas")
     )
+
+
+def tfidf_topk_terms(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_vocab: int | None = None,
+) -> pd.DataFrame:
+    """TF-IDF-style keyword extraction: top-k terms per document by
+    tf/df (integer-exact score ``tf * 1e6 // df`` - monotone in the
+    classic tf*idf for a fixed corpus, hash-verifiable in SQL).
+
+    Two passes: (1) document frequency per term via per-batch
+    (doc-distinct term) partials and a groupby-sum; the df table rides
+    to pass 2 as ONE broadcast object (``ray.put``), read once per
+    actor - at web scale cap it with ``max_vocab`` (keep the most
+    frequent terms; rare terms score ~tf*1e6 anyway). (2) per-batch
+    term counts -> score -> local per-doc top-k, all C-level pandas.
+    No shuffle touches (doc, term) pairs; only the df aggregation
+    shuffles distinct terms."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pd.DataFrame) -> pa.Table:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        pairs = toks.explode().dropna()
+        # distinct per doc first: df counts documents, not occurrences
+        u = pd.DataFrame({"d": pairs.index, "t": pairs.to_numpy()}).drop_duplicates()
+        vc = u["t"].value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "df": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    df_ds = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    if max_vocab is not None:
+        df_ds = df_ds.sort("df", descending=True).limit(max_vocab)
+    df_tbl = df_ds.to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64))))
+
+    class ScoreTopK:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = b.set_index(id_col)[text_col].fillna("").str.lower().str.findall(
+                r"[a-z0-9]+"
+            )
+            pairs = toks.explode().dropna()
+            tf = (
+                pd.DataFrame({id_col: pairs.index, "term": pairs.to_numpy()})
+                .groupby([id_col, "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            dfv = tf["term"].map(self.df)
+            tf = tf[dfv.notna()].copy()
+            tf["score"] = (tf["tf"].astype(np.int64) * 1_000_000) // dfv[
+                dfv.notna()
+            ].astype(np.int64)
+            tf = tf.sort_values(
+                [id_col, "score", "term"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            top = tf.groupby(id_col, sort=False).head(k).copy()
+            top["rank"] = top.groupby(id_col, sort=False).cumcount() + 1
+            return top[[id_col, "rank", "term", "score"]]
+
+    out = ds.map_batches(
+        ScoreTopK, batch_format="pandas", concurrency=(1, 4), num_cpus=1
+    ).to_pandas()
+    out = out.sort_values([id_col, "rank"]).reset_index(drop=True)
+    for c in ("rank", "score"):
+        out[c] = out[c].astype("int64")
+    return out

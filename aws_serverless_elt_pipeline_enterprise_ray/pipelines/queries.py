@@ -899,6 +899,15 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """TF-IDF keyword extraction: top-5 terms per document by integer
+    tf/df score (df via one term shuffle, then broadcast to a per-batch
+    scoring stage)."""
+    from ..functions.text import tfidf_topk_terms
+
+    return tfidf_topk_terms(_documents(sf_dir, ["doc_id", "text"]), k=5)
+
+
 def q_training_examples(sf_dir: str):
     """Lake -> SFT examples: run the full CDC engine, then emit
     (context = last 3 role-prefixed turns, target = turn text) for
@@ -1235,6 +1244,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "tfidf_keywords": q_tfidf_keywords,
     "training_examples": q_training_examples,
     "assign_split": q_assign_split,
     "pack_sequences": q_pack_sequences,
@@ -1466,6 +1476,22 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    "tfidf_keywords": """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      scored AS (
+        SELECT t.doc_id, t.term, (t.tf * 1000000) // d.df AS score
+        FROM tf t JOIN df d USING (term)),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, CAST(score AS BIGINT) AS score
+      FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
     """,
     "training_examples": f"""
       WITH final AS ({FINAL_SQL}),

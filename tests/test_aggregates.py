@@ -381,3 +381,27 @@ def test_grouped_quantiles_many_groups_vectorized_walk():
         nn = len(vals)
         assert row["p50_cents"] == vals[math.ceil(0.5 * nn) - 1]
         assert row["p99_cents"] == vals[math.ceil(0.99 * nn) - 1]
+
+
+def test_tfidf_topk_prefers_rare_terms():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        tfidf_topk_terms,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "common common zebra",      # zebra is unique to doc 1
+                "common words here",
+                "common words there",
+                "common words everywhere",
+            ],
+        }
+    )
+    out = tfidf_topk_terms(_ds(df, blocks=2), k=2)
+    d1 = out[out["doc_id"] == 1]
+    # zebra: tf=1 df=1 -> 1e6; common: tf=2 df=4 -> 5e5
+    assert list(d1["term"]) == ["zebra", "common"]
+    assert list(d1["score"]) == [1_000_000, 500_000]
+    assert list(d1["rank"]) == [1, 2]
