@@ -82,6 +82,12 @@ def main(argv=None) -> int:
     d = sub.add_parser("dq", help="data-quality report / gate")
     d.add_argument("--lake", required=True)
     d.add_argument("--gate", action="store_true", help="demote CURRENT on failure")
+    d.add_argument(
+        "--only-changed",
+        action="store_true",
+        help="incremental: validate only partitions touched by the last "
+        "commit (O(delta) read; global row_count check skipped)",
+    )
 
     rd_p = sub.add_parser("redrive", help="re-emit quarantined rows as a change file")
     rd_p.add_argument("--lake", required=True)
@@ -270,7 +276,11 @@ def main(argv=None) -> int:
         elif args.cmd == "dq":
             from .pipelines.dq import dq_gate, run_dq
 
-            report = dq_gate(args.lake) if args.gate else run_dq(args.lake)
+            report = (
+                dq_gate(args.lake)
+                if args.gate
+                else run_dq(args.lake, only_changed=args.only_changed)
+            )
             print(json.dumps(report, default=str))
             return 0 if report.get("ok") else 1
     finally:

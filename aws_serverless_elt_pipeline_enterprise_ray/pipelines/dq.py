@@ -111,10 +111,22 @@ class _PartitionChecker:
 
 
 def run_dq(
-    lake_dir: str, spec: TableSpec | None = None, version: int | None = None
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    version: int | None = None,
+    only_changed: bool = False,
 ) -> dict:
     """Validate a committed version; returns the report dict
-    (``ok``, per-check results, per-partition detail)."""
+    (``ok``, per-check results, per-partition detail).
+
+    ``only_changed=True`` is the incremental mode for always-on
+    tailing: every rule the engine enforces is PARTITION-LOCAL
+    (not_null / unique keys / ranges - keys never span partitions), so
+    validating only the partitions the latest commit touched (the
+    manifest's lineage) gives the same per-partition guarantees at
+    O(delta) read cost. The one global rule, row_count_min, needs the
+    whole table and is reported as skipped (``ok: true, skipped:
+    true``) - run a full ``run_dq`` on a schedule for it."""
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
     m = store.load(version)
@@ -125,10 +137,11 @@ def run_dq(
         "unique": [list(u) for u in spec.dq.unique],
         "ranges": {k: list(v) for k, v in spec.dq.ranges.items()},
     }
+    changed = {str(pid) for pid in m.lineage} if only_changed else None
     items = [
         {"part_id": int(pid), "files": json.dumps([f["path"] for f in files])}
         for pid, files in m.partitions.items()
-        if files
+        if files and (changed is None or str(pid) in changed)
     ]
     checks = {
         "row_count": {"value": 0, "min": spec.dq.row_count_min, "ok": True},
@@ -154,7 +167,17 @@ def run_dq(
             for c, d in json.loads(r["ranges"]).items():
                 checks["range"][c]["violations"] += d["violations"]
 
-    checks["row_count"]["ok"] = checks["row_count"]["value"] >= spec.dq.row_count_min
+    if only_changed:
+        checks["row_count"] = {
+            "value": None,
+            "min": spec.dq.row_count_min,
+            "ok": True,
+            "skipped": True,
+        }
+    else:
+        checks["row_count"]["ok"] = (
+            checks["row_count"]["value"] >= spec.dq.row_count_min
+        )
     for c in rules["not_null"]:
         checks["not_null"][c]["ok"] = checks["not_null"][c]["nulls"] == 0
     checks["unique"]["ok"] = checks["unique"]["dup_keys"] == 0
@@ -166,11 +189,18 @@ def run_dq(
         and checks["unique"]["ok"]
         and all(v["ok"] for v in checks["range"].values())
     )
-    report = {"ok": ok, "version": m.version, "checks": checks}
+    report = {
+        "ok": ok,
+        "version": m.version,
+        "only_changed": only_changed,
+        "checked_partitions": len(items),
+        "checks": checks,
+    }
     dq_dir = os.path.join(lake_dir, "_dq")
     os.makedirs(dq_dir, exist_ok=True)
+    suffix = "-incr" if only_changed else ""
     _atomic_write(
-        os.path.join(dq_dir, f"report-{m.version:06d}.json"),
+        os.path.join(dq_dir, f"report-{m.version:06d}{suffix}.json"),
         json.dumps(report, indent=1, default=str),
     )
     return report

@@ -217,3 +217,39 @@ def test_redrive_quarantined_rows(tmp_path):
     # unknown-op rows recovered; null-key/null-ts rows re-quarantined
     assert m2.metrics["events_applied"] > 0
     assert m2.metrics["quarantined"] < n_quar
+
+
+def test_dq_only_changed_validates_touched_partitions(tmp_path):
+    """Incremental DQ: a tiny follow-up commit is validated at
+    O(delta) - only lineage partitions are read, partition-local rules
+    still fire there, the global row_count check reports skipped."""
+    import dataclasses
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=4000, n_convs=60, n_files=4, seed=37)
+    spec = engine.default_spec(num_partitions=8)
+    engine.apply_changes(changes, lake, spec)
+    # small delta commit touching a subset of partitions
+    gen_changes(changes + "2", n_events=200, n_convs=3, n_files=1, seed=41)
+    engine.apply_changes(changes + "2", lake, spec)
+    store = ManifestStore(lake)
+    m = store.load()
+    touched = len(m.lineage)
+    total = sum(1 for _, f in m.partitions.items() if f)
+    assert 0 < touched < total, (touched, total)
+
+    rep = run_dq(lake, spec, only_changed=True)
+    assert rep["ok"], rep
+    assert rep["only_changed"] is True
+    assert rep["checked_partitions"] == touched
+    assert rep["checks"]["row_count"].get("skipped") is True
+    assert os.path.exists(
+        os.path.join(lake, "_dq", f"report-{rep['version']:06d}-incr.json")
+    )
+
+    # a violation inside a TOUCHED partition is still caught
+    bad_rules = dataclasses.replace(spec.dq, ranges={"turn_idx": (None, -1)})
+    bad_spec = dataclasses.replace(spec, dq=bad_rules)
+    rep2 = run_dq(lake, bad_spec, only_changed=True)
+    assert not rep2["ok"]
+    assert rep2["checks"]["range"]["turn_idx"]["violations"] > 0
