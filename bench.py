@@ -5,9 +5,12 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
    "events": E, "events_per_sec": E/sec}
 
---scaling: runs the headline pipeline in two fresh subprocesses
-(num_cpus=8 and 32) over the SAME input and reports both throughputs
-plus efficiency = (t_8 / t_32) / 4  (1.0 = perfectly linear).
+--scaling: runs the headline pipeline at two parallelism levels in
+fresh subprocesses over the SAME input and reports both throughputs
+plus efficiency = (t_lo / t_hi) / (hi / lo)  (1.0 = perfectly linear).
+Two pairs: PRIMARY 2->8 CPUs on a 135M-event stream, SECONDARY 4->16
+on 18M events - each with a no-Ray multiprocessing hardware control
+(see run_scaling and BASELINE.md).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
