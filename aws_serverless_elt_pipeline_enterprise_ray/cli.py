@@ -89,6 +89,12 @@ def main(argv=None) -> int:
         "commit (O(delta) read; global row_count check skipped)",
     )
 
+    fg = sub.add_parser(
+        "forget", help="delete all rows of the given keys (right-to-be-forgotten)"
+    )
+    fg.add_argument("--lake", required=True)
+    fg.add_argument("--keys", nargs="+", required=True, help="conv_ids to forget")
+
     rd_p = sub.add_parser("redrive", help="re-emit quarantined rows as a change file")
     rd_p.add_argument("--lake", required=True)
     rd_p.add_argument("--changelog", required=True)
@@ -238,6 +244,11 @@ def main(argv=None) -> int:
                 purge_tombstones_auto=args.purge_tombstones_auto,
             )
             print(json.dumps({"version": m.version if m else None}))
+        elif args.cmd == "forget":
+            from .pipelines.forget import forget_keys
+
+            ms = forget_keys(args.lake, list(args.keys))
+            print(json.dumps({"commits": [m.version for m in ms]}))
         elif args.cmd == "redrive":
             from .pipelines.redrive import redrive as redrive_fn
 

@@ -1,0 +1,127 @@
+"""Targeted key deletion ("right-to-be-forgotten") over the lake.
+
+``forget_keys`` deletes every row of the given conversations through
+the engine's own CDC machinery: it synthesizes winning DELETE events
+and applies them as a normal changelog, so the operation inherits
+exactly-once commit, idempotent resume, replay-safety and LSM/compact
+behavior for free - no second deletion code path to keep correct.
+
+Scale shape: the keys' partitions are computed from the manifest's
+partitioning (same hash + hot-key salting the writer used), so only
+O(|keys|) partitions are READ to discover the (conv_id, turn_idx)
+pairs; the apply then rewrites only those partitions. The driver
+handles key-count-sized data only.
+
+Semantics note (CDC, not amnesia): the tombstones win LWW against all
+CURRENTLY committed rows (same ts, higher seq). A *later* legitimate
+change event for the same key re-creates it - matching CDC semantics;
+a compliance pipeline must also stop producing events for the key
+upstream. Run ``compact(purge_tombstones=True)`` afterwards to
+physically drop the tombstones once the lateness horizon passes.
+
+Reference parity: the reference has no targeted-delete op (deletes
+only flow through the change stream, lambdas/shared/schemas.py op
+codes); this composes the same D-op path into the bulk operation a
+lake operator actually needs.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import TableSpec, default_spec, hash_strings
+from ..state.manifest import ManifestStore
+from .cdc import _read_lake_partitions, apply_changes
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def partitions_for_keys(m, conv_ids: list[str]) -> set[str]:
+    """The partition ids that can hold the given conversations, under
+    the manifest's recorded partitioning (hash + hot-key salt)."""
+    p = m.partitioning
+    P = int(p["num_partitions"])
+    hot = set(p.get("hot_keys", ()))
+    salt_n = int(p.get("hot_key_salt", 8))
+    h = hash_strings(np.asarray(conv_ids, dtype=object))
+    pids: set[str] = set()
+    for cid, hv in zip(conv_ids, h):
+        if cid in hot:
+            for s in range(salt_n):
+                pids.add(str(int((hv + np.uint64(s) * _MIX1) % np.uint64(P))))
+        else:
+            pids.add(str(int(hv % np.uint64(P))))
+    return pids
+
+
+def forget_keys(
+    lake_dir: str,
+    conv_ids: list[str],
+    spec: TableSpec | None = None,
+    *,
+    staging_dir: str | None = None,
+    **apply_kwargs,
+):
+    """Delete all rows of ``conv_ids`` from the lake. Returns the list
+    of committed manifests (empty if the keys hold no rows)."""
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m is None:
+        return []
+    pids = partitions_for_keys(m, conv_ids)
+    subset = {pid: files for pid, files in m.partitions.items()
+              if pid in pids and files}
+    if not subset:
+        return []
+
+    ds = _read_lake_partitions(lake_dir, subset, m)
+    keys = set(conv_ids)
+
+    def grab(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["conv_id"], value_set=pa.array(sorted(keys)))
+        f = b.filter(mask)
+        return f.select(["conv_id", "turn_idx", "ts"])
+
+    # driver sees only the forgotten keys' (conv, turn, ts) rows
+    parts = list(
+        ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    if not parts:
+        return []
+    hits = pa.concat_tables(parts)
+    if len(hits) == 0:
+        return []
+
+    # winning tombstones: same ts as the committed row, seq above the
+    # committed watermark (LWW tiebreak (ts, seq) -> delete wins)
+    n = len(hits)
+    base_seq = int(m.watermark) + 1
+    deletes = pa.table(
+        {
+            "op": pa.array(["D"] * n, pa.string()),
+            "seq": pa.array(np.arange(base_seq, base_seq + n), pa.int64()),
+            "conv_id": hits["conv_id"],
+            "turn_idx": hits["turn_idx"],
+            "role": pa.nulls(n, pa.string()),
+            "text": pa.nulls(n, pa.string()),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": hits["ts"],
+        }
+    )
+    staging = staging_dir or os.path.join(lake_dir, "_staged", "forget")
+    os.makedirs(staging, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    path = os.path.join(staging, f"forget-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(deletes, tmp)
+    os.replace(tmp, path)  # atomic landing, per the tailer contract
+    return apply_changes([path], lake_dir, spec, **apply_kwargs)

@@ -351,6 +351,20 @@ def q_cdc_dq_stats(sf_dir: str):
     )
 
 
+def q_cdc_forget(sf_dir: str):
+    """Right-to-be-forgotten: apply the full stream, then forget two
+    conversations through the engine's own D-op path (partition-pruned
+    discovery read, winning tombstones, normal exactly-once commit)."""
+    from .cdc import apply_changes
+    from .forget import forget_keys
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    spec = _spec(sf_dir)
+    apply_changes(changes, lake, spec)
+    forget_keys(lake, ["conv_1", "conv_2"], spec)
+    return _final_df(lake)
+
+
 def q_cdc_multitable(sf_dir: str):
     """Multi-record-type routing (the reference's (record_type, dt)
     fan-out, lambdas/transform/app.py:93-104): one mixed change stream
@@ -1222,6 +1236,7 @@ QUERIES = {
     "cdc_top_convs": q_cdc_top_convs,
     "cdc_quarantine_counts": q_cdc_quarantine_counts,
     "cdc_dq_stats": q_cdc_dq_stats,
+    "cdc_forget": q_cdc_forget,
     "cdc_multitable": q_cdc_multitable,
     "cdc_rebalance": q_cdc_rebalance,
     "cdc_catalog_sql": q_cdc_catalog_sql,
@@ -1295,6 +1310,11 @@ ORACLES = {
       SELECT CASE WHEN event_id % 97 = 0 THEN 'unknown_op' ELSE 'ok' END AS status,
              count(*) AS n
       FROM events GROUP BY status ORDER BY status
+    """,
+    "cdc_forget": f"""
+      WITH f AS ({FINAL_SQL})
+      SELECT * FROM f WHERE conv_id NOT IN ('conv_1', 'conv_2')
+      ORDER BY conv_id, turn_idx
     """,
     "cdc_multitable": f"""
       WITH ch AS ({CH_SQL}),

@@ -488,3 +488,44 @@ def test_auto_tombstone_purge_uses_observed_lateness(tmp_path):
     assert "a" not in convs, "old tombstone (T0-10h) should be purged"
     assert "b" in convs, "recent tombstone (T0-1h) must survive the horizon"
     assert cm.max_event_ts_us == T0 and cm.max_lateness_us == 2 * HOUR
+
+
+def test_forget_keys_deletes_and_prunes_partitions(tmp_path):
+    """Targeted deletion: forget two conversations; their rows vanish,
+    everything else is untouched, only the keys' partitions were read,
+    and a second forget is a no-op."""
+    import duckdb
+
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.forget import (
+        forget_keys,
+        partitions_for_keys,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+        ManifestStore,
+    )
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=4000, n_convs=50, n_files=3, seed=55)
+    spec = engine.default_spec(num_partitions=16)
+    engine.apply_changes(changes, lake, spec)
+
+    before = read_table(lake).to_pandas()
+    victims = sorted(before["conv_id"].unique())[:2]
+    m = ManifestStore(lake).load()
+    pids = partitions_for_keys(m, victims)
+    assert 0 < len(pids) < 16  # pruned read, not a scan
+
+    ms = forget_keys(lake, victims, spec)
+    assert ms, "forget should commit"
+    after = read_table(lake).to_pandas()
+    assert not set(victims) & set(after["conv_id"])
+    kept = before[~before["conv_id"].isin(victims)]
+    a = after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    k = kept.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, k[a.columns.tolist()])
+    # idempotent: nothing left to forget
+    assert forget_keys(lake, victims, spec) == []
