@@ -1,0 +1,103 @@
+"""Change data feed: what changed between two committed versions.
+
+``table_changes(lake, v_from, v_to)`` emits one row per key whose
+VISIBLE state differs between the two snapshots - ``change_op = 'U'``
+(insert or update, carrying the new payload) or ``'D'`` (key present
+in v_from, gone in v_to). This is the lakehouse CDF surface an
+incremental downstream consumer needs (the read-side complement of the
+ingest path's change stream).
+
+Scale shape: copy-on-write makes pruning exact - a partition whose
+file list is identical in both manifests cannot contain a change, so
+only differing partitions are read, from BOTH snapshots, in one
+tagged union; keys are hash-bucketed and each bucket diffs all its
+keys with one vectorized pandas merge (indicator join + NaN-safe
+column compare). The driver never sees row data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.windows import _buckets_for_cluster, _key_buckets
+from ..state.manifest import ManifestStore
+from .cdc import _read_lake_partitions
+
+_SIDE = "__cdf_side"
+
+
+def table_changes(
+    lake_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Dataset of changes from ``from_version`` to ``to_version``
+    (default CURRENT): columns = change_op + the table columns (payload
+    is the NEW state for 'U', nulls for 'D')."""
+    store = ManifestStore(lake_dir)
+    ma, mb = store.load(from_version), store.load(to_version)
+    assert ma is not None and mb is not None, "both versions must exist"
+    nb = num_buckets or _buckets_for_cluster()
+
+    changed = [
+        pid
+        for pid in set(ma.partitions) | set(mb.partitions)
+        if ma.partitions.get(pid) != mb.partitions.get(pid)
+    ]
+    sub_a = {p: ma.partitions[p] for p in changed if ma.partitions.get(p)}
+    sub_b = {p: mb.partitions[p] for p in changed if mb.partitions.get(p)}
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b[_SIDE] = side
+            b["_cb"] = _key_buckets(b[key_cols[0]], nb)
+            return b
+
+        return fn
+
+    parts = []
+    if sub_a:
+        parts.append(
+            _read_lake_partitions(lake_dir, sub_a, ma).map_batches(
+                tag("a"), batch_format="pandas"
+            )
+        )
+    if sub_b:
+        parts.append(
+            _read_lake_partitions(lake_dir, sub_b, mb).map_batches(
+                tag("b"), batch_format="pandas"
+            )
+        )
+    assert parts, "no changed partitions"
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.union(p)
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [c for c in g.columns if c not in (_SIDE, "_cb")]
+        payload = [c for c in cols if c not in key_cols]
+        a = g[g[_SIDE] == "a"][cols]
+        b = g[g[_SIDE] == "b"][cols]
+        m = a.merge(
+            b, on=list(key_cols), how="outer", suffixes=("_a", ""), indicator=True
+        )
+        changed_mask = m["_merge"] == "right_only"
+        for c in payload:
+            ca, cb = m[f"{c}_a"], m[c]
+            neq = (ca != cb) & ~(ca.isna() & cb.isna())
+            changed_mask = changed_mask | ((m["_merge"] == "both") & neq)
+        ups = m[changed_mask][list(key_cols) + payload].copy()
+        ups.insert(0, "change_op", "U")
+        # left-only rows' b-side payload columns are already all-null
+        # WITH b's dtypes (NaT for timestamps) - exactly a delete row
+        dels = m[m["_merge"] == "left_only"][list(key_cols) + payload].copy()
+        dels.insert(0, "change_op", "D")
+        out = pd.concat([ups, dels], ignore_index=True)
+        return out[["change_op", *key_cols, *payload]]
+
+    return both.groupby("_cb").map_groups(diff_bucket, batch_format="pandas")

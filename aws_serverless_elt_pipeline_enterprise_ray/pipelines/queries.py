@@ -351,6 +351,63 @@ def q_cdc_dq_stats(sf_dir: str):
     )
 
 
+def q_cdc_time_travel(sf_dir: str):
+    """Time travel: split the stream at seq = max/2, commit each half,
+    then read the FIRST committed version by number - must equal the
+    pure SQL reduction over only the first half (version pinning is
+    the manifest's whole job)."""
+    import pyarrow.parquet as pq
+
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _scratch("tt-changes"), _scratch("lake")
+    full = pa.concat_tables(
+        _changes_ds(sf_dir).iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    cut = pc.max(full["seq"]).as_py() // 2
+    lo = full.filter(pc.less(full["seq"], pa.scalar(cut, pa.int64())))
+    hi = full.filter(pc.greater_equal(full["seq"], pa.scalar(cut, pa.int64())))
+    pq.write_table(lo, os.path.join(changes, "ch-000.parquet"))
+    pq.write_table(hi, os.path.join(changes, "ch-001.parquet"))
+    spec = _spec(sf_dir)
+    m1 = apply_changes([os.path.join(changes, "ch-000.parquet")], lake, spec)[-1]
+    apply_changes(changes, lake, spec)  # v2 commits the rest
+    df = read_table(lake, version=m1.version).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def q_cdc_changefeed(sf_dir: str):
+    """Change data feed between two committed versions: split the
+    stream at seq = max/2, commit each half, then diff snapshot v1 ->
+    v2 (pruned to partitions whose files differ; bucketed vectorized
+    key diff). 'U' rows carry the new payload, 'D' rows null payload."""
+    import pyarrow.parquet as pq
+
+    from .cdc import apply_changes
+    from .cdf import table_changes
+
+    changes, lake = _scratch("cf-changes"), _scratch("lake")
+    full = pa.concat_tables(
+        _changes_ds(sf_dir).iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    cut = pc.max(full["seq"]).as_py() // 2
+    pq.write_table(
+        full.filter(pc.less(full["seq"], pa.scalar(cut, pa.int64()))),
+        os.path.join(changes, "ch-000.parquet"),
+    )
+    pq.write_table(
+        full.filter(pc.greater_equal(full["seq"], pa.scalar(cut, pa.int64()))),
+        os.path.join(changes, "ch-001.parquet"),
+    )
+    spec = _spec(sf_dir)
+    m1 = apply_changes([os.path.join(changes, "ch-000.parquet")], lake, spec)[-1]
+    m2 = apply_changes(changes, lake, spec)[-1]
+    df = table_changes(lake, m1.version, m2.version).to_pandas()
+    return df.sort_values(["change_op", "conv_id", "turn_idx"]).reset_index(
+        drop=True
+    )
+
+
 def q_cdc_forget(sf_dir: str):
     """Right-to-be-forgotten: apply the full stream, then forget two
     conversations through the engine's own D-op path (partition-pruned
@@ -1236,6 +1293,8 @@ QUERIES = {
     "cdc_top_convs": q_cdc_top_convs,
     "cdc_quarantine_counts": q_cdc_quarantine_counts,
     "cdc_dq_stats": q_cdc_dq_stats,
+    "cdc_time_travel": q_cdc_time_travel,
+    "cdc_changefeed": q_cdc_changefeed,
     "cdc_forget": q_cdc_forget,
     "cdc_multitable": q_cdc_multitable,
     "cdc_rebalance": q_cdc_rebalance,
@@ -1310,6 +1369,48 @@ ORACLES = {
       SELECT CASE WHEN event_id % 97 = 0 THEN 'unknown_op' ELSE 'ok' END AS status,
              count(*) AS n
       FROM events GROUP BY status ORDER BY status
+    """,
+    "cdc_time_travel": f"""
+      WITH ch AS ({CH_SQL}),
+      lo AS (SELECT * FROM ch WHERE seq < (SELECT max(seq) FROM ch) // 2),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM lo)
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_changefeed": f"""
+      WITH ch AS ({CH_SQL}),
+      ra AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM ch WHERE seq < (SELECT max(seq) FROM ch) // 2),
+      fa AS (SELECT conv_id, turn_idx, role, text, tool, ts
+             FROM ra WHERE rn = 1 AND op <> 'D'),
+      rb AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM ch),
+      fb AS (SELECT conv_id, turn_idx, role, text, tool, ts
+             FROM rb WHERE rn = 1 AND op <> 'D'),
+      ups AS (
+        SELECT 'U' AS change_op, b.*
+        FROM fb b LEFT JOIN fa a USING (conv_id, turn_idx)
+        WHERE a.conv_id IS NULL
+           OR a.role IS DISTINCT FROM b.role
+           OR a.text IS DISTINCT FROM b.text
+           OR a.tool IS DISTINCT FROM b.tool
+           OR a.ts IS DISTINCT FROM b.ts),
+      dels AS (
+        SELECT 'D' AS change_op, a.conv_id, a.turn_idx,
+               CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text,
+               CAST(NULL AS VARCHAR) AS tool, CAST(NULL AS TIMESTAMP) AS ts
+        FROM fa a LEFT JOIN fb b USING (conv_id, turn_idx)
+        WHERE b.conv_id IS NULL)
+      SELECT * FROM ups UNION ALL SELECT * FROM dels
+      ORDER BY change_op, conv_id, turn_idx
     """,
     "cdc_forget": f"""
       WITH f AS ({FINAL_SQL})

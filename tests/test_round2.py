@@ -529,3 +529,45 @@ def test_forget_keys_deletes_and_prunes_partitions(tmp_path):
     pd.testing.assert_frame_equal(a, k[a.columns.tolist()])
     # idempotent: nothing left to forget
     assert forget_keys(lake, victims, spec) == []
+
+
+def test_changefeed_replays_a_to_b(tmp_path):
+    """CDF invariant: applying the emitted change feed to snapshot A
+    reproduces snapshot B exactly (upserts replace, deletes remove)."""
+    import glob
+
+    import pandas as pd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdf import (
+        table_changes,
+    )
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=3000, n_convs=40, n_files=4, seed=77,
+                delete_ratio=0.15, out_of_order=0.3)
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = engine.default_spec(num_partitions=8)
+    m1 = engine.apply_changes(files[:2], lake, spec)[-1]
+    m2 = engine.apply_changes(changes, lake, spec)[-1]
+
+    a = read_table(lake, version=m1.version).to_pandas()
+    b = read_table(lake, version=m2.version).to_pandas()
+    feed = table_changes(lake, m1.version, m2.version).to_pandas()
+    assert set(feed["change_op"]) <= {"U", "D"}
+
+    key = ["conv_id", "turn_idx"]
+    ups = feed[feed["change_op"] == "U"].drop(columns=["change_op"])
+    dels = feed[feed["change_op"] == "D"][key]
+    replayed = a.merge(dels.assign(_d=1), on=key, how="left")
+    replayed = replayed[replayed["_d"].isna()].drop(columns=["_d"])
+    replayed = replayed.merge(ups[key].assign(_u=1), on=key, how="left")
+    replayed = replayed[replayed["_u"].isna()].drop(columns=["_u"])
+    replayed = pd.concat([replayed, ups[a.columns.tolist()]], ignore_index=True)
+
+    r = replayed.sort_values(key).reset_index(drop=True)
+    bb = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        r.astype({"ts": "datetime64[us]"}), bb[r.columns.tolist()].astype({"ts": "datetime64[us]"})
+    )
