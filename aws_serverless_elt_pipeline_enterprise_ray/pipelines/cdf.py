@@ -101,3 +101,64 @@ def table_changes(
         return out[["change_op", *key_cols, *payload]]
 
     return both.groupby("_cb").map_groups(diff_bucket, batch_format="pandas")
+
+
+def follow_changes(
+    lake_dir: str,
+    *,
+    checkpoint_path: str | None = None,
+    on_changes=None,
+    poll_seconds: float = 1.0,
+    max_idle_rounds: int | None = 3,
+    **changes_kwargs,
+) -> dict:
+    """Downstream subscriber loop: poll for new commits and hand each
+    version range's change feed to ``on_changes(from_v, to_v, ds)``.
+
+    Exactly-once consumption: the consumer's own checkpoint (a file
+    holding the last fully processed version) is advanced only AFTER
+    the callback returns, so a crash re-delivers the same version
+    range - and ``table_changes`` is deterministic for a fixed range,
+    making redelivery idempotent for any idempotent sink (same contract
+    as the ingest side's applied-file checkpoint)."""
+    import json
+    import os
+    import time
+
+    store = ManifestStore(lake_dir)
+    ckpt = checkpoint_path or os.path.join(lake_dir, "_cdf_checkpoint.json")
+    last = None
+    if os.path.exists(ckpt):
+        last = json.load(open(ckpt)).get("version")
+    if last is None:
+        m = store.load()
+        last = m.version if m else 0
+        _write_ckpt(ckpt, last)
+
+    stats = {"batches": 0, "from_version": last, "to_version": last}
+    idle = 0
+    while max_idle_rounds is None or idle < max_idle_rounds:
+        cur = store.current_version()
+        if cur is not None and cur > last:
+            ds = table_changes(lake_dir, last, cur, **changes_kwargs)
+            if on_changes is not None:
+                on_changes(last, cur, ds)
+            last = cur
+            _write_ckpt(ckpt, last)
+            stats["batches"] += 1
+            stats["to_version"] = cur
+            idle = 0
+        else:
+            idle += 1
+            time.sleep(poll_seconds)
+    return stats
+
+
+def _write_ckpt(path: str, version: int) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, path)

@@ -571,3 +571,63 @@ def test_changefeed_replays_a_to_b(tmp_path):
     pd.testing.assert_frame_equal(
         r.astype({"ts": "datetime64[us]"}), bb[r.columns.tolist()].astype({"ts": "datetime64[us]"})
     )
+
+
+def test_changefeed_empty_across_compaction_and_follow_loop(tmp_path):
+    """Physical rewrites are not changes: a compaction-only version
+    diff emits zero rows. follow_changes delivers each commit once and
+    advances its checkpoint only after the callback."""
+    import glob
+    import json
+
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdf import (
+        follow_changes,
+        table_changes,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+        ManifestStore,
+    )
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=2000, n_convs=30, n_files=4, seed=91)
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = engine.default_spec(num_partitions=4)
+    # LSM-ish: several commits so partitions hold multiple runs
+    engine.apply_changes(files[:2], lake, spec)
+    engine.apply_changes(changes, lake, spec,
+                         commit_every_files=1, delta_threshold=0.95)
+    store = ManifestStore(lake)
+    v_before = store.current_version()
+    m = compact(lake, spec)
+    assert m is not None and m.version > v_before
+    feed = table_changes(lake, v_before, m.version).to_pandas()
+    assert len(feed) == 0, feed.head()
+
+    # subscriber: sees exactly the new commits after its checkpoint
+    seen = []
+    gen_changes(changes + "2", n_events=300, n_convs=30, n_files=1, seed=93)
+    engine.apply_changes(changes + "2", lake, spec)
+    stats = follow_changes(
+        lake,
+        checkpoint_path=str(tmp_path / "ckpt.json"),
+        on_changes=lambda a, b, ds: seen.append((a, b, ds.count())),
+        poll_seconds=0.05,
+        max_idle_rounds=2,
+    )
+    # fresh checkpoint initializes at CURRENT -> no redelivery of history
+    assert stats["batches"] == 0 and seen == []
+    gen_changes(changes + "3", n_events=300, n_convs=30, n_files=1, seed=95)
+    engine.apply_changes(changes + "3", lake, spec)
+    stats2 = follow_changes(
+        lake,
+        checkpoint_path=str(tmp_path / "ckpt.json"),
+        on_changes=lambda a, b, ds: seen.append((a, b, ds.count())),
+        poll_seconds=0.05,
+        max_idle_rounds=2,
+    )
+    assert stats2["batches"] == 1 and len(seen) == 1
+    assert seen[0][2] > 0
+    ck = json.load(open(tmp_path / "ckpt.json"))
+    assert ck["version"] == stats2["to_version"]
