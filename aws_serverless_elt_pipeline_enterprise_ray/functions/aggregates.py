@@ -260,7 +260,9 @@ def grouped_quantiles(
         vals = g["cents"].to_numpy(dtype=np.int64)
         row = {group_col: keys[codes[starts]]}
         for q, name in zip(quantiles, col_names):
-            targets = np.ceil(q * totals).astype(np.int64)
+            # rank >= 1: q=0.0 means the group minimum, not the
+            # previous group's last value (ceil(0)=0 would land there)
+            targets = np.maximum(np.ceil(q * totals).astype(np.int64), 1)
             idx = np.searchsorted(cum, prev + targets)
             row[name] = vals[idx]
         return pd.DataFrame(row)

@@ -299,7 +299,9 @@ def tfidf_topk_terms(
     (doc-distinct term) partials and a groupby-sum; the df table rides
     to pass 2 as ONE broadcast object (``ray.put``), read once per
     actor - at web scale cap it with ``max_vocab`` (keep the most
-    frequent terms; rare terms score ~tf*1e6 anyway). (2) per-batch
+    frequent terms; terms pruned from the map are scored at the df=1
+    upper bound, so rare terms still rank first - their score is
+    approximate only between df=1 and the pruning threshold). (2) per-batch
     term counts -> score -> local per-doc top-k, all C-level pandas.
     No shuffle touches (doc, term) pairs; only the df aggregation
     shuffles distinct terms."""
@@ -344,11 +346,15 @@ def tfidf_topk_terms(
                 .size()
                 .reset_index(name="tf")
             )
-            dfv = tf["term"].map(self.df)
-            tf = tf[dfv.notna()].copy()
-            tf["score"] = (tf["tf"].astype(np.int64) * 1_000_000) // dfv[
-                dfv.notna()
-            ].astype(np.int64)
+            # terms pruned from a capped df map are RARE - score them
+            # at the df=1 upper bound (keeps tf/df's rare-terms-first
+            # ranking; without max_vocab the map is complete and this
+            # fillna never fires)
+            dfv = tf["term"].map(self.df).fillna(1)
+            tf = tf.copy()
+            tf["score"] = (tf["tf"].astype(np.int64) * 1_000_000) // dfv.astype(
+                np.int64
+            )
             tf = tf.sort_values(
                 [id_col, "score", "term"], ascending=[True, False, True],
                 kind="mergesort",

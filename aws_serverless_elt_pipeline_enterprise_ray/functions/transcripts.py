@@ -51,25 +51,30 @@ def conversation_examples(
         g = g.sort_values([conv_col, order_col], kind="mergesort").reset_index(
             drop=True
         )
-        line = g[role_col].astype(str) + ": " + g[text_col].astype(str)
+        # NULL-propagating concatenation (pandas object + propagates
+        # NaN), mirroring SQL role || ': ' || text
+        line = g[role_col] + ": " + g[text_col]
         prevs = []
         for i in range(context_turns, 0, -1):
             prevs.append(line.groupby(g[conv_col], sort=False).shift(i))
-        # concat_ws semantics: join present parts with \n (shifts are
-        # monotone within a conversation, so missing parts are always a
-        # prefix - a strip of leading separators is exact)
+        # concat_ws semantics: join the PRESENT parts with \n, skipping
+        # nulls wherever they fall (a null mid-history line from a null
+        # text must not leave a double separator)
         ctx = None
         for p in prevs:
             part = p.fillna("")
-            ctx = part if ctx is None else ctx + "\n" + part
-        ctx = ctx.str.lstrip("\n")
-        has_history = prevs[-1].notna()  # shift(1): at least one prev turn
+            if ctx is None:
+                ctx = part
+            else:
+                sep = np.where((ctx != "") & (part != ""), "\n", "")
+                ctx = ctx + sep + part
+        has_history = prevs[-1].notna()  # SQL: WHERE lag(line, 1) IS NOT NULL
         out = pd.DataFrame(
             {
                 conv_col: g[conv_col],
                 order_col: g[order_col],
                 "context": ctx,
-                "target": g[text_col].astype(str),
+                "target": g[text_col],
             }
         )
         return out[has_history.to_numpy()]

@@ -489,27 +489,15 @@ def _compact_checkpoint(
 # ---------------------------------------------------------------------------
 
 
-def read_conversations(
-    lake_dir: str,
-    conv_ids: list[str],
-    version: int | None = None,
-    columns: list[str] | None = None,
-) -> rd.Dataset:
-    """Partition-pruned read: compute the (salted) partitions that can
-    contain the requested conversations from the manifest's recorded
-    partitioning and read ONLY those files - the payoff of hashing the
-    lake by conv_id (a point lookup touches 1/P of the data; a hot
-    salted conversation touches its k sub-partitions)."""
+def conv_partitions(m, conv_ids: list[str]) -> set[int]:
+    """The partition ids that can hold the given conversations under
+    the manifest's recorded partitioning - the ONE reader-side copy of
+    the writer's hash + hot-key-salt formula (schema.assign_part_id);
+    used by point lookups and forget_keys."""
     import numpy as np
 
     from ..schema import hash_strings
 
-    store = ManifestStore(lake_dir)
-    m = store.load(version)
-    if m is None:
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
     pp = m.partitioning
     P = pp["num_partitions"]
     hot = set(pp.get("hot_keys", ()))
@@ -524,6 +512,28 @@ def read_conversations(
                 )
         else:
             parts.add(int(hv % np.uint64(P)))
+    return parts
+
+
+def read_conversations(
+    lake_dir: str,
+    conv_ids: list[str],
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Partition-pruned read: compute the (salted) partitions that can
+    contain the requested conversations from the manifest's recorded
+    partitioning and read ONLY those files - the payoff of hashing the
+    lake by conv_id (a point lookup touches 1/P of the data; a hot
+    salted conversation touches its k sub-partitions)."""
+
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+    parts = conv_partitions(m, conv_ids)
     sub = {pid: files for pid, files in m.partitions.items() if int(pid) in parts}
     if not any(sub.values()):
         from ..schema import TRANSCRIPT_SCHEMA

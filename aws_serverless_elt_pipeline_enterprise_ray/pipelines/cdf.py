@@ -40,16 +40,20 @@ def table_changes(
     (default CURRENT): columns = change_op + the table columns (payload
     is the NEW state for 'U', nulls for 'D')."""
     store = ManifestStore(lake_dir)
-    ma, mb = store.load(from_version), store.load(to_version)
-    assert ma is not None and mb is not None, "both versions must exist"
+    # from_version 0 = "before the first commit": an empty snapshot, so
+    # the feed is the initial full snapshot as upserts
+    ma = store.load(from_version) if from_version > 0 else None
+    mb = store.load(to_version)
+    assert mb is not None, "target version must exist"
     nb = num_buckets or _buckets_for_cluster()
 
+    a_parts = ma.partitions if ma is not None else {}
     changed = [
         pid
-        for pid in set(ma.partitions) | set(mb.partitions)
-        if ma.partitions.get(pid) != mb.partitions.get(pid)
+        for pid in set(a_parts) | set(mb.partitions)
+        if a_parts.get(pid) != mb.partitions.get(pid)
     ]
-    sub_a = {p: ma.partitions[p] for p in changed if ma.partitions.get(p)}
+    sub_a = {p: a_parts[p] for p in changed if a_parts.get(p)}
     sub_b = {p: mb.partitions[p] for p in changed if mb.partitions.get(p)}
 
     def tag(side: str):
@@ -73,7 +77,16 @@ def table_changes(
                 tag("b"), batch_format="pandas"
             )
         )
-    assert parts, "no changed partitions"
+    if not parts:
+        # a commit can advance the version without touching any
+        # partition (e.g. everything quarantined): an empty feed
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        cols = ["change_op", *key_cols] + [
+            n for n in TRANSCRIPT_SCHEMA.names if n not in key_cols
+        ]
+        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        return rd.from_pandas(empty)
     both = parts[0]
     for p in parts[1:]:
         both = both.union(p)

@@ -138,6 +138,11 @@ def run_dq(
         "ranges": {k: list(v) for k, v in spec.dq.ranges.items()},
     }
     changed = {str(pid) for pid in m.lineage} if only_changed else None
+    if changed is not None and not changed <= set(map(str, m.partitions)):
+        # non-partition lineage (a rebalance writes {'_rebalance': ...})
+        # means the WHOLE table was rewritten: incremental would be
+        # vacuously green, so fall back to the full check
+        changed = None
     items = [
         {"part_id": int(pid), "files": json.dumps([f["path"] for f in files])}
         for pid, files in m.partitions.items()

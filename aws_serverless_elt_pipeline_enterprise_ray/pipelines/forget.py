@@ -6,11 +6,11 @@ and applies them as a normal changelog, so the operation inherits
 exactly-once commit, idempotent resume, replay-safety and LSM/compact
 behavior for free - no second deletion code path to keep correct.
 
-Scale shape: the keys' partitions are computed from the manifest's
-partitioning (same hash + hot-key salting the writer used), so only
-O(|keys|) partitions are READ to discover the (conv_id, turn_idx)
-pairs; the apply then rewrites only those partitions. The driver
-handles key-count-sized data only.
+Scale shape: discovery rides ``cdc.read_conversations`` (the ONE
+implementation of the writer's salted partition pruning), so only
+O(|keys|) partitions are read to find the (conv_id, turn_idx) pairs;
+the apply then rewrites only those partitions. The driver handles
+key-count-sized data only.
 
 Semantics note (CDC, not amnesia): the tombstones win LWW against all
 CURRENTLY committed rows (same ts, higher seq). A *later* legitimate
@@ -32,31 +32,10 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ..schema import TableSpec, default_spec, hash_strings
+from ..schema import TableSpec, default_spec
 from ..state.manifest import ManifestStore
-from .cdc import _read_lake_partitions, apply_changes
-
-_MIX1 = np.uint64(0x9E3779B97F4A7C15)
-
-
-def partitions_for_keys(m, conv_ids: list[str]) -> set[str]:
-    """The partition ids that can hold the given conversations, under
-    the manifest's recorded partitioning (hash + hot-key salt)."""
-    p = m.partitioning
-    P = int(p["num_partitions"])
-    hot = set(p.get("hot_keys", ()))
-    salt_n = int(p.get("hot_key_salt", 8))
-    h = hash_strings(np.asarray(conv_ids, dtype=object))
-    pids: set[str] = set()
-    for cid, hv in zip(conv_ids, h):
-        if cid in hot:
-            for s in range(salt_n):
-                pids.add(str(int((hv + np.uint64(s) * _MIX1) % np.uint64(P))))
-        else:
-            pids.add(str(int(hv % np.uint64(P))))
-    return pids
+from .cdc import apply_changes, read_conversations
 
 
 def forget_keys(
@@ -74,26 +53,12 @@ def forget_keys(
     m = store.load()
     if m is None:
         return []
-    pids = partitions_for_keys(m, conv_ids)
-    subset = {pid: files for pid, files in m.partitions.items()
-              if pid in pids and files}
-    if not subset:
-        return []
 
-    ds = _read_lake_partitions(lake_dir, subset, m)
-    keys = set(conv_ids)
-
-    def grab(b: pa.Table) -> pa.Table:
-        mask = pc.is_in(b["conv_id"], value_set=pa.array(sorted(keys)))
-        f = b.filter(mask)
-        return f.select(["conv_id", "turn_idx", "ts"])
-
-    # driver sees only the forgotten keys' (conv, turn, ts) rows
-    parts = list(
-        ds.map_batches(grab, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=65536
-        )
+    ds = read_conversations(
+        lake_dir, list(conv_ids), columns=["conv_id", "turn_idx", "ts"]
     )
+    # driver sees only the forgotten keys' (conv, turn, ts) rows
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
     if not parts:
         return []
     hits = pa.concat_tables(parts)
@@ -120,7 +85,9 @@ def forget_keys(
     os.makedirs(staging, exist_ok=True)
     import pyarrow.parquet as pq
 
-    path = os.path.join(staging, f"forget-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet")
+    path = os.path.join(
+        staging, f"forget-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    )
     tmp = path + ".tmp"
     pq.write_table(deletes, tmp)
     os.replace(tmp, path)  # atomic landing, per the tailer contract

@@ -405,3 +405,56 @@ def test_tfidf_topk_prefers_rare_terms():
     assert list(d1["term"]) == ["zebra", "common"]
     assert list(d1["score"]) == [1_000_000, 500_000]
     assert list(d1["rank"]) == [1, 2]
+
+
+def test_grouped_quantiles_zero_quantile_is_group_min():
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 5 + ["b"] * 5,
+            "value": [5.0, 1.0, 3.0, 4.0, 2.0, 50.0, 10.0, 30.0, 40.0, 20.0],
+        }
+    )
+
+    def cents(b: pa.Table):
+        import pyarrow.compute as pc
+
+        return pc.cast(
+            pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    got = grouped_quantiles(
+        _ds(df, blocks=2), group_col="event_type", cents_expr=cents,
+        quantiles=(0.0, 1.0), col_names=("p0", "p100"),
+    )
+    m = {r["event_type"]: (r["p0"], r["p100"]) for _, r in got.iterrows()}
+    assert m["a"] == (100, 500)
+    assert m["b"] == (1000, 5000)
+
+
+def test_conversation_examples_null_text_matches_sql_lag_semantics():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        conversation_examples,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": ["hi", None, "ok", "done"],
+        }
+    )
+    out = (
+        conversation_examples(_ds(df, blocks=1), context_turns=3, num_buckets=2)
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    # turn 1: history exists (turn 0); target is the NULL text, not 'nan'
+    r1 = out[out.turn_idx == 1].iloc[0]
+    assert r1["context"] == "user: hi" and pd.isna(r1["target"])
+    # turn 2: immediate prev line is NULL -> SQL lag(line,1) IS NULL -> skipped
+    assert 2 not in set(out["turn_idx"])
+    # turn 3: null mid-history line skipped with NO double separator
+    r3 = out[out.turn_idx == 3].iloc[0]
+    assert r3["context"] == "user: hi\nuser: ok"

@@ -497,10 +497,12 @@ def test_forget_keys_deletes_and_prunes_partitions(tmp_path):
     import duckdb
 
     from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
-    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+        conv_partitions,
+        read_table,
+    )
     from aws_serverless_elt_pipeline_enterprise_ray.pipelines.forget import (
         forget_keys,
-        partitions_for_keys,
     )
     from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
         ManifestStore,
@@ -514,7 +516,7 @@ def test_forget_keys_deletes_and_prunes_partitions(tmp_path):
     before = read_table(lake).to_pandas()
     victims = sorted(before["conv_id"].unique())[:2]
     m = ManifestStore(lake).load()
-    pids = partitions_for_keys(m, victims)
+    pids = conv_partitions(m, victims)
     assert 0 < len(pids) < 16  # pruned read, not a scan
 
     ms = forget_keys(lake, victims, spec)
