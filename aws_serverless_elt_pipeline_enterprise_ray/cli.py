@@ -89,6 +89,15 @@ def main(argv=None) -> int:
         "commit (O(delta) read; global row_count check skipped)",
     )
 
+    cf = sub.add_parser(
+        "changes", help="change data feed between two committed versions"
+    )
+    cf.add_argument("--lake", required=True)
+    cf.add_argument("--from-version", type=int, required=True,
+                    help="0 = empty snapshot (initial full feed)")
+    cf.add_argument("--to-version", type=int, default=None)
+    cf.add_argument("--out", default=None, help="write the feed as parquet here")
+
     fg = sub.add_parser(
         "forget", help="delete all rows of the given keys (right-to-be-forgotten)"
     )
@@ -244,6 +253,15 @@ def main(argv=None) -> int:
                 purge_tombstones_auto=args.purge_tombstones_auto,
             )
             print(json.dumps({"version": m.version if m else None}))
+        elif args.cmd == "changes":
+            from .pipelines.cdf import table_changes
+
+            ds = table_changes(args.lake, args.from_version, args.to_version)
+            if args.out:
+                ds = ds.materialize()
+                ds.write_parquet(args.out)
+            n = ds.count()
+            print(json.dumps({"changes": n, "out": args.out}))
         elif args.cmd == "forget":
             from .pipelines.forget import forget_keys
 

@@ -633,3 +633,21 @@ def test_changefeed_empty_across_compaction_and_follow_loop(tmp_path):
     assert seen[0][2] > 0
     ck = json.load(open(tmp_path / "ckpt.json"))
     assert ck["version"] == stats2["to_version"]
+
+
+def test_changefeed_initial_snapshot_from_version_zero(tmp_path):
+    """from_version=0 is the empty snapshot: the feed is every visible
+    row as an upsert - the bootstrap path for a new subscriber."""
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdf import (
+        table_changes,
+    )
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=1000, n_convs=20, n_files=2, seed=13)
+    engine.apply_changes(changes, lake, engine.default_spec(num_partitions=4))
+    feed = table_changes(lake, 0).to_pandas()
+    table = read_table(lake).to_pandas()
+    assert set(feed["change_op"]) == {"U"}
+    assert len(feed) == len(table)
