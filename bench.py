@@ -108,9 +108,35 @@ def host_probe() -> dict:
     return {"host_fault_gbps": round(cold, 2), "host_dram_gbps": round(warm, 2)}
 
 
+def wait_for_healthy_host(
+    threshold_gbps: float = 0.7, max_wait_s: float = 270.0, poll_s: float = 45.0
+) -> dict:
+    """Benchmark hygiene: the hypervisor intermittently collapses
+    fresh-page faulting to ~0.05 GB/s (see BASELINE.md), halving any
+    Ray measurement. Wait (bounded) for the window to pass; proceed
+    regardless at the cap, recording both probes so a number taken
+    during degradation is labeled as such."""
+    first = host_probe()
+    probe, waited = dict(first), 0.0
+    while probe["host_fault_gbps"] < threshold_gbps and waited < max_wait_s:
+        time.sleep(poll_s)
+        waited += poll_s
+        probe = host_probe()
+    return {
+        "host_probe_initial": first,
+        "host_probe_at_start": probe,
+        "host_wait_s": round(waited, 1),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
+    # scaling subprocesses skip the wait (the parent waits ONCE)
+    if os.environ.get("BENCH_NO_WAIT"):
+        health = {"host_probe_at_start": host_probe(), "host_wait_s": 0.0}
+    else:
+        health = wait_for_healthy_host()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
@@ -198,6 +224,7 @@ def run_bench() -> dict:
         "incremental_events": inc_events,
         "incremental_events_per_sec": round(inc_events / inc_sec),
         **host_probe(),
+        **health,
     }
     ray.shutdown()
     return result
@@ -257,6 +284,7 @@ def _run_pair(lo: int, hi: int, repeat: int, trials: int) -> dict:
                 RAY_GRAFT_CPUS=str(ncpu),
                 BENCH_SKIP_QUERIES="1",
                 BENCH_REPEAT=str(repeat),
+                BENCH_NO_WAIT="1",
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -312,8 +340,9 @@ def run_scaling() -> dict:
         int(os.environ.get("BENCH_SCALE_HI", "8")),
     )
     repeat = int(os.environ.get("BENCH_SCALE_REPEAT", "1500"))
+    health = wait_for_healthy_host()  # once, for the whole protocol
     primary = _run_pair(lo, hi, repeat, trials)
-    out = {"metric": "scaling_efficiency", **primary}
+    out = {"metric": "scaling_efficiency", **primary, **health}
     if not os.environ.get("BENCH_SCALE_NO_SECONDARY"):
         out["secondary_pair"] = _run_pair(4, 16, REPEAT, trials)
     return out
