@@ -19,7 +19,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Set BEFORE Ray auto-initializes so the raylet (and every worker it
+# spawns) inherits them: stop glibc from mmap'ing/unmapping every large
+# per-batch allocation - fresh-page churn costs TLB shootdowns + page
+# zeroing, and on this sandbox's degraded hypervisor windows it alone
+# halves throughput (see bench.MALLOC_TUNING / BASELINE.md).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 
 def _ray_up(num_cpus: int | None):

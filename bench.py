@@ -33,6 +33,20 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("BENCH_REPEAT", "200"))
 SCRATCH = "/tmp/aws_serverless_elt_pipeline_enterprise_ray_bench"
 
+#: glibc returns >128KB allocations straight to mmap and unmaps on
+#: free, so every large per-batch array faults FRESH zero pages - on a
+#: host whose fault path is degraded (BASELINE.md: hypervisor windows
+#: at ~0.05 GB/s vs ~2+ healthy) that alone halves engine throughput.
+#: Raising the thresholds makes worker heaps REUSE warm pages: measured
+#: 13.6-18.5s -> 7.3s for the 18M-event apply during such a window
+#: (identical to the healthy-window number). Real-cluster relevance:
+#: mmap/munmap churn also costs TLB shootdowns + zeroing everywhere.
+MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+}
+os.environ.update(MALLOC_TUNING)
+
 
 def prepare_changelog() -> tuple[str, int]:
     """Derive a deterministic change stream from the events table,
@@ -109,9 +123,10 @@ def host_probe() -> dict:
 
 
 def wait_for_healthy_host(
-    threshold_gbps: float = 0.7, max_wait_s: float = 270.0, poll_s: float = 45.0
+    threshold_gbps: float = 0.7, max_wait_s: float = 90.0, poll_s: float = 45.0
 ) -> dict:
-    """Benchmark hygiene: the hypervisor intermittently collapses
+    """Benchmark hygiene (belt-and-braces now that MALLOC_TUNING makes
+    the engine largely immune): the hypervisor intermittently collapses
     fresh-page faulting to ~0.05 GB/s (see BASELINE.md), halving any
     Ray measurement. Wait (bounded) for the window to pass; proceed
     regardless at the cap, recording both probes so a number taken
@@ -139,7 +154,8 @@ def run_bench() -> dict:
         health = wait_for_healthy_host()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 runtime_env={"env_vars": MALLOC_TUNING})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
