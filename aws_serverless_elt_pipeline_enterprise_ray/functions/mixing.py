@@ -10,6 +10,11 @@ concatenation - the mixture streams at full read bandwidth.
 The fraction is enforced per id-hash, so re-running with a larger
 fraction yields a SUPERSET of the earlier sample (nested samples -
 useful for scaling-law subsets of one fixed corpus).
+
+Reference parity: beyond-reference training-data operator (the
+reference's record_type routing, lambdas/shared/schemas.py:25-38,
+splits one stream into tables; mixing is the inverse - composing
+tables into one weighted training stream).
 """
 
 from __future__ import annotations

@@ -14,6 +14,11 @@ multiplicative key hash: splits are stable across runs and machines,
 assignment is per-KEY (every turn of a conversation lands in the same
 split — no train/test leakage within a conversation), and the op is a
 pure per-batch map (no shuffle).
+
+Reference parity: beyond-reference training-data operators (the
+reference stops at silver Parquet, lambdas/transform/app.py:93-116;
+these are the silver -> training-corpus steps its consumers would
+build downstream).
 """
 
 from __future__ import annotations

@@ -7,6 +7,12 @@ in v_from, gone in v_to). This is the lakehouse CDF surface an
 incremental downstream consumer needs (the read-side complement of the
 ingest path's change stream).
 
+Reference parity: the reference's downstream consumers re-read whole
+silver partitions via Athena (Instructions.md:122-131) - there is no
+incremental read surface; partition-ready SNS events
+(lambdas/transform/app.py:117-131) only say WHICH partition changed,
+not WHAT. table_changes supplies the missing what.
+
 Scale shape: copy-on-write makes pruning exact - a partition whose
 file list is identical in both manifests cannot contain a change, so
 only differing partitions are read, from BOTH snapshots, in one
