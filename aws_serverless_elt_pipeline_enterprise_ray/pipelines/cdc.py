@@ -76,7 +76,12 @@ class _NormalizeAssign:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = normalize_batch(batch, self.spec)
         out = assign_part_id(
-            out, self.spec.num_partitions, self.hot, self.spec.hot_key_salt
+            out,
+            self.spec.num_partitions,
+            self.hot,
+            self.spec.hot_key_salt,
+            key_col=self.spec.key_cols[0],
+            salt_col=self.spec.key_cols[1] if len(self.spec.key_cols) > 1 else None,
         )
         if self.combine and len(out):
             good_mask = pc.is_null(out["_bad"])
@@ -431,8 +436,9 @@ def _sample_hot_keys(
     """Cheap driver-side hot-key probe: read the conv_id column of the
     first pending file and flag keys above ``threshold`` frequency
     (SURVEY §4 skew row). At scale this would sample row groups."""
-    tbl = pq.read_table(files[0], columns=["conv_id"])
-    counts = pc.value_counts(tbl["conv_id"].combine_chunks())
+    key = spec.key_cols[0]
+    tbl = pq.read_table(files[0], columns=[key])
+    counts = pc.value_counts(tbl[key].combine_chunks())
     n = len(tbl)
     hot = [
         d["values"]

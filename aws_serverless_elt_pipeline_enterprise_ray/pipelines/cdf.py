@@ -85,11 +85,14 @@ def table_changes(
         )
     if not parts:
         # a commit can advance the version without touching any
-        # partition (e.g. everything quarantined): an empty feed
-        from ..schema import TRANSCRIPT_SCHEMA
+        # partition (e.g. everything quarantined): an empty feed, with
+        # the TARGET lake's schema (not the transcript default - this
+        # surface also serves routed per-type lakes and the dedup
+        # index)
+        from ..state.manifest import manifest_payload_schema
 
         cols = ["change_op", *key_cols] + [
-            n for n in TRANSCRIPT_SCHEMA.names if n not in key_cols
+            n for n in manifest_payload_schema(mb).names if n not in key_cols
         ]
         empty = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         return rd.from_pandas(empty)

@@ -543,6 +543,57 @@ def q_dedup_exact(sf_dir: str):
     return out.sort("doc_id").to_pandas()
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Streaming corpus dedup: two ingest batches applied in sequence
+    against a dedup-index lake (CDC first-writer-wins upsert + change
+    feed); the union of the per-batch survivor feeds must equal global
+    keep-first-by-doc_id - exactly the batch-split-invariance that
+    makes the operator safe to run incrementally at 100 TB."""
+    import shutil
+    import tempfile
+
+    from .dedup_index import ingest_unique
+
+    base = _documents(sf_dir, ["doc_id", "text"])
+    mid = int(base.max("doc_id")) // 2
+
+    def first_half(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["doc_id"], mid))
+
+    def second_half(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["doc_id"], mid))
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {"doc_id": pc.add(f["doc_id"], 1_000_000), "text": f["text"]}
+        )
+
+    batch_a = base.map_batches(first_half, batch_format="pyarrow")
+    batch_b = base.map_batches(second_half, batch_format="pyarrow").union(
+        base.map_batches(copies, batch_format="pyarrow")
+    )
+
+    idx = tempfile.mkdtemp(prefix="dedup_index_", dir="/tmp")
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        s_a = ingest_unique(
+            batch_a, idx, batch_label="batch-a", num_partitions=32,
+            now="2026-01-01T00:00:00Z",
+        )
+        pa_df = s_a.select_columns(["doc_id", "text_hash"]).to_pandas()
+        s_b = ingest_unique(
+            batch_b, idx, batch_label="batch-b", num_partitions=32,
+            now="2026-01-01T00:01:00Z",
+        )
+        pb_df = s_b.select_columns(["doc_id", "text_hash"]).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    out = pd.concat([pa_df, pb_df], ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_token_count(sf_dir: str):
     from ..functions.text import TokenCounter
 
@@ -1300,6 +1351,7 @@ QUERIES = {
     "cdc_rebalance": q_cdc_rebalance,
     "cdc_catalog_sql": q_cdc_catalog_sql,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1450,6 +1502,18 @@ ORACLES = {
         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       )
       SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text ORDER BY doc_id
+    """,
+    "dedup_incremental": """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      ), ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM corpus WHERE text IS NOT NULL
+      )
+      SELECT doc_id, md5(text) AS text_hash FROM ranked WHERE rn = 1 ORDER BY doc_id
     """,
     "token_count": """
       SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens

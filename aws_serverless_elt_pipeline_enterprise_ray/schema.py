@@ -298,20 +298,24 @@ def assign_part_id(
     num_partitions: int,
     hot_keys: frozenset[str] | None = None,
     hot_key_salt: int = 8,
+    key_col: str = "conv_id",
+    salt_col: str | None = "turn_idx",
 ) -> pa.Table:
-    """Append ``part_id = hash(conv_id) % P`` (A1 analogue: the lake
-    partitioning key). Hot conv_ids are salted across ``hot_key_salt``
-    sub-partitions using ``turn_idx % salt`` so a hot conversation fans
+    """Append ``part_id = hash(key_col) % P`` (A1 analogue: the lake
+    partitioning key). Hot keys are salted across ``hot_key_salt``
+    sub-partitions using ``salt_col % salt`` so a hot conversation fans
     out across workers while each (conv_id, turn_idx) key still maps to
     exactly one partition - the LWW-correctness requirement called out
-    in SURVEY §4."""
-    h = hash_strings(batch["conv_id"])
+    in SURVEY §4. Single-column keys (``salt_col=None``, e.g. the
+    dedup-index lake keyed on a content hash) skip salting: a uniform
+    hash key has no hot keys by construction."""
+    h = hash_strings(batch[key_col])
     part = (h % np.uint64(num_partitions)).astype(np.int32)
-    if hot_keys:
-        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    if hot_keys and salt_col is not None:
+        conv = batch[key_col].to_numpy(zero_copy_only=False)
         hot_mask = np.isin(conv, list(hot_keys))
         if hot_mask.any():
-            turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+            turn = batch[salt_col].to_numpy(zero_copy_only=False)
             salt = (turn.astype(np.int64) % hot_key_salt).astype(np.uint64)
             salted = ((h + salt * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)).astype(np.int32)
             part = np.where(hot_mask, salted, part)
