@@ -541,6 +541,29 @@ def read_conversations(
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
     parts = conv_partitions(m, conv_ids)
     sub = {pid: files for pid, files in m.partitions.items() if int(pid) in parts}
+    # second pruning level: per-FILE zone maps (min/max key recorded at
+    # write time; chunks are key-sorted, so ranges are tight). A point
+    # lookup in a partition of many multi-million-row files reads only
+    # the file(s) whose key range can contain the key. Files without a
+    # recorded range (older manifests, non-string keys) are always
+    # read; a pruned file contains NO rows (data or tombstone) for the
+    # requested keys, so dropping it cannot change the LWW merge.
+    import bisect
+
+    wanted_sorted = sorted(set(conv_ids))
+
+    def may_contain(f: dict) -> bool:
+        kmin, kmax = f.get("key_min"), f.get("key_max")
+        if kmin is None or kmax is None:
+            return True
+        i = bisect.bisect_left(wanted_sorted, kmin)
+        return i < len(wanted_sorted) and wanted_sorted[i] <= kmax
+
+    sub = {
+        pid: kept
+        for pid, files in sub.items()
+        if (kept := [f for f in files if may_contain(f)])
+    }
     if not any(sub.values()):
         from ..schema import TRANSCRIPT_SCHEMA
 

@@ -90,16 +90,14 @@ class _Compactor:
             part_dir = os.path.join(self.lake_dir, "data", f"part={pid:05d}")
             os.makedirs(part_dir, exist_ok=True)
             files = []
+            from ..stages.merge import file_entry
+
             for lo in range(0, max(len(tbl), 1), self.target):
                 chunk = tbl.slice(lo, self.target)
                 path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
                 pq.write_table(chunk, path, compression="snappy")
                 files.append(
-                    {
-                        "path": os.path.relpath(path, self.lake_dir),
-                        "rows": len(chunk),
-                        "bytes": os.path.getsize(path),
-                    }
+                    file_entry(self.lake_dir, path, chunk, self.key_cols[0])
                 )
             out_pid.append(pid)
             out_files.append(json.dumps(files))

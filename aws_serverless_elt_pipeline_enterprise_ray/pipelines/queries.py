@@ -139,6 +139,21 @@ def q_cdc_apply_full(sf_dir: str):
     return _final_df(lake)
 
 
+def q_cdc_point_lookup(sf_dir: str):
+    """Pruned point lookup: hash-partition pruning (conv_partitions)
+    plus file-level zone-map pruning inside each partition - the read
+    path a key lookup takes on a 100-TB lake. Small files force many
+    zone-mapped chunks per partition so the second pruning level does
+    real work."""
+    from .cdc import apply_changes, read_conversations
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    targets = ["conv_3", "conv_7", "conv_11"]
+    df = read_conversations(lake, targets).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def q_cdc_apply_chunked_resume(sf_dir: str):
     """Micro-batched commits + resume: apply a prefix, then resume over
     the full directory (checkpoint skips applied files). Must equal the
@@ -1333,6 +1348,7 @@ def q_value_quantiles_by_type(sf_dir: str):
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
     "cdc_normalize": q_cdc_normalize,
@@ -1396,6 +1412,11 @@ _LANG_SQL_CASES = """
 ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_point_lookup": f"""
+      SELECT * FROM ({FINAL_SQL})
+      WHERE conv_id IN ('conv_3', 'conv_7', 'conv_11')
+      ORDER BY conv_id, turn_idx
+    """,
     "cdc_apply_delta_lsm": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_replay_idempotent": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_normalize": f"WITH ch AS ({CH_SQL}) SELECT op, seq, conv_id, turn_idx, role, text, tool, ts FROM ch ORDER BY seq",

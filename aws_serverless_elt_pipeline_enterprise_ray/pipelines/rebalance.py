@@ -61,14 +61,13 @@ class _PartitionWriter:
         part_dir = os.path.join(self.lake_dir, "data", f"part={part_id:05d}")
         os.makedirs(part_dir, exist_ok=True)
         files = []
+        from ..stages.merge import file_entry
+
         for lo in range(0, len(tbl), self.max_rows_per_file):
             chunk = tbl.slice(lo, self.max_rows_per_file)
             path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
             pq.write_table(chunk, path, compression="snappy")
-            files.append(
-                {"path": os.path.relpath(path, self.lake_dir),
-                 "rows": len(chunk), "bytes": os.path.getsize(path)}
-            )
+            files.append(file_entry(self.lake_dir, path, chunk, self.key_cols[0]))
         return pa.table(
             {"part_id": pa.array([part_id], pa.int32()),
              "files": pa.array([json.dumps(files)], pa.string())}

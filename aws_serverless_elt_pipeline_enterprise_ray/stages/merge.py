@@ -55,6 +55,35 @@ MERGE_RESULT_SCHEMA = pa.schema(
 )
 
 
+def file_entry(lake_dir: str, path: str, chunk: pa.Table, key_col: str | None) -> dict:
+    """Manifest file entry for one written chunk, with a zone map: the
+    min/max of the leading key column (chunks are key-sorted by every
+    writer, so ranges are tight). Point lookups prune FILES inside a
+    partition by these ranges - at 100 TB a partition holds many
+    multi-million-row files and a key lookup should read one of them,
+    not all (the file-level analogue of Iceberg/Delta column stats).
+    Recorded only for string keys (lexicographic compare is then
+    byte-identical between writer and reader); older manifests without
+    the fields are always read."""
+    entry = {
+        "path": os.path.relpath(path, lake_dir),
+        "rows": len(chunk),
+        "bytes": os.path.getsize(path),
+    }
+    if (
+        key_col is not None
+        and len(chunk)
+        and key_col in chunk.column_names
+        and pa.types.is_string(chunk.schema.field(key_col).type)
+    ):
+        mm = pc.min_max(chunk[key_col])
+        kmin, kmax = mm["min"].as_py(), mm["max"].as_py()
+        if kmin is not None:
+            entry["key_min"] = kmin
+            entry["key_max"] = kmax
+    return entry
+
+
 def conform_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
     """Project ``tbl`` onto ``schema``: missing columns null-filled,
     extra columns dropped, types cast. This is the read-side half of
@@ -136,13 +165,7 @@ class PartitionMerger:
             name = f"f-{uuid.uuid4().hex}.parquet"
             path = os.path.join(part_dir, name)
             pq.write_table(chunk, path, compression="snappy")
-            files.append(
-                {
-                    "path": os.path.relpath(path, self.lake_dir),
-                    "rows": len(chunk),
-                    "bytes": os.path.getsize(path),
-                }
-            )
+            files.append(file_entry(self.lake_dir, path, chunk, self.key_cols[0]))
         return files
 
     def _write_quarantine(self, part_id: int, tbl: pa.Table) -> list[dict]:

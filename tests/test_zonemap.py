@@ -1,0 +1,118 @@
+"""File-level zone maps: min/max key recorded per written chunk and
+used by read_conversations to prune files WITHIN a partition."""
+
+import pandas as pd
+import pyarrow as pa
+
+from aws_serverless_elt_pipeline_enterprise_ray import (
+    apply_changes,
+    default_spec,
+    read_table,
+)
+from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+    read_conversations,
+)
+from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+
+def _write_changes(path, n_convs=40, turns=6):
+    rows = []
+    seq = 0
+    for c in range(n_convs):
+        for t in range(turns):
+            rows.append(
+                {
+                    "op": "I",
+                    "seq": seq,
+                    "conv_id": f"conv_{c:04d}",
+                    "turn_idx": t,
+                    "role": "user",
+                    "text": f"t{c}-{t}",
+                    "tool": None,
+                    "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+                }
+            )
+            seq += 1
+    pd.DataFrame(rows).to_parquet(path)
+
+
+def test_zone_maps_recorded_and_pruning_exact(tmp_path):
+    ch = tmp_path / "ch"
+    ch.mkdir()
+    _write_changes(str(ch / "c1.parquet"))
+    lake = str(tmp_path / "lake")
+    # 2 partitions x tiny files -> many key-ranged files per partition
+    apply_changes(
+        str(ch), lake, default_spec(num_partitions=2), max_rows_per_file=30
+    )
+
+    m = ManifestStore(lake).load()
+    all_files = [f for fs in m.partitions.values() for f in fs]
+    assert len(all_files) >= 6
+    assert all("key_min" in f and "key_max" in f for f in all_files)
+    assert all(f["key_min"] <= f["key_max"] for f in all_files)
+
+    target = "conv_0007"
+    got = read_conversations(lake, [target]).to_pandas()
+    want = read_table(lake).to_pandas()
+    want = want[want["conv_id"] == target]
+    pd.testing.assert_frame_equal(
+        got.sort_values("turn_idx").reset_index(drop=True),
+        want.sort_values("turn_idx").reset_index(drop=True),
+    )
+    # the zone maps must actually exclude files: at least one file in
+    # the target's own partition cannot contain the key
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+        conv_partitions,
+    )
+
+    (pid,) = conv_partitions(m, [target])
+    part_files = m.partitions[str(pid)]
+    prunable = [
+        f for f in part_files if f["key_max"] < target or f["key_min"] > target
+    ]
+    assert prunable, "expected at least one file prunable by key range"
+
+
+def test_pruned_lookup_sees_lsm_deltas(tmp_path):
+    """A delta run carrying an update/delete for the key must survive
+    pruning (its range includes the key)."""
+    ch1, ch2 = tmp_path / "ch1", tmp_path / "ch2"
+    ch1.mkdir(), ch2.mkdir()
+    _write_changes(str(ch1 / "c1.parquet"), n_convs=40)
+    lake = str(tmp_path / "lake")
+    spec = default_spec(num_partitions=2)
+    apply_changes(str(ch1), lake, spec, max_rows_per_file=30)
+
+    # small second batch -> delta-append path: update one turn, delete another
+    pd.DataFrame(
+        [
+            {
+                "op": "U",
+                "seq": 10_000,
+                "conv_id": "conv_0007",
+                "turn_idx": 0,
+                "role": "user",
+                "text": "EDITED",
+                "tool": None,
+                "ts": pd.Timestamp("2026-02-01"),
+            },
+            {
+                "op": "D",
+                "seq": 10_001,
+                "conv_id": "conv_0007",
+                "turn_idx": 1,
+                "role": None,
+                "text": None,
+                "tool": None,
+                "ts": pd.Timestamp("2026-02-01"),
+            },
+        ]
+    ).to_parquet(str(ch2 / "c2.parquet"))
+    m = apply_changes(str(ch2), lake, spec, max_rows_per_file=30)[-1]
+    assert m.metrics.get("delta_appends", 0) >= 1  # really took the LSM path
+
+    got = read_conversations(lake, ["conv_0007"]).to_pandas()
+    got = got.sort_values("turn_idx").reset_index(drop=True)
+    assert list(got["turn_idx"]) == [0, 2, 3, 4, 5]  # turn 1 deleted
+    assert got.loc[0, "text"] == "EDITED"
