@@ -154,6 +154,35 @@ def q_cdc_point_lookup(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_incremental_rollup(sf_dir: str):
+    """Incremental materialized view: a per-conversation aggregate lake
+    maintained from the change data feed across two source commits -
+    CDF names the touched conversations, the pruned point-read path
+    re-aggregates only those, and the result is applied to the rollup
+    lake as an ordinary CDC upsert. Must equal a from-scratch rollup of
+    the final state (the oracle)."""
+    from .cdc import apply_changes
+    from .matview import read_rollup, refresh_rollup
+
+    changes, lake = _write_changelog(sf_dir, n_files=4), _scratch("lake")
+    rollup = _scratch("rollup")
+    files = sorted(
+        os.path.join(changes, f)
+        for f in os.listdir(changes)
+        if f.endswith(".parquet")
+    )
+    spec = _spec(sf_dir)
+    apply_changes(files[:2], lake, spec)
+    refresh_rollup(lake, rollup, user_role="click")
+    apply_changes(files[2:], lake, spec)
+    refresh_rollup(lake, rollup, user_role="click")
+    df = read_rollup(
+        rollup,
+        columns=["conv_id", "n_turns", "n_user_turns", "n_chars", "last_ts"],
+    ).to_pandas()
+    return df.sort_values("conv_id").reset_index(drop=True)
+
+
 def q_cdc_apply_chunked_resume(sf_dir: str):
     """Micro-batched commits + resume: apply a prefix, then resume over
     the full directory (checkpoint skips applied files). Must equal the
@@ -1349,6 +1378,7 @@ QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
     "cdc_normalize": q_cdc_normalize,
@@ -1416,6 +1446,16 @@ ORACLES = {
       SELECT * FROM ({FINAL_SQL})
       WHERE conv_id IN ('conv_3', 'conv_7', 'conv_11')
       ORDER BY conv_id, turn_idx
+    """,
+    "cdc_incremental_rollup": f"""
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(count(*) FILTER (WHERE role = 'click') AS BIGINT)
+               AS n_user_turns,
+             CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+             max(ts) AS last_ts
+      FROM ({FINAL_SQL})
+      GROUP BY conv_id ORDER BY conv_id
     """,
     "cdc_apply_delta_lsm": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_replay_idempotent": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
