@@ -748,6 +748,31 @@ def q_ngram_jaccard(sf_dir: str):
     return ds.sort("doc_id").to_pandas()
 
 
+def q_contamination_check(sf_dir: str):
+    """Benchmark decontamination: every 20th document plays the held-out
+    benchmark; all other documents are scored by how many distinct
+    word-3-gram shingles they share with it (broadcast bench shingle
+    set, streaming corpus scan - no shuffle)."""
+    from ..functions.contamination import contamination_check
+
+    def keep(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(pred(did)))
+
+        return fn
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(
+        keep(lambda d: d % 20 == 0), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        keep(lambda d: d % 20 != 0), batch_format="pyarrow"
+    )
+    out = contamination_check(corpus, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # similarity search: embeddings
 # ---------------------------------------------------------------------------
@@ -1405,6 +1430,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
+    "contamination_check": q_contamination_check,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1706,6 +1732,26 @@ ORACLES = {
                          / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE))
                         * 1000000.0) AS BIGINT) AS jaccard_micro
       FROM g ORDER BY doc_id
+    """,
+    # contamination_check: same word-3-gram shingle construction as the
+    # ngram_jaccard oracle; the bench set is the distinct shingles of
+    # every 20th doc, and each other doc counts its shingles in it.
+    "contamination_check": r"""
+      WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wa FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(wa) < 3 THEN [array_to_string(wa, ' ')]
+               ELSE list_distinct(list_transform(range(1, len(wa) - 1),
+                    i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) END AS ga
+        FROM w),
+      bl AS (
+        SELECT list(DISTINCT s.sh) AS bs
+        FROM g, unnest(g.ga) AS s(sh) WHERE g.doc_id % 20 = 0)
+      SELECT doc_id,
+             CAST(len(list_intersect(ga, bs)) AS BIGINT)
+               AS n_bench_shingles
+      FROM g CROSS JOIN bl WHERE doc_id % 20 <> 0 ORDER BY doc_id
     """,
     # ann_ivf_topk probes nprobe=nlist lists here, i.e. the probe filter
     # admits every vector - the result is exact and shares the

@@ -366,3 +366,54 @@ def test_pii_redactor_and_cleaner():
     assert "1234.5.6.7" in red.loc[1, "text_redacted"]
     cl = TextCleaner()(df.copy())
     assert cl.loc[2, "text_clean"] == "lots of whitespace here"
+
+
+def test_contamination_check_planted():
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.contamination import (
+        benchmark_shingle_set,
+        contamination_check,
+        word_shingles,
+    )
+
+    bench = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "tiny doc",
+                ],
+            }
+        )
+    )
+    corpus = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    # copies a bench sentence fragment: shares shingles
+                    "someone said the quick brown fox jumps today",
+                    # disjoint vocabulary: zero shared shingles
+                    "completely unrelated words appear in this sentence",
+                    # short doc (<3 words) identical to short bench doc
+                    "tiny doc",
+                ],
+            }
+        )
+    )
+    got = (
+        contamination_check(corpus, bench, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "the quick brown" / "quick brown fox" / "brown fox jumps" overlap
+    assert got.loc[0, "n_bench_shingles"] == 3
+    assert got.loc[1, "n_bench_shingles"] == 0
+    assert got.loc[2, "n_bench_shingles"] == 1  # whole-text shingle
+    # set construction dedups across bench docs
+    s = benchmark_shingle_set(bench)
+    assert "tiny doc" in s and "the quick brown" in s
+    assert word_shingles("a b", 3) == {"a b"}
