@@ -19,7 +19,7 @@ from .schema import (
     TableSpec,
     default_spec,
 )
-from .pipelines.cdc import apply_changes, read_table
+from .pipelines.cdc import apply_changes, apply_dataset, read_table
 from .state.manifest import Manifest, ManifestStore
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "TableSpec",
     "default_spec",
     "apply_changes",
+    "apply_dataset",
     "read_table",
     "Manifest",
     "ManifestStore",

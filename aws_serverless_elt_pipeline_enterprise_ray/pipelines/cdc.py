@@ -490,6 +490,26 @@ def _compact_checkpoint(
     return sorted(pool), wms
 
 
+def apply_dataset(
+    events,
+    lake_dir: str,
+    spec: TableSpec | None = None,
+    *,
+    label: str,
+    **apply_kwargs,
+) -> list[Manifest]:
+    """MERGE INTO from an in-memory or streamed change batch: stage the
+    batch (Dataset / pandas / Arrow of CDC envelope rows) atomically
+    under ``<lake>/_ingest/<label>/`` and run the ordinary exactly-once
+    apply. ``label`` names the logical batch; replaying the same label
+    reuses the staged files and the apply is a no-op - the producer
+    half of exactly-once for derived change streams."""
+    from ..sources.changelog import stage_changes
+
+    files = stage_changes(events, os.path.join(lake_dir, "_ingest", label))
+    return apply_changes(files, lake_dir, spec, **apply_kwargs)
+
+
 # ---------------------------------------------------------------------------
 # Reading the committed table
 # ---------------------------------------------------------------------------

@@ -136,32 +136,14 @@ def ingest_unique(
         )
     spec = dedup_index_spec(doc_schema, num_partitions=num_partitions)
 
-    stage_dir = os.path.join(index_dir, "_ingest", batch_label)
-    marker = os.path.join(stage_dir, "_STAGED")
-    if not os.path.exists(marker):
-        events = docs.map_batches(
-            _hash_and_envelope,
-            batch_format="pandas",
-            fn_kwargs={"text_col": text_col, "id_col": id_col},
-        )
-        tmp = stage_dir + ".tmp"
-        import shutil
+    from ..sources.changelog import stage_changes
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        events.write_parquet(tmp)
-        # one atomic visibility point for the staged batch (same
-        # pattern as the manifest commit: readers only ever see a
-        # complete batch directory)
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        os.replace(tmp, stage_dir)
-        with open(marker, "w") as f:
-            f.write(batch_label)
-
-    files = sorted(
-        os.path.join(stage_dir, f)
-        for f in os.listdir(stage_dir)
-        if f.endswith(".parquet")
+    events = docs.map_batches(
+        _hash_and_envelope,
+        batch_format="pandas",
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
     )
+    files = stage_changes(events, os.path.join(index_dir, "_ingest", batch_label))
 
     store = ManifestStore(index_dir)
     before = store.load()

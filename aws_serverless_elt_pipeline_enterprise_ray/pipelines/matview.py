@@ -48,13 +48,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 from ..schema import TS_TYPE, DQRules, TableSpec, default_spec
+from ..sources.changelog import list_changelog_files, stage_changes
 from ..state.manifest import ManifestStore, _atomic_write
 from .cdc import apply_changes, read_conversations
 from .cdf import table_changes
@@ -220,29 +220,17 @@ def refresh_rollup(
         agg["seq"] = range(len(agg))
         agg["ts"] = ts
 
-        tmp = stage_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
         tbl = pa.Table.from_pandas(agg, preserve_index=False)
         tbl = tbl.set_column(
             tbl.column_names.index("ts"), "ts", tbl["ts"].cast(TS_TYPE)
-        ).replace_schema_metadata(None)
-        import pyarrow.parquet as pq
-
-        pq.write_table(tbl, os.path.join(tmp, "refresh.parquet"))
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        os.replace(tmp, stage_dir)
-        with open(marker, "w") as f:
-            f.write(f"{last}-{cur}")
+        )
+        stage_changes(tbl, stage_dir)
 
     committed = []
     if affected:
-        files = sorted(
-            os.path.join(stage_dir, f)
-            for f in os.listdir(stage_dir)
-            if f.endswith(".parquet")
+        committed = apply_changes(
+            list_changelog_files(stage_dir), rollup_dir, spec, **apply_kwargs
         )
-        committed = apply_changes(files, rollup_dir, spec, **apply_kwargs)
 
     # 4. advance the consumer checkpoint only after the apply committed
     # (crash before this line => same range re-derived, staged files

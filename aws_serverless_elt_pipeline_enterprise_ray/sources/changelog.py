@@ -115,3 +115,41 @@ def read_changelog_jsonl(files: list[str]) -> rd.Dataset:
         return [obj] if isinstance(obj, dict) else []
 
     return rd.read_text(files).flat_map(parse)
+
+
+def stage_changes(events, stage_dir: str) -> list[str]:
+    """Write a change batch (``ray.data.Dataset``, pandas DataFrame or
+    Arrow Table of CDC envelope rows) as an ATOMIC staged changelog
+    directory, idempotently: the batch lands under ``stage_dir + .tmp``
+    and becomes visible with one ``os.replace``; a ``_STAGED`` marker
+    makes replays reuse the exact same files instead of re-deriving
+    them. Returns the sorted staged file paths.
+
+    This is the producer half of exactly-once ingest for DERIVED change
+    streams (dedup-index inserts, materialized-view refreshes, redrive
+    batches): same label/dir on retry → byte-identical staged files →
+    the apply-side checkpoint turns the replay into a no-op.
+    """
+    import shutil
+
+    import pandas as pd
+
+    marker = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(marker):
+        tmp = stage_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if isinstance(events, pd.DataFrame):
+            events = pa.Table.from_pandas(events, preserve_index=False)
+        if isinstance(events, pa.Table):
+            os.makedirs(tmp)
+            pq.write_table(
+                events.replace_schema_metadata(None),
+                os.path.join(tmp, "changes-000000.parquet"),
+            )
+        else:  # ray.data.Dataset
+            events.write_parquet(tmp)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.replace(tmp, stage_dir)
+        with open(marker, "w") as f:
+            f.write("staged")
+    return list_changelog_files(stage_dir)

@@ -172,3 +172,35 @@ def test_read_conversations_partition_pruned(tmp_path):
     assert got.equals(exp)
     # and a missing conversation returns empty, not an error
     assert len(read_conversations(lake, ["conv_nope"]).to_pandas()) == 0
+
+
+def test_apply_dataset_merge_into(tmp_path):
+    """apply_dataset: MERGE INTO from an in-memory change batch, with
+    label-level exactly-once (same label replay is a no-op)."""
+    import pandas as pd
+
+    from aws_serverless_elt_pipeline_enterprise_ray import (
+        apply_dataset,
+        default_spec,
+        read_table,
+    )
+
+    lake = str(tmp_path / "lake")
+    batch = pd.DataFrame(
+        [
+            {"op": "I", "seq": i, "conv_id": f"c{i % 2}", "turn_idx": i,
+             "role": "user", "text": f"t{i}", "tool": None,
+             "ts": pd.Timestamp("2026-01-01")}
+            for i in range(6)
+        ]
+    )
+    ms = apply_dataset(batch, lake, default_spec(num_partitions=4), label="b1")
+    assert len(ms) == 1 and read_table(lake).count() == 6
+    # replay same label: staged files reused, apply is a no-op
+    assert apply_dataset(batch, lake, label="b1") == []
+    # a second batch with a new label upserts normally
+    batch2 = batch.assign(seq=batch.seq + 10, text="EDITED",
+                          ts=pd.Timestamp("2026-02-01"))
+    apply_dataset(batch2, lake, label="b2")
+    df = read_table(lake).to_pandas()
+    assert len(df) == 6 and set(df["text"]) == {"EDITED"}
