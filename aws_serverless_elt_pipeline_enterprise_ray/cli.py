@@ -145,6 +145,14 @@ def main(argv=None) -> int:
     rt.add_argument("--type-col", default="record_type")
     rt.add_argument("--partitions", type=int, default=64)
 
+    ex = sub.add_parser(
+        "export", help="resumable plain-Parquet snapshot export of a committed version"
+    )
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--version", type=int, default=None)
+    ex.add_argument("--max-rows-per-file", type=int, default=2_000_000)
+
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
     )
@@ -271,6 +279,16 @@ def main(argv=None) -> int:
                 ds.write_parquet(args.out)
             n = ds.count()
             print(json.dumps({"changes": n, "out": args.out}))
+        elif args.cmd == "export":
+            from .pipelines.export import export_snapshot
+
+            res = export_snapshot(
+                args.lake,
+                args.out,
+                version=args.version,
+                max_rows_per_file=args.max_rows_per_file,
+            )
+            print(json.dumps(res))
         elif args.cmd == "forget":
             from .pipelines.forget import forget_keys
 
