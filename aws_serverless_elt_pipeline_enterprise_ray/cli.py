@@ -128,6 +128,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("show", help="manifest / checkpoint status")
     s.add_argument("--lake", required=True)
 
+    st = sub.add_parser(
+        "stats", help="skew / LSM-depth / small-file report from the manifest (no data read)"
+    )
+    st.add_argument("--lake", required=True)
+    st.add_argument("--version", type=int, default=None)
+
     rb = sub.add_parser(
         "rebalance", help="migrate lake to new partitioning (P / hot keys / salt)"
     )
@@ -204,6 +210,12 @@ def main(argv=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "stats":
+        from .pipelines.stats import lake_stats
+
+        print(json.dumps(lake_stats(args.lake, args.version)))
         return 0
 
     if args.cmd == "gc":

@@ -204,3 +204,38 @@ def test_apply_dataset_merge_into(tmp_path):
     apply_dataset(batch2, lake, label="b2")
     df = read_table(lake).to_pandas()
     assert len(df) == 6 and set(df["text"]) == {"EDITED"}
+
+
+def test_lake_stats_report(tmp_path):
+    """stats: skew / LSM-depth / zone-map coverage from the manifest
+    only (no data read, no Ray execution)."""
+    import pandas as pd
+
+    from aws_serverless_elt_pipeline_enterprise_ray import (
+        apply_dataset,
+        default_spec,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.stats import (
+        lake_stats,
+    )
+
+    lake = str(tmp_path / "lake")
+    batch = pd.DataFrame(
+        [
+            {"op": "I", "seq": i, "conv_id": f"c{i % 7}", "turn_idx": i,
+             "role": "user", "text": "x" * 50, "tool": None,
+             "ts": pd.Timestamp("2026-01-01")}
+            for i in range(200)
+        ]
+    )
+    apply_dataset(batch, lake, default_spec(num_partitions=8), label="b1")
+    s = lake_stats(lake)
+    assert s["rows"] == 200 and s["partitions"] == 8
+    assert s["zone_map_coverage"] == 1.0
+    assert s["row_skew"] >= 1.0 and s["max_files_per_partition"] >= 1
+    assert s["hot_partitions"][0]["rows"] == s["max_rows_partition"]
+    # delta-append a second batch -> LSM depth grows in the report
+    batch2 = batch.assign(seq=batch.seq + 1000, ts=pd.Timestamp("2026-02-01"))
+    apply_dataset(batch2, lake, label="b2")
+    s2 = lake_stats(lake)
+    assert s2["version"] == 2
