@@ -151,6 +151,14 @@ def main(argv=None) -> int:
     rt.add_argument("--type-col", default="record_type")
     rt.add_argument("--partitions", type=int, default=64)
 
+    mt = sub.add_parser(
+        "maintain", help="policy-driven compact/rebalance from the stats report"
+    )
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--max-files-per-partition", type=int, default=4)
+    mt.add_argument("--max-row-skew", type=float, default=4.0)
+    mt.add_argument("--dry-run", action="store_true")
+
     ex = sub.add_parser(
         "export", help="resumable plain-Parquet snapshot export of a committed version"
     )
@@ -291,6 +299,16 @@ def main(argv=None) -> int:
                 ds.write_parquet(args.out)
             n = ds.count()
             print(json.dumps({"changes": n, "out": args.out}))
+        elif args.cmd == "maintain":
+            from .pipelines.maintain import maintain
+
+            res = maintain(
+                args.lake,
+                max_files_per_partition=args.max_files_per_partition,
+                max_row_skew=args.max_row_skew,
+                dry_run=args.dry_run,
+            )
+            print(json.dumps(res))
         elif args.cmd == "export":
             from .pipelines.export import export_snapshot
 
