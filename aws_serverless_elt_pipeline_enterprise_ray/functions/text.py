@@ -91,6 +91,70 @@ class LangId:
         return batch
 
 
+class RepetitionScorer:
+    """Gopher-style repetition quality signals, integer-exact so the
+    DuckDB oracle can hash-verify them:
+
+    - ``n_lines`` / ``n_dup_lines``: newline-split segment count and how
+      many of them are repeats of an earlier segment (SQL:
+      ``len(string_split(text, chr(10)))`` minus ``len(list_distinct(...))``).
+    - ``n_bigrams`` / ``top_bigram_n``: word-bigram count over lowercase
+      ``[a-z0-9]+`` tokens and the multiplicity of the most frequent
+      bigram (boilerplate/looping text concentrates mass in one bigram).
+    - ``repetitive``: >=50% duplicate lines (with >=2 lines) OR the top
+      bigram covering >=20% of >=10 bigrams — the classic repetition
+      filter a training-data pipeline runs before dedup.
+
+    All C-level pandas (split/explode/groupby); no Python loop per row.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("")
+
+        lines = s.str.split("\n")
+        batch["n_lines"] = lines.str.len().astype("int64")
+        e = lines.explode()
+        distinct = (
+            pd.DataFrame({"i": e.index, "v": e.to_numpy()})
+            .drop_duplicates()
+            .groupby("i")
+            .size()
+        )
+        batch["n_dup_lines"] = (
+            batch["n_lines"]
+            - distinct.reindex(batch.index).fillna(0).astype("int64")
+        ).astype("int64")
+
+        toks = s.str.lower().str.findall(r"[a-z0-9]+")
+        batch["n_bigrams"] = (
+            (toks.str.len() - 1).clip(lower=0).astype("int64")
+        )
+        t = toks.explode().dropna()
+        df = pd.DataFrame({"i": t.index, "t": t.to_numpy()})
+        df["nxt"] = df.groupby("i")["t"].shift(-1)
+        df = df.dropna(subset=["nxt"])
+        top = (
+            df.groupby(["i", "t", "nxt"]).size().groupby(level=0).max()
+            if len(df)
+            else pd.Series(dtype="int64")
+        )
+        batch["top_bigram_n"] = (
+            top.reindex(batch.index).fillna(0).astype("int64")
+        )
+
+        batch["repetitive"] = (
+            (batch["n_lines"] >= 2)
+            & (2 * batch["n_dup_lines"] >= batch["n_lines"])
+        ) | (
+            (batch["n_bigrams"] >= 10)
+            & (5 * batch["top_bigram_n"] >= batch["n_bigrams"])
+        )
+        return batch
+
+
 class Fingerprinter:
     """Content fingerprint: md5 hex of the exact text bytes (matches
     SQL ``md5(text)``) plus a 64-bit rolling polynomial hash of the

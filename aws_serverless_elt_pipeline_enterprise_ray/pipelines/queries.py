@@ -660,6 +660,22 @@ def q_quality_score(sf_dir: str):
     )
 
 
+def q_repetition_score(sf_dir: str):
+    from ..functions.text import RepetitionScorer
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionScorer, batch_format="pandas", concurrency=(1, 4)
+    )
+    return (
+        ds.select_columns(
+            ["doc_id", "n_lines", "n_dup_lines", "n_bigrams",
+             "top_bigram_n", "repetitive"]
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
 def q_lang_id(sf_dir: str):
     from ..functions.text import LangId
 
@@ -1425,6 +1441,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
+    "repetition_score": q_repetition_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1614,6 +1631,34 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "repetition_score": """
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents),
+      lines AS (
+        SELECT doc_id,
+               len(string_split(text, chr(10))) AS n_lines,
+               len(string_split(text, chr(10)))
+                 - len(list_distinct(string_split(text, chr(10)))) AS n_dup_lines
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        FROM toks),
+      cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+      top AS (SELECT doc_id, max(n) AS top_bigram_n FROM cnt GROUP BY doc_id)
+      SELECT d.doc_id, l.n_lines, l.n_dup_lines,
+             greatest(len(t.t) - 1, 0) AS n_bigrams,
+             CAST(coalesce(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+             ((l.n_lines >= 2 AND 2 * l.n_dup_lines >= l.n_lines)
+              OR (greatest(len(t.t) - 1, 0) >= 10
+                  AND 5 * coalesce(top.top_bigram_n, 0) >= greatest(len(t.t) - 1, 0)))
+               AS repetitive
+      FROM documents d
+      JOIN lines l USING (doc_id) JOIN toks t USING (doc_id)
+      LEFT JOIN top USING (doc_id)
+      ORDER BY doc_id
     """,
     "lang_id": f"""
       WITH scored AS (

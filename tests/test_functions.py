@@ -116,6 +116,32 @@ def test_text_stages():
     assert fp2["rolling_fp"].iloc[0] == fp["rolling_fp"].iloc[0]
 
 
+def test_repetition_scorer():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        RepetitionScorer,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spam ham " * 10,                        # one dominant bigram
+                "line\nline\nline\nother",                # 2/4 duplicate lines
+                "a perfectly normal sentence with many distinct words here",
+                "",                                       # degenerate
+            ],
+        }
+    )
+    out = RepetitionScorer()(df.copy())
+    assert out["repetitive"].tolist() == [True, True, False, False]
+    # doc 1: 20 tokens -> 19 bigrams, "spam ham" appears 10x
+    assert out.loc[0, "n_bigrams"] == 19 and out.loc[0, "top_bigram_n"] == 10
+    # doc 2: 4 lines, 2 duplicates
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_dup_lines"] == 2
+    # empty text: 1 empty segment, nothing repetitive
+    assert out.loc[3, "n_lines"] == 1 and out.loc[3, "n_bigrams"] == 0
+
+
 def test_multimodal_payload_and_decode():
     t = pa.table({"doc_id": [1, 2], "text": ["abc", "defghij"]})
     media = attach_binary_payload(t)
