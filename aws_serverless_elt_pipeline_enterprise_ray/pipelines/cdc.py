@@ -138,6 +138,7 @@ def apply_changes(
     max_rows_per_file: int = 2_000_000,
     now: str | None = None,
     detect_hot_keys: bool = False,
+    exchange: str | None = None,
 ) -> list[Manifest]:
     """Apply all pending change-log files to the lake. Returns the list
     of manifests committed by this run (empty if nothing pending).
@@ -178,6 +179,7 @@ def apply_changes(
             max_rows_per_file=max_rows_per_file,
             now=now,
             detect_hot_keys=detect_hot_keys,
+            exchange=exchange,
         )
         manifests.append(m)
     return manifests
@@ -196,6 +198,7 @@ def _apply_chunk(
     max_rows_per_file: int,
     now: str | None,
     detect_hot_keys: bool,
+    exchange: str | None = None,
 ) -> Manifest:
     parent = store.load()
     parent_version = parent.version if parent else None
@@ -335,6 +338,16 @@ def _apply_chunk(
             concurrency=merge_concurrency,
             num_cpus=1,
         )
+    elif (exchange or os.environ.get("GRAFT_EXCHANGE", "sort")) == "direct":
+        # Sort-free direct exchange (stages/exchange.py): part_id
+        # boundaries are known a priori, so skip Ray's sort-based
+        # groupby entirely - split each normalized block into per-
+        # partition shards (num_returns=P) and reduce per partition.
+        from ..stages.exchange import direct_exchange_merge
+
+        merger = PartitionMerger(**merge_kwargs)
+        results = None
+        rows = direct_exchange_merge(ds, run_spec.num_partitions, merger)
     else:
         # Task-based merge (default): the merger's state rides along as
         # a serialized-once closure, tasks schedule elastically with no
@@ -348,7 +361,8 @@ def _apply_chunk(
 
     # -- tiny driver-side collect + atomic commit ----------------------
     _t0 = _time.perf_counter()
-    rows = results.take_all()
+    if results is not None:
+        rows = results.take_all()
     if _timing:
         import sys as _sys
 

@@ -1,0 +1,116 @@
+"""Sort-free direct exchange for the CDC merge shuffle.
+
+``groupby("part_id")`` routes through Ray Data's sort-based exchange:
+sample boundaries, range-partition every block, merge-sort runs into
+reduce groups. For the CDC apply that machinery is redundant — the
+partition key is a dense integer ``part_id`` in ``[0, P)`` whose
+boundaries are known a priori (the writer assigned them), so the
+exchange can be a classic two-stage map/reduce shuffle with zero sort
+passes:
+
+  map  (one task per normalized block, pipelined with the read):
+       stable-argsort the block by part_id once, slice into per-
+       partition shards, return them as P separate objects
+       (``num_returns=P`` — a reduce task fetches ONLY its shard,
+       never the whole block).
+  reduce (one task per partition): concat the shards for partition p
+       from every map task and run the ordinary ``PartitionMerger``.
+
+Fewer passes over the stream (no boundary sampling, no per-block range
+sort, no merge-sort of runs) means strictly less memory traffic — the
+binding constraint measured in BASELINE.md — and the all-to-all is
+expressed directly in object-store refs with locality-aware fetches.
+This is the "sort-free range exchange" follow-up recorded in SURVEY.md;
+it drops to raw Ray tasks because Ray Data's Dataset API cannot express
+a known-boundary exchange (its hash-shuffle strategy is not stable on
+this Ray version, and ``groupby`` always sorts).
+
+Scale notes: map tasks emit M x P shard objects. Shards are Arrow
+slices of one contiguous take per block (zero extra copies beyond the
+unavoidable exchange copy); empty shards ship as ``None`` markers so a
+barely-touched partition costs O(M) null fetches, not O(M) table
+fetches. Reduce tasks start as soon as every map task has produced its
+shard — with the streaming read upstream, maps pipeline with I/O.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _split_by_part(tbl: pa.Table, num_parts: int):
+    """Stable-sort one block by ``part_id`` and slice per-partition
+    shards. Returns a ``num_parts``-tuple with ``None`` for empty
+    shards (tiny objects — cheap for reduce tasks to skip)."""
+    if len(tbl) == 0:
+        return tuple([None] * num_parts)
+    pids = tbl.column("part_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(pids, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(pids[order], np.arange(num_parts + 1))
+    return tuple(
+        tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+        if bounds[p + 1] > bounds[p]
+        else None
+        for p in range(num_parts)
+    )
+
+
+def _reduce_partition(merger, *shards):
+    """Concat the non-empty shards of one partition and run the
+    ordinary merge. Returns the merger's 1-row result table (or its
+    empty table for an untouched partition)."""
+    tables = [s for s in shards if s is not None]
+    if not tables:
+        return merger(pa.table({}))
+    return merger(pa.concat_tables(tables) if len(tables) > 1 else tables[0])
+
+
+def direct_exchange_merge(
+    ds,
+    num_parts: int,
+    merger,
+    *,
+    reduce_num_cpus: float = 1,
+) -> list[dict[str, Any]]:
+    """Run ``merger`` over every partition of ``ds`` (a normalized
+    Dataset carrying ``part_id``) via the sort-free exchange. Returns
+    the same row dicts ``groupby("part_id").map_groups(...).take_all()``
+    yields, skipping untouched partitions.
+
+    The merger is ``ray.put`` once and shared by every reduce task
+    (broadcast, not per-task serialization)."""
+    split = ray.remote(_split_by_part)
+    reduce = ray.remote(_reduce_partition)
+
+    merger_ref = ray.put(merger)
+    map_refs: list[Any] = []
+    # iterating ref bundles drives the (streaming) upstream execution;
+    # split tasks launch as blocks materialize, overlapping with reads
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = split.options(num_returns=num_parts).remote(
+                block_ref, num_parts
+            )
+            if num_parts == 1:
+                refs = [refs]
+            map_refs.append(refs)
+
+    if not map_refs:
+        return []
+
+    result_refs = [
+        reduce.options(num_cpus=reduce_num_cpus).remote(
+            merger_ref, *[m[p] for m in map_refs]
+        )
+        for p in range(num_parts)
+    ]
+    rows: list[dict[str, Any]] = []
+    for tbl in ray.get(result_refs):
+        rows.extend(tbl.to_pylist())
+    return rows

@@ -220,6 +220,20 @@ def test_actor_pool_merge_matches_oracle(small_stream, tmp_lake):
     assert_matches_oracle(tmp_lake, small_stream)
 
 
+def test_direct_exchange_matches_oracle(small_stream, tmp_lake):
+    """exchange='direct' (sort-free known-boundary shuffle,
+    stages/exchange.py) must produce the identical committed state as
+    the default sort-based groupby path — including chunked commits
+    and idempotent re-submission."""
+    spec = engine.default_spec(num_partitions=8)
+    ms = engine.apply_changes(
+        small_stream, tmp_lake, spec, commit_every_files=2, exchange="direct"
+    )
+    assert len(ms) == 3
+    assert_matches_oracle(tmp_lake, small_stream)
+    assert engine.apply_changes(small_stream, tmp_lake, exchange="direct") == []
+
+
 def test_lsm_delta_append_and_compact(tmp_path):
     """A small tail against a large base must APPEND delta runs (no
     partition rewrite), reads must LWW-merge runs, and compaction must
