@@ -347,7 +347,12 @@ def _apply_chunk(
 
         merger = PartitionMerger(**merge_kwargs)
         results = None
-        rows = direct_exchange_merge(ds, run_spec.num_partitions, merger)
+        rows = direct_exchange_merge(
+            ds,
+            run_spec.num_partitions,
+            merger,
+            fan_in=int(os.environ.get("GRAFT_EXCHANGE_FANIN", 64)),
+        )
     else:
         # Task-based merge (default): the merger's state rides along as
         # a serialized-once closure, tasks schedule elastically with no

@@ -61,6 +61,26 @@ def _split_by_part(tbl: pa.Table, num_parts: int):
     )
 
 
+def _combine_shards(key_cols, *shards):
+    """Fan-in tier: concat one partition's shards from a GROUP of map
+    tasks into a single object, pre-reducing duplicates with the hash
+    LWW combiner (quarantined rows pass through untouched — the
+    authoritative merge re-reduces on the true keys). Bounds both the
+    final reduce's argument count and the bytes it fetches."""
+    import pyarrow.compute as pc
+
+    from ..schema import lww_combine_fast
+
+    tables = [s for s in shards if s is not None]
+    if not tables:
+        return None
+    tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    good_mask = pc.is_null(tbl["_bad"])
+    bad = tbl.filter(pc.invert(good_mask))
+    red = lww_combine_fast(tbl.filter(good_mask), key_cols, "ts", "seq")
+    return pa.concat_tables([red, bad]) if len(bad) else red
+
+
 def _reduce_partition(merger, *shards):
     """Concat the non-empty shards of one partition and run the
     ordinary merge. Returns the merger's 1-row result table (or its
@@ -77,6 +97,7 @@ def direct_exchange_merge(
     merger,
     *,
     reduce_num_cpus: float = 1,
+    fan_in: int = 64,
 ) -> list[dict[str, Any]]:
     """Run ``merger`` over every partition of ``ds`` (a normalized
     Dataset carrying ``part_id``) via the sort-free exchange. Returns
@@ -84,8 +105,14 @@ def direct_exchange_merge(
     yields, skipping untouched partitions.
 
     The merger is ``ray.put`` once and shared by every reduce task
-    (broadcast, not per-task serialization)."""
+    (broadcast, not per-task serialization). When a commit spans more
+    than ``fan_in`` map blocks, a tree of combine tasks (concat + hash
+    LWW pre-reduce per group of ``fan_in`` shards) bounds the final
+    reduce's argument count and fetch volume — O(log_{fan_in} M) tiers,
+    so a 100 TB commit with tens of thousands of blocks never hands one
+    task an unbounded ref list."""
     split = ray.remote(_split_by_part)
+    combine = ray.remote(_combine_shards)
     reduce = ray.remote(_reduce_partition)
 
     merger_ref = ray.put(merger)
@@ -104,11 +131,23 @@ def direct_exchange_merge(
     if not map_refs:
         return []
 
+    # shards[p] = list of refs holding partition p's rows
+    shards = [[m[p] for m in map_refs] for p in range(num_parts)]
+    key_cols = tuple(merger.key_cols)
+    while max(len(s) for s in shards) > fan_in:
+        shards = [
+            [
+                combine.remote(key_cols, *s[lo : lo + fan_in])
+                for lo in range(0, len(s), fan_in)
+            ]
+            if len(s) > fan_in
+            else s
+            for s in shards
+        ]
+
     result_refs = [
-        reduce.options(num_cpus=reduce_num_cpus).remote(
-            merger_ref, *[m[p] for m in map_refs]
-        )
-        for p in range(num_parts)
+        reduce.options(num_cpus=reduce_num_cpus).remote(merger_ref, *s)
+        for s in shards
     ]
     rows: list[dict[str, Any]] = []
     for tbl in ray.get(result_refs):

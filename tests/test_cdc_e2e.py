@@ -234,6 +234,16 @@ def test_direct_exchange_matches_oracle(small_stream, tmp_lake):
     assert engine.apply_changes(small_stream, tmp_lake, exchange="direct") == []
 
 
+def test_direct_exchange_fan_in_tree(small_stream, tmp_path, monkeypatch):
+    """A tiny fan_in forces multiple combine tiers between split and
+    reduce; committed state must still match the oracle exactly."""
+    monkeypatch.setenv("GRAFT_EXCHANGE_FANIN", "2")
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=8)
+    engine.apply_changes(small_stream, lake, spec, exchange="direct")
+    assert_matches_oracle(lake, small_stream)
+
+
 def test_lsm_delta_append_and_compact(tmp_path):
     """A small tail against a large base must APPEND delta runs (no
     partition rewrite), reads must LWW-merge runs, and compaction must
