@@ -638,6 +638,43 @@ def q_dedup_incremental(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected-components clustering over a deterministic candidate-
+    pair graph (near-dup copies d~d+1e6 for d%4==0, chain edges d~d+4
+    for d%8==0 when d+4 exists): components of size 4, cluster_id =
+    component min. Chain-partner existence is checked with a
+    distributed hash_join, not a driver collect."""
+    from ..functions.dedup import dedup_clusters
+    from ..functions.joins import hash_join
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def e1(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        f = ids[ids % 4 == 0]
+        return pa.table({"id_a": pa.array(f, pa.int64()),
+                         "id_b": pa.array(f + 1_000_000, pa.int64())})
+
+    def shift8(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        f = ids[ids % 8 == 0]
+        return pa.table({"doc_id": pa.array(f + 4, pa.int64()),
+                         "id_a": pa.array(f, pa.int64())})
+
+    pairs1 = docs.map_batches(e1, batch_format="pyarrow")
+    pairs2 = hash_join(
+        docs.map_batches(shift8, batch_format="pyarrow"), docs, on="doc_id"
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"id_a": b["id_a"].astype("int64"),
+             "id_b": b["doc_id"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    out = dedup_clusters(pairs1.union(pairs2))
+    return out.sort("doc_id").to_pandas()
+
+
 def q_token_count(sf_dir: str):
     from ..functions.text import TokenCounter
 
@@ -1442,6 +1479,7 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "repetition_score": q_repetition_score,
+    "dedup_clusters": q_dedup_clusters,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1631,6 +1669,21 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "dedup_clusters": """
+      WITH RECURSIVE edges AS (
+        SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT d.doc_id AS a, e.doc_id AS b
+        FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 4
+        WHERE d.doc_id % 8 = 0),
+      sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id
     """,
     "repetition_score": """
       WITH toks AS (

@@ -443,3 +443,40 @@ def test_contamination_check_planted():
     s = benchmark_shingle_set(bench)
     assert "tiny doc" in s and "the quick brown" in s
     assert word_shingles("a b", 3) == {"a b"}
+
+
+def test_dedup_clusters_matches_union_find():
+    """Distributed min-label propagation equals a reference union-find
+    on a randomized graph plus a long chain (multi-round convergence)."""
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.dedup import (
+        dedup_clusters,
+    )
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+    edges += [(1000 + i, 1001 + i) for i in range(12)]  # chain, diameter 12
+
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for x, y in edges:
+        union(x, y)
+    want = {x: find(x) for x in parent}
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": [e[0] for e in edges], "id_b": [e[1] for e in edges]})
+    )
+    out = dedup_clusters(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == want
