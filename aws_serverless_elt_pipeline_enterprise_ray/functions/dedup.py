@@ -1003,3 +1003,51 @@ def dedup_clusters(
         ),
         batch_format="pandas",
     )
+
+
+def near_dedup(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> rd.Dataset:
+    """One-call near-duplicate removal: MinHash-LSH candidate pairs ->
+    exact-Jaccard verification -> connected-components clustering ->
+    keep each cluster's minimum doc id. Returns the surviving corpus
+    as a streaming Dataset (schema unchanged).
+
+    The drop set (non-canonical cluster members) is bounded by the
+    verified-pair count, which already fits on the driver (pair
+    generation caps degenerate buckets), so the filter is a broadcast
+    ``ray.put`` set + per-batch ``isin`` - no corpus shuffle. If pair
+    generation ever becomes fully dataset-native at larger-than-driver
+    pair scale, swap the filter for a hash_join anti-join on id.
+    """
+    pairs = minhash_dedup_pairs(
+        ds, threshold=threshold, text_col=text_col, id_col=id_col, **lsh_kwargs
+    )
+    if not pairs:
+        return ds
+    pairs_ds = rd.from_pandas(
+        pd.DataFrame(
+            {"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]}
+        )
+    )
+    clusters = dedup_clusters(pairs_ds).to_pandas()
+    drop = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+        .astype("int64")
+        .tolist()
+    )
+    drop_ref = ray.put(drop)
+
+    class DropFilter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)  # once per actor
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[~b[id_col].isin(self.drop)]
+
+    return ds.map_batches(DropFilter, batch_format="pandas", concurrency=(1, 4))

@@ -762,6 +762,18 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def q_near_dedup(sf_dir: str):
+    """One-call near-dedup (minhash pairs -> CC clusters -> keep
+    cluster minima): surviving doc ids over the constructed near-dup
+    corpus. Rows-only check (minhash is not SQL-expressible)."""
+    from ..functions.dedup import near_dedup
+
+    out = near_dedup(
+        _corpus_with_near_dupes(sf_dir), threshold=0.5, num_perm=64, bands=16
+    )
+    return out.select_columns(["doc_id"]).sort("doc_id").to_pandas()
+
+
 def q_simhash_near_dup(sf_dir: str):
     from ..functions.dedup import simhash_near_dups
 
@@ -1483,6 +1495,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
+    "near_dedup": q_near_dedup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,

@@ -480,3 +480,29 @@ def test_dedup_clusters_matches_union_find():
     out = dedup_clusters(pairs).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == want
+
+
+def test_near_dedup_end_to_end():
+    """near_dedup keeps one canonical doc (min id) per near-dup cluster
+    and streams the rest of the corpus through untouched."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.dedup import (
+        near_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(2000)]
+    texts = [
+        " ".join(rng.choice(vocab, 20, replace=False)) for _ in range(30)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    rows.append({"doc_id": 100, "text": texts[0]})            # exact copy
+    rows.append({"doc_id": 101, "text": texts[1]})            # exact copy
+    near = texts[2].split()
+    near[10] = "changed"
+    rows.append({"doc_id": 102, "text": " ".join(near)})      # near copy
+    ds = rd.from_items(rows)
+
+    out = near_dedup(ds, threshold=0.6).to_pandas()
+    kept = set(out["doc_id"].tolist())
+    assert {100, 101, 102}.isdisjoint(kept)  # copies/near-copy dropped
+    assert kept == set(range(30))            # every distinct doc survives
