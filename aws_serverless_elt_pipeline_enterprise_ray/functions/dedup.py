@@ -1051,3 +1051,104 @@ def near_dedup(
             return b[~b[id_col].isin(self.drop)]
 
     return ds.map_batches(DropFilter, batch_format="pandas", concurrency=(1, 4))
+
+
+def paragraph_dedup(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Corpus-wide paragraph-level dedup (boilerplate removal): keep
+    only the globally FIRST occurrence of every ``sep``-separated
+    segment — first by ``(doc_id, position)`` — and rebuild each
+    document from its surviving segments in order (docs whose every
+    segment is a repeat survive with empty text). This is the segment-
+    granular exact dedup of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" (arXiv:2107.06499), simplified from
+    suffix arrays to whole-segment identity.
+
+    Scale shape: documents explode into (id, pos, para) rows once;
+    winners = ``groupby(para).min(doc_id * 2^20 + pos)`` (one shuffle
+    of segment rows; position must fit 20 bits — a >1M-segment doc is
+    pathological); occurrences hash-join winners back on the segment
+    (one co-group shuffle); rebuild is a bucketed group concat (~2
+    buckets/CPU, vectorized within bucket). The corpus text never
+    lands on the driver.
+
+    Returns ``(id_col, text_dedup)``.
+    """
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+    POS_BITS = np.int64(1 << 20)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].fillna("").str.split(sep)
+        e = s.explode()
+        pos = e.groupby(level=0).cumcount().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b.loc[e.index, id_col].to_numpy(),
+                "pos": pos,
+                "para": e.to_numpy(),
+            }
+        )
+
+    occ = ds.map_batches(explode, batch_format="pandas").materialize()
+
+    winners = (
+        occ.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "para": b["para"],
+                    "rank": b[id_col].to_numpy(dtype=np.int64) * POS_BITS
+                    + b["pos"].to_numpy(dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("para")
+        .aggregate(Min("rank", alias_name="keep"))
+    )
+
+    kept = hash_join(occ, winners, on="para", num_buckets=nb).map_batches(
+        lambda b: b[
+            b[id_col].to_numpy(dtype=np.int64) * POS_BITS
+            + b["pos"].to_numpy(dtype=np.int64)
+            == b["keep"].to_numpy(dtype=np.int64)
+        ][[id_col, "pos", "para"]],
+        batch_format="pandas",
+    )
+
+    # sentinel row per doc so segment-free docs still emit (id, "")
+    sentinels = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: b[id_col], "pos": np.int64(-1), "para": None}
+        ),
+        batch_format="pandas",
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["pos"] >= 0].sort_values([id_col, "pos"], kind="mergesort")
+        joined = real.groupby(id_col, sort=False)["para"].agg(sep.join)
+        ids = g[id_col].drop_duplicates().sort_values()
+        out = joined.reindex(ids).fillna("")
+        return pd.DataFrame({id_col: out.index, "text_dedup": out.to_numpy()})
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_pb"] = _key_buckets(b[id_col], nb)
+        return b
+
+    return (
+        kept.union(sentinels)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(rebuild, batch_format="pandas")
+    )

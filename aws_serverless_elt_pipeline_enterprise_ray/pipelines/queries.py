@@ -762,6 +762,32 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup over documents with an injected
+    common footer (globally duplicated segment) and a unique tail:
+    only the first doc keeps the footer; every doc keeps its own text
+    and tail."""
+    from ..functions.dedup import paragraph_dedup
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"].fillna("")
+                + "\nCOMMON FOOTER SEGMENT\ntail-"
+                + b["doc_id"].astype(str),
+            }
+        )
+
+    docs = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        inject, batch_format="pandas"
+    )
+    out = paragraph_dedup(docs)
+    df = out.sort("doc_id").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 def q_near_dedup(sf_dir: str):
     """One-call near-dedup (minhash pairs -> CC clusters -> keep
     cluster minima): surviving doc ids over the constructed near-dup
@@ -1496,6 +1522,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "minhash_near_dup": q_minhash_near_dup,
     "near_dedup": q_near_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,
@@ -1682,6 +1709,28 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "paragraph_dedup": """
+      WITH base AS (
+        SELECT doc_id,
+               text || chr(10) || 'COMMON FOOTER SEGMENT' || chr(10)
+                    || 'tail-' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents),
+      occ AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS para,
+               unnest(range(0, len(string_split(text, chr(10))))) AS pos
+        FROM base),
+      win AS (SELECT para, min(doc_id * 1048576 + pos) AS keep
+              FROM occ GROUP BY para),
+      kept AS (
+        SELECT o.doc_id, o.pos, o.para
+        FROM occ o JOIN win w
+          ON o.para = w.para AND o.doc_id * 1048576 + o.pos = w.keep)
+      SELECT b.doc_id,
+             coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text_dedup
+      FROM base b LEFT JOIN kept k USING (doc_id)
+      GROUP BY b.doc_id ORDER BY b.doc_id
     """,
     "dedup_clusters": """
       WITH RECURSIVE edges AS (

@@ -506,3 +506,31 @@ def test_near_dedup_end_to_end():
     kept = set(out["doc_id"].tolist())
     assert {100, 101, 102}.isdisjoint(kept)  # copies/near-copy dropped
     assert kept == set(range(30))            # every distinct doc survives
+
+
+def test_paragraph_dedup():
+    """Global first-occurrence paragraph dedup: cross-doc and intra-doc
+    repeats dropped, fully-duplicated and empty docs survive with
+    empty text, segment order preserved."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "alpha\nboiler\nbeta"},
+            {"doc_id": 2, "text": "boiler\ngamma\nboiler"},
+            {"doc_id": 3, "text": "alpha\nbeta"},
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": "delta"},
+        ]
+    )
+    out = paragraph_dedup(docs).to_pandas()
+    got = dict(zip(out["doc_id"], out["text_dedup"]))
+    assert got == {
+        1: "alpha\nboiler\nbeta",
+        2: "gamma",
+        3: "",
+        4: "",
+        5: "delta",
+    }
