@@ -74,3 +74,84 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def select_by_token_budget(
+    ds: rd.Dataset,
+    budget: int,
+    *,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Greedy corpus selection under a global token budget: take docs
+    in ``(score DESC, id ASC)`` order while the running token sum stays
+    <= ``budget`` (the data-mixing primitive "best docs first until the
+    budget is spent"; SQL: window cumsum over that order).
+
+    Distributed exact prefix sum, two passes over the SORTED stream:
+    pass 1 computes one (token_sum, key_range) row per block — the
+    driver sees B tiny rows, never docs — and prefix-sums them to a
+    per-block offset; pass 2 re-reads only the blocks whose offset
+    still fits the budget (later blocks are skipped entirely, the
+    prefix-sum analogue of partition pruning) and applies the exact
+    local cumsum cut. Block order is verified against each block's key
+    range (defense against an exchange that stopped preserving sort
+    order).
+    """
+    import ray
+
+    sorted_ds = ds.sort([score_col, id_col], descending=[True, False])
+
+    def _as_arrow(tbl) -> pa.Table:
+        # blocks arrive as Arrow or pandas depending on the source
+        return tbl if isinstance(tbl, pa.Table) else pa.Table.from_pandas(tbl)
+
+    @ray.remote
+    def block_stat(tbl):
+        tbl = _as_arrow(tbl)
+        if len(tbl) == 0:
+            return {"tokens": 0, "first": None, "last": None, "n": 0}
+        s = tbl[score_col].to_numpy(zero_copy_only=False)
+        i = tbl[id_col].to_numpy(zero_copy_only=False)
+        return {
+            "tokens": int(tbl[token_col].to_numpy(zero_copy_only=False).sum()),
+            "first": (float(s[0]), int(i[0])),
+            "last": (float(s[-1]), int(i[-1])),
+            "n": len(tbl),
+        }
+
+    @ray.remote
+    def cut_block(tbl, offset: int):
+        tbl = _as_arrow(tbl)
+        toks = tbl[token_col].to_numpy(zero_copy_only=False)
+        keep = offset + np.cumsum(toks, dtype=np.int64) <= budget
+        return tbl.filter(pa.array(keep))
+
+    block_refs = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    stats = ray.get([block_stat.remote(r) for r in block_refs])
+
+    prev_last = None
+    for st in stats:
+        if st["n"] == 0:
+            continue
+        key = (-st["first"][0], st["first"][1])
+        assert prev_last is None or key >= prev_last, (
+            "blocks no longer sorted; sort-order contract broken"
+        )
+        prev_last = (-st["last"][0], st["last"][1])
+
+    out_refs, offset = [], 0
+    for ref, st in zip(block_refs, stats):
+        if st["n"] == 0 or offset > budget:
+            continue  # later blocks pruned: offset only grows
+        out_refs.append(cut_block.remote(ref, offset))
+        offset += st["tokens"]
+
+    if not out_refs:
+        return rd.from_arrow(ds.schema().base_schema.empty_table())
+    # blocks stay in the object store (selected rows never concat on
+    # the driver — a large budget selects a large corpus)
+    return rd.from_arrow_refs(out_refs)

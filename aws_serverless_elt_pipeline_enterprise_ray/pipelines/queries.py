@@ -762,6 +762,36 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def q_token_budget_select(sf_dir: str):
+    """Greedy corpus selection under a 20k global token budget, best
+    (alpha_chars) docs first: distributed two-pass prefix sum over the
+    sorted stream (driver sees only per-block sums)."""
+    from ..functions.mixing import select_by_token_budget
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "score": s.str.replace("[^A-Za-z]", "", regex=True)
+                .str.len()
+                .astype("int64"),
+                "n_tokens": s.str.count(r"[A-Za-z0-9]+").astype("int64"),
+            }
+        )
+
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+    out = select_by_token_budget(
+        ds, 20_000, score_col="score", token_col="n_tokens"
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph dedup over documents with an injected
     common footer (globally duplicated segment) and a unique tail:
@@ -1523,6 +1553,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "near_dedup": q_near_dedup,
     "paragraph_dedup": q_paragraph_dedup,
+    "token_budget_select": q_token_budget_select,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,
@@ -1709,6 +1740,16 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "token_budget_select": """
+      WITH t AS (
+        SELECT doc_id,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS score,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+        FROM documents)
+      SELECT doc_id, score, n_tokens FROM (
+        SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS c FROM t)
+      WHERE c <= 20000 ORDER BY doc_id
     """,
     "paragraph_dedup": """
       WITH base AS (

@@ -534,3 +534,28 @@ def test_paragraph_dedup():
         4: "",
         5: "delta",
     }
+
+
+def test_select_by_token_budget():
+    """Distributed prefix-sum selection equals the single-stream greedy
+    (pandas cumsum) on a randomized corpus across many blocks."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        select_by_token_budget,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "score": rng.integers(0, 40, 500),
+            "n_tokens": rng.integers(5, 80, 500),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    out = select_by_token_budget(
+        ds, 3_000, score_col="score", token_col="n_tokens"
+    ).to_pandas()
+    ref = df.sort_values(["score", "doc_id"], ascending=[False, True])
+    ref = ref[ref["n_tokens"].cumsum() <= 3_000]
+    assert set(out["doc_id"]) == set(ref["doc_id"])
+    assert out["n_tokens"].sum() <= 3_000
