@@ -129,7 +129,7 @@ def apply_changes(
     lake_dir: str,
     spec: TableSpec | None = None,
     *,
-    commit_every_files: int | None = None,
+    commit_every_files: int | str | None = None,
     batch_size: int | None | str = "default",
     merge_concurrency: int | tuple[int, int] | None = None,
     merge_compute: str = "tasks",
@@ -164,11 +164,32 @@ def apply_changes(
     if not pending:
         return []
 
-    chunk = commit_every_files or len(pending)
+    if commit_every_files == "auto":
+        # Byte-bounded commits: at 100 TB nobody should guess a file
+        # count. Greedy-pack pending files so each commit's on-disk
+        # input stays under the cap (decompressed working set ~3x);
+        # commits stay resumable units and shuffle volume stays bounded
+        # regardless of how the producer sized its files.
+        cap = int(os.environ.get("GRAFT_AUTO_COMMIT_BYTES", 8 << 30))
+        chunks: list[list[str]] = []
+        cur: list[str] = []
+        cur_b = 0
+        for p in pending:
+            sz = os.path.getsize(p)
+            if cur and cur_b + sz > cap:
+                chunks.append(cur)
+                cur, cur_b = [], 0
+            cur.append(p)
+            cur_b += sz
+        if cur:
+            chunks.append(cur)
+    else:
+        n = commit_every_files or len(pending)
+        chunks = [pending[i : i + n] for i in range(0, len(pending), n)]
     manifests = []
-    for i in range(0, len(pending), chunk):
+    for files_chunk in chunks:
         m = _apply_chunk(
-            pending[i : i + chunk],
+            files_chunk,
             store,
             spec,
             batch_size=batch_size,
@@ -640,13 +661,11 @@ def read_table(
 
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
 
-    ds = _read_lake_partitions(
+    return _read_lake_partitions(
         lake_dir, m.partitions, m,
         include_internal=include_internal, keep_tombstones=keep_tombstones,
+        columns=columns,
     )
-    if columns:
-        ds = ds.select_columns(columns)
-    return ds
 
 
 def _read_lake_partitions(
@@ -655,6 +674,7 @@ def _read_lake_partitions(
     m: Manifest,
     include_internal: bool = False,
     keep_tombstones: bool = False,
+    columns: list[str] | None = None,
 ) -> rd.Dataset:
     """Partition-parallel lake reader with LWW merge-on-read.
 
@@ -663,8 +683,21 @@ def _read_lake_partitions(
     LWW-reduces when there is more than one file (files of a single
     run hold disjoint key ranges, so single-file partitions skip the
     reduce), filters tombstones and conforms to the manifest schema.
-    One task per partition - the same parallelism the merge used."""
-    target = manifest_payload_schema(m)
+    One task per partition - the same parallelism the merge used.
+
+    ``columns`` pushes projection into the parquet READ (only the
+    requested columns plus the merge-internal ones — key cols, ts,
+    _seq, _deleted — leave storage; a 2-column scan of a wide lake
+    reads 2 columns' pages, not the row). Old files lacking evolved
+    columns are footer-checked and null-padded as before."""
+    payload = manifest_payload_schema(m)
+    if columns:
+        missing = [c for c in columns if c not in payload.names]
+        if missing:
+            raise KeyError(f"unknown columns {missing}; lake has {payload.names}")
+        target = pa.schema([payload.field(c) for c in columns])
+    else:
+        target = payload
     if include_internal:
         target = pa.schema(
             list(target)
@@ -682,8 +715,14 @@ def _read_lake_partitions(
     from ..stages.merge import conform_to_schema
 
     key_cols = tuple(m.partitioning.get("key_cols", ("conv_id", "turn_idx")))
+    payload_need = (
+        [c for c in payload.names
+         if c in {*columns, *key_cols, "ts"}]
+        if columns
+        else payload.names
+    )
     internal = pa.schema(
-        list(manifest_payload_schema(m))
+        [payload.field(c) for c in payload_need]
         + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
     )
 
@@ -691,12 +730,19 @@ def _read_lake_partitions(
         out = []
         for row in batch.to_pylist():
             paths = json.loads(row["files"])
-            tbls = [
-                conform_to_schema(
-                    pq.read_table(os.path.join(lake_dir, p)), internal
+            tbls = []
+            for p in paths:
+                fp = os.path.join(lake_dir, p)
+                have = set(pq.read_schema(fp).names)
+                tbls.append(
+                    conform_to_schema(
+                        pq.read_table(
+                            fp,
+                            columns=[c for c in internal.names if c in have],
+                        ),
+                        internal,
+                    )
                 )
-                for p in paths
-            ]
             t = pa.concat_tables(tbls)
             if len(paths) > 1:
                 t = lww_reduce(t, key_cols, "ts", "_seq")

@@ -62,7 +62,7 @@ def detect_hot_keys(
         return pd.DataFrame({key0: vc.index, "n": vc.to_numpy()})
 
     parts = (
-        _read_lake_partitions(lake_dir, sub, m)
+        _read_lake_partitions(lake_dir, sub, m, columns=[key0])
         .map_batches(partial, batch_format="pandas")
         .to_pandas()
     )

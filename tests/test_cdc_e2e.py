@@ -315,3 +315,64 @@ def test_schema_evolution_across_delta_runs(tmp_path):
         "fixture should have triggered delta appends"
     assert_matches_oracle(lake, changes,
                           extra_cols=("tool_call_id", "meta_tokens"))
+
+
+def test_read_table_column_pushdown(tmp_path):
+    """read_table(columns=...) pushes projection into the parquet read
+    and must agree with the full read projected — across LSM delta
+    runs (merge-on-read needs the internal cols) and evolved schemas
+    (old files lack the new column; footer-checked, null-padded)."""
+    import pandas as pd
+
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=4)
+    base = pd.DataFrame(
+        [
+            {"op": "I", "seq": i, "conv_id": f"c{i % 7}", "turn_idx": i,
+             "role": "user", "text": f"t{i}", "tool": None,
+             "ts": pd.Timestamp("2026-01-01")}
+            for i in range(3000)
+        ]
+    )
+    engine.apply_dataset(base, lake, spec, label="base")
+    # small delta -> LSM run; carries a NEW column (schema evolution)
+    delta = base.head(120).copy()
+    delta["seq"] = delta["seq"] + 10_000
+    delta["ts"] = pd.Timestamp("2026-01-02")
+    delta["lang"] = "en"
+    engine.apply_dataset(delta, lake, label="delta")
+
+    full = (
+        engine.read_table(lake).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    proj = (
+        engine.read_table(lake, columns=["conv_id", "text", "lang"]).to_pandas()
+        .sort_values(["conv_id", "text"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        full[["conv_id", "text", "lang"]]
+        .sort_values(["conv_id", "text"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(proj, want)
+    assert list(proj.columns) == ["conv_id", "text", "lang"]
+    # updated rows carry the evolved value through the pruned read
+    assert (proj["lang"] == "en").sum() == 120
+
+    with pytest.raises(KeyError):
+        engine.read_table(lake, columns=["nope"])
+
+
+def test_auto_commit_chunking_by_bytes(small_stream, tmp_path, monkeypatch):
+    """commit_every_files='auto' packs pending files into byte-bounded
+    commits; a tiny cap forces one commit per file and the final state
+    still matches the oracle."""
+    monkeypatch.setenv("GRAFT_AUTO_COMMIT_BYTES", "1")
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=4)
+    ms = engine.apply_changes(small_stream, lake, spec, commit_every_files="auto")
+    files = sorted(glob.glob(os.path.join(small_stream, "*.parquet")))
+    assert len(ms) == len(files)  # cap smaller than any file -> 1 each
+    assert_matches_oracle(lake, small_stream)
