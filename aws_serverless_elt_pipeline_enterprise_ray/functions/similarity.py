@@ -182,3 +182,108 @@ def ivf_topk(
     top = local.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "rank", "neighbor_id", "cosine"]]
+
+
+class _KMeansPartial:
+    """map_batches stage: assign each vector to its nearest centroid
+    (cosine, min-index tie-break) and emit per-cluster partial sums —
+    k rows of (cluster, count, vector-sum) per batch. Centroids are a
+    broadcast ``ray.put`` object read once per actor per iteration."""
+
+    def __init__(self, centroids_ref, vec_col: str):
+        self.C = _normalize(ray.get(centroids_ref).astype(np.float64))
+        self.vec_col = vec_col
+
+    def assign(self, batch: pd.DataFrame) -> np.ndarray:
+        V = _normalize(
+            np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        )
+        return np.argmax(self.C @ V.T, axis=0)  # argmax takes min index on ties
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(
+            np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        )
+        a = np.argmax(self.C @ V.T, axis=0)
+        k, d = self.C.shape
+        sums = np.zeros((k, d))
+        np.add.at(sums, a, V)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cluster": np.arange(k, dtype=np.int64),
+                "n": counts,
+                "vsum": [sums[i] for i in range(k)],
+            }
+        )
+
+
+class _KMeansAssign(_KMeansPartial):
+    def __init__(self, centroids_ref, vec_col: str, id_col: str):
+        super().__init__(centroids_ref, vec_col)
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "cluster": self.assign(batch).astype(np.int64),
+            }
+        )
+
+
+def kmeans_embeddings(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Distributed spherical k-means (Lloyd's) over an embedding
+    column: the corpus-diversity / semantic-bucketing primitive.
+
+    Scale shape: centroids broadcast via ``ray.put`` (read once per
+    actor), assignment + per-cluster partial sums computed per batch
+    (one matmul + one scatter-add), and the driver combines only
+    blocks x k tiny partial rows per iteration — the corpus never
+    shuffles and never lands on the driver. Deterministic: centroids
+    initialize from the k smallest ids, ties break to the lowest
+    cluster index, iteration stops at exact centroid fixpoint.
+
+    Returns a Dataset of ``(id_col, cluster)``. Empty clusters keep
+    their previous centroid.
+    """
+    init = ds.sort(id_col).limit(k).to_pandas()  # k rows only
+    C = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+        parts = ds.map_batches(
+            _KMeansPartial,
+            fn_constructor_kwargs={"centroids_ref": ref, "vec_col": vec_col},
+            batch_format="pandas",
+            concurrency=(1, 8),
+        ).to_pandas()  # blocks x k rows
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for cl, n, vs in zip(parts["cluster"], parts["n"], parts["vsum"]):
+            sums[cl] += vs
+            counts[cl] += n
+        C_new = C.copy()
+        nz = counts > 0
+        C_new[nz] = sums[nz] / counts[nz, None]
+        C_new = _normalize(C_new)
+        if np.array_equal(C_new, C):
+            break
+        C = C_new
+
+    ref = ray.put(C)
+    return ds.map_batches(
+        _KMeansAssign,
+        fn_constructor_kwargs={
+            "centroids_ref": ref, "vec_col": vec_col, "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )

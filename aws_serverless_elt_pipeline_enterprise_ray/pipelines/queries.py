@@ -920,6 +920,18 @@ def q_ann_ivf_topk(sf_dir: str):
     return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table
+    (deterministic init/tie-breaks; rows-only — iterative float
+    clustering is not SQL-expressible)."""
+    from ..functions.similarity import kmeans_embeddings
+
+    out = kmeans_embeddings(_embeddings(sf_dir), k=8, iters=5)
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Cosine near-dups among embeddings ∪ noisy copies (rows-only)."""
     from ..functions.dedup import embedding_near_dups
@@ -1559,6 +1571,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_decode": q_multimodal_decode,

@@ -559,3 +559,49 @@ def test_select_by_token_budget():
     ref = ref[ref["n_tokens"].cumsum() <= 3_000]
     assert set(out["doc_id"]) == set(ref["doc_id"])
     assert out["n_tokens"].sum() <= 3_000
+
+
+def test_kmeans_embeddings_matches_reference():
+    """Distributed spherical k-means equals the single-process Lloyd's
+    reference exactly (same deterministic init, tie-breaks, fixpoint)."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        kmeans_embeddings,
+    )
+
+    rng = np.random.default_rng(9)
+    # 3 well-separated blobs so clustering is meaningful
+    centers = rng.standard_normal((3, 8)) * 5
+    V = np.vstack(
+        [centers[i % 3] + 0.3 * rng.standard_normal(8) for i in range(120)]
+    ).astype(np.float64)
+    ids = np.arange(120)
+    ds = rd.from_items(
+        [{"vec_id": int(i), "embedding": V[i]} for i in ids]
+    ).repartition(5)
+
+    got = (
+        kmeans_embeddings(ds, k=3, iters=10).to_pandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+
+    def norm(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    C = V[:3].copy()
+    for _ in range(10):
+        Cn, Vn = norm(C), norm(V)
+        a = np.argmax(Cn @ Vn.T, axis=0)
+        C_new = C.copy()
+        for c in range(3):
+            if (a == c).any():
+                C_new[c] = Vn[a == c].sum(axis=0) / (a == c).sum()
+        C_new = norm(C_new)
+        if np.array_equal(norm(C_new), norm(C)):
+            break
+        C = C_new
+    want = np.argmax(norm(C) @ norm(V).T, axis=0)
+
+    assert got["cluster"].to_numpy().tolist() == want.tolist()
+    # blobs recovered: each true blob maps to one cluster
+    for blob in range(3):
+        assert len(set(got["cluster"][ids % 3 == blob])) == 1
