@@ -71,6 +71,10 @@ def main(argv=None) -> int:
     t.add_argument("--partitions", type=int, default=64)
     t.add_argument("--poll-seconds", type=float, default=1.0)
     t.add_argument("--max-idle-rounds", type=int, default=5)
+    t.add_argument(
+        "--maintain-every", type=int, default=None,
+        help="run policy-driven maintenance after every N commits",
+    )
 
     r = sub.add_parser("replay", help="re-apply from a checkpoint version")
     r.add_argument("--changelog", required=True)
@@ -266,6 +270,7 @@ def main(argv=None) -> int:
                 default_spec(num_partitions=args.partitions),
                 poll_seconds=args.poll_seconds,
                 max_idle_rounds=args.max_idle_rounds,
+                maintain_every=args.maintain_every,
             )
             print(json.dumps(stats))
         elif args.cmd == "replay":

@@ -36,10 +36,18 @@ def tail(
     max_idle_rounds: int | None = 5,
     max_rounds: int | None = None,
     on_commit=None,
+    maintain_every: int | None = None,
     **apply_kwargs,
 ) -> dict:
     """Poll-and-apply loop. ``on_commit(manifest)`` is called per
-    committed version (test/metrics hook)."""
+    committed version (test/metrics hook).
+
+    ``maintain_every=N`` runs the policy-driven maintenance pass
+    (``pipelines.maintain``: LSM-depth compaction, post-commit hot-key
+    rebalance) after every N commits — an always-on tailer otherwise
+    stacks delta runs and skew forever with nobody watching (the
+    self-driving analogue of the reference's CloudWatch-alarm →
+    operator-runs-a-Glue-job loop)."""
     import pyarrow.parquet as pq
 
     from ..sources.changelog import discover_pending
@@ -50,6 +58,8 @@ def tail(
     rounds = 0
     committed = 0
     events = 0
+    maintained: list[str] = []
+    since_maintain = 0
 
     def _ready(path: str) -> bool:
         # defensive against non-atomic producers: a file whose footer
@@ -76,10 +86,18 @@ def tail(
         if manifests:
             idle = 0
             committed += len(manifests)
+            since_maintain += len(manifests)
             for m in manifests:
                 events += m.metrics.get("events_applied", 0)
                 if on_commit is not None:
                     on_commit(m)
+            if maintain_every is not None and since_maintain >= maintain_every:
+                from .maintain import maintain
+
+                res = maintain(lake_dir)
+                if res["action"] != "none":
+                    maintained.append(res["action"])
+                since_maintain = 0
         else:
             idle += 1
             if max_idle_rounds is not None and idle >= max_idle_rounds:
@@ -92,6 +110,7 @@ def tail(
         "rounds": rounds,
         "commits": committed,
         "events_applied": events,
+        "maintenance": maintained,
         "version": cur.version if cur else None,
         "watermark": cur.watermark if cur else None,
     }

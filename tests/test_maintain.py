@@ -84,3 +84,32 @@ def test_maintain_rebalances_hot_key(tmp_path):
     # stable: a second maintain finds nothing new to do
     res2 = maintain(lake, min_rows_for_rebalance=1_000)
     assert res2["action"] in ("none", "compact")
+
+
+def test_tail_auto_maintenance(tmp_path):
+    """tail(maintain_every=N) compacts the LSM runs its own micro-
+    commits stacked; visible state is unchanged."""
+    import os
+    import shutil
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tail import tail
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+
+    staged = str(tmp_path / "staged")
+    changes = str(tmp_path / "ch")
+    lake = str(tmp_path / "lake")
+    os.makedirs(changes)
+    # a big seed commit, then small deltas (delta-append -> runs stack)
+    apply_dataset(_batch(8_000), lake, default_spec(num_partitions=4), label="seed")
+    files = gen_changes(staged, n_events=400, n_convs=9, n_files=4, seed=77)
+    for f in files:
+        shutil.copy(f, os.path.join(changes, os.path.basename(f)))
+
+    stats = tail(
+        changes, lake, default_spec(num_partitions=4),
+        poll_seconds=0.05, max_idle_rounds=2,
+        commit_every_files=1, maintain_every=2,
+    )
+    assert stats["commits"] == 4
+    assert "compact" in stats["maintenance"]
+    assert lake_stats(lake)["max_files_per_partition"] == 1
