@@ -762,6 +762,20 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def q_corpus_refinery(sf_dir: str):
+    """Flagship composed pipeline: clean -> quality+repetition filter
+    -> exact dedup -> 15k-token budget select; every stage SQL-exact."""
+    from ..pipelines.refinery import refine_corpus
+
+    out = refine_corpus(
+        _documents(sf_dir, ["doc_id", "text"]), token_budget=15_000
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_tokens", "alpha_chars"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def q_token_budget_select(sf_dir: str):
     """Greedy corpus selection under a 20k global token budget, best
     (alpha_chars) docs first: distributed two-pass prefix sum over the
@@ -1566,6 +1580,7 @@ QUERIES = {
     "near_dedup": q_near_dedup,
     "paragraph_dedup": q_paragraph_dedup,
     "token_budget_select": q_token_budget_select,
+    "corpus_refinery": q_corpus_refinery,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,
@@ -1753,6 +1768,45 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "corpus_refinery": r"""
+      WITH cleaned AS (
+        SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM documents),
+      toks AS (
+        SELECT doc_id, t, regexp_extract_all(lower(t), '[a-z0-9]+') AS tk
+        FROM cleaned),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS b
+        FROM toks),
+      cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+      top AS (SELECT doc_id, max(n) AS top_n FROM cnt GROUP BY doc_id),
+      m AS (
+        SELECT c.doc_id, c.t,
+               length(c.t) AS n_chars,
+               len(regexp_extract_all(c.t, '[A-Za-z0-9]+')) AS n_tokens,
+               length(regexp_replace(c.t, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               len(string_split(c.t, chr(10))) AS n_lines,
+               len(string_split(c.t, chr(10)))
+                 - len(list_distinct(string_split(c.t, chr(10)))) AS n_dup,
+               greatest(len(tk.tk) - 1, 0) AS n_bigrams,
+               coalesce(top.top_n, 0) AS top_n
+        FROM cleaned c JOIN toks tk USING (doc_id) LEFT JOIN top USING (doc_id)),
+      f AS (
+        SELECT * FROM m
+        WHERE n_tokens BETWEEN 5 AND 1000 AND n_chars < 5000
+          AND NOT ((n_lines >= 2 AND 2 * n_dup >= n_lines)
+                   OR (n_bigrams >= 10 AND 5 * top_n >= n_bigrams))),
+      d AS (
+        SELECT *, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+        FROM f),
+      sel AS (
+        SELECT doc_id, t, n_tokens, alpha_chars,
+               sum(n_tokens) OVER (ORDER BY alpha_chars DESC, doc_id) AS c
+        FROM d WHERE rn = 1)
+      SELECT doc_id, t AS text_clean, n_tokens, alpha_chars
+      FROM sel WHERE c <= 15000 ORDER BY doc_id
     """,
     "token_budget_select": """
       WITH t AS (
