@@ -232,14 +232,14 @@ class _KMeansAssign(_KMeansPartial):
         )
 
 
-def kmeans_embeddings(
+def kmeans_centroids(
     ds: rd.Dataset,
     k: int = 8,
     iters: int = 10,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> rd.Dataset:
+) -> np.ndarray:
     """Distributed spherical k-means (Lloyd's) over an embedding
     column: the corpus-diversity / semantic-bucketing primitive.
 
@@ -251,8 +251,8 @@ def kmeans_embeddings(
     initialize from the k smallest ids, ties break to the lowest
     cluster index, iteration stops at exact centroid fixpoint.
 
-    Returns a Dataset of ``(id_col, cluster)``. Empty clusters keep
-    their previous centroid.
+    Returns the final k x d centroid matrix (normalized). Empty
+    clusters keep their previous centroid.
     """
     init = ds.sort(id_col).limit(k).to_pandas()  # k rows only
     C = np.stack(init[vec_col].to_numpy()).astype(np.float64)
@@ -278,6 +278,21 @@ def kmeans_embeddings(
             break
         C = C_new
 
+    return C
+
+
+def kmeans_embeddings(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Distributed spherical k-means assignment: run
+    ``kmeans_centroids`` (see its docstring for the scale shape) and
+    map each vector to its cluster. Returns ``(id_col, cluster)``."""
+    C = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     ref = ray.put(C)
     return ds.map_batches(
         _KMeansAssign,
@@ -287,3 +302,97 @@ def kmeans_embeddings(
         batch_format="pandas",
         concurrency=(1, 8),
     )
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, compare vectors
+    ONLY within their cluster (cosine >= ``threshold`` marks a
+    semantic duplicate pair), connected-components the pairs, keep
+    each component's minimum id. Turns the O(n²) all-pairs problem
+    into k independent O((n/k)²) blocks.
+
+    Scale shape: the cluster assignment rides a ``hash_join`` back
+    onto the vectors (one co-group shuffle), pair emission is one
+    vectorized matmul per cluster bucket inside ``map_groups`` with a
+    ``max_cluster`` cap (members beyond the cap — id-sorted — emit no
+    pairs; a cluster that big means k is undersized: pick k ~ n/1000),
+    and survivor filtering reuses ``dedup_clusters`` + a broadcast
+    drop set. Default k scales as sqrt(n)."""
+    from .dedup import dedup_clusters
+
+    n = ds.count()
+    if n == 0:
+        return ds
+    if k is None:
+        k = max(2, min(256, int(np.sqrt(n))))
+
+    C = kmeans_centroids(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cref = ray.put(C)
+
+    class AssignCarry(_KMeansPartial):
+        """Assign + carry the vector (as a plain list — object-ndarray
+        columns break Ray's sort-shuffle block builder) so pairing
+        needs no join, just the one cluster shuffle."""
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "cluster": self.assign(b).astype(np.int64),
+                    "vec": [np.asarray(v, dtype=np.float64).tolist()
+                            for v in b[self.vec_col]],
+                }
+            )
+
+    tagged = ds.map_batches(
+        AssignCarry,
+        fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").head(max_cluster)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        V = _normalize(np.stack([np.asarray(v) for v in g["vec"]]).astype(np.float64))
+        S = V @ V.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[hit]].astype(np.int64),
+             "id_b": ids[ib[hit]].astype(np.int64)}
+        )
+
+    pairs = tagged.groupby("cluster").map_groups(
+        cluster_pairs, batch_format="pandas"
+    ).materialize()
+    if pairs.count() == 0:
+        return ds
+
+    clusters = dedup_clusters(pairs).to_pandas()
+    drop = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+        .astype("int64").tolist()
+    )
+    drop_ref = ray.put(drop)
+
+    class DropFilter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[~b[id_col].isin(self.drop)]
+
+    return ds.map_batches(DropFilter, batch_format="pandas", concurrency=(1, 4))

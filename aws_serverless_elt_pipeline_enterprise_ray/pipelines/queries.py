@@ -946,6 +946,29 @@ def q_kmeans_embeddings(sf_dir: str):
     return df
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over embeddings ∪ near-identical copies: surviving
+    vec ids (rows-only — k-means + float cosine not SQL-expressible)."""
+    from ..functions.similarity import semantic_dedup
+
+    base = _embeddings(sf_dir)
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ids % 7 == 0))
+        return f.set_column(
+            f.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(f["vec_id"], 1_000_000),
+        )
+
+    corpus = base.union(base.map_batches(copies, batch_format="pyarrow"))
+    out = semantic_dedup(corpus, threshold=0.9999)
+    df = out.to_pandas()[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Cosine near-dups among embeddings ∪ noisy copies (rows-only)."""
     from ..functions.dedup import embedding_near_dups
@@ -1587,6 +1610,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semantic_dedup": q_semantic_dedup,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_decode": q_multimodal_decode,

@@ -605,3 +605,21 @@ def test_kmeans_embeddings_matches_reference():
     # blobs recovered: each true blob maps to one cluster
     for blob in range(3):
         assert len(set(got["cluster"][ids % 3 == blob])) == 1
+
+
+def test_semantic_dedup():
+    """SemDeDup composition: cluster-scoped cosine pairs + CC survivor
+    selection drop exact-direction duplicates, keep everything else."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(4)
+    V = rng.standard_normal((150, 12)).astype(np.float64)
+    V[140] = V[3] + 1e-4   # near-identical to 3
+    V[141] = V[7] * 2.0    # same direction as 7 (cosine 1)
+    ds = rd.from_items([{"vec_id": i, "embedding": V[i]} for i in range(150)])
+    out = semantic_dedup(ds, threshold=0.999, k=6).to_pandas()
+    kept = set(out["vec_id"])
+    assert 140 not in kept and 141 not in kept
+    assert 3 in kept and 7 in kept and len(kept) == 148
