@@ -140,14 +140,19 @@ def hash_join(
     suffix: str = "_right",
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Distributed hash equi-join (inner or left): both sides tagged
-    and unioned so co-partitioning costs ONE shuffle, keys hash-bucketed
-    (~2 buckets/CPU), one vectorized ``pandas.merge`` per bucket.
+    """Distributed hash equi-join: both sides tagged and unioned so
+    co-partitioning costs ONE shuffle, keys hash-bucketed (~2
+    buckets/CPU), one vectorized ``pandas.merge``/``isin`` per bucket.
+
+    ``how``: ``inner`` | ``left`` | ``semi`` (left rows WITH a right
+    match, left columns only, no duplication from multi-matches) |
+    ``anti`` (left rows WITHOUT a right match — the dedup/"not yet
+    processed" filter join).
 
     For a small right side prefer the broadcast pattern
     (``q_join_orders_nation``) - no shuffle at all. Use this when both
     sides are large."""
-    assert how in ("inner", "left"), how
+    assert how in ("inner", "left", "semi", "anti"), how
     on_cols = [on] if isinstance(on, str) else list(on)
     lcols = left.schema().names
     rcols = right.schema().names
@@ -190,6 +195,19 @@ def hash_join(
             c for c in (right_cols or rcols) if c not in on_cols
         ]
         rg = g[g[_TAG] == "r"][keep]
+        if how in ("semi", "anti"):
+            rk = rg[on_cols].drop_duplicates()
+            mask = (
+                lg[on_cols]
+                .merge(rk.assign(_hit=1), on=on_cols, how="left")["_hit"]
+                .notna()
+                .to_numpy()
+            )
+            out = lg[mask if how == "semi" else ~mask]
+            for c, dt in ldtypes.items():
+                if c in out.columns and str(out[c].dtype) != str(dt):
+                    out = out.assign(**{c: out[c].astype(dt)})
+            return out
         out = lg.merge(rg, on=on_cols, how=how, suffixes=("", suffix))
         for c, dt in casts.items():
             if c in out.columns and str(out[c].dtype) != str(dt):

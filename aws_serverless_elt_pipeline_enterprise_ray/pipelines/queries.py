@@ -762,6 +762,41 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (TPC-H Q22 shape): customers with no orders, counted
+    per market segment. The anti side is customer-scale, so counts are
+    per-block partials + a tiny driver combine — never the rows."""
+    from ..functions.joins import hash_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    def urgent(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        return pa.table({"c_custkey": f["o_custkey"]})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(urgent, batch_format="pyarrow")
+    no_urgent = hash_join(cust, orders, on="c_custkey", how="anti")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["c_mktsegment"].value_counts()
+        return pd.DataFrame({"c_mktsegment": vc.index, "n": vc.to_numpy()})
+
+    parts = no_urgent.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series(dtype=str),
+                             "n": pd.Series(dtype="int64")})
+    out = (
+        parts.groupby("c_mktsegment", sort=True)["n"].sum().reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_corpus_refinery(sf_dir: str):
     """Flagship composed pipeline: clean -> quality+repetition filter
     -> exact dedup -> 15k-token budget select; every stage SQL-exact."""
@@ -1604,6 +1639,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "token_budget_select": q_token_budget_select,
     "corpus_refinery": q_corpus_refinery,
+    "customers_no_orders": q_customers_no_orders,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,
@@ -1792,6 +1828,14 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "customers_no_orders": """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "corpus_refinery": r"""
       WITH cleaned AS (

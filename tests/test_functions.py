@@ -623,3 +623,22 @@ def test_semantic_dedup():
     kept = set(out["vec_id"])
     assert 140 not in kept and 141 not in kept
     assert 3 in kept and 7 in kept and len(kept) == 148
+
+
+def test_hash_join_semi_anti():
+    """semi keeps matched left rows (no duplication from multi-match),
+    anti keeps unmatched; both preserve left columns and dtypes."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import hash_join
+
+    left = rd.from_items(
+        [{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 3, "v": 30}]
+    )
+    right = rd.from_items(
+        [{"k": 1, "w": 5}, {"k": 1, "w": 6}, {"k": 3, "w": 7}]
+    )
+    semi = hash_join(left, right, on="k", how="semi").to_pandas()
+    assert sorted(semi["k"]) == [1, 3]            # 1 appears ONCE
+    assert list(semi.columns) == ["k", "v"]
+    anti = hash_join(left, right, on="k", how="anti").to_pandas()
+    assert sorted(anti["k"]) == [2]
+    assert anti["v"].dtype == "int64"
