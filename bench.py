@@ -220,6 +220,7 @@ def run_bench() -> dict:
         "ann_cosine_topk",
         "minhash_near_dup",
         "cdc_normalize",
+        "corpus_refinery",
     )
     for name in qnames:
         t0 = time.perf_counter()

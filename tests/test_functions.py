@@ -642,3 +642,33 @@ def test_hash_join_semi_anti():
     anti = hash_join(left, right, on="k", how="anti").to_pandas()
     assert sorted(anti["k"]) == [2]
     assert anti["v"].dtype == "int64"
+
+
+def test_paragraph_dedup_random_parity():
+    """Randomized corpus with heavy segment reuse: distributed result
+    equals a single-stream reference (global first occurrence by
+    (doc_id, pos), rebuild in order)."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.dedup import (
+        paragraph_dedup,
+    )
+
+    rng = np.random.default_rng(31)
+    segs = [f"segment {i}" for i in range(40)]  # small vocab -> many repeats
+    docs = {
+        i: "\n".join(rng.choice(segs, rng.integers(1, 8)))
+        for i in range(60)
+    }
+
+    seen, want = set(), {}
+    for i in sorted(docs):
+        kept = []
+        for p in docs[i].split("\n"):
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[i] = "\n".join(kept)
+
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()])
+    out = paragraph_dedup(ds).to_pandas()
+    got = dict(zip(out["doc_id"], out["text_dedup"]))
+    assert got == want
