@@ -1545,6 +1545,29 @@ def q_window_events_hopping(sf_dir: str):
     return df[["window_start", "n_events", "value_cents"]]
 
 
+def q_trailing_window(sf_dir: str):
+    """Per-event trailing 1h count + integer sum per user (RANGE-window
+    semantics incl. equal-ts peers), vectorized segment-offset
+    searchsorted — no per-key Python."""
+    from ..functions.windows import trailing_window
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    ).map_batches(
+        lambda b: b.assign(v_int=(b["event_id"] % 97).astype("int64")),
+        batch_format="pandas",
+    )
+    out = trailing_window(
+        ev, key="user_id", window=pd.Timedelta(hours=1), value_col="v_int"
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    for c in ("event_id", "user_id", "v_int", "trailing_n", "trailing_sum"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def q_topk_events_per_type(sf_dir: str):
     """Per-group top-k: the 3 highest-value events per event_type
     (ties by event_id). Per-batch local prune to k rows per group keeps
@@ -1668,6 +1691,7 @@ QUERIES = {
     "term_topk": q_term_topk,
     "distinct_users_by_type": q_distinct_users_by_type,
     "window_events_hopping": q_window_events_hopping,
+    "trailing_window": q_trailing_window,
     "topk_events_per_type": q_topk_events_per_type,
     "sample_deterministic": q_sample_deterministic,
     "value_quantiles_by_type": q_value_quantiles_by_type,
@@ -2242,6 +2266,20 @@ ORACLES = {
     "distinct_users_by_type": """
       SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "trailing_window": """
+      WITH e AS (
+        SELECT event_id, ts, user_id,
+               CAST(event_id % 97 AS BIGINT) AS v_int,
+               epoch_us(ts) AS tus
+        FROM events)
+      SELECT event_id, ts, user_id, v_int,
+             CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+             CAST(sum(v_int) OVER w AS BIGINT) AS trailing_sum
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
     """,
     "window_events_hopping": """
       WITH e AS (

@@ -672,3 +672,44 @@ def test_paragraph_dedup_random_parity():
     out = paragraph_dedup(ds).to_pandas()
     got = dict(zip(out["doc_id"], out["text_dedup"]))
     assert got == want
+
+
+def test_trailing_window_range_semantics():
+    """Trailing window equals pandas per-row recompute, including
+    RANGE peer semantics (equal timestamps count each other)."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        trailing_window,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": rng.integers(0, 12, n),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 7200, n), unit="s"),
+            "v": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    # force equal-ts peers within a key
+    df.loc[5, ["user_id", "ts"]] = df.loc[4, ["user_id", "ts"]]
+
+    out = (
+        trailing_window(
+            rd.from_pandas(df).repartition(4),
+            key="user_id", window=pd.Timedelta(minutes=20), value_col="v",
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+    W = pd.Timedelta(minutes=20)
+    for _, r in df.iterrows():
+        m = (
+            (df["user_id"] == r["user_id"])
+            & (df["ts"] >= r["ts"] - W)
+            & (df["ts"] <= r["ts"])
+        )
+        o = out[out["event_id"] == r["event_id"]].iloc[0]
+        assert o["trailing_n"] == m.sum()
+        assert o["trailing_sum"] == df.loc[m, "v"].sum()
