@@ -434,3 +434,46 @@ def tfidf_topk_terms(
     for c in ("rank", "score"):
         out[c] = out[c].astype("int64")
     return out
+
+
+class DocumentChunker:
+    """RAG/embedding prep: split each document into token-window chunks
+    of ``size`` tokens with ``overlap`` tokens of context between
+    consecutive chunks (stride = size - overlap). Tokens are lowercase
+    ``[a-z0-9]+`` runs and chunk text is the space-join of its tokens —
+    deterministic and SQL-mirrorable (``list_slice`` on
+    ``regexp_extract_all``). Every doc emits >= 1 chunk (token-free
+    docs emit one empty chunk); the last chunk may be short but no
+    chunk starts past the end: n_chunks = max(ceil((n-overlap)/stride), 1).
+
+    Emits (id, chunk_idx, chunk_text, n_tokens). The per-doc chunk loop
+    slices a prebuilt token list (the same cost class as
+    ``Fingerprinter``); regex work is vectorized pandas."""
+
+    def __init__(self, size: int = 128, overlap: int = 32,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert 0 <= overlap < size
+        self.size, self.overlap = size, overlap
+        self.stride = size - overlap
+        self.col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        ids_out, idxs, texts, ns = [], [], [], []
+        for did, tk in zip(batch[self.id_col], toks):
+            n = len(tk)
+            n_chunks = max(-(-(n - self.overlap) // self.stride), 1)
+            for ci in range(n_chunks):
+                piece = tk[ci * self.stride : ci * self.stride + self.size]
+                ids_out.append(did)
+                idxs.append(ci)
+                texts.append(" ".join(piece))
+                ns.append(len(piece))
+        return pd.DataFrame(
+            {
+                self.id_col: pd.Series(ids_out, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "chunk_text": texts,
+                "n_tokens": pd.Series(ns, dtype="int64"),
+            }
+        )

@@ -797,6 +797,22 @@ def q_customers_no_orders(sf_dir: str):
     return out
 
 
+def q_chunk_documents(sf_dir: str):
+    """Token-window chunking (size 64, overlap 16) over documents —
+    RAG/embedding prep; streamed per batch."""
+    from ..functions.text import DocumentChunker
+
+    out = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        DocumentChunker,
+        fn_constructor_kwargs={"size": 64, "overlap": 16},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    return (
+        out.sort(["doc_id", "chunk_idx"]).to_pandas().reset_index(drop=True)
+    )
+
+
 def q_corpus_refinery(sf_dir: str):
     """Flagship composed pipeline: clean -> quality+repetition filter
     -> exact dedup -> 15k-token budget select; every stage SQL-exact."""
@@ -1663,6 +1679,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "corpus_refinery": q_corpus_refinery,
     "customers_no_orders": q_customers_no_orders,
+    "chunk_documents": q_chunk_documents,
     "simhash_near_dup": q_simhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,
@@ -1852,6 +1869,21 @@ ORACLES = {
              (len(regexp_extract_all(text, '[A-Za-z0-9]+')) BETWEEN 5 AND 1000
               AND length(text) < 5000) AS ok
       FROM documents ORDER BY doc_id
+    """,
+    "chunk_documents": """
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents),
+      c AS (
+        SELECT doc_id, tk,
+               unnest(range(0,
+                 greatest(CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT), 1))) AS chunk_idx
+        FROM t)
+      SELECT doc_id, chunk_idx,
+             array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+               AS chunk_text,
+             len(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS n_tokens
+      FROM c ORDER BY doc_id, chunk_idx
     """,
     "customers_no_orders": """
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n

@@ -713,3 +713,26 @@ def test_trailing_window_range_semantics():
         o = out[out["event_id"] == r["event_id"]].iloc[0]
         assert o["trailing_n"] == m.sum()
         assert o["trailing_sum"] == df.loc[m, "v"].sum()
+
+
+def test_document_chunker():
+    """Chunk windows: full coverage, overlap correct, short/empty docs
+    emit exactly one chunk, no chunk starts past the end."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        DocumentChunker,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(f"t{i}" for i in range(10)), "one two", ""],
+        }
+    )
+    out = DocumentChunker(size=4, overlap=2)(df)
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+    ]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["one two"]
+    d3 = out[out["doc_id"] == 3]
+    assert d3["chunk_text"].tolist() == [""] and d3["n_tokens"].tolist() == [0]
