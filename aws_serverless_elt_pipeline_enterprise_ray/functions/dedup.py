@@ -919,7 +919,7 @@ def dedup_clusters(
     candidate-pair scale, never corpus scale; no driver-side
     materialization. Each round is 2 shuffles of the edge list.
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     def sym(b: pd.DataFrame) -> pd.DataFrame:
         u = b[a_col].to_numpy(dtype=np.int64)

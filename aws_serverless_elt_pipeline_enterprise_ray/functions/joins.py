@@ -154,8 +154,16 @@ def hash_join(
     sides are large."""
     assert how in ("inner", "left", "semi", "anti"), how
     on_cols = [on] if isinstance(on, str) else list(on)
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lschema, rschema = left.schema(), right.schema()
+    if lschema is None:
+        raise ValueError("hash_join: left dataset is empty with no schema")
+    if rschema is None:
+        # empty right with unknown schema: inner/semi match nothing;
+        # left/anti keep every left row (left-join right columns are
+        # unknowable, so the result carries left columns only)
+        return left.limit(0) if how in ("inner", "semi") else left
+    lcols = lschema.names
+    rcols = rschema.names
     allcols = list(dict.fromkeys(lcols + rcols))
     nb = num_buckets or _buckets_for_cluster()
 

@@ -195,6 +195,15 @@ def test_hash_join_property_random_frames():
         ).to_pandas()
         want = left.merge(right, on="k", how=how)
         key = ["k", "lv", "rv"]
+        if len(got) == 0:
+            # Ray's to_pandas drops column labels on an all-empty
+            # dataset; compare as the empty row set
+            got = pd.DataFrame(columns=key)
+        for c in key:
+            # schema-less empty right: left/anti results carry left
+            # columns only (documented hash_join semantics)
+            if c not in got.columns:
+                got[c] = -1
         got_s = sorted(map(tuple, got[key].fillna(-1).astype("int64").to_numpy()))
         want_s = sorted(map(tuple, want[key].fillna(-1).astype("int64").to_numpy()))
         assert got_s == want_s
