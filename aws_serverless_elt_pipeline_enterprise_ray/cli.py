@@ -129,6 +129,11 @@ def main(argv=None) -> int:
         help="only delete orphans older than this (safe with live writers)",
     )
 
+    hs = sub.add_parser(
+        "history", help="one summary line per committed version (manifest-only)"
+    )
+    hs.add_argument("--lake", required=True)
+
     s = sub.add_parser("show", help="manifest / checkpoint status")
     s.add_argument("--lake", required=True)
 
@@ -199,6 +204,13 @@ def main(argv=None) -> int:
             evolve_after_file=args.evolve_after,
         )
         print(json.dumps({"files": len(paths), "dir": args.out}))
+        return 0
+
+    if args.cmd == "history":
+        from .state.manifest import ManifestStore
+
+        for row in ManifestStore(args.lake).history():
+            print(json.dumps(row))
         return 0
 
     if args.cmd == "show":

@@ -285,6 +285,37 @@ class ManifestStore:
         return sorted(out)
 
     # -- gc -----------------------------------------------------------
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY analogue: one summary row per committed
+        version, oldest first — version, parent, timestamp, commit
+        metrics, row/file/byte totals and partitioning. Reads only the
+        manifest JSONs (never data files)."""
+        out = []
+        for v in self.versions():
+            m = self.load(v)
+            if m is None:
+                continue
+            files = m.all_files()
+            out.append(
+                {
+                    "version": m.version,
+                    "parent_version": m.parent_version,
+                    "created_at": m.created_at,
+                    "watermark": m.watermark,
+                    "rows": m.total_rows(),
+                    "files": len(files),
+                    "bytes": sum(
+                        f.get("bytes", 0)
+                        for fs in m.partitions.values()
+                        for f in fs
+                    ),
+                    "quarantined_files": len(m.quarantine),
+                    "metrics": dict(m.metrics),
+                    "partitioning": dict(m.partitioning),
+                }
+            )
+        return out
+
     def gc(self, keep_versions: int = 2, min_age_seconds: float = 300.0) -> list[str]:
         """Delete data and quarantine files not referenced by the last
         ``keep_versions`` manifests (orphans from failed attempts,

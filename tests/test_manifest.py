@@ -70,3 +70,30 @@ def test_current_pointer_is_json(tmp_path):
     store.commit(mk(1, None))
     with open(os.path.join(store.dir, "CURRENT")) as f:
         assert json.load(f) == {"version": 1}
+
+
+def test_history_summarizes_every_version(tmp_path):
+    import pandas as pd
+
+    from aws_serverless_elt_pipeline_enterprise_ray import apply_dataset, default_spec
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+    lake = str(tmp_path / "lake")
+    spec = default_spec(num_partitions=4)
+    for j in range(3):
+        df = pd.DataFrame(
+            [
+                {"op": "I", "seq": j * 100 + i, "conv_id": f"c{i % 5}",
+                 "turn_idx": j * 100 + i, "role": "user", "text": "t",
+                 "tool": None, "ts": pd.Timestamp("2026-01-01")}
+                for i in range(50)
+            ]
+        )
+        apply_dataset(df, lake, spec, label=f"b{j}")
+
+    h = ManifestStore(lake).history()
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert h[0]["parent_version"] is None and h[2]["parent_version"] == 2
+    assert h[2]["rows"] == 150 and h[2]["watermark"] == 249
+    assert all(r["files"] > 0 and r["bytes"] > 0 for r in h)
+    assert h[1]["metrics"]["events_applied"] == 50
