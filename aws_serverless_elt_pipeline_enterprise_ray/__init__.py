@@ -19,7 +19,12 @@ from .schema import (
     TableSpec,
     default_spec,
 )
-from .pipelines.cdc import apply_changes, apply_dataset, read_table
+from .pipelines.cdc import (
+    apply_changes,
+    apply_dataset,
+    read_key_range,
+    read_table,
+)
 from .state.manifest import Manifest, ManifestStore
 
 __all__ = [
@@ -29,6 +34,7 @@ __all__ = [
     "default_spec",
     "apply_changes",
     "apply_dataset",
+    "read_key_range",
     "read_table",
     "Manifest",
     "ManifestStore",

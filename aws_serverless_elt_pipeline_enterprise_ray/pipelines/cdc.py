@@ -641,6 +641,63 @@ def read_conversations(
     return ds
 
 
+def read_key_range(
+    lake_dir: str,
+    lo: str,
+    hi: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Range scan ``lo <= key <= hi`` (lexicographic on the leading key
+    column, e.g. a ``conv_`` prefix scan). Hash partitioning cannot
+    prune partitions for a RANGE, but the per-FILE zone maps can: only
+    files whose recorded ``[key_min, key_max]`` intersects ``[lo, hi]``
+    are read — at 100 TB a partition holds many key-sorted files and a
+    narrow range touches one or two per partition. Rows are then
+    exact-filtered per batch. Files without a recorded range are always
+    read (pruning is an optimization, never a correctness dependency)."""
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+
+    def may_overlap(f: dict) -> bool:
+        kmin, kmax = f.get("key_min"), f.get("key_max")
+        if kmin is None or kmax is None:
+            return True
+        return kmin <= hi and lo <= kmax
+
+    sub = {
+        pid: kept
+        for pid, files in m.partitions.items()
+        if (kept := [f for f in files if may_overlap(f)])
+    }
+    if not any(sub.values()):
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+    key0 = m.partitioning.get("key_cols", ("conv_id",))[0]
+    read_cols = (
+        list(dict.fromkeys([*columns, key0])) if columns else None
+    )
+    ds = _read_lake_partitions(lake_dir, sub, m, columns=read_cols)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch[key0]
+        mask = pc.and_(
+            pc.greater_equal(col, pa.scalar(lo)),
+            pc.less_equal(col, pa.scalar(hi)),
+        )
+        return batch.filter(mask)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_table(
     lake_dir: str,
     version: int | None = None,

@@ -154,6 +154,18 @@ def q_cdc_point_lookup(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_range_scan(sf_dir: str):
+    """Zone-map-pruned key-range scan: hash partitioning can't prune a
+    range, but per-file [key_min, key_max] can — small files force many
+    zone-mapped chunks so the pruning does real work."""
+    from .cdc import apply_changes, read_key_range
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    df = read_key_range(lake, "conv_2", "conv_39").to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def q_cdc_incremental_rollup(sf_dir: str):
     """Incremental materialized view: a per-conversation aggregate lake
     maintained from the change data feed across two source commits -
@@ -1647,6 +1659,7 @@ QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "cdc_range_scan": q_cdc_range_scan,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
@@ -1726,6 +1739,11 @@ ORACLES = {
     "cdc_point_lookup": f"""
       SELECT * FROM ({FINAL_SQL})
       WHERE conv_id IN ('conv_3', 'conv_7', 'conv_11')
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_range_scan": f"""
+      SELECT * FROM ({FINAL_SQL})
+      WHERE conv_id BETWEEN 'conv_2' AND 'conv_39'
       ORDER BY conv_id, turn_idx
     """,
     "cdc_incremental_rollup": f"""
