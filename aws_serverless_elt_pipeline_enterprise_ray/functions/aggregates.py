@@ -281,3 +281,78 @@ def grouped_quantiles(
     for c in col_names:
         df[c] = df[c].astype("int64")
     return df
+
+
+def heavy_hitters(
+    ds: "rd.Dataset",
+    col: str,
+    *,
+    den: int = 100,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Frequent-items at scale: every value occurring in more than
+    ``1/den`` of all rows (exact integer threshold ``count * den >
+    total``), with its EXACT count — without ever shuffling
+    one row per occurrence (contrast ``term_frequencies``: this is the
+    path when the value space is too large to groupby).
+
+    Two passes, both sketch-sized:
+      1. a Misra-Gries summary with k = den counters per BLOCK
+         (one C-level value_counts + truncation — the classic streaming
+         reduction; MG guarantees any value with global frequency
+         > n/den survives in the merged summary), merged on the driver
+         over B tiny sketches;
+      2. an exact recount of only the surviving candidates (broadcast
+         candidate set, per-batch filtered value_counts partials).
+    The result is therefore EXACT and complete — the sketch only
+    bounds which values need recounting. Returns (value, n) sorted by
+    (-n, value) for values with n * den > total_rows.
+    """
+    import ray
+
+    k = max(1, int(den))
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].dropna().value_counts()
+        if len(vc) > k:
+            # Misra-Gries decrement: subtracting the (k+1)-th count
+            # from the top-k over-approximates the standard per-item
+            # decrement (keeps the survival guarantee; counts are
+            # lower bounds, exactness comes from the recount pass)
+            vc = (vc.iloc[:k] - vc.iloc[k]).clip(lower=0)
+            vc = vc[vc > 0]
+        return pd.DataFrame({col: vc.index, "n": vc.to_numpy(dtype=np.int64)})
+
+    parts = ds.map_batches(mg_partial, batch_format="pandas").to_pandas()
+    total = ds.count()
+    merged = parts.groupby(col, sort=False)["n"].sum()
+    if len(merged) > k:
+        merged = merged.sort_values(ascending=False)
+        merged = (merged.iloc[:k] - merged.iloc[k]).clip(lower=0)
+        merged = merged[merged > 0]
+    candidates = set(merged.index)
+    if not candidates:
+        return pd.DataFrame({col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    cand_ref = ray.put(candidates)
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            vc = b.loc[b[col].isin(self.cand), col].value_counts()
+            return pd.DataFrame({col: vc.index, "n": vc.to_numpy(dtype=np.int64)})
+
+    counts = (
+        ds.map_batches(Recount, batch_format="pandas", concurrency=concurrency)
+        .to_pandas()
+        .groupby(col, sort=False)["n"]
+        .sum()
+    )
+    out = counts[counts * k > total].reset_index()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", col], ascending=[False, True])
+        .reset_index(drop=True)
+    )

@@ -1596,6 +1596,20 @@ def q_trailing_window(sf_dir: str):
     return df
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters: users with > 1/150 of all events,
+    exact counts via sketch-merge + candidate recount (no full
+    user-cardinality shuffle)."""
+    from ..functions.aggregates import heavy_hitters
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    out = heavy_hitters(ev, "user_id", den=150)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
 def q_topk_events_per_type(sf_dir: str):
     """Per-group top-k: the 3 highest-value events per event_type
     (ties by event_id). Per-batch local prune to k rows per group keeps
@@ -1722,6 +1736,7 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "window_events_hopping": q_window_events_hopping,
     "trailing_window": q_trailing_window,
+    "heavy_hitters": q_heavy_hitters,
     "topk_events_per_type": q_topk_events_per_type,
     "sample_deterministic": q_sample_deterministic,
     "value_quantiles_by_type": q_value_quantiles_by_type,
@@ -2316,6 +2331,13 @@ ORACLES = {
     "distinct_users_by_type": """
       SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "heavy_hitters": """
+      WITH t AS (SELECT count(*) AS total FROM events)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events, t GROUP BY user_id, t.total
+      HAVING count(*) * 150 > t.total
+      ORDER BY n DESC, user_id
     """,
     "trailing_window": """
       WITH e AS (

@@ -467,3 +467,27 @@ def test_conversation_examples_null_text_matches_sql_lag_semantics():
     # turn 3: null mid-history line skipped with NO double separator
     r3 = out[out.turn_idx == 3].iloc[0]
     assert r3["context"] == "user: hi\nuser: ok"
+
+
+def test_heavy_hitters_exact_and_complete():
+    """Sketch-merge + recount equals the exact groupby answer on a
+    skewed stream split across many blocks (survival guarantee), and
+    reports exact counts."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        heavy_hitters,
+    )
+
+    rng = np.random.default_rng(8)
+    # heavy tail: values 0..4 heavy, 5..5000 noise
+    heavy = rng.integers(0, 5, 3_000)
+    noise = rng.integers(5, 5_000, 17_000)
+    vals = np.concatenate([heavy, noise])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals.astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    out = heavy_hitters(ds, "v", den=50)  # > 2% of 20k = > 400
+    vc = df["v"].value_counts()
+    want = vc[vc * 50 > len(df)]
+    assert dict(zip(out["v"], out["n"])) == want.to_dict()
+    assert set(out["v"]) == set(range(5))
