@@ -238,6 +238,57 @@ def term_frequencies(
     return df
 
 
+def vocab_coverage(
+    ds,
+    vocab: set[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-document in-vocabulary token ratio (integer per-mille): the
+    scoring half of a corpus-trained statistical quality filter. The
+    vocabulary (result-sized, e.g. ``term_frequencies`` top-N) is
+    broadcast via ``ray.put`` and fetched once per actor; scoring is
+    one vectorized pass per batch (findall + explode + C-level isin /
+    level-0 groupby — no Python per row). Docs with no tokens score 0.
+
+    Tokenization matches ``term_frequencies`` ([a-z0-9]+ on lower) so
+    one SQL token table serves both train and score in the oracle."""
+    import ray
+
+    vocab_ref = ray.put(frozenset(vocab))
+
+    class Score:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+            n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+            ex = toks.explode().dropna()
+            inv = (
+                ex.isin(self.vocab)
+                .groupby(level=0)
+                .sum()
+                .reindex(b.index, fill_value=0)
+                .to_numpy(dtype=np.int64)
+            )
+            score = np.where(n_tokens > 0, (inv * 1000) // np.maximum(n_tokens, 1), 0)
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "n_tokens": n_tokens,
+                    "score": score.astype(np.int64),
+                }
+            )
+
+    out = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    df = out.sort(id_col).to_pandas()
+    for c in ("n_tokens", "score"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 # RE2-compatible (no lookaround/backrefs) so the DuckDB oracle can
 # mirror the exact replacements; applied strictly in this order.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (

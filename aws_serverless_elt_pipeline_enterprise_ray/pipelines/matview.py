@@ -103,14 +103,14 @@ def _version_ts(source_version: int) -> pd.Timestamp:
 def _partial_agg(batch: pd.DataFrame, user_role: str = "user") -> pd.DataFrame:
     """Per-batch partial rollup: one row per conv_id present in the
     batch. Combinable by (sum, sum, sum, max)."""
-    g = batch.groupby("conv_id", sort=False)
+    is_user = (batch["role"] == user_role).astype("int64")
+    n_chars = batch["text"].str.len().fillna(0).astype("int64")
+    g = batch.assign(_u=is_user, _c=n_chars).groupby("conv_id", sort=False)
     out = pd.DataFrame(
         {
             "n_turns": g.size(),
-            "n_user_turns": g["role"].apply(lambda s: int((s == user_role).sum())),
-            "n_chars": g["text"].apply(
-                lambda s: int(s.str.len().fillna(0).sum())
-            ),
+            "n_user_turns": g["_u"].sum(),
+            "n_chars": g["_c"].sum(),
             "last_ts": g["ts"].max(),
         }
     ).reset_index()

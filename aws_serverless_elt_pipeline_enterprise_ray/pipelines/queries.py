@@ -1665,6 +1665,93 @@ def q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-pruned semi join: lineitem ⋉ urgent orders. The urgent
+    orderkeys build a compact bitset (10 bits/key, broadcast once);
+    every lineitem batch is membership-tested vectorized BEFORE the
+    join shuffle, so only ~20% of the big side (+ ~1% false positives)
+    pays the exchange; the exact semi join removes the false positives.
+    Result is byte-identical to the plain semi join — the bloom only
+    cuts shuffle volume, the pattern that matters at 100 TB."""
+    from ..functions.bloom import bloom_semi_join
+
+    urgent = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        .filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+        .map_batches(
+            lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
+            batch_format="pyarrow",
+        )
+    )
+    items = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    kept = bloom_semi_join(items, urgent, on="l_orderkey")
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        cents = np.floor(b["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        t = pa.table(
+            {"l_returnflag": pa.array(b["l_returnflag"]), "qty_cents": pa.array(cents)}
+        )
+        return (
+            t.group_by("l_returnflag")
+            .aggregate([("qty_cents", "sum"), ("qty_cents", "count")])
+            .rename_columns(["l_returnflag", "qty_cents", "n_items"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        kept.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("qty_cents", alias_name="qty_cents"),
+        )
+    )
+    df = out.sort("l_returnflag").to_pandas()
+    for c in ("n_items", "qty_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["l_returnflag", "n_items", "qty_cents"]]
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Model-based quality filter, corpus-trained: the top-256 corpus
+    terms (distributed word count, result-sized) become a broadcast
+    vocabulary; each document is scored by its in-vocabulary token
+    ratio (integer per-mille — junk/boilerplate/foreign docs score
+    low). The train-on-corpus-stats -> broadcast -> score-distributed
+    shape of every statistical quality filter (e.g. KenLM-style LM
+    scoring), with exact integer math so the oracle matches."""
+    from ..functions.text import term_frequencies, vocab_coverage
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    vocab = term_frequencies(docs, top_n=256)["term"]
+    return vocab_coverage(docs, set(vocab))
+
+
+def q_hll_users_by_type(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via
+    HyperLogLog (p=14, ~0.8% err): fixed 16 KiB register partials per
+    batch, merged by max — NO shuffle at all, driver sees only
+    registers. The scale path when even locally-deduped pairs are too
+    many to exchange (cf. distinct_users_by_type, the exact path).
+    Rows-only check: approximation has no SQL oracle; the pytest
+    asserts tolerance against the exact count."""
+    from ..functions.sketch import hll_distinct
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    df = hll_distinct(ev, "user_id", group_col="event_type")
+    df["n_approx"] = df["n_approx"].astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1740,6 +1827,9 @@ QUERIES = {
     "topk_events_per_type": q_topk_events_per_type,
     "sample_deterministic": q_sample_deterministic,
     "value_quantiles_by_type": q_value_quantiles_by_type,
+    "bloom_semi_join": q_bloom_semi_join,
+    "vocab_coverage": q_vocab_coverage,
+    "hll_users_by_type": q_hll_users_by_type,
 }
 
 _LANG_SQL_CASES = """
@@ -2389,9 +2479,38 @@ ORACLES = {
              quantile_disc(cents, 0.99) AS p99_cents
       FROM e GROUP BY event_type ORDER BY event_type
     """,
+    "bloom_semi_join": """
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "vocab_coverage": """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      vocab AS (
+        SELECT term FROM toks GROUP BY term
+        ORDER BY count(*) DESC, term LIMIT 256),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (
+                 WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_invocab
+        FROM toks GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(p.n_tokens, 0) AS n_tokens,
+             CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+                  ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id
+    """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
-    # multimodal_decode: not SQL-expressible -> rows-only checks
-    # (the driver records the weaker check).
+    # multimodal_decode / hll_users_by_type: not SQL-expressible ->
+    # rows-only checks (the driver records the weaker check).
 }
 
 

@@ -1,0 +1,100 @@
+"""Bloom-pruned semi join + HyperLogLog sketch: exactness / tolerance
+against brute-force on multi-block inputs."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from aws_serverless_elt_pipeline_enterprise_ray.functions.bloom import (
+    Bloom,
+    bloom_semi_join,
+    build_bloom,
+)
+from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    keys = pd.Series(rng.choice(10**9, size=20_000, replace=False).astype(np.int64))
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    bloom = build_bloom(ds, "k")
+    # every inserted key must hit
+    assert bloom.contains(keys).all()
+    # false-positive rate on fresh keys ~1% at 10 bits/key
+    probe = pd.Series((rng.choice(10**9, size=50_000) + 10**9).astype(np.int64))
+    fp = bloom.contains(probe).mean()
+    assert fp < 0.03, fp
+    # nulls never match
+    assert not bloom.contains(pd.Series([None], dtype="Int64")).any()
+
+
+def test_bloom_semi_join_exact():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5000, size=30_000).astype(np.int64),
+            "v": np.arange(30_000, dtype=np.int64),
+        }
+    )
+    right_keys = np.unique(rng.integers(0, 5000, size=800).astype(np.int64))
+    right = pd.DataFrame({"k": right_keys})
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right).repartition(3),
+            on="k",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left[left["k"].isin(set(right_keys))]
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want)
+
+
+def test_hll_tolerance_large_cardinality():
+    rng = np.random.default_rng(5)
+    n_distinct = 200_000
+    vals = rng.choice(10**12, size=n_distinct, replace=False).astype(np.int64)
+    # duplicate a third of them so the stream has repeats across blocks
+    stream = np.concatenate([vals, vals[: n_distinct // 3]])
+    rng.shuffle(stream)
+    ds = rd.from_pandas(pd.DataFrame({"u": stream})).repartition(8)
+    df = hll_distinct(ds, "u", p=14)
+    approx = int(df["n_approx"].iloc[0])
+    assert abs(approx - n_distinct) / n_distinct < 0.05, approx
+
+
+def test_hll_grouped_matches_exact_small():
+    # small-range regime exercises the linear-counting correction,
+    # where HLL is near-exact
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["x", "y"], 5000),
+            "u": np.r_[
+                np.arange(5000, dtype=np.int64) % 137,
+                np.arange(5000, dtype=np.int64) % 911,
+            ],
+        }
+    )
+    out = hll_distinct(rd.from_pandas(df).repartition(5), "u", group_col="g")
+    got = dict(zip(out["g"], out["n_approx"]))
+    assert abs(got["x"] - 137) <= 3 and abs(got["y"] - 911) <= 12, got
+
+
+def test_hll_merge_equals_union():
+    a = pd.Series(np.arange(0, 60_000, dtype=np.int64))
+    b = pd.Series(np.arange(40_000, 100_000, dtype=np.int64))
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import _registers
+
+    ra, rb = _registers(a, 14), _registers(b, 14)
+    est = hll_estimate(hll_merge([ra, rb]))
+    assert abs(est - 100_000) / 100_000 < 0.05, est
