@@ -70,6 +70,86 @@ def hll_merge(reg_list) -> np.ndarray:
     return np.maximum.reduce([np.asarray(r, dtype=np.uint8) for r in reg_list])
 
 
+def dd_partials(
+    ds: rd.Dataset,
+    cents_expr,
+    *,
+    group_col: str | None = None,
+    alpha: float = 0.01,
+) -> rd.Dataset:
+    """DDSketch-style log-bucketed histogram partials (Masson et al.,
+    VLDB 2019): value v > 0 lands in bucket ceil(log_gamma(v)) with
+    gamma = (1+alpha)/(1-alpha), guaranteeing RELATIVE error <= alpha
+    on every quantile. Mergeable by bucket-count addition; partial size
+    is O(log(value range)/alpha), independent of rows. The float-domain
+    complement of the EXACT integer counting histogram
+    (aggregates.grouped_quantiles): use this when the measure is
+    continuous/unbounded so exact value-binning can't bound the
+    shuffle. Zero/negative values get the reserved bucket 0 (DDSketch's
+    zero bucket; extend with a mirrored negative store if needed).
+
+    ``cents_expr(batch) -> float/int numpy`` extracts the measure."""
+    gamma_log = np.log((1 + alpha) / (1 - alpha))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.asarray(cents_expr(b), dtype=np.float64)
+        key = np.zeros(len(v), dtype=np.int64)
+        pos = v > 0
+        key[pos] = np.ceil(np.log(v[pos]) / gamma_log).astype(np.int64)
+        if group_col is None:
+            ks, ns = np.unique(key, return_counts=True)
+            return pd.DataFrame({"bucket": ks, "n": ns.astype(np.int64)})
+        df = pd.DataFrame({group_col: b[group_col].to_numpy(), "bucket": key})
+        out = df.value_counts([group_col, "bucket"], sort=False).reset_index()
+        out.columns = [group_col, "bucket", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def dd_quantiles(
+    ds: rd.Dataset,
+    cents_expr,
+    *,
+    group_col: str | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+) -> pd.DataFrame:
+    """Approximate quantiles with guaranteed relative error <= alpha.
+    Partials merge through a tiny distributed groupby-sum (bucket
+    cardinality ~ log-range/alpha); the driver walks result-sized CDFs
+    only. Returns one row per group with ``q##`` columns (bucket
+    midpoint back-transform)."""
+    from ray.data.aggregate import Sum
+
+    gamma = (1 + alpha) / (1 - alpha)
+    parts = dd_partials(ds, cents_expr, group_col=group_col, alpha=alpha)
+    keys = ["bucket"] if group_col is None else [group_col, "bucket"]
+    hist = parts.groupby(keys).aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    def walk(sub: pd.DataFrame) -> dict:
+        sub = sub.sort_values("bucket")
+        cum = sub["n"].cumsum().to_numpy()
+        total = cum[-1]
+        row = {}
+        for q in quantiles:
+            target = max(int(np.ceil(q * total)), 1)
+            k = int(sub["bucket"].to_numpy()[np.searchsorted(cum, target)])
+            # bucket k covers (gamma^(k-1), gamma^k]; midpoint estimate
+            row[f"q{int(q * 100):02d}"] = (
+                0.0 if k == 0 else 2 * gamma**k / (gamma + 1)
+            )
+        return row
+
+    if group_col is None:
+        return pd.DataFrame([walk(hist)])
+    rows = [
+        {group_col: g, **walk(sub)} for g, sub in hist.groupby(group_col, sort=True)
+    ]
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
 def hll_partials(
     ds: rd.Dataset, col: str, *, group_col: str | None = None, p: int = 14
 ) -> rd.Dataset:

@@ -289,6 +289,71 @@ def vocab_coverage(
     return df
 
 
+def inverted_index(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 100,
+    num_buckets: int | None = None,
+):
+    """Posting-list inverted index over the corpus: one row per term
+    with its document frequency and the sorted doc-id posting list
+    (comma-joined string — the exact-match search / contamination-
+    lookup structure). ``min_df`` drops the long tail so the index
+    holds the terms worth serving.
+
+    Scale shape: per-batch DISTINCT (term, doc) pairs (explode +
+    drop_duplicates, C-level) -> ONE shuffle bucketed by term (a term's
+    pairs co-locate; ~2 buckets/CPU) -> per bucket: global df via one
+    value_counts, tail-filter FIRST (the df >= min_df head is orders
+    of magnitude smaller than the vocabulary), then one sorted join
+    per surviving term. Postings never hit the driver; returns a
+    Dataset of (term, df, postings) — write_parquet it for a sharded
+    on-disk index."""
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        ex = toks.explode().dropna()
+        out = pd.DataFrame(
+            {"term": ex.to_numpy(), id_col: b[id_col].reindex(ex.index).to_numpy()}
+        ).drop_duplicates()
+        out["_tb"] = _key_buckets(out["term"], nb)
+        return out
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        df_counts = g["term"].value_counts()
+        keep = df_counts[df_counts >= min_df]
+        if not len(keep):
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(dtype=object),
+                    "df": pd.Series(dtype="int64"),
+                    "postings": pd.Series(dtype=object),
+                }
+            )
+        g = g[g["term"].isin(keep.index)]
+        g = g.sort_values(["term", id_col], kind="mergesort")
+        g["_s"] = g[id_col].astype(str)
+        postings = g.groupby("term", sort=True)["_s"].agg(",".join)
+        return pd.DataFrame(
+            {
+                "term": postings.index,
+                "df": keep.sort_index().to_numpy(dtype=np.int64),
+                "postings": postings.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 # RE2-compatible (no lookaround/backrefs) so the DuckDB oracle can
 # mirror the exact replacements; applied strictly in this order.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (

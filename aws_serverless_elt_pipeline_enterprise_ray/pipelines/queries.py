@@ -1752,6 +1752,40 @@ def q_hll_users_by_type(sf_dir: str):
     return df
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting-list inverted index over the corpus (exact-match search
+    / contamination lookup): distinct (term, doc) pairs per batch, one
+    term-bucketed shuffle, per-bucket df count + tail filter + sorted
+    posting-list join. Postings stay distributed (returned Dataset is
+    write_parquet-able as a sharded index)."""
+    from ..functions.text import inverted_index
+
+    idx = inverted_index(_documents(sf_dir, ["doc_id", "text"]), min_df=100)
+    df = idx.to_pandas().sort_values("term").reset_index(drop=True)
+    df["df"] = df["df"].astype("int64")
+    return df[["term", "df", "postings"]]
+
+
+def q_value_quantiles_sketch(sf_dir: str):
+    """DDSketch approximate p50/p90/p99 of the raw event value per
+    type: log-bucketed histogram partials (relative error <= alpha=1%,
+    mergeable by addition) -> tiny groupby-sum -> driver CDF walk.
+    The float-domain path when exact value-binning can't bound the
+    shuffle. Rows-only: approximation has no SQL oracle; pytest
+    asserts the relative-error bound against exact quantiles."""
+    from ..functions.sketch import dd_quantiles
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def vals(b: pd.DataFrame) -> np.ndarray:
+        return b["value"].to_numpy(dtype=np.float64)
+
+    df = dd_quantiles(ev, vals, group_col="event_type", alpha=0.01)
+    return df.round({c: 4 for c in df.columns if c.startswith("q")})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1830,6 +1864,8 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "vocab_coverage": q_vocab_coverage,
     "hll_users_by_type": q_hll_users_by_type,
+    "inverted_index": q_inverted_index,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
 }
 
 _LANG_SQL_CASES = """
@@ -2508,9 +2544,22 @@ ORACLES = {
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id
     """,
+    "inverted_index": """
+      WITH toks AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents))
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM toks GROUP BY term HAVING count(*) >= 100
+      ORDER BY term
+    """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
-    # multimodal_decode / hll_users_by_type: not SQL-expressible ->
-    # rows-only checks (the driver records the weaker check).
+    # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
+    # not SQL-expressible -> rows-only checks (the driver records the
+    # weaker check).
 }
 
 

@@ -90,6 +90,82 @@ def test_hll_grouped_matches_exact_small():
     assert abs(got["x"] - 137) <= 3 and abs(got["y"] - 911) <= 12, got
 
 
+def test_dd_quantiles_relative_error_bound():
+    rng = np.random.default_rng(13)
+    vals = np.exp(rng.normal(3.0, 2.0, size=100_000))  # heavy-tailed
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import (
+        dd_quantiles,
+    )
+
+    out = dd_quantiles(ds, lambda b: b["v"].to_numpy(), alpha=0.01,
+                       quantiles=(0.5, 0.9, 0.99))
+    for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        exact = np.quantile(vals, q)
+        approx = float(out[col].iloc[0])
+        assert abs(approx - exact) / exact < 0.02, (q, approx, exact)
+
+
+def test_dd_grouped_and_zero_bucket():
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 1000 + ["b"] * 1000,
+            "v": np.r_[np.zeros(1000), np.full(1000, 50.0)],
+        }
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import (
+        dd_quantiles,
+    )
+
+    out = dd_quantiles(
+        rd.from_pandas(df).repartition(4),
+        lambda b: b["v"].to_numpy(),
+        group_col="g",
+        quantiles=(0.5,),
+    )
+    got = dict(zip(out["g"], out["q50"]))
+    assert got["a"] == 0.0
+    assert abs(got["b"] - 50.0) / 50.0 < 0.01
+
+
+def test_inverted_index_matches_bruteforce():
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(30)]
+    docs = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12)))
+        for _ in range(400)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": docs})
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        inverted_index,
+    )
+
+    got = (
+        inverted_index(rd.from_pandas(df).repartition(5), min_df=30)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    # brute force
+    import re
+
+    post: dict = {}
+    for i, t in zip(df["doc_id"], df["text"]):
+        for w in set(re.findall(r"[a-z0-9]+", t.lower())):
+            post.setdefault(w, []).append(int(i))
+    want = pd.DataFrame(
+        [
+            (w, len(ids), ",".join(str(x) for x in sorted(ids)))
+            for w, ids in sorted(post.items())
+            if len(ids) >= 30
+        ],
+        columns=["term", "df", "postings"],
+    )
+    pd.testing.assert_frame_equal(
+        got[["term", "df", "postings"]], want, check_dtype=False
+    )
+
+
 def test_hll_merge_equals_union():
     a = pd.Series(np.arange(0, 60_000, dtype=np.int64))
     b = pd.Series(np.arange(40_000, 100_000, dtype=np.int64))
