@@ -1152,3 +1152,162 @@ def paragraph_dedup(
         .groupby("_pb")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+def window_dedup(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Sliding-window substring dedup: remove every NON-FIRST occurrence
+    of any ``w``-token window (first = global min ``(doc_id, pos)``) and
+    rebuild each document from its surviving tokens — the stride-1
+    window approximation of Lee et al.'s suffix-array substring dedup
+    (arXiv:2107.06499): any duplicated run of >= ``w`` tokens shares a
+    window, so cross- AND intra-document repeats >= ``w`` tokens are
+    cut at token granularity, the level between whole-segment
+    (``paragraph_dedup``) and whole-doc (``exact_dedup``) identity.
+
+    Scale shape: one streamed pass computes per-token SipHash (pandas
+    ``hash_pandas_object`` — deterministic, vectorized) and rolls
+    ``w``-token window keys with one ``sliding_window_view``
+    multiply-sum (NO per-row Python, window STRINGS never built); the
+    winner aggregate pre-reduces per block (min packed per key) so the
+    groupby shuffles O(distinct windows per block) fixed-width rows,
+    never text. Occurrence rows re-join winners key-bucketed
+    (``hash_join``), surviving spans co-group with their documents in
+    ONE more bucketed shuffle, and each bucket rebuilds vectorized
+    (explode + anti-merge + C-level group concat). Corpus text crosses
+    the wire once (the rebuild co-group); the driver never sees it.
+
+    Window identity is the 64-bit rolling key — exact modulo hash
+    collisions (~2^-64 per pair; swap in the raw window string as the
+    key for collision-free runs at w x text shuffle cost). Tokens are
+    ``\\S+`` runs; rebuilt docs are single-space joined (SQL mirror:
+    ``regexp_extract_all(text, '\\S+')`` + ``string_agg(tok, ' ')``).
+
+    Returns ``(id_col, text_dedup)``.
+    """
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+    POS_BITS = np.int64(1 << 20)
+    coeffs = np.multiply.accumulate(
+        np.full(w, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    )
+
+    def occurrences(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "whash": pd.Series(dtype="int64"),
+                id_col: pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+            }
+        )
+        toks = b[text_col].fillna("").str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = toks.explode().dropna()
+        if len(flat) < w:
+            return empty
+        th = pd.util.hash_pandas_object(flat, index=False).to_numpy(dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(th, w)
+        wh = (win * coeffs[None, :]).sum(axis=1, dtype=np.uint64)
+        starts = np.r_[np.int64(0), np.cumsum(lens)[:-1]]
+        gpos = np.arange(len(th) - w + 1, dtype=np.int64)
+        owner = np.searchsorted(starts, gpos, side="right") - 1
+        local = gpos - starts[owner]
+        valid = local <= lens[owner] - w
+        if not valid.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "whash": wh[valid].view(np.int64),
+                id_col: b[id_col].to_numpy()[owner[valid]],
+                "pos": local[valid],
+            }
+        )
+
+    # one whash-bucketed shuffle finds winners AND emits the non-first
+    # spans in the same co-group (a whash's occurrences co-locate):
+    # transform("min") is one C-level pass per bucket — no distributed
+    # aggregate (Ray's combine pays per-group Python at high key
+    # cardinality), no winners join.
+    def bucket_by_whash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_sb"] = _key_buckets(b["whash"], nb)
+        return b
+
+    def spans_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        packed = (
+            g[id_col].to_numpy(dtype=np.int64) * POS_BITS
+            + g["pos"].to_numpy(dtype=np.int64)
+        )
+        g = g.assign(_pk=packed)
+        keep = g.groupby("whash", sort=False)["_pk"].transform("min")
+        s = g[g["_pk"] != keep.to_numpy()]
+        return s[[id_col, "pos"]].assign(_kind="s", **{text_col: None})
+
+    spans = (
+        ds.map_batches(occurrences, batch_format="pandas")
+        .map_batches(bucket_by_whash, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(spans_in_bucket, batch_format="pandas")
+    )
+
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "pos": np.int64(-1),
+                "_kind": "d",
+                text_col: b[text_col],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_kind"] == "d"]
+        toks = d[text_col].fillna("").str.findall(r"\S+")
+        ex = toks.explode().dropna()
+        kept = pd.DataFrame(
+            {
+                id_col: d[id_col].reindex(ex.index).to_numpy(),
+                "pos": ex.groupby(level=0).cumcount().to_numpy(dtype=np.int64),
+                "tok": ex.to_numpy(),
+            }
+        )
+        s = g[g["_kind"] == "s"]
+        if len(s) and len(kept):
+            st = s["pos"].to_numpy(dtype=np.int64)
+            cov = pd.DataFrame(
+                {
+                    id_col: np.repeat(s[id_col].to_numpy(), w),
+                    "pos": (st[:, None] + np.arange(w, dtype=np.int64)[None, :]).ravel(),
+                }
+            ).drop_duplicates()
+            hit = kept.merge(cov, on=[id_col, "pos"], how="left", indicator=True)
+            kept = kept[(hit["_merge"] == "left_only").to_numpy()]
+        joined = (
+            kept.sort_values([id_col, "pos"], kind="mergesort")
+            .groupby(id_col, sort=False)["tok"]
+            .agg(" ".join)
+        )
+        ids = d[id_col].drop_duplicates().sort_values()
+        out = joined.reindex(ids).fillna("")
+        return pd.DataFrame({id_col: out.index, "text_dedup": out.to_numpy()})
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_wb"] = _key_buckets(b[id_col], nb)
+        return b
+
+    return (
+        docs.union(spans)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(rebuild, batch_format="pandas")
+    )

@@ -1766,6 +1766,40 @@ def q_inverted_index(sf_dir: str):
     return df[["term", "df", "postings"]]
 
 
+_WD_FOOTER = (
+    "this boilerplate sentence repeats across every single document in corpus"
+)
+
+
+def q_window_dedup(sf_dir: str):
+    """Sliding-window substring dedup (Lee et al. arXiv:2107.06499,
+    stride-1 window form): every non-first occurrence of an 8-token
+    window is cut at token granularity and docs are rebuilt from the
+    surviving tokens. A shared 10-token footer is injected (as in
+    paragraph_dedup) so the corpus demonstrably contains >=w-token
+    cross-doc repeats; only the globally first doc keeps it."""
+    from ..functions.dedup import window_dedup
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"].fillna("")
+                + " "
+                + _WD_FOOTER
+                + " tail-"
+                + b["doc_id"].astype(str),
+            }
+        )
+
+    out = window_dedup(docs.map_batches(inject, batch_format="pandas"), w=8)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "text_dedup"]]
+
+
 def q_value_quantiles_sketch(sf_dir: str):
     """DDSketch approximate p50/p90/p99 of the raw event value per
     type: log-bucketed histogram partials (relative error <= alpha=1%,
@@ -1865,6 +1899,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
+    "window_dedup": q_window_dedup,
     "value_quantiles_sketch": q_value_quantiles_sketch,
 }
 
@@ -2555,6 +2590,45 @@ ORACLES = {
                AS postings
       FROM toks GROUP BY term HAVING count(*) >= 100
       ORDER BY term
+    """,
+    "window_dedup": f"""
+      WITH base AS (
+        SELECT doc_id,
+               COALESCE(text, '') || ' {_WD_FOOTER} tail-'
+                 || CAST(doc_id AS VARCHAR) AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM base),
+      occ AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+        FROM toks),
+      occw AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos + 1 : pos + 8], ' ') AS w1
+        FROM occ),
+      firsts AS (
+        SELECT w1, min(doc_id * 1048576 + pos) AS keep
+        FROM occw GROUP BY w1),
+      spans AS (
+        SELECT o.doc_id, o.pos FROM occw o JOIN firsts f USING (w1)
+        WHERE o.doc_id * 1048576 + o.pos <> f.keep),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + k AS cpos
+        FROM spans,
+             (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ku(k)),
+      toklist AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(0, len(t))) AS p
+        FROM toks),
+      kept AS (
+        SELECT tl.doc_id, tl.tok, tl.p FROM toklist tl
+        LEFT JOIN covered c ON c.doc_id = tl.doc_id AND c.cpos = tl.p
+        WHERE c.doc_id IS NULL)
+      SELECT b.doc_id,
+             COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_dedup
+      FROM base b LEFT JOIN kept k USING (doc_id)
+      GROUP BY b.doc_id ORDER BY b.doc_id
     """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:

@@ -166,6 +166,49 @@ def test_inverted_index_matches_bruteforce():
     )
 
 
+def test_window_dedup_matches_bruteforce():
+    rng = np.random.default_rng(23)
+    words = [f"t{i}" for i in range(40)]
+    shared = " ".join(rng.choice(words, size=12))  # >= w-token cross-doc run
+    docs = []
+    for i in range(120):
+        body = " ".join(rng.choice(words, size=int(rng.integers(5, 25))))
+        docs.append(body + (" " + shared if i % 3 == 0 else "") + f" end{i}")
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": docs})
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.dedup import (
+        window_dedup,
+    )
+
+    W = 8
+    got = (
+        window_dedup(rd.from_pandas(df).repartition(5), w=W)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force: first (doc, pos) per window string wins; other
+    # occurrences' token ranges are cut
+    first: dict = {}
+    toks = {int(i): t.split() for i, t in zip(df["doc_id"], df["text"])}
+    for i in sorted(toks):
+        for p in range(len(toks[i]) - W + 1):
+            first.setdefault(" ".join(toks[i][p : p + W]), (i, p))
+    want = []
+    for i in sorted(toks):
+        covered = set()
+        for p in range(len(toks[i]) - W + 1):
+            if first[" ".join(toks[i][p : p + W])] != (i, p):
+                covered.update(range(p, p + W))
+        want.append(
+            " ".join(t for p, t in enumerate(toks[i]) if p not in covered)
+        )
+    assert list(got["text_dedup"]) == want
+    # the shared run survives only in its first host doc
+    n_with_shared = sum(shared in t for t in got["text_dedup"])
+    assert n_with_shared == 1
+
+
 def test_hll_merge_equals_union():
     a = pd.Series(np.arange(0, 60_000, dtype=np.int64))
     b = pd.Series(np.arange(40_000, 100_000, dtype=np.int64))
