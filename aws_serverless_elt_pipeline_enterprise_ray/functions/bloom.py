@@ -80,6 +80,10 @@ def build_bloom(
     Partial bitmaps are fixed-size, so the combine is bytes-bounded:
     driver-OR for few blocks, a ``fan_in``-ary task tree beyond."""
     if expected_keys is None:
+        # materialize the (small by definition) key side once: count()
+        # comes free from block metadata and the partial pass reuses
+        # the same blocks instead of re-executing the upstream
+        keys = keys.materialize()
         expected_keys = keys.count()
     num_bits = 1 << max(10, int(np.ceil(np.log2(max(expected_keys, 1) * bits_per_key))))
     nbytes = num_bits // 8
@@ -108,17 +112,15 @@ def build_bloom(
     return Bloom(bits, num_bits, num_hashes)
 
 
-class BloomPrefilter:
-    """Actor-pool ``map_batches`` stage: keep rows whose key MIGHT be
-    in the filter. The Bloom rides the object store (``ray.put`` once),
-    fetched per actor in ``__init__`` — never per batch."""
-
-    def __init__(self, bloom_ref, col: str):
-        self.bloom: Bloom = ray.get(bloom_ref)
-        self.col = col
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        return b[self.bloom.contains(b[self.col])]
+def bloom_prefilter_batch(b: pd.DataFrame, *, bloom_ref, col: str) -> pd.DataFrame:
+    """Task-based ``map_batches`` stage: keep rows whose key MIGHT be
+    in the filter. The Bloom rides the object store (``ray.put`` once,
+    the ref ships in the task spec); ``ray.get`` here is a zero-copy
+    plasma read cached per node — never a re-ship per batch. Tasks
+    (not an actor pool) so the stage scales to every CPU with no
+    pool-spawn latency — there is no per-actor state to amortize."""
+    bloom: Bloom = ray.get(bloom_ref)
+    return b[bloom.contains(b[col])]
 
 
 def bloom_semi_join(
@@ -127,7 +129,6 @@ def bloom_semi_join(
     *,
     on: str,
     expected_keys: int | None = None,
-    concurrency=(1, 8),
     num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Exact ``left ⋉ right_keys`` on ``on``, with a Bloom prefilter so
@@ -135,13 +136,18 @@ def bloom_semi_join(
     carry the join column under the same name."""
     from .joins import hash_join
 
+    # one materialization serves both the bloom build and the exact
+    # join (the key side is small by definition; without this the lazy
+    # upstream re-executes once per consumer)
+    right_keys = right_keys.materialize()
+    if expected_keys is None:
+        expected_keys = right_keys.count()
     bloom = build_bloom(right_keys, on, expected_keys=expected_keys)
     bloom_ref = ray.put(bloom)
     survivors = left.map_batches(
-        BloomPrefilter,
+        bloom_prefilter_batch,
         batch_format="pandas",
-        concurrency=concurrency,
-        fn_constructor_args=(bloom_ref, on),
+        fn_kwargs={"bloom_ref": bloom_ref, "col": on},
     )
     # exact semi join over the (much smaller) survivor stream removes
     # the bloom's false positives

@@ -117,16 +117,19 @@ def dd_quantiles(
     alpha: float = 0.01,
 ) -> pd.DataFrame:
     """Approximate quantiles with guaranteed relative error <= alpha.
-    Partials merge through a tiny distributed groupby-sum (bucket
-    cardinality ~ log-range/alpha); the driver walks result-sized CDFs
-    only. Returns one row per group with ``q##`` columns (bucket
+    Partials are SKETCH-sized (<= log-range/alpha buckets per group per
+    block, independent of rows), so the combine is a single driver
+    groupby-sum over blocks x buckets rows — the `_hot_buckets`
+    pattern; a distributed aggregate here would pay Ray's per-group
+    combine for no volume reduction. The driver walks result-sized
+    CDFs only. Returns one row per group with ``q##`` columns (bucket
     midpoint back-transform)."""
-    from ray.data.aggregate import Sum
-
     gamma = (1 + alpha) / (1 - alpha)
     parts = dd_partials(ds, cents_expr, group_col=group_col, alpha=alpha)
     keys = ["bucket"] if group_col is None else [group_col, "bucket"]
-    hist = parts.groupby(keys).aggregate(Sum("n", alias_name="n")).to_pandas()
+    hist = (
+        parts.to_pandas().groupby(keys, sort=False)["n"].sum().reset_index()
+    )
 
     def walk(sub: pd.DataFrame) -> dict:
         sub = sub.sort_values("bucket")

@@ -1675,16 +1675,18 @@ def q_bloom_semi_join(sf_dir: str):
     cuts shuffle volume, the pattern that matters at 100 TB."""
     from ..functions.bloom import bloom_semi_join
 
-    urgent = (
-        rd.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_orderpriority"],
-        )
-        .filter(lambda r: r["o_orderpriority"] == "1-URGENT")
-        .map_batches(
-            lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
-            batch_format="pyarrow",
-        )
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.filter(
+                    pc.equal(b["o_orderpriority"], "1-URGENT")
+                )["o_orderkey"]
+            }
+        ),
+        batch_format="pyarrow",
     )
     items = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
