@@ -16,6 +16,10 @@ Python call per bucket, never per key.
 tagged-union co-partition: one shuffle, then one vectorized
 ``pandas.merge`` per bucket.
 
+``interval_join`` — point-in-interval (range) join by the same
+co-partition: ``merge_asof`` + end-bound mask when intervals are
+disjoint per key, equi-merge + range mask when they may overlap.
+
 Partitioning assumption (documented per SURVEY's custom-operator
 rule): a BUCKET (not a key) must fit a worker; bucket count scales
 with the cluster. A skewed hot key that overflows its bucket is
@@ -26,6 +30,7 @@ the CDC merge salts hot conversations (schema.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -128,6 +133,129 @@ def asof_join(
         return out[out_cols]
 
     return both.groupby("_jb").map_groups(merge_bucket, batch_format="pandas")
+
+
+def interval_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    disjoint: bool = False,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Point-in-interval join: each ``points`` row matches the
+    ``intervals`` rows of the same ``by`` key with
+    ``start <= points[on] <= end`` (SQL ``BETWEEN`` semantics, both
+    ends closed). Ray Data has no range-join primitive, so both sides
+    are tagged, unioned and co-partitioned in ONE shuffle (the
+    asof/hash-join pattern), then each key bucket is matched with one
+    vectorized pandas pass - never per key, never per row.
+
+    ``how``: ``inner`` (drop unmatched points) | ``left`` (keep them,
+    interval columns null).
+
+    ``disjoint=True`` asserts the caller's intervals never overlap
+    within a key (sessions, validity ranges, SCD-2 dimensions): the
+    bucket match is then a single ``merge_asof`` on the interval start
+    plus an end-bound mask - O(n log n), each point emits <= 1 row.
+    With ``disjoint=False`` (default) overlapping intervals are
+    supported via an equi-merge on the key followed by the range mask;
+    per-key cost is points x intervals, so the documented partitioning
+    assumption is that one KEY's interval count stays modest (salt or
+    pre-split hot keys upstream otherwise)."""
+    assert how in ("inner", "left"), how
+    lcols = points.schema().names
+    rcols = intervals.schema().names
+    allcols = list(dict.fromkeys(lcols + rcols))
+    nb = num_buckets or _buckets_for_cluster()
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.reindex(columns=allcols)
+            b[_TAG] = side
+            b["_jb"] = _key_buckets(b[by], nb)
+            return b
+
+        return fn
+
+    both = points.map_batches(tag("l"), batch_format="pandas").union(
+        intervals.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    keep = [c for c in (right_cols or rcols) if c != by]
+    out_cols = list(lcols) + [(c + suffix if c in lcols else c) for c in keep]
+    ldtypes = _schema_dtypes(points, exclude=[])
+    rdtypes = _schema_dtypes(intervals, exclude=[by])
+    casts: dict[str, object] = dict(ldtypes)
+    for c in keep:
+        dt = rdtypes.get(c)
+        if dt is None:
+            continue
+        name = c + suffix if c in lcols else c
+        # left-join interval columns can be legitimately null in every
+        # bucket -> nullable extension dtype, bucket-independently
+        casts[name] = (_nullable_name(dt) or dt) if how == "left" else dt
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_TAG] == "l"][lcols]
+        rg = g[g[_TAG] == "r"][[by] + keep + ([start] if start not in keep else [])]
+        if len(lg) == 0:
+            return pd.DataFrame(columns=out_cols)
+        if len(rg) == 0:
+            out = lg.reindex(columns=out_cols)
+            return out if how == "left" else out.iloc[0:0]
+        if disjoint:
+            lg = lg.sort_values(on, kind="mergesort")
+            rg = rg.sort_values(start, kind="mergesort")
+            out = pd.merge_asof(
+                lg,
+                rg,
+                left_on=on,
+                right_on=start,
+                by=by,
+                direction="backward",
+                suffixes=("", suffix),
+            )
+            end_c = end + suffix if end in lcols else end
+            hit = (out[end_c] >= out[on]).fillna(False).to_numpy()
+            if how == "inner":
+                out = out[hit]
+            else:
+                miss_cols = [c for c in out.columns if c not in lcols]
+                out.loc[~hit, miss_cols] = None
+        else:
+            lg = lg.assign(_pt=np.arange(len(lg)))
+            out = lg.merge(rg, on=by, how="left", suffixes=("", suffix))
+            s_c = start + suffix if start in lcols else start
+            e_c = end + suffix if end in lcols else end
+            hit = (
+                (out[s_c] <= out[on]) & (out[on] <= out[e_c])
+            ).fillna(False).to_numpy()
+            if how == "inner":
+                out = out[hit]
+            else:
+                matched = set(out.loc[hit, "_pt"])
+                unmatched = lg[~lg["_pt"].isin(matched)].reindex(
+                    columns=out.columns
+                )
+                out = pd.concat([out[hit], unmatched], ignore_index=True)
+            out = out.drop(columns="_pt")
+        out = out.reindex(columns=out_cols)
+        for c, dt in casts.items():
+            if c in out.columns and str(out[c].dtype) != str(dt):
+                try:
+                    out = out.assign(**{c: out[c].astype(dt)})
+                except (TypeError, ValueError):  # pragma: no cover
+                    pass
+        return out
+
+    return both.groupby("_jb").map_groups(match_bucket, batch_format="pandas")
 
 
 def hash_join(

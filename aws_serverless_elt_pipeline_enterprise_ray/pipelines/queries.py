@@ -1147,6 +1147,36 @@ def q_sessionize_events(sf_dir: str):
     return df[["user_id", "session_id", "n_events", "session_start", "session_end"]]
 
 
+def q_interval_join_sessions(sf_dir: str):
+    """Point-in-interval join: every event matched back to the session
+    window containing it (sessions from ``sessionize``, disjoint per
+    user by construction, so the join uses the O(n log n) merge_asof
+    path). The range-join operator Ray Data lacks natively - one
+    tagged-union shuffle, one vectorized match per key bucket."""
+    from ..functions.joins import interval_join
+    from ..functions.windows import sessionize
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    sess = sessionize(ev, key="user_id", ts_col="ts", tiebreak="event_id")
+    out = interval_join(
+        ev,
+        sess,
+        by="user_id",
+        on="ts",
+        start="session_start",
+        end="session_end",
+        right_cols=["session_id", "session_start", "session_end"],
+        disjoint=True,
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "user_id", "session_id"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "user_id", "ts", "session_id"]]
+
+
 def q_join_orders_nation(sf_dir: str):
     """Broadcast (map-side) join: orders -> customer -> nation, small
     sides shipped once via ray.put, groupby count."""
@@ -1878,6 +1908,7 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "window_events_hourly": q_window_events_hourly,
     "sessionize_events": q_sessionize_events,
+    "interval_join_sessions": q_interval_join_sessions,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
     "tfidf_keywords": q_tfidf_keywords,
@@ -2274,6 +2305,32 @@ ORACLES = {
              count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "interval_join_sessions": """
+      WITH e AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      m AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM m),
+      sess AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id)
+      SELECT ev.event_id, ev.user_id, ev.ts, sess.session_id
+      FROM events ev
+      JOIN sess ON ev.user_id = sess.user_id
+              AND ev.ts BETWEEN sess.session_start AND sess.session_end
+      ORDER BY ev.event_id
     """,
     "join_orders_nation": """
       SELECT n.n_name AS nation, count(*) AS n_orders

@@ -736,3 +736,102 @@ def test_document_chunker():
     assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["one two"]
     d3 = out[out["doc_id"] == 3]
     assert d3["chunk_text"].tolist() == [""] and d3["n_tokens"].tolist() == [0]
+
+
+def test_interval_join_overlapping_matches_bruteforce():
+    """General (overlapping-intervals) path: inner emits one row per
+    (point, containing interval); left keeps unmatched points with
+    null interval columns and nullable dtypes."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import (
+        interval_join,
+    )
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "t": rng.integers(0, 100, 80),
+            "pid": np.arange(80),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 30),
+            "lo": rng.integers(0, 90, 30),
+            "iid": np.arange(30),
+        }
+    )
+    iv["hi"] = iv["lo"] + rng.integers(0, 40, 30)  # overlapping on purpose
+
+    want = pts.merge(iv, on="k")
+    want = want[(want["lo"] <= want["t"]) & (want["t"] <= want["hi"])]
+    want_pairs = set(zip(want["pid"], want["iid"]))
+
+    out = interval_join(
+        rd.from_pandas(pts),
+        rd.from_pandas(iv),
+        by="k",
+        on="t",
+        start="lo",
+        end="hi",
+    ).to_pandas()
+    assert set(zip(out["pid"], out["iid"])) == want_pairs
+    assert out["iid"].dtype == "int64"
+
+    left = interval_join(
+        rd.from_pandas(pts),
+        rd.from_pandas(iv),
+        by="k",
+        on="t",
+        start="lo",
+        end="hi",
+        how="left",
+    ).to_pandas()
+    matched_pids = {p for p, _ in want_pairs}
+    unmatched = left[left["iid"].isna()]
+    assert set(unmatched["pid"]) == set(pts["pid"]) - matched_pids
+    assert str(left["iid"].dtype) == "Int64"  # nullable, bucket-independent
+    assert set(zip(left.dropna(subset=["iid"])["pid"],
+                   left.dropna(subset=["iid"])["iid"])) == want_pairs
+
+
+def test_interval_join_disjoint_path_matches_general():
+    """disjoint=True (merge_asof + end mask) agrees with the general
+    path when intervals really are disjoint per key."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import (
+        interval_join,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    iid = 0
+    for k in range(4):
+        lo = 0
+        for _ in range(6):  # disjoint, gaps between intervals
+            lo += rng.integers(5, 15)
+            hi = lo + rng.integers(0, 8)
+            rows.append({"k": k, "lo": int(lo), "hi": int(hi), "iid": iid})
+            lo = hi + 1
+            iid += 1
+    iv = pd.DataFrame(rows)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120),
+            "t": rng.integers(0, 120, 120),
+            "pid": np.arange(120),
+        }
+    )
+    kwargs = dict(by="k", on="t", start="lo", end="hi")
+    for how in ("inner", "left"):
+        a = interval_join(
+            rd.from_pandas(pts), rd.from_pandas(iv), how=how, **kwargs
+        ).to_pandas()
+        b = interval_join(
+            rd.from_pandas(pts), rd.from_pandas(iv), how=how, disjoint=True,
+            **kwargs
+        ).to_pandas()
+        key = lambda df: sorted(
+            (int(p), -1 if pd.isna(i) else int(i))
+            for p, i in zip(df["pid"], df["iid"])
+        )
+        assert key(a) == key(b)
