@@ -289,6 +289,158 @@ def vocab_coverage(
     return df
 
 
+def _batch_bigrams(b: pd.DataFrame, text_col: str):
+    """Vectorized adjacent-token bigrams for every row of a batch:
+    returns (row_label, first_token, "w1 w2") arrays. One findall +
+    explode; adjacency comes from the exploded row labels (tokens of a
+    row are contiguous), so no Python per row/token."""
+    toks = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    ex = toks.explode().dropna()
+    doc = ex.index.to_numpy()
+    tok = ex.to_numpy(dtype=object)
+    if len(tok) < 2:
+        e = np.zeros(0, dtype=object)
+        return np.zeros(0, dtype=np.int64), e, pd.Series(e, dtype=object)
+    same = doc[1:] == doc[:-1]
+    w1 = tok[:-1][same]
+    big = pd.Series(w1, dtype=object) + " " + pd.Series(tok[1:][same], dtype=object)
+    return doc[:-1][same], w1, big
+
+
+def bigram_model(
+    ds,
+    *,
+    text_col: str = "text",
+    top_bigrams: int = 50_000,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Train the corpus side of a bigram language model in ONE token
+    pass: per-batch partial counts of bigrams and of bigram prefixes
+    (C-level value_counts - the token explosion never leaves the
+    worker), one groupby-sum shuffle over (kind, key) rows, then the
+    model = top-N bigrams by count (deterministic tie-break: bigram
+    asc) via a distributed sort+limit. Returns (bigrams, prefixes)
+    count tables; the prefix table is vocabulary-sized (not truncated -
+    truncating it would skew every conditional probability), the
+    bigram table is capped so the broadcast stays bounded at corpus
+    scale. The shuffle carries one row per (block, distinct gram)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        _, w1, big = _batch_bigrams(b, text_col)
+        vb = big.value_counts()
+        vp = pd.Series(w1, dtype=object).value_counts()
+        return pa.table(
+            {
+                "kind": pa.array(["b"] * len(vb) + ["p"] * len(vp), pa.string()),
+                "key": pa.array(
+                    np.concatenate(
+                        [vb.index.to_numpy(dtype=object),
+                         vp.index.to_numpy(dtype=object)]
+                    ).tolist()
+                    if len(vb) + len(vp)
+                    else [],
+                    pa.string(),
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [vb.to_numpy(np.int64), vp.to_numpy(np.int64)]
+                    )
+                    if len(vb) + len(vp)
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # consumed twice below; distinct-gram-sized
+    )
+
+    def only(kind: str):
+        import pyarrow.compute as pc
+
+        return lambda t: t.filter(pc.equal(t["kind"], kind)).drop_columns("kind")
+
+    bigrams = (
+        agg.map_batches(only("b"), batch_format="pyarrow")
+        .sort(["n", "key"], descending=[True, False])
+        .limit(top_bigrams)
+        .to_pandas()
+    )
+    prefixes = agg.map_batches(only("p"), batch_format="pyarrow").to_pandas()
+    for df in (bigrams, prefixes):
+        df["n"] = df["n"].astype("int64")
+    return bigrams, prefixes
+
+
+def lm_score(
+    ds,
+    model: tuple[pd.DataFrame, pd.DataFrame] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigrams: int = 50_000,
+):
+    """Corpus-trained bigram-LM quality score per document, integer
+    exact: each adjacent-token bigram scores
+    ``floor(1e6 * C(w1 w2) / C(w1 ·))`` (its conditional probability in
+    parts-per-million under the corpus model; bigrams outside the
+    top-N model score 0) and a document scores the floor-mean of its
+    bigram scores. This is the train-on-corpus -> broadcast -> score
+    shape of perplexity-style quality filters (KenLM et al.) with
+    exact arithmetic so the DuckDB oracle can verify it to the bit.
+
+    The model tables ride ``ray.put`` once and are fetched once per
+    actor; scoring is one vectorized pass per batch (findall/explode/
+    hash-map/level-groupby - no Python per row). Returns a Dataset of
+    (id, n_bigrams, score_ppm)."""
+    import ray
+
+    if model is None:
+        model = bigram_model(ds, text_col=text_col, top_bigrams=top_bigrams)
+    big_df, pre_df = model
+    ref = ray.put(
+        (
+            dict(zip(big_df["key"], big_df["n"].astype(int))),
+            dict(zip(pre_df["key"], pre_df["n"].astype(int))),
+        )
+    )
+
+    class Score:
+        def __init__(self):
+            self.big, self.pre = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            doc, w1, big = _batch_bigrams(b, text_col)
+            bn = big.map(self.big).fillna(0).to_numpy(np.int64)
+            pn = (
+                pd.Series(w1, dtype=object)
+                .map(self.pre)
+                .fillna(1)
+                .to_numpy(np.int64)
+            )
+            ppm = (bn * 1_000_000) // np.maximum(pn, 1)
+            per = (
+                pd.DataFrame({"d": doc, "ppm": ppm})
+                .groupby("d")
+                .agg(n=("ppm", "size"), tot=("ppm", "sum"))
+            )
+            n = per["n"].reindex(b.index, fill_value=0).to_numpy(np.int64)
+            tot = per["tot"].reindex(b.index, fill_value=0).to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "n_bigrams": n,
+                    "score_ppm": tot // np.maximum(n, 1),
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+
+
 def inverted_index(
     ds,
     *,

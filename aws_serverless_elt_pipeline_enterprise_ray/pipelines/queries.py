@@ -1766,6 +1766,21 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(docs, set(vocab))
 
 
+def q_lm_bigram_score(sf_dir: str):
+    """Bigram-LM quality scoring, corpus-trained in one token pass:
+    per-batch partial gram counts -> one (kind, gram) groupby-sum
+    shuffle -> top-50k bigram model broadcast via ray.put -> per-doc
+    floor-mean conditional probability (ppm) scored vectorized. The
+    statistical-LM quality filter with exact integer math."""
+    from ..functions.text import lm_score
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    out = lm_score(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_bigrams", "score_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (p=14, ~0.8% err): fixed 16 KiB register partials per
@@ -1930,6 +1945,7 @@ QUERIES = {
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "bloom_semi_join": q_bloom_semi_join,
     "vocab_coverage": q_vocab_coverage,
+    "lm_bigram_score": q_lm_bigram_score,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2636,6 +2652,35 @@ ORACLES = {
              CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
                   ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY d.doc_id
+    """,
+    "lm_bigram_score": """
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, t[pos + 1] AS w1,
+               t[pos + 1] || ' ' || t[pos + 2] AS bigram
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t) - 1, 0))) AS pos
+              FROM toks)),
+      bcnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+      pcnt AS (SELECT w1, count(*) AS n FROM bg GROUP BY w1),
+      model AS (
+        SELECT bigram, n FROM bcnt ORDER BY n DESC, bigram LIMIT 50000),
+      scored AS (
+        SELECT g.doc_id,
+               (COALESCE(m.n, 0) * 1000000) // p.n AS ppm
+        FROM bg g
+        JOIN pcnt p USING (w1)
+        LEFT JOIN model m USING (bigram)),
+      agg AS (
+        SELECT doc_id, count(*) AS nb, sum(ppm) AS tot
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(a.tot // a.nb, 0) AS BIGINT) AS score_ppm
+      FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id
     """,
     "inverted_index": """

@@ -835,3 +835,44 @@ def test_interval_join_disjoint_path_matches_general():
             for p, i in zip(df["pid"], df["iid"])
         )
         assert key(a) == key(b)
+
+
+def test_lm_score_exact_math_and_model_cap():
+    """Bigram-LM score matches a hand reference; capping the model to
+    top-1 bigram zeroes out-of-model bigrams but keeps prefix counts
+    (conditional probabilities stay corpus-true)."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        bigram_model,
+        lm_score,
+    )
+
+    docs = [
+        {"doc_id": 0, "text": "a b a b a b"},   # bigrams: ab x3, ba x2
+        {"doc_id": 1, "text": "a b c"},          # ab, bc
+        {"doc_id": 2, "text": "z"},              # no bigram
+        {"doc_id": 3, "text": None},
+    ]
+    ds = rd.from_items(docs)
+    # corpus: C(a b)=4, C(b a)=2, C(b c)=1; prefixes: a->4, b->3
+    m = bigram_model(ds, top_bigrams=10)
+    got = dict(zip(m[0]["key"], m[0]["n"]))
+    assert got == {"a b": 4, "b a": 2, "b c": 1}
+    assert dict(zip(m[1]["key"], m[1]["n"])) == {"a": 4, "b": 3}
+
+    out = lm_score(ds, m).to_pandas().set_index("doc_id")
+    ab = 1_000_000 * 4 // 4   # 1000000
+    ba = 1_000_000 * 2 // 3   # 666666
+    assert out.loc[0, "n_bigrams"] == 5
+    assert out.loc[0, "score_ppm"] == (3 * ab + 2 * ba) // 5
+    bc = 1_000_000 * 1 // 3
+    assert out.loc[1, "score_ppm"] == (ab + bc) // 2
+    assert out.loc[2, "score_ppm"] == 0 and out.loc[2, "n_bigrams"] == 0
+    assert out.loc[3, "score_ppm"] == 0
+
+    # cap the model to the single top bigram: "a b" survives (count 4),
+    # others score 0; prefixes still full
+    m1 = bigram_model(ds, top_bigrams=1)
+    assert list(m1[0]["key"]) == ["a b"]
+    out1 = lm_score(ds, m1).to_pandas().set_index("doc_id")
+    assert out1.loc[0, "score_ppm"] == (3 * ab) // 5
+    assert out1.loc[1, "score_ppm"] == ab // 2
