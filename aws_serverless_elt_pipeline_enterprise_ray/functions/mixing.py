@@ -155,3 +155,51 @@ def select_by_token_budget(
     # blocks stay in the object store (selected rows never concat on
     # the driver — a large budget selects a large corpus)
     return rd.from_arrow_refs(out_refs)
+
+
+def shuffle_shards(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Deterministic global example shuffle into training shards - the
+    last step before a corpus ships to a trainer. Each row goes to
+    shard ``h(id, seed) % num_shards`` and gets a 0-based ``pos``
+    within its shard ordered by ``(h, id)``; the induced global order
+    ``(shard, pos)`` is a reproducible pseudo-random permutation of
+    the corpus (same input + seed => byte-identical shards, unlike
+    ``random_shuffle``), so a killed export can re-emit any single
+    shard without touching the rest.
+
+    Cost shape: assigning shards is a per-batch hash (no driver, no
+    sampling pass); the ONE exchange is the groupby that co-locates
+    each shard, and within-shard order is a vectorized sort of one
+    shard's rows. ``num_shards`` should scale with the corpus so a
+    shard fits a worker (the documented partitioning assumption).
+
+    The seed folds in by hashing ``id + seed`` (seed shifts the id
+    space; any seed-dependent permutation would break the SQL mirror:
+    ``(CAST(id + seed AS HUGEINT) * 2654435761) % 4294967296``)."""
+    s = np.int64(seed)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = knuth_hash32((ids.astype(np.int64) + s).astype(np.uint64))
+        return b.append_column(
+            "shard", pa.array((h % np.uint64(num_shards)).astype(np.int64))
+        ).append_column("_h", pa.array(h.astype(np.int64)))
+
+    import pandas as pd
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col], kind="mergesort").drop(columns="_h")
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+    )

@@ -1766,6 +1766,24 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(docs, set(vocab))
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle into 8 training shards: per-batch
+    multiplicative hash assigns the shard (no sampling pass, no
+    driver), ONE groupby exchange co-locates each shard, within-shard
+    order is a vectorized (hash, id) sort - a reproducible
+    pseudo-random permutation, re-emittable shard by shard."""
+    from ..functions.mixing import shuffle_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+    out = shuffle_shards(ev, id_col="event_id", num_shards=8, seed=7)
+    df = out.to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True)
+    for c in ("shard", "pos", "event_id"):
+        df[c] = df[c].astype("int64")
+    return df[["shard", "pos", "event_id"]]
+
+
 def q_lm_bigram_score(sf_dir: str):
     """Bigram-LM quality scoring, corpus-trained in one token pass:
     per-batch partial gram counts -> one (kind, gram) groupby-sum
@@ -1946,6 +1964,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "vocab_coverage": q_vocab_coverage,
     "lm_bigram_score": q_lm_bigram_score,
+    "shuffle_shards": q_shuffle_shards,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2653,6 +2672,17 @@ ORACLES = {
                   ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id
+    """,
+    "shuffle_shards": """
+      WITH h AS (
+        SELECT event_id,
+               (CAST(event_id + 7 AS HUGEINT) * 2654435761) % 4294967296 AS h
+        FROM events)
+      SELECT CAST(h % 8 AS BIGINT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY h % 8 ORDER BY h, event_id) - 1 AS BIGINT) AS pos,
+             event_id
+      FROM h ORDER BY shard, pos
     """,
     "lm_bigram_score": """
       WITH toks AS (

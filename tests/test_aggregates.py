@@ -491,3 +491,23 @@ def test_heavy_hitters_exact_and_complete():
     want = vc[vc * 50 > len(df)]
     assert dict(zip(out["v"], out["n"])) == want.to_dict()
     assert set(out["v"]) == set(range(5))
+
+
+def test_shuffle_shards_deterministic_and_partitioned():
+    """Same input + seed => identical shards; different seed permutes;
+    every row lands in exactly one shard with dense 0-based positions."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        shuffle_shards,
+    )
+
+    ds = rd.from_items([{"id": i} for i in range(500)])
+    a = shuffle_shards(ds, id_col="id", num_shards=4, seed=1).to_pandas()
+    b = shuffle_shards(ds, id_col="id", num_shards=4, seed=1).to_pandas()
+    key = lambda df: df.sort_values(["shard", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a)[["shard", "pos", "id"]],
+                                  key(b)[["shard", "pos", "id"]])
+    assert sorted(a["id"]) == list(range(500))           # a permutation
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))   # dense positions
+    c = shuffle_shards(ds, id_col="id", num_shards=4, seed=2).to_pandas()
+    assert not key(a)[["id"]].equals(key(c)[["id"]])     # seed changes order
