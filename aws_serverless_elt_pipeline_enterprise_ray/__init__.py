@@ -24,6 +24,7 @@ from .pipelines.cdc import (
     apply_dataset,
     read_key_range,
     read_table,
+    read_time_range,
 )
 from .state.manifest import Manifest, ManifestStore
 
@@ -36,6 +37,7 @@ __all__ = [
     "apply_dataset",
     "read_key_range",
     "read_table",
+    "read_time_range",
     "Manifest",
     "ManifestStore",
 ]

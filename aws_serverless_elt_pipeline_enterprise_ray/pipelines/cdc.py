@@ -698,6 +698,94 @@ def read_key_range(
     return ds
 
 
+def _key_disjoint(files: list[dict]) -> bool:
+    """True iff the partition's files provably hold pairwise-disjoint
+    key ranges (every key's full history lives in ONE file) - the
+    condition under which pruning whole files by a secondary column is
+    LWW-safe. Holds for a single run's key-sorted chunks; fails (by
+    range overlap or missing zone maps) once delta-append runs stack
+    versions of the same key across files."""
+    ranges = []
+    for f in files:
+        kmin, kmax = f.get("key_min"), f.get("key_max")
+        if kmin is None or kmax is None:
+            return False
+        ranges.append((kmin, kmax))
+    ranges.sort()
+    return all(ranges[i - 1][1] < ranges[i][0] for i in range(1, len(ranges)))
+
+
+def read_time_range(
+    lake_dir: str,
+    ts_from,
+    ts_to,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Time-ranged scan of the CURRENT table state:
+    ``ts_from <= ts <= ts_to`` on the LWW-merged rows. Per-file ts
+    zone maps (``file_entry``) skip whole files - but only inside
+    partitions whose files hold pairwise-DISJOINT key ranges (checked
+    from the key zone maps): with delta runs stacked, a key's winning
+    version may sit in one file and a superseded version in another,
+    so pruning a file could resurrect a stale row. Such partitions are
+    read in full and filtered exactly; compaction restores their
+    prunability. Pruning effectiveness is data-dependent (keys minted
+    over time => tight per-chunk ts ranges); correctness never
+    depends on it.
+
+    Accepts datetime/pandas.Timestamp/ISO strings (naive = UTC-less
+    lake time, matching the ``ts`` column's timezone-free µs unit)."""
+    import pandas as _pd
+
+    lo_us = int(_pd.Timestamp(ts_from).value // 1_000)
+    hi_us = int(_pd.Timestamp(ts_to).value // 1_000)
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+
+    def may_overlap(f: dict) -> bool:
+        tmin, tmax = f.get("ts_min"), f.get("ts_max")
+        if tmin is None or tmax is None:
+            return True
+        return tmin <= hi_us and lo_us <= tmax
+
+    sub: dict[str, list[dict]] = {}
+    for pid, files in m.partitions.items():
+        if not files:
+            continue
+        kept = (
+            [f for f in files if may_overlap(f)]
+            if _key_disjoint(files)
+            else list(files)
+        )
+        if kept:
+            sub[pid] = kept
+    if not sub:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+    read_cols = list(dict.fromkeys([*columns, "ts"])) if columns else None
+    ds = _read_lake_partitions(lake_dir, sub, m, columns=read_cols)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ts_type = batch.schema.field("ts").type
+        col = batch["ts"]
+        mask = pc.and_(
+            pc.greater_equal(col, pa.scalar(lo_us, ts_type)),
+            pc.less_equal(col, pa.scalar(hi_us, ts_type)),
+        )
+        return batch.filter(mask)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_table(
     lake_dir: str,
     version: int | None = None,

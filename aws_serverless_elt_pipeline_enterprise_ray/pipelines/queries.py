@@ -166,6 +166,28 @@ def q_cdc_range_scan(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_time_range(sf_dir: str):
+    """Time-ranged scan of the current state (middle half of the event
+    ts span): per-file ts zone maps skip whole files where LWW-safe
+    (key-disjoint files only - delta runs are read in full), then an
+    exact per-batch filter. Bounds derive from integer µs arithmetic
+    both engines share."""
+    from .cdc import apply_changes, read_time_range
+
+    import pyarrow.parquet as pq
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])["ts"]
+    mm = pc.min_max(t)
+    lo, hi = mm["min"].value, mm["max"].value
+    a, b = lo + (hi - lo) // 4, lo + (3 * (hi - lo)) // 4
+    df = read_time_range(
+        lake, pd.Timestamp(a, unit="us"), pd.Timestamp(b, unit="us")
+    ).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def q_cdc_incremental_rollup(sf_dir: str):
     """Incremental materialized view: a per-conversation aggregate lake
     maintained from the change data feed across two source commits -
@@ -1894,6 +1916,7 @@ QUERIES = {
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_range_scan": q_cdc_range_scan,
+    "cdc_time_range": q_cdc_time_range,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
@@ -1988,6 +2011,14 @@ ORACLES = {
     "cdc_range_scan": f"""
       SELECT * FROM ({FINAL_SQL})
       WHERE conv_id BETWEEN 'conv_2' AND 'conv_39'
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_time_range": f"""
+      WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events)
+      SELECT f.* FROM ({FINAL_SQL}) f, bounds b
+      WHERE epoch_us(f.ts) >= b.lo + (b.hi - b.lo) // 4
+        AND epoch_us(f.ts) <= b.lo + (3 * (b.hi - b.lo)) // 4
       ORDER BY conv_id, turn_idx
     """,
     "cdc_incremental_rollup": f"""

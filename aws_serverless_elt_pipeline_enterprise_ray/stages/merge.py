@@ -81,6 +81,19 @@ def file_entry(lake_dir: str, path: str, chunk: pa.Table, key_col: str | None) -
         if kmin is not None:
             entry["key_min"] = kmin
             entry["key_max"] = kmax
+    # ts zone map (microseconds, JSON-safe ints): lets time-ranged
+    # scans skip whole files. Effectiveness is data-dependent (keys
+    # minted over time cluster ts within key-sorted chunks; uniform
+    # key<->ts mixing yields wide ranges) - correctness never depends
+    # on it (read_time_range treats missing/wide ranges as "read").
+    if len(chunk) and "ts" in chunk.column_names and pa.types.is_timestamp(
+        chunk.schema.field("ts").type
+    ):
+        tm = pc.min_max(chunk["ts"])
+        tmin, tmax = tm["min"].value, tm["max"].value
+        if tmin is not None:
+            entry["ts_min"] = int(tmin)
+            entry["ts_max"] = int(tmax)
     return entry
 
 

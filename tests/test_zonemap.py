@@ -160,3 +160,97 @@ def test_read_key_range_pruned_and_exact(tmp_path):
         read_key_range(lake, lo, hi, columns=["text"]).to_pandas()
     )
     assert list(proj.columns) == ["text"] and len(proj) == len(want)
+
+
+def test_read_time_range_pruned_and_exact(tmp_path):
+    """Time-ranged scan with keys minted over time (key <-> ts
+    correlated): ts zone maps prune whole files; result equals the
+    full-read filter."""
+    from aws_serverless_elt_pipeline_enterprise_ray import read_time_range
+
+    ch = tmp_path / "ch"
+    ch.mkdir()
+    _write_changes(str(ch / "c1.parquet"))
+    lake = str(tmp_path / "lake")
+    apply_changes(
+        str(ch), lake, default_spec(num_partitions=2), max_rows_per_file=30
+    )
+
+    m = ManifestStore(lake).load()
+    all_files = [f for fs in m.partitions.values() for f in fs]
+    assert all("ts_min" in f and "ts_max" in f for f in all_files)
+
+    lo = pd.Timestamp("2026-01-01 00:01:00")
+    hi = pd.Timestamp("2026-01-01 00:02:00")
+    got = (
+        read_time_range(lake, lo, hi).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = read_table(lake).to_pandas()
+    want = (
+        want[(want["ts"] >= lo) & (want["ts"] <= hi)]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 61  # seq 60..120 inclusive
+
+    lo_us = lo.value // 1000
+    hi_us = hi.value // 1000
+    n_hit = sum(1 for f in all_files if f["ts_min"] <= hi_us and lo_us <= f["ts_max"])
+    assert 0 < n_hit < len(all_files)  # pruning actually engaged
+
+    # column projection composes
+    proj = read_time_range(lake, lo, hi, columns=["text"]).to_pandas()
+    assert list(proj.columns) == ["text"] and len(proj) == 61
+
+
+def test_read_time_range_safe_across_delta_runs(tmp_path):
+    """With delta runs stacked (overlapping key ranges), per-file ts
+    pruning must NOT resurrect a superseded row: a key updated to a ts
+    OUTSIDE the queried band disappears from the band even though its
+    old version's file overlaps it."""
+    from aws_serverless_elt_pipeline_enterprise_ray import read_time_range
+
+    ch1, ch2 = tmp_path / "ch1", tmp_path / "ch2"
+    ch1.mkdir(), ch2.mkdir()
+    _write_changes(str(ch1 / "c1.parquet"), n_convs=40)
+    lake = str(tmp_path / "lake")
+    spec = default_spec(num_partitions=2)
+    apply_changes(str(ch1), lake, spec, max_rows_per_file=30)
+
+    # delta run: move conv_0007 turn 0 to February
+    pd.DataFrame(
+        [
+            {
+                "op": "U",
+                "seq": 10_000,
+                "conv_id": "conv_0007",
+                "turn_idx": 0,
+                "role": "user",
+                "text": "MOVED",
+                "tool": None,
+                "ts": pd.Timestamp("2026-02-01"),
+            }
+        ]
+    ).to_parquet(str(ch2 / "c2.parquet"))
+    m = apply_changes(str(ch2), lake, spec, max_rows_per_file=30)[-1]
+    assert m.metrics.get("delta_appends", 0) >= 1
+
+    # the whole January band: every original row except the moved one
+    got = read_time_range(
+        lake, pd.Timestamp("2026-01-01"), pd.Timestamp("2026-01-31")
+    ).to_pandas()
+    moved = got[(got["conv_id"] == "conv_0007") & (got["turn_idx"] == 0)]
+    assert len(moved) == 0  # stale January version must not resurface
+    want = read_table(lake).to_pandas()
+    want = want[
+        (want["ts"] >= pd.Timestamp("2026-01-01"))
+        & (want["ts"] <= pd.Timestamp("2026-01-31"))
+    ]
+    assert len(got) == len(want)
+
+    # February band finds exactly the moved row
+    feb = read_time_range(
+        lake, pd.Timestamp("2026-02-01"), pd.Timestamp("2026-02-28")
+    ).to_pandas()
+    assert list(feb["text"]) == ["MOVED"]
