@@ -21,6 +21,7 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -115,6 +116,32 @@ def read_changelog_jsonl(files: list[str]) -> rd.Dataset:
         return [obj] if isinstance(obj, dict) else []
 
     return rd.read_text(files).flat_map(parse)
+
+
+def read_changelog_csv(files: list[str], *, ts_col: str = "ts") -> rd.Dataset:
+    """Compat reader for CSV change exports (the other common bronze
+    drop format beside JSONL): header-driven ``ray.data.read_csv``
+    with the timestamp column parsed to µs and empty strings read as
+    nulls. Downstream normalization projects/casts/quarantines exactly
+    as for Parquet input, so CSV lands through the same path."""
+    from pyarrow import csv as pacsv
+
+    convert = pacsv.ConvertOptions(
+        strings_can_be_null=True,
+        timestamp_parsers=[pacsv.ISO8601],
+    )
+    ds = rd.read_csv(files, convert_options=convert)
+
+    def cast_ts(b: pa.Table) -> pa.Table:
+        if ts_col in b.column_names:
+            i = b.column_names.index(ts_col)
+            col = b[ts_col]
+            if pa.types.is_timestamp(col.type):
+                col = pc.cast(col, pa.timestamp("us"))
+            b = b.set_column(i, ts_col, col)
+        return b
+
+    return ds.map_batches(cast_ts, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def stage_changes(events, stage_dir: str) -> list[str]:

@@ -13,6 +13,7 @@ import aws_serverless_elt_pipeline_enterprise_ray as engine
 from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
 from aws_serverless_elt_pipeline_enterprise_ray.schema import spec_from_yaml
 from aws_serverless_elt_pipeline_enterprise_ray.sources.changelog import (
+    read_changelog_csv,
     read_changelog_jsonl,
 )
 from aws_serverless_elt_pipeline_enterprise_ray.state.events import (
@@ -71,6 +72,33 @@ def test_jsonl_compat_reader(tmp_path):
     got = ds.take_all()
     ops = sorted(r.get("op") for r in got)
     assert ops == ["?", "I", "I"]  # 2 good + 1 poisoned
+
+
+def test_csv_compat_reader_lands_through_normal_apply(tmp_path):
+    """CSV bronze drop: header-driven read, ISO timestamps parsed to
+    µs, empty strings as nulls; the rows land in a lake through the
+    SAME normalize/apply path as Parquet input."""
+    p = tmp_path / "bronze.csv"
+    p.write_text(
+        "op,seq,conv_id,turn_idx,role,text,tool,ts\n"
+        "I,1,c1,0,user,hi,,2024-01-01T00:00:00\n"
+        "I,2,c1,1,assistant,hello,,2024-01-01T00:00:01\n"
+        "U,3,c1,1,assistant,hello again,,2024-01-01T00:00:02\n"
+    )
+    ds = read_changelog_csv([str(p)])
+    sch = ds.schema()
+    assert str(sch.base_schema.field("ts").type) == "timestamp[us]"
+    assert ds.count() == 3
+    got = {r["seq"]: r for r in ds.take_all()}
+    assert got[1]["tool"] is None  # empty string -> null
+
+    lake = str(tmp_path / "lake")
+    engine.apply_dataset(
+        ds, lake, engine.default_spec(num_partitions=2), label="csv-drop-1"
+    )
+    final = engine.read_table(lake).to_pandas()
+    final = final.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(final["text"]) == ["hi", "hello again"]
 
 
 def test_partition_ready_events_and_probes(tmp_path):
