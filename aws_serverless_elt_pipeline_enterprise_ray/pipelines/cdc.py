@@ -139,6 +139,7 @@ def apply_changes(
     now: str | None = None,
     detect_hot_keys: bool = False,
     exchange: str | None = None,
+    pipeline_commits: bool | None = None,
 ) -> list[Manifest]:
     """Apply all pending change-log files to the lake. Returns the list
     of manifests committed by this run (empty if nothing pending).
@@ -149,6 +150,23 @@ def apply_changes(
     re-processes only un-committed files; re-submitting an applied
     batch is a no-op (the reference's ``verify-idempotency`` semantics,
     ``Makefile:344-359``).
+
+    ``pipeline_commits`` (or ``GRAFT_PIPELINE_COMMITS=1``): on a
+    multi-commit run, prefetch chunk k+1's read+normalize+combine into
+    the object store while chunk k shuffles/merges/commits - commits
+    stay strictly serial (exactly-once unchanged: the prefetch writes
+    nothing), but the pre-shuffle half of every chunk overlaps the
+    post-shuffle half of its predecessor. Run specs for future chunks
+    are folded deterministically (``_derive_run_spec``) and re-checked
+    against the real parent at commit time; a fold mismatch just
+    rebuilds, so prefetching is never a correctness input.
+
+    When it pays: reads that spend their time OFF-CPU (cold object
+    storage / S3), where the prefetch uses network+disk while the
+    merge uses CPU. On a page-cache-warm single box both halves are
+    DRAM-bound and the overlap measures a wash (in-session A/B,
+    18M events / 4 commits: 6.6-9.3s serial vs 7.7-9.3s pipelined at
+    8 CPUs; within noise at 32) - hence opt-in, not default.
     """
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
@@ -186,64 +204,102 @@ def apply_changes(
     else:
         n = commit_every_files or len(pending)
         chunks = [pending[i : i + n] for i in range(0, len(pending), n)]
-    manifests = []
-    for files_chunk in chunks:
-        m = _apply_chunk(
-            files_chunk,
-            store,
-            spec,
-            batch_size=batch_size,
-            merge_concurrency=merge_concurrency,
-            merge_compute=merge_compute,
-            stage_barrier=stage_barrier,
-            delta_threshold=delta_threshold,
-            max_rows_per_file=max_rows_per_file,
-            now=now,
-            detect_hot_keys=detect_hot_keys,
-            exchange=exchange,
+    chunk_kwargs = dict(
+        batch_size=batch_size,
+        merge_concurrency=merge_concurrency,
+        merge_compute=merge_compute,
+        stage_barrier=stage_barrier,
+        delta_threshold=delta_threshold,
+        max_rows_per_file=max_rows_per_file,
+        now=now,
+        detect_hot_keys=detect_hot_keys,
+        exchange=exchange,
+    )
+    if pipeline_commits is None:
+        pipeline_commits = os.environ.get("GRAFT_PIPELINE_COMMITS") == "1"
+    manifests: list[Manifest] = []
+    if pipeline_commits and len(chunks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Fold each chunk's run spec forward without waiting for its
+        # parent commit: schema after chunk k = chunk k's run spec
+        # schema; partitioning after the first commit is sticky.
+        pfields = list(manifest_payload_schema(current)) if current else None
+        ppart = (
+            current.partitioning if (current and current.partitioning) else None
         )
-        manifests.append(m)
+        folded: list[TableSpec] = []
+        for i, ck in enumerate(chunks):
+            rs = _derive_run_spec(
+                spec,
+                pfields,
+                ppart,
+                ck,
+                detect_hot_keys=(detect_hot_keys and ppart is None and i == 0),
+            )
+            folded.append(rs)
+            pfields = list(rs.payload_schema)
+            ppart = _partitioning_of(rs)
+
+        def build(i: int):
+            ds, _, _ = _build_normalized(chunks[i], folded[i], batch_size)
+            return ds.materialize()
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(build, 0)
+            for i in range(len(chunks)):
+                prebuilt = fut.result()
+                if i + 1 < len(chunks):
+                    fut = pool.submit(build, i + 1)
+                manifests.append(
+                    _apply_chunk(
+                        chunks[i],
+                        store,
+                        spec,
+                        prebuilt=prebuilt,
+                        prebuilt_spec=folded[i],
+                        **chunk_kwargs,
+                    )
+                )
+        return manifests
+    for files_chunk in chunks:
+        manifests.append(_apply_chunk(files_chunk, store, spec, **chunk_kwargs))
     return manifests
 
 
-def _apply_chunk(
-    files: list[str],
-    store: ManifestStore,
+def _derive_run_spec(
     spec: TableSpec,
-    *,
-    batch_size: int,
-    merge_concurrency,
-    merge_compute: str,
-    stage_barrier: bool | str,
-    delta_threshold: float,
-    max_rows_per_file: int,
-    now: str | None,
-    detect_hot_keys: bool,
-    exchange: str | None = None,
-) -> Manifest:
-    parent = store.load()
-    parent_version = parent.version if parent else None
+    parent_fields,
+    parent_partitioning: dict | None,
+    files: list[str],
+    schemas: dict | None = None,
+    detect_hot_keys: bool = False,
+) -> TableSpec:
+    """The run spec for one commit as a PURE function of (table spec,
+    parent schema fields, parent partitioning, chunk files) - additive
+    schema evolution from footers, prior-commit extras carried forward,
+    sticky partitioning enforced. Being deterministic in these inputs
+    is what lets the pipelined apply fold specs for future chunks
+    BEFORE their parents commit (and assert the fold afterwards).
 
-    # -- additive schema evolution: discover new columns from footers --
-    schemas = peek_schemas(files)
+    Partitioning is sticky: the first commit fixes (P, hot_keys, salt)
+    in the manifest; later applies MUST reuse it, since a key's
+    partition is a pure function of these (changing them would strand
+    a key's existing rows in another partition - duplicate keys).
+    Hot-key detection therefore only runs on the FIRST commit; a later
+    re-salt requires a partition-migrating rebalance."""
+    schemas = schemas if schemas is not None else peek_schemas(files)
     extras = schema_union(list(schemas.values()), spec.payload_schema)
     run_spec = spec.with_extras(extras) if (extras and spec.extra_columns == "keep") else spec
-    if parent:
+    if parent_fields is not None:
         prior_extras = [
             (f.name, f.type)
-            for f in manifest_payload_schema(parent)
+            for f in parent_fields
             if f.name not in run_spec.payload_schema.names
         ]
         run_spec = run_spec.with_extras(prior_extras)
-
-    # Partitioning is sticky: the first commit fixes (P, hot_keys,
-    # salt) in the manifest; later applies MUST reuse it, since a key's
-    # partition is a pure function of these (changing them would strand
-    # a key's existing rows in another partition - duplicate keys).
-    # Hot-key detection therefore only runs on the FIRST commit; a
-    # later re-salt requires a partition-migrating rebalance.
-    if parent and parent.partitioning:
-        pp = parent.partitioning
+    if parent_partitioning:
+        pp = parent_partitioning
         if pp.get("hash_impl", hash_impl_id()) != hash_impl_id():
             raise RuntimeError(
                 f"lake was partitioned with {pp['hash_impl']} but this "
@@ -260,13 +316,47 @@ def _apply_chunk(
         hot = _sample_hot_keys(files, run_spec)
         if hot:
             run_spec = dataclasses.replace(run_spec, hot_keys=hot)
+    return run_spec
 
-    # -- build the Dataset pipeline ------------------------------------
-    # Block sizing: the sort shuffle's cost is quadratic-ish in block
-    # COUNT (map-fragments x reduce-tasks through the object store), so
-    # aim for ~1 block per CPU, growing with data volume so a block
-    # never exceeds the target block size (measured: 200 tiny blocks ->
-    # 11.7s, 32 right-sized blocks -> 4.4s on the same 5M-event input).
+
+def _partitioning_of(run_spec: TableSpec) -> dict:
+    """The manifest ``partitioning`` entry a commit with this run spec
+    writes - also the folded parent state for the NEXT chunk."""
+    return {
+        "num_partitions": run_spec.num_partitions,
+        "hot_keys": list(run_spec.hot_keys),
+        "hot_key_salt": run_spec.hot_key_salt,
+        "hash_impl": hash_impl_id(),
+        "key_cols": list(run_spec.key_cols),
+    }
+
+
+def _same_run_spec(a: TableSpec, b: TableSpec) -> bool:
+    return (
+        a.payload_schema == b.payload_schema
+        and a.num_partitions == b.num_partitions
+        and tuple(a.hot_keys) == tuple(b.hot_keys)
+        and a.hot_key_salt == b.hot_key_salt
+        and a.key_cols == b.key_cols
+    )
+
+
+def _build_normalized(
+    files: list[str],
+    run_spec: TableSpec,
+    batch_size,
+    schemas: dict | None = None,
+):
+    """The pre-shuffle half of one commit's pipeline: read (blocks
+    sized by bytes), normalize + assign part_id + first-stage LWW
+    combine, volume-gated second-stage combine. Returns (ds, est_bytes,
+    num_blocks); the caller decides whether to barrier/materialize.
+
+    Block sizing: the sort shuffle's cost is quadratic-ish in block
+    COUNT (map-fragments x reduce-tasks through the object store), so
+    aim for ~1 block per CPU, growing with data volume so a block
+    never exceeds the target block size (measured: 200 tiny blocks ->
+    11.7s, 32 right-sized blocks -> 4.4s on the same 5M-event input)."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -284,7 +374,7 @@ def _apply_chunk(
     if num_blocks > cap and est_bytes // cap <= 4 * target_block:
         num_blocks = cap
 
-    groups = group_by_schema(files, schemas)
+    groups = group_by_schema(files, schemas if schemas is not None else peek_schemas(files))
     per_group = max(1, num_blocks // len(groups))
     datasets = [rd.read_parquet(g, override_num_blocks=per_group) for g in groups]
     ds = datasets[0]
@@ -319,13 +409,64 @@ def _apply_chunk(
             batch_size=4 * batch_size,
             zero_copy_batch=True,
         )
+    return ds, est_bytes, num_blocks
+
+
+def _apply_chunk(
+    files: list[str],
+    store: ManifestStore,
+    spec: TableSpec,
+    *,
+    batch_size: int,
+    merge_concurrency,
+    merge_compute: str,
+    stage_barrier: bool | str,
+    delta_threshold: float,
+    max_rows_per_file: int,
+    now: str | None,
+    detect_hot_keys: bool,
+    exchange: str | None = None,
+    prebuilt: "rd.Dataset | None" = None,
+    prebuilt_spec: TableSpec | None = None,
+) -> Manifest:
+    parent = store.load()
+    parent_version = parent.version if parent else None
+
+    schemas = peek_schemas(files)
+    run_spec = _derive_run_spec(
+        spec,
+        list(manifest_payload_schema(parent)) if parent else None,
+        parent.partitioning if (parent and parent.partitioning) else None,
+        files,
+        schemas=schemas,
+        detect_hot_keys=detect_hot_keys,
+    )
+
+    # Pipelined apply: the caller prefetched this chunk's normalized
+    # stream under a FOLDED run spec (derived before the parent
+    # committed). Use it only if the fold matches reality - a mismatch
+    # (e.g. a concurrent writer evolved the schema meanwhile) falls
+    # back to rebuilding, so prefetching is never a correctness input.
+    if prebuilt is not None and prebuilt_spec is not None and _same_run_spec(
+        prebuilt_spec, run_spec
+    ):
+        ds = prebuilt
+        est_bytes, num_blocks = None, None
+        stage_barrier = False  # prefetch already materialized it
+    else:
+        ds, est_bytes, num_blocks = _build_normalized(
+            files, run_spec, batch_size, schemas
+        )
     if stage_barrier == "auto":
         # Barrier pays when the working set is modest or CPUs scarce
         # (fused sort-map/normalize interleaving thrashes: ~1.8x slower
         # at 4 CPUs on 18M events; neutral at 16-32). At large volumes
         # the materialization cost and lost read/sort overlap flip the
         # sign (~30% slower at 90M events), so stream instead.
-        stage_barrier = est_bytes <= (4 << 30) or ncpu <= 8
+        import ray as _ray
+
+        _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        stage_barrier = est_bytes <= (4 << 30) or _ncpu <= 8
     import time as _time
 
     _timing = bool(os.environ.get("GRAFT_PHASE_TIMING"))
@@ -350,6 +491,8 @@ def _apply_chunk(
         # normalize + shuffle stages: a pool that reserves every CPU
         # starves the upstream tasks and the pipeline deadlocks.
         if merge_concurrency is None:
+            import ray
+
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             merge_concurrency = max(1, min(run_spec.num_partitions, (3 * ncpu) // 4))
         results = ds.groupby("part_id").map_groups(

@@ -376,3 +376,36 @@ def test_auto_commit_chunking_by_bytes(small_stream, tmp_path, monkeypatch):
     files = sorted(glob.glob(os.path.join(small_stream, "*.parquet")))
     assert len(ms) == len(files)  # cap smaller than any file -> 1 each
     assert_matches_oracle(lake, small_stream)
+
+
+def test_pipelined_commits_equal_serial(tmp_path):
+    """pipeline_commits=True (prefetch chunk k+1's normalize while
+    chunk k merges/commits) must produce the same committed state,
+    version count and metrics as the serial loop - including a
+    mid-stream additive schema evolution, which exercises the folded
+    run-spec path (chunk 3+ carries columns first seen in chunk 3
+    while chunk 2 is still committing)."""
+    changes = str(tmp_path / "ch")
+    gen_changes(changes, n_events=6000, n_convs=80, n_files=6, seed=21,
+                evolve_after_file=3, duplicate_ratio=0.0)
+    spec = engine.default_spec(num_partitions=4)
+
+    lake_s = str(tmp_path / "lake_serial")
+    ms_s = engine.apply_changes(changes, lake_s, spec, commit_every_files=2)
+    lake_p = str(tmp_path / "lake_pipe")
+    ms_p = engine.apply_changes(
+        changes, lake_p, spec, commit_every_files=2, pipeline_commits=True
+    )
+    assert len(ms_p) == len(ms_s) == 3
+    assert [m.version for m in ms_p] == [m.version for m in ms_s]
+    assert [m.metrics for m in ms_p] == [m.metrics for m in ms_s]
+    cols = ("conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "tool_call_id", "meta_tokens")
+    got_s = final_table(lake_s, cols)
+    got_p = final_table(lake_p, cols)
+    assert got_p.equals(got_s)
+    assert_matches_oracle(lake_p, changes,
+                          extra_cols=("tool_call_id", "meta_tokens"))
+    # resubmission stays a no-op through the pipelined path too
+    assert engine.apply_changes(changes, lake_p, spec,
+                                pipeline_commits=True) == []
