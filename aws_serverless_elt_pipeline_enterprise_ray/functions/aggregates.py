@@ -356,3 +356,71 @@ def heavy_hitters(
         out.sort_values(["n", col], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def pivot_counts(
+    ds,
+    *,
+    row_col: str,
+    col_col: str,
+    prefix: str = "n_",
+) -> rd.Dataset:
+    """Crosstab / wide pivot: one output row per ``row_col`` value, one
+    integer count column per distinct ``col_col`` value (SQL
+    ``count(*) FILTER (WHERE col = v)``). Scale shape: each block
+    contributes a C-level (row, col, n) partial count - the exchange
+    carries one row per (block, row, col) pair, never per input row -
+    then one groupby-sum and a vectorized unstack per row bucket.
+
+    The WIDE dimension (#distinct ``col_col``) must be small - it
+    becomes the schema, which is the nature of a pivot. The row
+    dimension is unbounded (it stays distributed until the caller
+    collects)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        vc = (
+            b.groupby([row_col, col_col], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                row_col: pa.array(vc[row_col]),
+                col_col: pa.array(vc[col_col]),
+                "n": pa.array(vc["n"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # consumed twice: column domain + widen
+    )
+    # the wide schema = sorted distinct col values (small by contract);
+    # every bucket emits exactly these columns so blocks stay uniform
+    domain = sorted(agg.unique(col_col))
+    out_cols = [row_col] + [f"{prefix}{v}" for v in domain]
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(
+            index=row_col, columns=col_col, values="n",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=domain, fill_value=0).astype("int64").reset_index()
+        w.columns = [row_col] + [f"{prefix}{v}" for v in domain]
+        return w[out_cols]
+
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_pb"] = _key_buckets(b[row_col], nb)
+        return b
+
+    return (
+        agg.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(lambda g: widen(g.drop(columns="_pb")), batch_format="pandas")
+    )

@@ -1788,6 +1788,27 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(docs, set(vocab))
 
 
+def q_pivot_user_event_counts(sf_dir: str):
+    """Crosstab pivot: users x event types -> wide count columns. Per-
+    block C-level partial counts (the exchange carries (block, user,
+    type) rows, not events), one groupby-sum, vectorized unstack per
+    user bucket."""
+    from ..functions.aggregates import pivot_counts
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    df = (
+        pivot_counts(ev, row_col="user_id", col_col="event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df["user_id"] = df["user_id"].astype("int64")
+    return df
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle into 8 training shards: per-batch
     multiplicative hash assigns the shard (no sampling pass, no
@@ -1988,6 +2009,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "lm_bigram_score": q_lm_bigram_score,
     "shuffle_shards": q_shuffle_shards,
+    "pivot_user_event_counts": q_pivot_user_event_counts,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2703,6 +2725,15 @@ ORACLES = {
                   ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id
+    """,
+    "pivot_user_event_counts": """
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+             CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+      FROM events GROUP BY user_id ORDER BY user_id
     """,
     "shuffle_shards": """
       WITH h AS (

@@ -511,3 +511,37 @@ def test_shuffle_shards_deterministic_and_partitioned():
         assert sorted(g["pos"]) == list(range(len(g)))   # dense positions
     c = shuffle_shards(ds, id_col="id", num_shards=4, seed=2).to_pandas()
     assert not key(a)[["id"]].equals(key(c)[["id"]])     # seed changes order
+
+
+def test_pivot_counts_rectangular_and_exact():
+    """Pivot equals a pandas crosstab, emits the full column domain in
+    every row bucket (rectangular blocks), zero-fills absent cells."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        pivot_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, 600),
+            "t": rng.choice(["a", "b", "c"], 600, p=[0.6, 0.3, 0.1]),
+        }
+    )
+    # guarantee at least one absent (u, t) cell
+    df = df[~((df["u"] == 0) & (df["t"] == "c"))]
+    got = (
+        pivot_counts(rd.from_pandas(df), row_col="u", col_col="t")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    want = (
+        pd.crosstab(df["u"], df["t"])
+        .reindex(columns=["a", "b", "c"], fill_value=0)
+        .astype("int64")
+        .reset_index()
+        .rename(columns={"a": "n_a", "b": "n_b", "c": "n_c"})
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    want.columns.name = None
+    got["u"] = got["u"].astype(want["u"].dtype)
+    pd.testing.assert_frame_equal(got[["u", "n_a", "n_b", "n_c"]], want)
