@@ -772,10 +772,15 @@ def read_conversations(
 
         return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
     ds = _read_lake_partitions(lake_dir, sub, m)
+    # filter on the manifest's LEADING KEY column: "conversations" is
+    # the transcript lake's name for it, but derived lakes (search
+    # index keyed on term, rollups keyed on conv_id) share this exact
+    # point-lookup path
+    key0 = m.partitioning.get("key_cols", ("conv_id",))[0]
     want = set(conv_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["conv_id"], value_set=pa.array(list(want)))
+        mask = pc.is_in(batch[key0], value_set=pa.array(list(want)))
         return batch.filter(mask)
 
     ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -188,6 +188,35 @@ def q_cdc_time_range(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_search_index(sf_dir: str):
+    """Incrementally-maintained inverted index: the index LAKE is
+    refreshed from the source lake's change data feed after each of two
+    source commits (the second refresh diffs term multisets per
+    affected conversation and emits U/D rows), and must equal a
+    from-scratch SQL index of the final state."""
+    import glob
+
+    from .cdc import apply_changes
+    from .search import read_index, refresh_search_index
+
+    changes = _write_changelog(sf_dir, n_files=4)
+    lake, idx = _scratch("lake"), _scratch("idx")
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = _spec(sf_dir)
+    apply_changes(files[: len(files) // 2], lake, spec)
+    refresh_search_index(lake, idx, num_partitions=8)
+    apply_changes(changes, lake, spec)
+    refresh_search_index(lake, idx, num_partitions=8)
+    df = (
+        read_index(idx)
+        .to_pandas()
+        .sort_values(["term", "conv_id"])
+        .reset_index(drop=True)
+    )
+    df["n_occurrences"] = df["n_occurrences"].astype("int64")
+    return df[["term", "conv_id", "n_occurrences"]]
+
+
 def q_cdc_incremental_rollup(sf_dir: str):
     """Incremental materialized view: a per-conversation aggregate lake
     maintained from the change data feed across two source commits -
@@ -1938,6 +1967,7 @@ QUERIES = {
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_range_scan": q_cdc_range_scan,
     "cdc_time_range": q_cdc_time_range,
+    "cdc_search_index": q_cdc_search_index,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
@@ -2042,6 +2072,15 @@ ORACLES = {
       WHERE epoch_us(f.ts) >= b.lo + (b.hi - b.lo) // 4
         AND epoch_us(f.ts) <= b.lo + (3 * (b.hi - b.lo)) // 4
       ORDER BY conv_id, turn_idx
+    """,
+    "cdc_search_index": f"""
+      WITH f AS ({FINAL_SQL}),
+      toks AS (
+        SELECT conv_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM f)
+      SELECT term, conv_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY term, conv_id ORDER BY term, conv_id
     """,
     "cdc_incremental_rollup": f"""
       SELECT conv_id,
