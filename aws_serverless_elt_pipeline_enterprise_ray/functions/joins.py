@@ -12,9 +12,13 @@ CPU) and each bucket is matched with a single vectorized
 ``pandas.merge_asof(by=key)`` call over its time-sorted halves - one
 Python call per bucket, never per key.
 
-``hash_join`` — generic equi-join (inner/left) by the same
-tagged-union co-partition: one shuffle, then one vectorized
-``pandas.merge`` per bucket.
+``hash_join`` — generic equi-join (inner/left/right/full-outer/semi/
+anti) by the same tagged-union co-partition: one shuffle, then one
+vectorized ``pandas.merge`` per bucket.
+
+``skew_join`` — hot/cold split: heavy-hitter keys join MAP-SIDE
+against a broadcast right subset (no exchange for the skewed mass),
+cold keys take the bucketed ``hash_join``; lazy union.
 
 ``interval_join`` — point-in-interval (range) join by the same
 co-partition: ``merge_asof`` + end-bound mask when intervals are
@@ -272,24 +276,24 @@ def hash_join(
     co-partitioning costs ONE shuffle, keys hash-bucketed (~2
     buckets/CPU), one vectorized ``pandas.merge``/``isin`` per bucket.
 
-    ``how``: ``inner`` | ``left`` | ``semi`` (left rows WITH a right
-    match, left columns only, no duplication from multi-matches) |
-    ``anti`` (left rows WITHOUT a right match — the dedup/"not yet
-    processed" filter join).
+    ``how``: ``inner`` | ``left`` | ``right`` | ``outer`` (full outer)
+    | ``semi`` (left rows WITH a right match, left columns only, no
+    duplication from multi-matches) | ``anti`` (left rows WITHOUT a
+    right match — the dedup/"not yet processed" filter join).
 
     For a small right side prefer the broadcast pattern
     (``q_join_orders_nation``) - no shuffle at all. Use this when both
     sides are large."""
-    assert how in ("inner", "left", "semi", "anti"), how
+    assert how in ("inner", "left", "right", "outer", "semi", "anti"), how
     on_cols = [on] if isinstance(on, str) else list(on)
     lschema, rschema = left.schema(), right.schema()
     if lschema is None:
         raise ValueError("hash_join: left dataset is empty with no schema")
     if rschema is None:
-        # empty right with unknown schema: inner/semi match nothing;
-        # left/anti keep every left row (left-join right columns are
-        # unknowable, so the result carries left columns only)
-        return left.limit(0) if how in ("inner", "semi") else left
+        # empty right with unknown schema: inner/semi/right match
+        # nothing; left/anti/outer keep every left row (right columns
+        # are unknowable, so the result carries left columns only)
+        return left.limit(0) if how in ("inner", "semi", "right") else left
     lcols = lschema.names
     rcols = rschema.names
     allcols = list(dict.fromkeys(lcols + rcols))
@@ -310,17 +314,20 @@ def hash_join(
 
     # BOTH sides' payload dtypes degrade to float64 through the
     # null-padded tagged union; restore them after the merge. The cast
-    # policy must be bucket-INDEPENDENT so every block agrees:
-    #   * left payload + (inner-join) right payload carry no
-    #     join-induced nulls -> cast back to the original dtype
-    #   * left-join right payload can be legitimately null -> integer/
-    #     bool dtypes go to the pandas NULLABLE extension dtype
-    #     (Int64/boolean) in EVERY bucket, matched or not
+    # policy must be bucket-INDEPENDENT so every block agrees: a
+    # payload column that can carry JOIN-INDUCED nulls (right payload
+    # in a left join, left payload in a right join, both in a full
+    # outer) goes to the pandas NULLABLE extension dtype (Int64/
+    # boolean) in EVERY bucket, matched or not; the rest cast back to
+    # their original dtype.
     ldtypes = _schema_dtypes(left, exclude=on_cols)
     rdtypes = _schema_dtypes(right, exclude=on_cols)
-    casts: dict[str, object] = dict(ldtypes)
+    casts: dict[str, object] = {
+        c: (_nullable_name(dt) or dt) if how in ("right", "outer") else dt
+        for c, dt in ldtypes.items()
+    }
     for c, dt in rdtypes.items():
-        if how == "left":
+        if how in ("left", "outer"):
             casts[c] = _nullable_name(dt) or dt
         else:
             casts[c] = dt
@@ -354,3 +361,101 @@ def hash_join(
         return out
 
     return both.groupby("_jb").map_groups(merge_bucket, batch_format="pandas")
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    hot_den: int = 1000,
+    hot_keys: set | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Skew-aware equi-join: keys holding more than ``1/hot_den`` of
+    the left side short-circuit the shuffle entirely - their right-side
+    rows are collected once, broadcast via ``ray.put``, and joined
+    MAP-SIDE per batch (the hot rows, by definition most of the data,
+    never enter an exchange); the remaining cold keys take the ordinary
+    bucketed ``hash_join``. The union of the two streams is lazy block
+    concatenation - no further exchange. This is the hot/cold split
+    engines apply internally for skewed joins, exposed as a composable
+    operator (the CDC merge's hot-conversation salting is the same idea
+    on the write path, schema.py).
+
+    Hot detection uses ``heavy_hitters`` (Misra-Gries + exact recount,
+    sketch-sized traffic) unless the caller passes ``hot_keys``.
+    Cost shape, stated: the left side is scanned twice (hot pass + cold
+    pass; three times when detection runs) - scans are cheap, exchanges
+    are not; the broadcast is bounded by (#hot keys x right rows per
+    key), the same small-side contract as any broadcast join.
+
+    ``how``: ``inner`` | ``left``. Result rows equal
+    ``hash_join(left, right, on, how)`` exactly; only the routing
+    differs."""
+    assert how in ("inner", "left"), how
+    if hot_keys is None:
+        from .aggregates import heavy_hitters
+
+        hot_keys = set(heavy_hitters(left, on, den=hot_den)[on])
+    if not hot_keys:
+        return hash_join(
+            left, right, on=on, how=how, right_cols=right_cols,
+            suffix=suffix, num_buckets=num_buckets,
+        )
+    import ray
+
+    rcols = right.schema().names
+    keep = [on] + [c for c in (right_cols or rcols) if c != on]
+    hot_list = sorted(hot_keys)
+
+    def rhot(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[on].isin(hot_keys)][keep]
+
+    right_hot = right.map_batches(rhot, batch_format="pandas").to_pandas()
+    hot_ref = ray.put((frozenset(hot_list), right_hot))
+    rdtypes = _schema_dtypes(right, exclude=[on])
+    casts = {
+        c: (_nullable_name(rdtypes[c]) or rdtypes[c]) if how == "left" else rdtypes[c]
+        for c in keep
+        if c != on and c in rdtypes
+    }
+
+    class HotJoin:
+        def __init__(self):
+            self.hot, self.rh = ray.get(hot_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            lb = b[b[on].isin(self.hot)]
+            out = lb.merge(self.rh, on=on, how=how, suffixes=("", suffix))
+            for c, dt in casts.items():
+                name = c + suffix if c in b.columns and c != on else c
+                if name in out.columns and str(out[name].dtype) != str(dt):
+                    try:
+                        out[name] = out[name].astype(dt)
+                    except (TypeError, ValueError):  # pragma: no cover
+                        pass
+            return out
+
+    hot_stream = left.map_batches(HotJoin, batch_format="pandas",
+                                  concurrency=(1, 8))
+
+    def lcold(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b[on].isin(hot_keys)]
+
+    def rcold(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b[on].isin(hot_keys)]
+
+    cold_stream = hash_join(
+        left.map_batches(lcold, batch_format="pandas"),
+        right.map_batches(rcold, batch_format="pandas"),
+        on=on,
+        how=how,
+        right_cols=right_cols,
+        suffix=suffix,
+        num_buckets=num_buckets,
+    )
+    return hot_stream.union(cold_stream)

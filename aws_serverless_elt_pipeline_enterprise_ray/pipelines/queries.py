@@ -1817,6 +1817,31 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(docs, set(vocab))
 
 
+def q_skew_join_events_segment(sf_dir: str):
+    """Skew-aware join: event stream x customer dimension. Heavy-hitter
+    user ids (Misra-Gries detect + exact recount) join map-side against
+    a broadcast slice of the dimension - the skewed mass never enters
+    an exchange; cold ids take the bucketed hash join; the union is
+    lazy. Result identical to a plain LEFT JOIN."""
+    from ..functions.joins import skew_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "user_id"}),
+        batch_format="pandas",
+    )
+    out = skew_join(ev, cust, on="user_id", how="left", hot_den=16)
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "user_id"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "user_id", "c_mktsegment"]]
+
+
 def q_pivot_user_event_counts(sf_dir: str):
     """Crosstab pivot: users x event types -> wide count columns. Per-
     block C-level partial counts (the exchange carries (block, user,
@@ -2040,6 +2065,7 @@ QUERIES = {
     "lm_bigram_score": q_lm_bigram_score,
     "shuffle_shards": q_shuffle_shards,
     "pivot_user_event_counts": q_pivot_user_event_counts,
+    "skew_join_events_segment": q_skew_join_events_segment,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2764,6 +2790,11 @@ ORACLES = {
                   ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id
+    """,
+    "skew_join_events_segment": """
+      SELECT e.event_id, e.user_id, c.c_mktsegment
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id
     """,
     "pivot_user_event_counts": """
       SELECT user_id,

@@ -876,3 +876,71 @@ def test_lm_score_exact_math_and_model_cap():
     out1 = lm_score(ds, m1).to_pandas().set_index("doc_id")
     assert out1.loc[0, "score_ppm"] == (3 * ab) // 5
     assert out1.loc[1, "score_ppm"] == ab // 2
+
+
+def test_hash_join_right_and_outer():
+    """right and full-outer modes equal pandas merges, with nullable
+    extension dtypes exactly on the sides that can carry join nulls."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "w": [5, 6, 7, 8]})
+
+    def norm(df):
+        return sorted(
+            (int(r.k),
+             None if pd.isna(r.v) else int(r.v),
+             None if pd.isna(r.w) else int(r.w))
+            for r in df.itertuples()
+        )
+
+    got_r = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="right"
+    ).to_pandas()
+    want_r = left.merge(right, on="k", how="right")
+    assert norm(got_r) == norm(want_r)
+    assert str(got_r["v"].dtype) == "Int64"   # left payload nullable
+    assert got_r["w"].dtype == "int64"        # right payload exact
+
+    got_o = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="outer"
+    ).to_pandas()
+    want_o = left.merge(right, on="k", how="outer")
+    assert norm(got_o) == norm(want_o)
+    assert str(got_o["v"].dtype) == "Int64" and str(got_o["w"].dtype) == "Int64"
+
+
+def test_skew_join_equals_hash_join():
+    """Hot/cold routed join returns exactly the plain join's rows, for
+    auto-detected and caller-supplied hot keys, inner and left."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import (
+        hash_join,
+        skew_join,
+    )
+
+    rng = np.random.default_rng(17)
+    # one key holds ~60% of rows, the rest spread thin
+    keys = np.where(rng.random(2000) < 0.6, 7, rng.integers(0, 200, 2000))
+    left = pd.DataFrame({"k": keys, "v": np.arange(2000)})
+    right = pd.DataFrame({"k": np.arange(0, 150), "w": np.arange(0, 150) * 10})
+
+    def norm(df):
+        return sorted(
+            (int(r.k), int(r.v), None if pd.isna(r.w) else int(r.w))
+            for r in df.itertuples()
+        )
+
+    for how in ("inner", "left"):
+        want = norm(hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", how=how
+        ).to_pandas())
+        auto = skew_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
+            hot_den=10,
+        ).to_pandas()
+        assert norm(auto) == want
+        manual = skew_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
+            hot_keys={7},
+        ).to_pandas()
+        assert norm(manual) == want
