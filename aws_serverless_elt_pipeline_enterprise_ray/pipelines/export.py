@@ -50,6 +50,8 @@ class _Exporter:
         key_cols: tuple[str, ...],
         payload: "pa.Schema",
         max_rows_per_file: int,
+        layout: str = "partition",
+        ts_col: str = "ts",
     ):
         self.lake_dir = lake_dir
         self.out_dir = out_dir
@@ -57,16 +59,93 @@ class _Exporter:
         self.key_cols = key_cols
         self.payload = payload
         self.max_rows = max_rows_per_file
+        self.layout = layout
+        self.ts_col = ts_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _visible(self, paths: list[str]) -> pa.Table:
         from ..schema import lww_reduce
         from ..stages.merge import conform_to_schema
 
+        internal = pa.schema(
+            list(self.payload)
+            + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
+        )
+        tbls = [
+            conform_to_schema(
+                pq.read_table(os.path.join(self.lake_dir, p)), internal
+            )
+            for p in paths
+        ]
+        tbl = pa.concat_tables(tbls)
+        if len(paths) > 1:
+            tbl = lww_reduce(tbl, self.key_cols, "ts", "_seq")
+        tbl = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
+        return conform_to_schema(tbl, self.payload)
+
+    def _write_partition_dir(self, pid: int, tbl: pa.Table) -> None:
+        part_dir = os.path.join(self.out_dir, f"part={pid:05d}")
+        tmp = part_dir + f".tmp.{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for lo in range(0, max(len(tbl), 1), self.max_rows):
+            chunk = tbl.slice(lo, self.max_rows)
+            pq.write_table(
+                chunk,
+                os.path.join(tmp, f"data-{lo // self.max_rows:05d}.parquet"),
+                compression="snappy",
+            )
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            json.dump({"version": self.version, "rows": len(tbl)}, f)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp, part_dir)
+
+    def _write_dt_layout(self, pid: int, tbl: pa.Table) -> None:
+        """The reference's silver layout: ``dt=YYYY-MM-DD/`` Hive
+        directories (``lambdas/transform/app.py:104``,
+        ``shared/schemas.py:90-96``), fanned from the event-time
+        column. File names are DETERMINISTIC per (partition, dt,
+        chunk) so a crashed partition's rerun overwrites its own files;
+        stale chunks from a previous attempt are swept by prefix glob
+        before writing (no uuid orphans)."""
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(self.out_dir, "dt=*", f"part{pid:05d}-*.parquet")
+        ):
+            os.remove(stale)
+        if len(tbl):
+            dt = pc.strftime(tbl[self.ts_col], "%Y-%m-%d")
+            dt = pc.fill_null(dt, "__null__")
+            tbl = tbl.append_column("_dt", dt)
+            for v in pc.unique(dt).to_pylist():
+                sub = tbl.filter(pc.equal(tbl["_dt"], v)).drop_columns("_dt")
+                dt_dir = os.path.join(self.out_dir, f"dt={v}")
+                os.makedirs(dt_dir, exist_ok=True)
+                for lo in range(0, len(sub), self.max_rows):
+                    pq.write_table(
+                        sub.slice(lo, self.max_rows),
+                        os.path.join(
+                            dt_dir,
+                            f"part{pid:05d}-{lo // self.max_rows:05d}.parquet",
+                        ),
+                        compression="snappy",
+                    )
+        marker_dir = os.path.join(self.out_dir, "_markers")
+        os.makedirs(marker_dir, exist_ok=True)
+        _atomic_write(
+            os.path.join(marker_dir, f"part={pid:05d}.json"),
+            json.dumps({"version": self.version, "rows": len(tbl)}),
+        )
+
+    def _marker(self, pid: int) -> str:
+        if self.layout == "dt":
+            return os.path.join(self.out_dir, "_markers", f"part={pid:05d}.json")
+        return os.path.join(self.out_dir, f"part={pid:05d}", "_DONE")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out_pid, out_rows, out_skipped = [], [], []
         for row in batch.to_pylist():
             pid = int(row["part_id"])
-            part_dir = os.path.join(self.out_dir, f"part={pid:05d}")
-            marker = os.path.join(part_dir, "_DONE")
+            marker = self._marker(pid)
             if os.path.exists(marker):
                 done = json.load(open(marker))
                 if done.get("version") == self.version:
@@ -74,37 +153,11 @@ class _Exporter:
                     out_rows.append(done["rows"])
                     out_skipped.append(True)
                     continue  # finished by a previous (crashed) run
-            payload = self.payload
-            internal = pa.schema(
-                list(payload)
-                + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
-            )
-            paths = json.loads(row["files"])
-            tbls = [
-                conform_to_schema(
-                    pq.read_table(os.path.join(self.lake_dir, p)), internal
-                )
-                for p in paths
-            ]
-            tbl = pa.concat_tables(tbls)
-            if len(paths) > 1:
-                tbl = lww_reduce(tbl, self.key_cols, "ts", "_seq")
-            tbl = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
-            tbl = conform_to_schema(tbl, payload)
-
-            tmp = part_dir + f".tmp.{uuid.uuid4().hex[:8]}"
-            os.makedirs(tmp)
-            for lo in range(0, max(len(tbl), 1), self.max_rows):
-                chunk = tbl.slice(lo, self.max_rows)
-                pq.write_table(
-                    chunk,
-                    os.path.join(tmp, f"data-{lo // self.max_rows:05d}.parquet"),
-                    compression="snappy",
-                )
-            with open(os.path.join(tmp, "_DONE"), "w") as f:
-                json.dump({"version": self.version, "rows": len(tbl)}, f)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            os.replace(tmp, part_dir)
+            tbl = self._visible(json.loads(row["files"]))
+            if self.layout == "dt":
+                self._write_dt_layout(pid, tbl)
+            else:
+                self._write_partition_dir(pid, tbl)
             out_pid.append(pid)
             out_rows.append(len(tbl))
             out_skipped.append(False)
@@ -123,10 +176,22 @@ def export_snapshot(
     *,
     version: int | None = None,
     max_rows_per_file: int = 2_000_000,
+    layout: str = "partition",
+    ts_col: str = "ts",
 ) -> dict:
     """Export the visible state of ``lake_dir`` at ``version`` (default
     CURRENT) to ``out_dir`` as plain partitioned Parquet. Returns
-    ``{"version", "rows", "partitions", "resumed_partitions"}``."""
+    ``{"version", "rows", "partitions", "resumed_partitions"}``.
+
+    ``layout="partition"`` (default): one ``part=<pid>/`` directory per
+    lake partition, atomically replaced, ``_DONE`` marker inside.
+    ``layout="dt"``: the reference's Hive silver layout -
+    ``dt=YYYY-MM-DD/`` directories fanned from ``ts_col``
+    (``lambdas/transform/app.py:93-104``), deterministic
+    ``part<pid>-<chunk>.parquet`` names so a crashed partition's rerun
+    overwrites its own files (stale chunks swept by prefix); resume
+    markers live under ``_markers/``. Both layouts skip partitions a
+    previous run finished at the same version."""
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:
@@ -148,6 +213,8 @@ def export_snapshot(
             key_cols=tuple(m.partitioning.get("key_cols", ("conv_id", "turn_idx"))),
             payload=payload,
             max_rows_per_file=max_rows_per_file,
+            layout=layout,
+            ts_col=ts_col,
         )
         ds = rd.from_items(todo).map_batches(
             exporter.__call__, batch_format="pyarrow", batch_size=1

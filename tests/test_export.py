@@ -88,3 +88,45 @@ def test_export_new_version_invalidates_markers(tmp_path):
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_export_dt_layout_matches_and_resumes(tmp_path):
+    """Hive dt= layout: every row lands under its event-date directory,
+    the union equals read_table, and a crashed partition's rerun
+    overwrites its own deterministic files (stale chunks swept)."""
+    gen_changes(
+        str(tmp_path / "ch"), n_events=6_000, n_convs=60, n_files=3, seed=23
+    )
+    lake, out = str(tmp_path / "lake"), str(tmp_path / "out")
+    apply_changes(str(tmp_path / "ch"), lake, default_spec(num_partitions=4))
+    res = export_snapshot(lake, out, layout="dt", max_rows_per_file=500)
+    assert res["resumed_partitions"] == 0
+
+    files = sorted(glob.glob(os.path.join(out, "dt=*", "part*.parquet")))
+    assert files
+    got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    want = read_table(lake).to_pandas()
+    key = lambda df: df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got)[want.columns], key(want))
+
+    # rows really are partitioned by their own event date
+    for f in files:
+        dt = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+        t = pq.read_table(f).to_pandas()
+        assert (t["ts"].dt.strftime("%Y-%m-%d") == dt).all()
+
+    # crash simulation: drop one marker + plant a stale orphan chunk
+    markers = sorted(glob.glob(os.path.join(out, "_markers", "part=*.json")))
+    victim = markers[0]
+    pid = victim.split("part=")[1].split(".")[0]
+    os.remove(victim)
+    some_dt_dir = os.path.dirname(files[0])
+    stale = os.path.join(some_dt_dir, f"part{pid}-99999.parquet")
+    shutil.copy(files[0], stale)
+
+    res2 = export_snapshot(lake, out, layout="dt", max_rows_per_file=500)
+    assert res2["resumed_partitions"] == len(markers) - 1
+    assert not os.path.exists(stale)  # orphan swept on rerun
+    files2 = sorted(glob.glob(os.path.join(out, "dt=*", "part*.parquet")))
+    got2 = pd.concat([pq.read_table(f).to_pandas() for f in files2])
+    pd.testing.assert_frame_equal(key(got2)[want.columns], key(want))
