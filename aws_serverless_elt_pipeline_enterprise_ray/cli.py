@@ -175,6 +175,21 @@ def main(argv=None) -> int:
     ex.add_argument("--out", required=True)
     ex.add_argument("--version", type=int, default=None)
     ex.add_argument("--max-rows-per-file", type=int, default=2_000_000)
+    ex.add_argument(
+        "--layout", choices=("partition", "dt"), default="partition",
+        help="dt = Hive dt=YYYY-MM-DD silver layout",
+    )
+
+    ix = sub.add_parser(
+        "index", help="refresh the incremental search index from the lake's CDF"
+    )
+    ix.add_argument("--lake", required=True)
+    ix.add_argument("--index", required=True)
+    ix.add_argument("--partitions", type=int, default=16)
+
+    se = sub.add_parser("search", help="term lookup in the search index")
+    se.add_argument("--index", required=True)
+    se.add_argument("--term", required=True)
 
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
@@ -334,8 +349,35 @@ def main(argv=None) -> int:
                 args.out,
                 version=args.version,
                 max_rows_per_file=args.max_rows_per_file,
+                layout=args.layout,
             )
             print(json.dumps(res))
+        elif args.cmd == "index":
+            from .pipelines.search import refresh_search_index
+
+            res = refresh_search_index(
+                args.lake, args.index, num_partitions=args.partitions
+            )
+            print(json.dumps(res))
+        elif args.cmd == "search":
+            from .pipelines.search import search
+
+            hits = search(args.index, args.term).to_pandas()
+            if "conv_id" not in hits.columns:  # fully pruned -> no blocks
+                hits = hits.reindex(columns=["conv_id", "n_occurrences"])
+            print(
+                json.dumps(
+                    {
+                        "term": args.term,
+                        "hits": [
+                            {"conv_id": c, "n": int(n)}
+                            for c, n in zip(
+                                hits["conv_id"], hits["n_occurrences"]
+                            )
+                        ],
+                    }
+                )
+            )
         elif args.cmd == "forget":
             from .pipelines.forget import forget_keys
 

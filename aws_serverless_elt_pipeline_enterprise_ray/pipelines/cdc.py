@@ -698,6 +698,23 @@ def apply_dataset(
 # ---------------------------------------------------------------------------
 
 
+def _empty_like(m, columns=None) -> rd.Dataset:
+    """Empty Dataset with the right schema for a pruned-to-nothing (or
+    missing) lake read: the manifest's payload schema when a manifest
+    exists (derived lakes - search index, rollups - have their own),
+    the transcript schema only when there is no manifest to ask,
+    projected to the requested columns either way."""
+    if m is None:
+        from ..schema import TRANSCRIPT_SCHEMA
+
+        sch = TRANSCRIPT_SCHEMA
+    else:
+        sch = manifest_payload_schema(m)
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns if c in sch.names])
+    return rd.from_arrow(sch.empty_table())
+
+
 def conv_partitions(m, conv_ids: list[str]) -> set[int]:
     """The partition ids that can hold the given conversations under
     the manifest's recorded partitioning - the ONE reader-side copy of
@@ -739,9 +756,7 @@ def read_conversations(
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(None, columns)
     parts = conv_partitions(m, conv_ids)
     sub = {pid: files for pid, files in m.partitions.items() if int(pid) in parts}
     # second pruning level: per-FILE zone maps (min/max key recorded at
@@ -768,9 +783,7 @@ def read_conversations(
         if (kept := [f for f in files if may_contain(f)])
     }
     if not any(sub.values()):
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(m, columns)
     ds = _read_lake_partitions(lake_dir, sub, m)
     # filter on the manifest's LEADING KEY column: "conversations" is
     # the transcript lake's name for it, but derived lakes (search
@@ -807,9 +820,7 @@ def read_key_range(
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(None, columns)
 
     def may_overlap(f: dict) -> bool:
         kmin, kmax = f.get("key_min"), f.get("key_max")
@@ -823,9 +834,7 @@ def read_key_range(
         if (kept := [f for f in files if may_overlap(f)])
     }
     if not any(sub.values()):
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(m, columns)
     key0 = m.partitioning.get("key_cols", ("conv_id",))[0]
     read_cols = (
         list(dict.fromkeys([*columns, key0])) if columns else None
@@ -891,9 +900,7 @@ def read_time_range(
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(None, columns)
 
     def may_overlap(f: dict) -> bool:
         tmin, tmax = f.get("ts_min"), f.get("ts_max")
@@ -913,9 +920,7 @@ def read_time_range(
         if kept:
             sub[pid] = kept
     if not sub:
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(m, columns)
     read_cols = list(dict.fromkeys([*columns, "ts"])) if columns else None
     ds = _read_lake_partitions(lake_dir, sub, m, columns=read_cols)
 
@@ -950,9 +955,7 @@ def read_table(
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None or not m.all_files():
-        from ..schema import TRANSCRIPT_SCHEMA
-
-        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return _empty_like(m, columns)
 
     return _read_lake_partitions(
         lake_dir, m.partitions, m,
