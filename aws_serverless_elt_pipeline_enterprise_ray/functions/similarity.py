@@ -396,3 +396,93 @@ def semantic_dedup(
             return b[~b[id_col].isin(self.drop)]
 
     return ds.map_batches(DropFilter, batch_format="pandas", concurrency=(1, 4))
+
+
+def pca_fit(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> dict:
+    """Distributed PCA fit in ONE streaming pass: every batch
+    contributes (sum x, X^T X, n) partials - d-vector + d x d matrix
+    per block, never the rows - the driver combines B tiny partials
+    into the covariance and eigendecomposes the d x d matrix (d is the
+    embedding width; the corpus never concentrates anywhere).
+    Deterministic sign convention: each component's largest-|entry| is
+    made positive. Returns {"mean", "components" (k x d),
+    "explained_variance", "n"}."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tobytes()],
+                "xtx": [(X.T @ X).tobytes()],
+                "d": [X.shape[1]],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    d = int(parts["d"].iloc[0])
+    n = int(parts["n"].sum())
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for srow, xrow in zip(parts["s"], parts["xtx"]):
+        s += np.frombuffer(srow, dtype=np.float64)
+        xtx += np.frombuffer(xrow, dtype=np.float64).reshape(d, d)
+    mean = s / max(n, 1)
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = evecs[:, order].T  # (k, d)
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": evals[order],
+        "n": n,
+    }
+
+
+def pca_transform(
+    ds: rd.Dataset,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> rd.Dataset:
+    """Map-side projection onto a fitted PCA basis: the (k x d) model
+    rides ``ray.put`` once, every batch does one centered matmul. The
+    dimension-reduction step before ANN indexing / clustering at
+    corpus scale."""
+    ref = ray.put((model["mean"], model["components"]))
+
+    class Project:
+        def __init__(self):
+            self.mean, self.comps = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            P = (X - self.mean) @ self.comps.T
+            out = b.drop(columns=[vec_col]).copy()
+            out[out_col] = list(P.astype(np.float32))
+            return out
+
+    return ds.map_batches(Project, batch_format="pandas", concurrency=(1, 8))
+
+
+def pca_embeddings(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    k: int = 16,
+    out_col: str = "pca",
+) -> rd.Dataset:
+    """Fit + transform in two streaming passes (fit partials, then the
+    broadcast projection)."""
+    return pca_transform(
+        ds, pca_fit(ds, vec_col=vec_col, k=k), vec_col=vec_col, out_col=out_col
+    )

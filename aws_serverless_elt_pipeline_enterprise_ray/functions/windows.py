@@ -159,3 +159,70 @@ def trailing_window(
         .groupby("_wb")
         .map_groups(window_bucket, batch_format="pandas")
     )
+
+
+def rank_in_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    tiebreak: str | None = None,
+    descending: bool = False,
+    method: str = "row_number",
+    out_col: str = "rank",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key ranking (the ``row_number()/rank()/dense_rank() OVER
+    (PARTITION BY key ORDER BY ...)`` family) without per-key Python:
+    keys hash-bucket into ~2 groups per CPU, each group sorts ONCE by
+    (key, order, tiebreak) and ranks every key with numpy cumulative
+    masks - key boundaries reset the counter, equal order values share
+    a rank for ``rank``/``dense_rank``. 1-based, like SQL.
+
+    ``topk_per_group`` (aggregates.py) is the better tool when only the
+    first k rows per key are needed (it prunes before the shuffle);
+    this operator RETAINS every row, annotated - sampling curricula,
+    per-user recency indexes, "nth attempt" features."""
+    assert method in ("row_number", "rank", "dense_rank"), method
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_rb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, order_col] + ([tiebreak] if tiebreak else [])
+        asc = [True, not descending] + ([True] if tiebreak else [])
+        g = g.sort_values(order, ascending=asc, kind="mergesort").drop(
+            columns="_rb"
+        )
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        # index of each row's key-segment start
+        seg_start = np.maximum.accumulate(np.where(key_change, pos, 0))
+        row_number = pos - seg_start + 1
+        if method == "row_number":
+            g[out_col] = row_number
+            return g
+        order_change = key_change | (
+            (g[order_col] != g[order_col].shift()).to_numpy()
+        )
+        if method == "rank":
+            # rank = row_number of the first peer in the segment
+            first_peer = np.maximum.accumulate(np.where(order_change, pos, 0))
+            g[out_col] = first_peer - seg_start + 1
+        else:  # dense_rank: count of order changes within the segment
+            changes = np.cumsum(order_change)
+            at_start = np.maximum.accumulate(
+                np.where(key_change, changes, 0)
+            )
+            g[out_col] = changes - at_start + 1
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_rb")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

@@ -1817,6 +1817,54 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(docs, set(vocab))
 
 
+def q_rank_events_per_user(sf_dir: str):
+    """Per-key ranking retained on every row (row_number() OVER
+    (PARTITION BY user ORDER BY value DESC, id)): one bucketed shuffle,
+    one sort + numpy cumulative masks per bucket - zero per-key
+    Python."""
+    from ..functions.windows import rank_in_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.drop_columns("value").append_column("value_cents", c)
+
+    out = rank_in_group(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        key="user_id",
+        order_col="value_cents",
+        tiebreak="event_id",
+        descending=True,
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "user_id", "value_cents", "rank"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "user_id", "value_cents", "rank"]]
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: one streaming pass of (sum, X^T X, n) partials
+    (d-vector + d x d per block - rows never concentrate), driver
+    eigendecomposition of the d x d covariance, broadcast map-side
+    projection to 8 components. The dimension-reduction step before
+    ANN / clustering at corpus scale. Rows-only: eigendecomposition has
+    no SQL oracle; the pytest asserts parity with a single-process
+    reference."""
+    from ..functions.similarity import pca_embeddings
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = pca_embeddings(emb, k=8).to_pandas().sort_values("vec_id")
+    out["norm2"] = [float(np.dot(v, v)) for v in out["pca"]]
+    return out[["vec_id", "norm2"]].reset_index(drop=True)
+
+
 def q_skew_join_events_segment(sf_dir: str):
     """Skew-aware join: event stream x customer dimension. Heavy-hitter
     user ids (Misra-Gries detect + exact recount) join map-side against
@@ -2066,6 +2114,8 @@ QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "skew_join_events_segment": q_skew_join_events_segment,
+    "rank_events_per_user": q_rank_events_per_user,
+    "pca_embeddings": q_pca_embeddings,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2790,6 +2840,15 @@ ORACLES = {
                   ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id
+    """,
+    "rank_events_per_user": """
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC, event_id
+             ) AS BIGINT) AS rank
+      FROM events ORDER BY event_id
     """,
     "skew_join_events_segment": """
       SELECT e.event_id, e.user_id, c.c_mktsegment

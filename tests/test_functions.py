@@ -944,3 +944,93 @@ def test_skew_join_equals_hash_join():
             hot_keys={7},
         ).to_pandas()
         assert norm(manual) == want
+
+
+def test_rank_in_group_matches_pandas_window():
+    """row_number/rank/dense_rank equal the pandas window equivalents,
+    including tie groups and descending order."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        rank_in_group,
+    )
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, 300),
+            "v": rng.integers(0, 8, 300),   # small range -> many ties
+            "id": np.arange(300),
+        }
+    )
+    for method, pd_method in (
+        ("row_number", "first"),
+        ("rank", "min"),
+        ("dense_rank", "dense"),
+    ):
+        got = rank_in_group(
+            rd.from_pandas(df),
+            key="k",
+            order_col="v",
+            tiebreak="id" if method == "row_number" else None,
+            descending=True,
+            method=method,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        if method == "row_number":
+            want = (
+                df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+                .groupby("k").cumcount() + 1
+            )
+            want = want.reindex(df.sort_values(["k", "v", "id"],
+                                ascending=[True, False, True]).index)
+            ref = df.copy()
+            ref["rank"] = want.sort_index()
+            ref = ref.sort_values("id").reset_index(drop=True)
+        else:
+            ref = df.copy()
+            ref["rank"] = (
+                df.groupby("k")["v"].rank(method=pd_method, ascending=False)
+                .astype("int64")
+            )
+            ref = ref.sort_values("id").reset_index(drop=True)
+        assert list(got["rank"]) == list(ref["rank"]), method
+
+
+def test_pca_matches_single_process_reference():
+    """Distributed covariance-partials PCA recovers the same subspace
+    as a single-process eigendecomposition: projections agree up to
+    float tolerance, variance is concentrated in the leading axis of a
+    stretched blob."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    rng = np.random.default_rng(41)
+    # anisotropic blob: axis 0 stretched 10x, rotated
+    base = rng.normal(size=(400, 6)) * np.array([10, 3, 1, 0.5, 0.2, 0.1])
+    Q, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    X = base @ Q.T + rng.normal(size=6)
+
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": X[i].astype(np.float32)} for i in range(400)]
+    )
+    model = pca_fit(ds, k=3)
+    Xf = np.stack([r["embedding"] for r in ds.take_all()]).astype(np.float64)
+    mean = Xf.mean(axis=0)
+    cov = (Xf - mean).T @ (Xf - mean) / (len(Xf) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref_comps = evecs[:, order].T
+    flip = np.sign(
+        ref_comps[np.arange(3), np.abs(ref_comps).argmax(axis=1)]
+    )
+    ref_comps = ref_comps * flip[:, None]
+
+    assert np.allclose(model["mean"], mean, atol=1e-8)
+    assert np.allclose(model["components"], ref_comps, atol=1e-6)
+    assert model["explained_variance"][0] > 5 * model["explained_variance"][1]
+
+    out = pca_transform(ds, model).to_pandas().sort_values("vec_id")
+    P = np.stack(out["pca"].to_numpy())
+    want = (Xf - mean) @ ref_comps.T
+    assert np.allclose(P, want, atol=1e-3)
+    assert P.shape == (400, 3)
