@@ -127,3 +127,28 @@ def test_search_index_staged_refresh_is_replay_safe(tmp_path):
     assert r["committed"] == 0
     assert _index_rows(idx) == before
     assert last_indexed_version(idx) == r["to_version"]
+
+
+def test_tail_on_commit_keeps_index_fresh(tmp_path):
+    """The always-on tailer's on_commit hook composes with the index
+    refresh: after the loop drains the changelog, the index matches the
+    lake with zero extra machinery."""
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tail import tail
+
+    changes = str(tmp_path / "ch")
+    lake, idx = str(tmp_path / "lake"), str(tmp_path / "idx")
+    gen_changes(changes, n_events=1500, n_convs=30, n_files=3, seed=31)
+
+    stats = tail(
+        changes,
+        lake,
+        spec=None,
+        poll_seconds=0.01,
+        max_idle_rounds=1,
+        commit_every_files=1,
+        on_commit=lambda m: refresh_search_index(lake, idx, num_partitions=4),
+    )
+    assert stats["commits"] == 3
+    assert last_indexed_version(idx) == 3
+    assert _index_rows(idx) == _bruteforce_index(lake)
