@@ -221,6 +221,11 @@ def run_bench() -> dict:
         "minhash_near_dup",
         "cdc_normalize",
         "corpus_refinery",
+        "interval_join_sessions",
+        "rank_events_per_user",
+        "pivot_user_event_counts",
+        "lm_bigram_score",
+        "shuffle_shards",
     )
     for name in qnames:
         t0 = time.perf_counter()
