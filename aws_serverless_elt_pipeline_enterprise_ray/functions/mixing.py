@@ -203,3 +203,58 @@ def shuffle_shards(
         .groupby("shard")
         .map_groups(order, batch_format="pandas")
     )
+
+
+def temperature_fractions(
+    sizes: dict[str, int], *, alpha: float = 0.5, target_rows: int | None = None
+) -> dict[str, float]:
+    """Temperature-weighted sampling fractions for a corpus mixture:
+    source i is sampled with probability mass proportional to
+    ``n_i ** alpha`` (alpha<1 up-weights small sources, the multilingual
+    /domain-balance trick; alpha=1 is proportional (no reweighting),
+    alpha=0 is uniform across sources). Returns per-source FRACTIONS of
+    that source to keep so the mixture hits ``target_rows`` total
+    (default: the largest feasible mixture with every fraction <= 1).
+
+    Pure integer/float driver math over one count per source - the
+    caller feeds the result to ``mix_corpora``, which does the hashed
+    sampling with no shuffle."""
+    if not sizes:
+        return {}
+    names = sorted(sizes)
+    n = np.array([max(int(sizes[s]), 0) for s in names], dtype=np.float64)
+    w = np.where(n > 0, n**alpha, 0.0)
+    if w.sum() == 0:
+        return {s: 0.0 for s in names}
+    p = w / w.sum()  # mixture shares
+    if target_rows is None:
+        # scale up until the most-demanded source is fully used:
+        # rows_i = T * p_i <= n_i  =>  T = min(n_i / p_i)
+        with np.errstate(divide="ignore"):
+            T = np.min(np.where(p > 0, n / np.maximum(p, 1e-300), np.inf))
+    else:
+        T = float(target_rows)
+    frac = np.clip(np.where(n > 0, (T * p) / np.maximum(n, 1), 0.0), 0.0, 1.0)
+    return {s: float(f) for s, f in zip(names, frac)}
+
+
+def mix_corpora_temperature(
+    sources: dict[str, rd.Dataset],
+    *,
+    id_col: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    columns: list[str] | None = None,
+) -> tuple[rd.Dataset, dict[str, float]]:
+    """Temperature mixing end-to-end: count each source (cheap metadata
+    count when available), derive ``n**alpha`` fractions, hash-sample +
+    tag + union via ``mix_corpora`` (no shuffle anywhere). Returns
+    (mixture, fractions) so the recipe is reproducible/loggable."""
+    sizes = {name: ds.count() for name, ds in sources.items()}
+    fracs = temperature_fractions(sizes, alpha=alpha, target_rows=target_rows)
+    mixture = mix_corpora(
+        {name: (ds, fracs[name]) for name, ds in sources.items()},
+        id_col=id_col,
+        columns=columns,
+    )
+    return mixture, fracs

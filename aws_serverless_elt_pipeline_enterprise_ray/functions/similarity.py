@@ -486,3 +486,69 @@ def pca_embeddings(
     return pca_transform(
         ds, pca_fit(ds, vec_col=vec_col, k=k), vec_col=vec_col, out_col=out_col
     )
+
+
+def mean_pool(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key mean of an embedding column (turn -> conversation
+    vectors, chunk -> document vectors): every batch contributes one
+    (key, d-vector sum, n) partial per key it holds - computed with a
+    stable sort + ``np.add.reduceat``, no Python per row - so the ONE
+    shuffle carries per-(block, key) partials, never raw vectors. Keys
+    hash-bucket (~2/CPU) and each bucket combines all its keys in one
+    vectorized pass. Returns (key, out_col, n_vectors)."""
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[key_col].to_numpy()
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys_s, X_s = keys[order], X[order]
+        change = np.nonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])[0]
+        sums = np.add.reduceat(X_s, change, axis=0)
+        counts = np.diff(np.r_[change, len(keys_s)]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: keys_s[change],
+                "_s": [v.tobytes() for v in sums],
+                "_n": counts,
+            }
+        )
+
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_mb"] = _key_buckets(b[key_col], nb)
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        S = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["_s"]])
+        n = g["_n"].to_numpy(np.int64)
+        change = np.nonzero(np.r_[True, keys[1:] != keys[:-1]])[0]
+        sums = np.add.reduceat(S, change, axis=0)
+        counts = np.add.reduceat(n, change)
+        mean = sums / counts[:, None]
+        return pd.DataFrame(
+            {
+                key_col: keys[change],
+                out_col: list(mean.astype(np.float32)),
+                "n_vectors": counts.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(combine, batch_format="pandas")
+    )

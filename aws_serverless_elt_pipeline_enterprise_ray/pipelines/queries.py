@@ -1865,6 +1865,24 @@ def q_pca_embeddings(sf_dir: str):
     return out[["vec_id", "norm2"]].reset_index(drop=True)
 
 
+def q_mean_pool_embeddings(sf_dir: str):
+    """Per-label embedding centroids via distributed mean-pooling: one
+    (key, d-vector, n) partial per (block, key), one bucketed combine -
+    raw vectors never shuffle. Rows-only (float means have no SQL
+    oracle; pytest asserts pandas parity)."""
+    from ..functions.similarity import mean_pool
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    out = mean_pool(emb, key_col="label").to_pandas().sort_values("label")
+    out["norm2"] = [float(np.dot(v, v)) for v in out["embedding"]]
+    out["label"] = out["label"].astype("int64")
+    out["n_vectors"] = out["n_vectors"].astype("int64")
+    return out[["label", "n_vectors", "norm2"]].reset_index(drop=True)
+
+
 def q_skew_join_events_segment(sf_dir: str):
     """Skew-aware join: event stream x customer dimension. Heavy-hitter
     user ids (Misra-Gries detect + exact recount) join map-side against
@@ -2116,6 +2134,7 @@ QUERIES = {
     "skew_join_events_segment": q_skew_join_events_segment,
     "rank_events_per_user": q_rank_events_per_user,
     "pca_embeddings": q_pca_embeddings,
+    "mean_pool_embeddings": q_mean_pool_embeddings,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

@@ -545,3 +545,40 @@ def test_pivot_counts_rectangular_and_exact():
     want.columns.name = None
     got["u"] = got["u"].astype(want["u"].dtype)
     pd.testing.assert_frame_equal(got[["u", "n_a", "n_b", "n_c"]], want)
+
+
+def test_temperature_mixing_fractions_and_mixture():
+    """alpha=0 equalizes sources, alpha=1 keeps proportions; the
+    no-target mixture saturates exactly one source; the sampled
+    mixture honors the derived fractions via the nested hash sample."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        mix_corpora_temperature,
+        temperature_fractions,
+    )
+
+    sizes = {"big": 9000, "mid": 900, "small": 90}
+    # alpha=0: uniform shares -> the smallest source is fully used and
+    # every source contributes the same row count
+    f0 = temperature_fractions(sizes, alpha=0.0)
+    rows0 = {s: sizes[s] * f0[s] for s in sizes}
+    assert abs(rows0["big"] - rows0["small"]) < 1e-6
+    assert f0["small"] == 1.0
+    # alpha=1: proportional -> every fraction is 1 (no down-sampling)
+    f1 = temperature_fractions(sizes, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in f1.values())
+    # alpha=0.5 up-weights small sources relative to proportional
+    fh = temperature_fractions(sizes, alpha=0.5)
+    assert fh["small"] == 1.0 and fh["big"] < 1.0
+    # explicit target scales everything down proportionally
+    ft = temperature_fractions(sizes, alpha=0.5, target_rows=500)
+    assert all(0 < v < 1 for v in ft.values())
+
+    srcs = {
+        name: rd.from_items([{"id": i + off, "src": name} for i in range(n)])
+        for (name, n), off in zip(sizes.items(), (0, 100000, 200000))
+    }
+    mixture, fracs = mix_corpora_temperature(srcs, id_col="id", alpha=0.0)
+    got = mixture.to_pandas()["source"].value_counts()
+    for name in sizes:
+        want = sizes[name] * fracs[name]
+        assert abs(got.get(name, 0) - want) <= max(60, 0.15 * want)

@@ -1034,3 +1034,29 @@ def test_pca_matches_single_process_reference():
     want = (Xf - mean) @ ref_comps.T
     assert np.allclose(P, want, atol=1e-3)
     assert P.shape == (400, 3)
+
+
+def test_mean_pool_matches_pandas_groupby():
+    """Grouped embedding mean equals the pandas reference; partials
+    spanning multiple blocks combine correctly."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        mean_pool,
+    )
+
+    rng = np.random.default_rng(47)
+    n, d = 600, 5
+    keys = rng.integers(0, 25, n)
+    X = rng.normal(size=(n, d))
+    ds = rd.from_items(
+        [{"conv": int(k), "embedding": X[i].astype(np.float32)}
+         for i, k in enumerate(keys)]
+    ).repartition(8)  # force keys to span blocks
+    out = mean_pool(ds, key_col="conv").to_pandas().sort_values("conv")
+    got = np.stack(out["embedding"].to_numpy())
+    want = (
+        pd.DataFrame(X.astype(np.float32).astype(np.float64))
+        .assign(k=keys).groupby("k").mean().sort_index().to_numpy()
+    )
+    assert np.allclose(got, want, atol=1e-5)
+    counts = pd.Series(keys).value_counts().sort_index().to_numpy()
+    assert list(out["n_vectors"]) == list(counts)
