@@ -42,8 +42,10 @@ class _Compactor:
         stamp_ingested_at: str | None,
         purge_before_us: int | None = None,
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        drop_cols: tuple[str, ...] = (),
     ):
         self.key_cols = key_cols
+        self.drop_cols = tuple(drop_cols)
         self.lake_dir = lake_dir
         self.purge = purge_tombstones
         self.purge_before_us = purge_before_us
@@ -79,6 +81,10 @@ class _Compactor:
                     ),
                 )
                 tbl = tbl.filter(pc.invert(pc.fill_null(old_tomb, False)))
+            if self.drop_cols:
+                tbl = tbl.drop_columns(
+                    [c for c in self.drop_cols if c in tbl.column_names]
+                )
             if self.stamp is not None and "_ingested_at" not in tbl.column_names:
                 # reference precedent for additive schema evolution:
                 # compaction adds a constant timestamp column (M7);
@@ -116,6 +122,7 @@ def compact(
     lateness_multiplier: float = 2.0,
     min_lateness_us: int = 3_600_000_000,
     stamp_ingested_at: str | None = None,
+    drop_columns: tuple[str, ...] | list[str] = (),
     now: str | None = None,
 ) -> Manifest | None:
     """Re-pack partitions with >= ``min_files_to_compact`` files (or
@@ -135,6 +142,12 @@ def compact(
     parent = store.load()
     if parent is None:
         return None
+    drop_columns = tuple(drop_columns)
+    if drop_columns:
+        keyish = set(parent.partitioning.get("key_cols", spec.key_cols)) | {"ts"}
+        bad = [c for c in drop_columns if c in keyish]
+        if bad:
+            raise ValueError(f"cannot drop key/order columns: {bad}")
     if purge_tombstones_auto and purge_tombstones_before_us is None:
         if parent.max_event_ts_us is not None:
             guard = max(
@@ -151,6 +164,7 @@ def compact(
             or purge_tombstones
             or purge_tombstones_before_us is not None
             or stamp_ingested_at
+            or drop_columns
         )
     ]
     if not todo:
@@ -162,6 +176,7 @@ def compact(
         stamp_ingested_at=stamp_ingested_at,
         purge_before_us=purge_tombstones_before_us,
         key_cols=tuple(parent.partitioning.get("key_cols", spec.key_cols)),
+        drop_cols=drop_columns,
     )
     # task-based (state serialized once): no actor-pool startup latency
     ds = rd.from_items(todo).map_batches(
@@ -173,6 +188,8 @@ def compact(
     from ..state.manifest import manifest_payload_schema, schema_to_ipc
 
     pay = manifest_payload_schema(parent)
+    if drop_columns:
+        pay = pa.schema([f for f in pay if f.name not in drop_columns])
     if stamp_ingested_at is not None and "_ingested_at" not in pay.names:
         pay = pay.append(pa.field("_ingested_at", pa.string()))
     manifest = Manifest(

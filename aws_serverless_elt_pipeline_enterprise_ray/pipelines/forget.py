@@ -92,3 +92,67 @@ def forget_keys(
     pq.write_table(deletes, tmp)
     os.replace(tmp, path)  # atomic landing, per the tailer contract
     return apply_changes([path], lake_dir, spec, **apply_kwargs)
+
+
+def expire_rows(
+    lake_dir: str,
+    older_than,
+    spec: TableSpec | None = None,
+    *,
+    staging_dir: str | None = None,
+    **apply_kwargs,
+):
+    """Retention policy: tombstone every CURRENT row with
+    ``ts <= older_than`` through the ordinary exactly-once apply (the
+    bulk-expiry sibling of ``forget_keys`` - same single deletion code
+    path, same CDC semantics note). Discovery rides ``read_time_range``
+    (ts zone maps prune whole files where LWW-safe); the driver sees
+    only the expiring keys' (conv, turn, ts) rows. Follow with
+    ``compact(purge_tombstones_auto=True)`` to physically drop the
+    tombstones once the lateness horizon passes."""
+    import pandas as pd
+
+    from .cdc import read_time_range
+
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m is None:
+        return []
+
+    ds = read_time_range(
+        lake_dir,
+        pd.Timestamp(0),
+        older_than,
+        columns=["conv_id", "turn_idx", "ts"],
+    )
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    hits = pa.concat_tables(parts) if parts else None
+    if hits is None or len(hits) == 0:
+        return []
+
+    n = len(hits)
+    base_seq = int(m.watermark) + 1
+    deletes = pa.table(
+        {
+            "op": pa.array(["D"] * n, pa.string()),
+            "seq": pa.array(np.arange(base_seq, base_seq + n), pa.int64()),
+            "conv_id": hits["conv_id"],
+            "turn_idx": hits["turn_idx"],
+            "role": pa.nulls(n, pa.string()),
+            "text": pa.nulls(n, pa.string()),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": hits["ts"],
+        }
+    )
+    staging = staging_dir or os.path.join(lake_dir, "_staged", "expire")
+    os.makedirs(staging, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        staging, f"expire-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    tmp = path + ".tmp"
+    pq.write_table(deletes, tmp)
+    os.replace(tmp, path)
+    return apply_changes([path], lake_dir, spec, **apply_kwargs)

@@ -217,6 +217,26 @@ def q_cdc_search_index(sf_dir: str):
     return df[["term", "conv_id", "n_occurrences"]]
 
 
+def q_cdc_expire(sf_dir: str):
+    """Retention expiry: every current row at or before the mid-span
+    cutoff is tombstoned through the ordinary exactly-once apply
+    (discovery via the ts-zone-mapped time scan); the remaining state
+    must equal the SQL final state filtered to ts > cutoff."""
+    import pyarrow.parquet as pq
+
+    from .cdc import apply_changes
+    from .forget import expire_rows
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])["ts"]
+    mm = pc.min_max(t)
+    lo, hi = mm["min"].value, mm["max"].value
+    cutoff = lo + (hi - lo) // 2
+    expire_rows(lake, pd.Timestamp(cutoff, unit="us"), _spec(sf_dir))
+    return _final_df(lake)
+
+
 def q_cdc_incremental_rollup(sf_dir: str):
     """Incremental materialized view: a per-conversation aggregate lake
     maintained from the change data feed across two source commits -
@@ -2059,6 +2079,7 @@ QUERIES = {
     "cdc_range_scan": q_cdc_range_scan,
     "cdc_time_range": q_cdc_time_range,
     "cdc_search_index": q_cdc_search_index,
+    "cdc_expire": q_cdc_expire,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
@@ -2166,6 +2187,13 @@ ORACLES = {
       SELECT f.* FROM ({FINAL_SQL}) f, bounds b
       WHERE epoch_us(f.ts) >= b.lo + (b.hi - b.lo) // 4
         AND epoch_us(f.ts) <= b.lo + (3 * (b.hi - b.lo)) // 4
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_expire": f"""
+      WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events)
+      SELECT f.* FROM ({FINAL_SQL}) f, bounds b
+      WHERE epoch_us(f.ts) > b.lo + (b.hi - b.lo) // 2
       ORDER BY conv_id, turn_idx
     """,
     "cdc_search_index": f"""

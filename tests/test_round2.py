@@ -651,3 +651,82 @@ def test_changefeed_initial_snapshot_from_version_zero(tmp_path):
     table = read_table(lake).to_pandas()
     assert set(feed["change_op"]) == {"U"}
     assert len(feed) == len(table)
+
+
+def test_compact_drop_columns_migration(tmp_path):
+    """Schema-narrowing migration: the column vanishes from the
+    manifest schema and every read; key/order columns are refused;
+    a later change file still carrying the column re-adds it
+    additively."""
+    import pandas as pd
+    import pytest as _pytest
+
+    changes = str(tmp_path / "ch")
+    lake = str(tmp_path / "lake")
+    gen_changes(changes, n_events=2000, n_convs=30, n_files=2, seed=43,
+                evolve_after_file=1, duplicate_ratio=0.0)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(changes, lake, spec)
+    before = engine.read_table(lake).to_pandas()
+    assert "tool_call_id" in before.columns
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+
+    with _pytest.raises(ValueError):
+        compact(lake, spec, drop_columns=["conv_id"])
+
+    m = compact(lake, spec, drop_columns=["tool_call_id"])
+    assert m is not None
+    after = engine.read_table(lake).to_pandas()
+    assert "tool_call_id" not in after.columns
+    key = lambda df: df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(after), key(before.drop(columns=["tool_call_id"]))
+    )
+
+    # a future change batch carrying the column re-adds it additively
+    engine.apply_dataset(
+        pd.DataFrame(
+            [{
+                "op": "I", "seq": 99_999, "conv_id": "conv_readd",
+                "turn_idx": 0, "role": "user", "text": "x", "tool": None,
+                "ts": pd.Timestamp("2027-01-01"), "tool_call_id": "tc1",
+            }]
+        ),
+        lake, spec, label="readd",
+    )
+    re_read = engine.read_table(lake).to_pandas()
+    assert "tool_call_id" in re_read.columns
+    assert re_read[re_read["conv_id"] == "conv_readd"]["tool_call_id"].iloc[0] == "tc1"
+
+
+def test_expire_rows_retention(tmp_path):
+    """Bulk retention: rows at or before the cutoff disappear, newer
+    rows survive, replaying the expiry is a no-op on visible state."""
+    import pandas as pd
+
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=4)
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "op": "I", "seq": i, "conv_id": f"c{i % 8}", "turn_idx": i // 8,
+                "role": "user", "text": f"t{i}", "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(days=i),
+            }
+        )
+    engine.apply_dataset(pd.DataFrame(rows), lake, spec, label="seed")
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.forget import (
+        expire_rows,
+    )
+
+    cutoff = pd.Timestamp("2026-01-01") + pd.Timedelta(days=19)
+    ms = expire_rows(lake, cutoff, spec)
+    assert ms
+    after = engine.read_table(lake).to_pandas()
+    assert len(after) == 20
+    assert (after["ts"] > cutoff).all()
+    # second expiry with the same cutoff finds nothing
+    assert expire_rows(lake, cutoff, spec) == []
