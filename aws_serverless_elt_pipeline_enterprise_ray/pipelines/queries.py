@@ -1885,6 +1885,22 @@ def q_pca_embeddings(sf_dir: str):
     return out[["vec_id", "norm2"]].reset_index(drop=True)
 
 
+def q_model_score(sf_dir: str):
+    """Batched model-inference plumbing: weights broadcast via ray.put
+    and loaded once per actor, per-batch scoring, narrow (id, score)
+    output. The model is a deterministic integer stub the oracle
+    verifies exactly - the plumbing is real, the weights are not
+    (no torch in the sandbox; swap scorer_cls in a real env)."""
+    from ..functions.inference import score_with_model
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    out = score_with_model(docs, weights=b"stub-weights-v1")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "model_score"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "model_score"]]
+
+
 def q_mean_pool_embeddings(sf_dir: str):
     """Per-label embedding centroids via distributed mean-pooling: one
     (key, d-vector, n) partial per (block, key), one bucketed combine -
@@ -2156,6 +2172,7 @@ QUERIES = {
     "rank_events_per_user": q_rank_events_per_user,
     "pca_embeddings": q_pca_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
+    "model_score": q_model_score,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2887,6 +2904,13 @@ ORACLES = {
                   ELSE (p.n_invocab * 1000) // p.n_tokens END AS score
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY d.doc_id
+    """,
+    "model_score": """
+      SELECT doc_id,
+             CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                   + length(COALESCE(text, ''))) % 1000 AS BIGINT)
+               AS model_score
+      FROM documents ORDER BY doc_id
     """,
     "rank_events_per_user": """
       SELECT event_id, user_id,

@@ -1060,3 +1060,22 @@ def test_mean_pool_matches_pandas_groupby():
     assert np.allclose(got, want, atol=1e-5)
     counts = pd.Series(keys).value_counts().sort_index().to_numpy()
     assert list(out["n_vectors"]) == list(counts)
+
+
+def test_score_with_model_actor_plumbing():
+    """The inference stage loads weights once per actor, scores per
+    batch, and emits the narrow (id, score) layout; the stub is
+    deterministic across runs."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.inference import (
+        score_with_model,
+    )
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "x" * (i % 17)} for i in range(300)]
+    )
+    a = score_with_model(ds, weights=b"w1", batch_size=32).to_pandas()
+    b = score_with_model(ds, weights=b"w1", batch_size=7).to_pandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b))  # batching-invariant
+    assert list(a.columns) == ["doc_id", "model_score"]
+    assert a["model_score"].between(0, 999).all()
