@@ -91,6 +91,16 @@ def main(argv=None) -> int:
                    help="purge tombstones with event-time below this us epoch")
     c.add_argument("--purge-tombstones-auto", action="store_true",
                    help="derive the purge horizon from observed event-time skew")
+    c.add_argument("--drop-columns", nargs="+", default=(),
+                   help="schema-narrowing migration: remove these payload "
+                        "columns from data + manifest in one commit")
+
+    xp = sub.add_parser(
+        "expire", help="retention: tombstone rows at/before a timestamp"
+    )
+    xp.add_argument("--lake", required=True)
+    xp.add_argument("--older-than", required=True,
+                    help="ISO timestamp cutoff (inclusive)")
 
     d = sub.add_parser("dq", help="data-quality report / gate")
     d.add_argument("--lake", required=True)
@@ -320,8 +330,23 @@ def main(argv=None) -> int:
                 purge_tombstones=args.purge_tombstones,
                 purge_tombstones_before_us=args.purge_tombstones_before_us,
                 purge_tombstones_auto=args.purge_tombstones_auto,
+                drop_columns=tuple(args.drop_columns),
             )
             print(json.dumps({"version": m.version if m else None}))
+        elif args.cmd == "expire":
+            from .pipelines.forget import expire_rows
+
+            ms = expire_rows(args.lake, args.older_than)
+            print(
+                json.dumps(
+                    {
+                        "committed_versions": [m.version for m in ms],
+                        "tombstones": sum(
+                            m.metrics.get("deletes", 0) for m in ms
+                        ),
+                    }
+                )
+            )
         elif args.cmd == "changes":
             from .pipelines.cdf import table_changes
 
