@@ -745,3 +745,46 @@ class DocumentChunker:
                 "n_tokens": pd.Series(ns, dtype="int64"),
             }
         )
+
+
+class CompressionScorer:
+    """Compression-ratio quality signal (Gopher-style): highly
+    compressible text is repetitive/templated/low-entropy; barely
+    compressible text is often binary junk or hash soup. Emits
+    ``compress_permille`` = floor(1000 * len(zlib(text)) / len(text))
+    (small = repetitive) and ``entropy_centibits`` = floor(100 x
+    Shannon entropy of the byte distribution). Deterministic (zlib
+    level pinned), batched, C-level per doc - but zlib has no SQL
+    analogue, so the oracle check is rows-only and the pytest pins
+    known-repetitive vs known-random inputs.
+
+    Stateless per batch; an actor pool is still used so the zlib
+    dictionary warmup and numpy buffers amortize per actor."""
+
+    def __init__(self, level: int = 6):
+        import zlib
+
+        self.zlib = zlib
+        self.level = level
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        comp = np.empty(len(texts), dtype=np.int64)
+        ent = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):  # zlib is per-doc by nature; the
+            raw = t.encode("utf-8")    # compression dominates, not the loop
+            if not raw:
+                comp[i] = 1000
+                ent[i] = 0
+                continue
+            comp[i] = 1000 * len(self.zlib.compress(raw, self.level)) // len(raw)
+            counts = np.bincount(np.frombuffer(raw, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(raw)
+            ent[i] = int(100 * float(-(p * np.log2(p)).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "compress_permille": comp,
+                "entropy_centibits": ent,
+            }
+        )

@@ -1885,6 +1885,22 @@ def q_pca_embeddings(sf_dir: str):
     return out[["vec_id", "norm2"]].reset_index(drop=True)
 
 
+def q_compression_score(sf_dir: str):
+    """Compression-ratio + byte-entropy quality signals (Gopher-style
+    low-entropy filter). zlib has no SQL analogue -> rows-only; the
+    pytest pins repetitive vs random inputs."""
+    from ..functions.text import CompressionScorer
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    out = docs.map_batches(
+        CompressionScorer, batch_format="pandas", concurrency=(1, 8)
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def q_model_score(sf_dir: str):
     """Batched model-inference plumbing: weights broadcast via ray.put
     and loaded once per actor, per-batch scoring, narrow (id, score)
@@ -2173,6 +2189,7 @@ QUERIES = {
     "pca_embeddings": q_pca_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
     "model_score": q_model_score,
+    "compression_score": q_compression_score,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

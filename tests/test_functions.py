@@ -1079,3 +1079,30 @@ def test_score_with_model_actor_plumbing():
     pd.testing.assert_frame_equal(key(a), key(b))  # batching-invariant
     assert list(a.columns) == ["doc_id", "model_score"]
     assert a["model_score"].between(0, 999).all()
+
+
+def test_compression_scorer_separates_repetitive_from_random():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        CompressionScorer,
+    )
+
+    rng = np.random.default_rng(53)
+    rand = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
+    docs = [
+        {"doc_id": 0, "text": "spam " * 400},      # highly repetitive
+        {"doc_id": 1, "text": rand},               # near-incompressible
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+    ]
+    out = (
+        rd.from_items(docs)
+        .map_batches(CompressionScorer, batch_format="pandas",
+                     concurrency=(1, 2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "compress_permille"] < 100      # compresses hard
+    assert out.loc[1, "compress_permille"] > 700      # barely compresses
+    assert out.loc[0, "entropy_centibits"] < out.loc[1, "entropy_centibits"]
+    assert out.loc[2, "compress_permille"] == 1000
+    assert out.loc[3, "entropy_centibits"] == 0

@@ -79,3 +79,52 @@ def test_sigkill_mid_ingest_then_resume(tmp_path):
     # orphans from the killed attempt are unreferenced; gc removes them
     removed = store.gc(min_age_seconds=0)
     assert_matches_oracle(lake, changes)
+
+
+def test_sigkill_mid_pipelined_ingest_then_resume(tmp_path):
+    """Same hard-kill contract with the pipelined apply: the prefetch
+    thread writes nothing, so a SIGKILL mid-run loses at most the
+    uncommitted chunk and a serial resume converges to the oracle."""
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=20_000, n_convs=100, n_files=10, seed=79)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["GRAFT_PIPELINE_COMMITS"] = "1"
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "aws_serverless_elt_pipeline_enterprise_ray.cli",
+            "--num-cpus", "2", "ingest", "--changelog", changes, "--lake", lake,
+            "--partitions", "4", "--commit-every", "1",
+        ],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        preexec_fn=os.setsid,
+    )
+    store = ManifestStore(lake)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        v = store.current_version()
+        if v is not None and v >= 1:
+            break
+        if proc.poll() is not None:
+            pytest.fail("ingest finished before we could kill it")
+        time.sleep(0.05)
+    else:
+        proc.kill()
+        pytest.fail("no commit observed within 120s")
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait()
+
+    import glob as _glob
+
+    all_files = sorted(_glob.glob(os.path.join(changes, "*.parquet")))
+    assert store.current_version() >= 1
+    manifests = engine.apply_changes(
+        changes, lake, engine.default_spec(num_partitions=4)
+    )
+    assert manifests
+    final = store.load()
+    assert all(final.is_applied(f) for f in all_files)
+    assert_matches_oracle(lake, changes)
