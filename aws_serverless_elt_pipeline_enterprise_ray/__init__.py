@@ -25,6 +25,7 @@ from .pipelines.cdc import (
     read_key_range,
     read_table,
     read_time_range,
+    read_where,
 )
 from .state.manifest import Manifest, ManifestStore
 
@@ -38,6 +39,7 @@ __all__ = [
     "read_key_range",
     "read_table",
     "read_time_range",
+    "read_where",
     "Manifest",
     "ManifestStore",
 ]

@@ -939,6 +939,74 @@ def read_time_range(
     return ds
 
 
+def read_where(
+    lake_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Predicate-pruned scan of the current state:
+    ``lo <= col <= hi`` on any primitive payload column, using the
+    generic per-file zone maps (``file_entry`` records min/max of every
+    primitive column at write time). The same LWW-safety rule as
+    ``read_time_range`` applies: files are pruned only inside
+    partitions whose files hold provably disjoint key ranges (a pruned
+    file in a delta-run stack could resurrect a superseded row);
+    other partitions are read in full. Rows are then exact-filtered.
+    Timestamp predicates accept datetime/Timestamp/ISO strings."""
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        return _empty_like(None, columns)
+    payload = manifest_payload_schema(m)
+    if col not in payload.names:
+        raise KeyError(f"unknown column {col!r}; lake has {payload.names}")
+    col_type = payload.field(col).type
+    if pa.types.is_timestamp(col_type):
+        import pandas as _pd
+
+        lo_v = int(_pd.Timestamp(lo).value // 1_000)
+        hi_v = int(_pd.Timestamp(hi).value // 1_000)
+        lo_s, hi_s = pa.scalar(lo_v, col_type), pa.scalar(hi_v, col_type)
+    else:
+        lo_v, hi_v = lo, hi
+        lo_s, hi_s = pa.scalar(lo, col_type), pa.scalar(hi, col_type)
+
+    def may_overlap(f: dict) -> bool:
+        rng = (f.get("stats") or {}).get(col)
+        if not rng:
+            return True
+        return rng[0] <= hi_v and lo_v <= rng[1]
+
+    sub: dict[str, list[dict]] = {}
+    for pid, files in m.partitions.items():
+        if not files:
+            continue
+        kept = (
+            [f for f in files if may_overlap(f)]
+            if _key_disjoint(files)
+            else list(files)
+        )
+        if kept:
+            sub[pid] = kept
+    if not sub:
+        return _empty_like(m, columns)
+    read_cols = list(dict.fromkeys([*columns, col])) if columns else None
+    ds = _read_lake_partitions(lake_dir, sub, m, columns=read_cols)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        mask = pc.and_(pc.greater_equal(c, lo_s), pc.less_equal(c, hi_s))
+        return batch.filter(pc.fill_null(mask, False))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_table(
     lake_dir: str,
     version: int | None = None,

@@ -237,6 +237,19 @@ def q_cdc_expire(sf_dir: str):
     return _final_df(lake)
 
 
+def q_cdc_predicate_scan(sf_dir: str):
+    """Generic predicate-pruned scan (turn_idx BETWEEN 5 AND 9): per-
+    file zone maps over every primitive column let any range predicate
+    skip files, with the same key-disjointness LWW-safety rule as the
+    time scan; rows then exact-filter per batch."""
+    from .cdc import apply_changes, read_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    df = read_where(lake, "turn_idx", 5, 9).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def q_cdc_incremental_rollup(sf_dir: str):
     """Incremental materialized view: a per-conversation aggregate lake
     maintained from the change data feed across two source commits -
@@ -2112,6 +2125,7 @@ QUERIES = {
     "cdc_time_range": q_cdc_time_range,
     "cdc_search_index": q_cdc_search_index,
     "cdc_expire": q_cdc_expire,
+    "cdc_predicate_scan": q_cdc_predicate_scan,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
@@ -2221,6 +2235,11 @@ ORACLES = {
       SELECT f.* FROM ({FINAL_SQL}) f, bounds b
       WHERE epoch_us(f.ts) >= b.lo + (b.hi - b.lo) // 4
         AND epoch_us(f.ts) <= b.lo + (3 * (b.hi - b.lo)) // 4
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_predicate_scan": f"""
+      SELECT * FROM ({FINAL_SQL})
+      WHERE turn_idx BETWEEN 5 AND 9
       ORDER BY conv_id, turn_idx
     """,
     "cdc_expire": f"""

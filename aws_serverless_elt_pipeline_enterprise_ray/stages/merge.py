@@ -94,6 +94,33 @@ def file_entry(lake_dir: str, path: str, chunk: pa.Table, key_col: str | None) -
         if tmin is not None:
             entry["ts_min"] = int(tmin)
             entry["ts_max"] = int(tmax)
+    # generic zone maps: min/max of every primitive payload column
+    # (JSON-safe: timestamps as µs ints), powering read_where's
+    # predicate-pruned scans. Cheap (one vectorized min_max per column
+    # per chunk) and, like the key/ts maps, an optimization only -
+    # readers treat missing entries as "must read".
+    if len(chunk):
+        stats: dict[str, list] = {}
+        for f in chunk.schema:
+            if f.name.startswith("_") or f.name in ("part_id",):
+                continue
+            t = f.type
+            col = chunk[f.name]
+            if pa.types.is_timestamp(t):
+                mm = pc.min_max(col)
+                if mm["min"].value is not None:
+                    stats[f.name] = [int(mm["min"].value), int(mm["max"].value)]
+            elif (
+                pa.types.is_integer(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_string(t)
+            ):
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is not None:
+                    stats[f.name] = [lo, hi]
+        if stats:
+            entry["stats"] = stats
     return entry
 
 

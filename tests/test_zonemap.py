@@ -254,3 +254,64 @@ def test_read_time_range_safe_across_delta_runs(tmp_path):
         lake, pd.Timestamp("2026-02-01"), pd.Timestamp("2026-02-28")
     ).to_pandas()
     assert list(feb["text"]) == ["MOVED"]
+
+
+def test_read_where_generic_stats_pruned_and_exact(tmp_path):
+    """Generic column zone maps: a turn_idx range scan equals the
+    full-read filter; string predicates work; stats are recorded for
+    every primitive payload column; delta-run partitions fall back to
+    full reads without resurrecting stale rows."""
+    from aws_serverless_elt_pipeline_enterprise_ray import read_where
+
+    ch = tmp_path / "ch"
+    ch.mkdir()
+    _write_changes(str(ch / "c1.parquet"))
+    lake = str(tmp_path / "lake")
+    apply_changes(
+        str(ch), lake, default_spec(num_partitions=2), max_rows_per_file=30
+    )
+
+    m = ManifestStore(lake).load()
+    all_files = [f for fs in m.partitions.values() for f in fs]
+    for f in all_files:
+        st = f.get("stats", {})
+        assert {"conv_id", "turn_idx", "role", "text", "ts"} <= set(st)
+        assert st["turn_idx"][0] <= st["turn_idx"][1]
+
+    got = (
+        read_where(lake, "turn_idx", 2, 3).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = read_table(lake).to_pandas()
+    want = (
+        want[(want["turn_idx"] >= 2) & (want["turn_idx"] <= 3)]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # string predicate: text column values are "t{c}-{t}"
+    s = read_where(lake, "text", "t10-0", "t10-5").to_pandas()
+    assert set(s["conv_id"]) == {"conv_0010"} and len(s) == 6
+
+    # projection composes
+    proj = read_where(lake, "turn_idx", 2, 3, columns=["text"]).to_pandas()
+    assert list(proj.columns) == ["text"] and len(proj) == len(want)
+
+    # delta run: update one row's role, then scan a role range that
+    # matches only the OLD value - the updated key must not resurface
+    pd.DataFrame(
+        [{
+            "op": "U", "seq": 10_000, "conv_id": "conv_0003", "turn_idx": 0,
+            "role": "zzz", "text": "edited", "tool": None,
+            "ts": pd.Timestamp("2026-02-01"),
+        }]
+    ).to_parquet(str(tmp_path / "c2.parquet"))
+    apply_changes(
+        [str(tmp_path / "c2.parquet")], lake, default_spec(num_partitions=2),
+        max_rows_per_file=30,
+    )
+    roles = read_where(lake, "role", "user", "user").to_pandas()
+    hit = roles[(roles["conv_id"] == "conv_0003") & (roles["turn_idx"] == 0)]
+    assert len(hit) == 0  # superseded 'user' version must not come back
+    z = read_where(lake, "role", "zzz", "zzz").to_pandas()
+    assert len(z) == 1 and z["text"].iloc[0] == "edited"
