@@ -1,0 +1,92 @@
+"""Zero-copy lake branching: clone a committed version into a new,
+independently-evolving lake without copying data.
+
+``clone_lake`` hard-links every data file of the source snapshot into
+the destination and commits a fresh manifest v1 referencing them - a
+dev/staging branch of a 100-TB lake costs one metadata pass, not a
+rewrite. Each side then evolves independently:
+
+* new commits on either side write NEW files (COW) - the shared files
+  are never mutated by construction, so divergence is automatic;
+* each lake's ``gc`` unlinks only ITS directory entries; the inode
+  survives until every branch drops it (hard-link semantics give the
+  reference counting that object stores provide via manifest-level
+  sharing);
+* the applied-files checkpoint is carried over, so re-submitting the
+  source's original changelog to the clone is a no-op - branch
+  semantics, not a fresh table that would re-apply history.
+
+Cross-device destinations fall back to a real copy (documented: the
+zero-copy property needs one filesystem, like S3 needs one bucket
+region for server-side copy).
+
+Reference parity: beyond-reference - the reference's only "copy" is
+replay-via-S3-copy (scripts/replay_via_s3_copy.py), which re-processes
+data; this branches the PROCESSED state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from ..state.manifest import Manifest, ManifestStore
+
+
+def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> Manifest:
+    """Branch ``src_dir`` at ``version`` (default CURRENT) into the
+    empty ``dst_dir``. Returns the clone's manifest (version 1)."""
+    src = ManifestStore(src_dir)
+    m = src.load(version)
+    if m is None:
+        raise FileNotFoundError(f"no committed version in {src_dir}")
+    dst = ManifestStore(dst_dir)
+    if dst.load() is not None:
+        raise RuntimeError(f"{dst_dir} already has a committed lake")
+
+    n_linked = n_copied = 0
+    for files in m.partitions.values():
+        for f in files:
+            rel = f["path"]
+            sp = os.path.join(src_dir, rel)
+            dp = os.path.join(dst_dir, rel)
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            try:
+                os.link(sp, dp)
+                n_linked += 1
+            except OSError:  # cross-device: degrade to a copy
+                shutil.copy2(sp, dp)
+                n_copied += 1
+
+    from .cdc import _now_iso
+
+    manifest = Manifest(
+        version=1,
+        parent_version=None,
+        created_at=_now_iso(),
+        schema=list(m.schema),
+        schema_ipc=m.schema_ipc,
+        partitions={pid: list(files) for pid, files in m.partitions.items()},
+        applied=list(m.applied),
+        applied_watermarks=dict(m.applied_watermarks),
+        watermark=m.watermark,
+        max_event_ts_us=m.max_event_ts_us,
+        max_lateness_us=m.max_lateness_us,
+        metrics={
+            "cloned_from": m.version,
+            "files_linked": n_linked,
+            "files_copied": n_copied,
+        },
+        lineage={"_clone": {"source": os.path.abspath(src_dir), "version": m.version}},
+        quarantine=[],
+        partitioning=dict(m.partitioning),
+    )
+    committed = dst.commit(manifest)
+    # durable record of provenance for humans (the manifest carries the
+    # machine-readable copy)
+    with open(os.path.join(dst_dir, "_manifest", "CLONE.json"), "w") as fh:
+        json.dump(
+            {"source": os.path.abspath(src_dir), "source_version": m.version}, fh
+        )
+    return committed

@@ -358,4 +358,32 @@ class ManifestStore:
                     if rel not in live and os.path.getmtime(p) <= cutoff:
                         os.remove(p)
                         removed.append(rel)
+        # staged changelogs (_staged/, _ingest/, _refresh/ from
+        # apply_dataset, forget/expire, matview/search refreshes) keep
+        # their replay role only until the CURRENT manifest covers
+        # them; an APPLIED staged file older than the age gate is pure
+        # debris. _STAGED markers go with the last file of their dir.
+        cur_m = self.load()
+        if cur_m is not None:
+            for sub in ("_staged", "_ingest", "_refresh"):
+                top = os.path.join(self.lake_dir, sub)
+                if not os.path.isdir(top):
+                    continue
+                for root, _dirs, files in os.walk(top, topdown=False):
+                    for name in files:
+                        if name == "_STAGED":
+                            continue
+                        p = os.path.join(root, name)
+                        if (
+                            cur_m.is_applied(p)
+                            and os.path.getmtime(p) <= cutoff
+                        ):
+                            os.remove(p)
+                            removed.append(os.path.relpath(p, self.lake_dir))
+                    left = os.listdir(root)
+                    if left == ["_STAGED"]:
+                        os.remove(os.path.join(root, "_STAGED"))
+                        os.rmdir(root)
+                    elif not left and root != top:
+                        os.rmdir(root)
         return removed

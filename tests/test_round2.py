@@ -730,3 +730,98 @@ def test_expire_rows_retention(tmp_path):
     assert (after["ts"] > cutoff).all()
     # second expiry with the same cutoff finds nothing
     assert expire_rows(lake, cutoff, spec) == []
+
+
+def test_clone_lake_branches_without_copy(tmp_path):
+    """Hard-link clone: same visible state, shared inodes, independent
+    evolution on both sides, idempotent changelog carry-over, and gc on
+    the diverged source never breaks the clone."""
+    import pandas as pd
+
+    changes = str(tmp_path / "ch")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    gen_changes(changes, n_events=2000, n_convs=30, n_files=2, seed=61)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(changes, src, spec)
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.clone import (
+        clone_lake,
+    )
+
+    m = clone_lake(src, dst)
+    assert m.version == 1 and m.metrics["files_linked"] > 0
+
+    key = lambda df: df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    a = key(engine.read_table(src).to_pandas())
+    b = key(engine.read_table(dst).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+    # shared inode (zero-copy), not a byte copy
+    f = m.partitions[next(iter(m.partitions))][0]["path"]
+    assert os.stat(os.path.join(dst, f)).st_nlink >= 2
+
+    # the source's original changelog is already applied on the clone
+    assert engine.apply_changes(changes, dst, spec) == []
+
+    # divergence: new data lands only where applied
+    engine.apply_dataset(
+        pd.DataFrame([{
+            "op": "I", "seq": 50_000, "conv_id": "branch_only", "turn_idx": 0,
+            "role": "user", "text": "clone", "tool": None,
+            "ts": pd.Timestamp("2027-01-01"),
+        }]),
+        dst, spec, label="branch",
+    )
+    assert "branch_only" in set(engine.read_table(dst).to_pandas()["conv_id"])
+    assert "branch_only" not in set(engine.read_table(src).to_pandas()["conv_id"])
+
+    # source rewrites (compact) + gc: clone still reads its snapshot
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+
+    compact(src, spec)
+    ManifestStore(src).gc(keep_versions=1, min_age_seconds=0)
+    dstdf = key(engine.read_table(dst).to_pandas())
+    assert "branch_only" in set(dstdf["conv_id"]) and len(dstdf) == len(a) + 1
+
+
+def test_gc_sweeps_applied_staging_files(tmp_path):
+    """Staged changelogs (_ingest/_staged) whose files the CURRENT
+    manifest covers are debris once the age gate passes; gc removes
+    them and leaves un-applied staging alone."""
+    import pandas as pd
+
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=2)
+    engine.apply_dataset(
+        pd.DataFrame([{
+            "op": "I", "seq": 1, "conv_id": "c1", "turn_idx": 0,
+            "role": "user", "text": "x", "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+        }]),
+        lake, spec, label="b1",
+    )
+    staged = glob.glob(os.path.join(lake, "_ingest", "b1", "*.parquet"))
+    assert staged
+
+    # an un-applied staged dir must survive
+    other = os.path.join(lake, "_ingest", "pending", "later.parquet")
+    os.makedirs(os.path.dirname(other))
+    pd.DataFrame([{
+        "op": "I", "seq": 2, "conv_id": "c2", "turn_idx": 0,
+        "role": "user", "text": "y", "tool": None,
+        "ts": pd.Timestamp("2026-01-02"),
+    }]).to_parquet(other)
+
+    removed = ManifestStore(lake).gc(min_age_seconds=0)
+    assert any("_ingest" in r for r in removed)
+    assert not glob.glob(os.path.join(lake, "_ingest", "b1", "*"))
+    assert os.path.exists(other)  # not applied -> kept
+    # replaying the same label after the sweep is still a no-op
+    assert engine.apply_dataset(
+        pd.DataFrame([{
+            "op": "I", "seq": 1, "conv_id": "c1", "turn_idx": 0,
+            "role": "user", "text": "x", "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+        }]),
+        lake, spec, label="b1",
+    ) == []
