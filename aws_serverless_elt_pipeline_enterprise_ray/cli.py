@@ -201,6 +201,13 @@ def main(argv=None) -> int:
     se.add_argument("--index", required=True)
     se.add_argument("--term", required=True)
 
+    cl = sub.add_parser(
+        "clone", help="zero-copy branch of a committed version (hard links)"
+    )
+    cl.add_argument("--src", required=True)
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--version", type=int, default=None)
+
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
     )
@@ -377,6 +384,11 @@ def main(argv=None) -> int:
                 layout=args.layout,
             )
             print(json.dumps(res))
+        elif args.cmd == "clone":
+            from .pipelines.clone import clone_lake
+
+            m = clone_lake(args.src, args.dst, version=args.version)
+            print(json.dumps({"version": m.version, "metrics": m.metrics}))
         elif args.cmd == "index":
             from .pipelines.search import refresh_search_index
 
