@@ -311,6 +311,10 @@ def _derive_run_spec(
             num_partitions=pp["num_partitions"],
             hot_keys=tuple(pp.get("hot_keys", ())),
             hot_key_salt=pp.get("hot_key_salt", run_spec.hot_key_salt),
+            # merge semantics are a property of the LAKE, fixed at the
+            # first commit like the partitioning - a later apply with a
+            # default spec must not silently switch LWW<->coalesce
+            merge_policy=pp.get("merge_policy", run_spec.merge_policy),
         )
     elif detect_hot_keys and not run_spec.hot_keys:
         hot = _sample_hot_keys(files, run_spec)
@@ -328,6 +332,7 @@ def _partitioning_of(run_spec: TableSpec) -> dict:
         "hot_key_salt": run_spec.hot_key_salt,
         "hash_impl": hash_impl_id(),
         "key_cols": list(run_spec.key_cols),
+        "merge_policy": getattr(run_spec, "merge_policy", "lww"),
     }
 
 
@@ -390,13 +395,16 @@ def _build_normalized(
     # ~1/CPU above, so this does not cost task parallelism.
     if batch_size == "default":
         batch_size = 524_288
+    # map-side LWW combining is only valid for whole-row LWW; the
+    # coalesce policy needs every partial-update row at the merge
+    lww = getattr(run_spec, "merge_policy", "lww") == "lww"
     ds = ds.map_batches(
-        _NormalizeAssign(run_spec),
+        _NormalizeAssign(run_spec, combine=lww),
         batch_format="pyarrow",
         batch_size=batch_size,  # None = per-block batches (no coalesce copy)
         zero_copy_batch=True,
     )
-    if batch_size and est_bytes >= (1 << 30):
+    if lww and batch_size and est_bytes >= (1 << 30):
         # second-stage combine over ~4 first-stage outputs (adaptive:
         # disables itself per task when the stream isn't duplicate-
         # heavy); cuts barrier+shuffle bytes another ~4x on update-
@@ -597,13 +605,7 @@ def _apply_chunk(
         metrics=agg,
         lineage=lineage,
         quarantine=quarantine,
-        partitioning={
-            "num_partitions": run_spec.num_partitions,
-            "hot_keys": list(run_spec.hot_keys),
-            "hot_key_salt": run_spec.hot_key_salt,
-            "hash_impl": hash_impl_id(),
-            "key_cols": list(run_spec.key_cols),
-        },
+        partitioning=_partitioning_of(run_spec),
     )
     committed = store.commit(manifest)
     # S6 analogue: partition-ready events for downstream gates/consumers

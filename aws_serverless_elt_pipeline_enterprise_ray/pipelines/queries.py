@@ -250,6 +250,33 @@ def q_cdc_predicate_scan(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_coalesce_merge(sf_dir: str):
+    """Column-level merge policy: U events carry only their text (role
+    nulled), so the final state keeps each key's last non-null role
+    AND last non-null text independently - the partial-update CDC
+    semantics LWW cannot express. Deletes reset the key. Verified
+    against a DuckDB mirror built from last() FILTER aggregates over
+    the delete horizon."""
+    from .cdc import apply_changes
+
+    out = _scratch("coalesce-ch")
+    ds = _changes_ds(sf_dir)
+
+    def null_role_on_update(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["op"], "U")
+        role = pc.if_else(mask, pa.nulls(len(b), pa.string()), b["role"])
+        return b.set_column(b.column_names.index("role"), "role", role)
+
+    ds.map_batches(null_role_on_update, batch_format="pyarrow").write_parquet(out)
+    lake = _scratch("lake")
+    from ..schema import default_spec
+
+    apply_changes(
+        out, lake, default_spec(num_partitions=16, merge_policy="coalesce")
+    )
+    return _final_df(lake)
+
+
 def q_cdc_incremental_rollup(sf_dir: str):
     """Incremental materialized view: a per-conversation aggregate lake
     maintained from the change data feed across two source commits -
@@ -2126,6 +2153,7 @@ QUERIES = {
     "cdc_search_index": q_cdc_search_index,
     "cdc_expire": q_cdc_expire,
     "cdc_predicate_scan": q_cdc_predicate_scan,
+    "cdc_coalesce_merge": q_cdc_coalesce_merge,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
@@ -2235,6 +2263,30 @@ ORACLES = {
       SELECT f.* FROM ({FINAL_SQL}) f, bounds b
       WHERE epoch_us(f.ts) >= b.lo + (b.hi - b.lo) // 4
         AND epoch_us(f.ts) <= b.lo + (3 * (b.hi - b.lo)) // 4
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_coalesce_merge": f"""
+      WITH ch0 AS ({CH_SQL}),
+      ch AS (
+        SELECT op, seq, conv_id, turn_idx,
+               CASE WHEN op = 'U' THEN NULL ELSE role END AS role,
+               text, tool, ts,
+               CAST(epoch_us(ts) AS HUGEINT) * 100000000 + seq AS ord
+        FROM ch0),
+      dmax AS (
+        SELECT conv_id, turn_idx,
+               max(CASE WHEN op = 'D' THEN ord END) AS d_horizon
+        FROM ch GROUP BY conv_id, turn_idx),
+      alive AS (
+        SELECT ch.* FROM ch JOIN dmax USING (conv_id, turn_idx)
+        WHERE ch.op <> 'D'
+          AND (dmax.d_horizon IS NULL OR ch.ord > dmax.d_horizon))
+      SELECT conv_id, turn_idx,
+             last(role ORDER BY ord) FILTER (WHERE role IS NOT NULL) AS role,
+             last(text ORDER BY ord) FILTER (WHERE text IS NOT NULL) AS text,
+             last(tool ORDER BY ord) FILTER (WHERE tool IS NOT NULL) AS tool,
+             last(ts ORDER BY ord) AS ts
+      FROM alive GROUP BY conv_id, turn_idx
       ORDER BY conv_id, turn_idx
     """,
     "cdc_predicate_scan": f"""

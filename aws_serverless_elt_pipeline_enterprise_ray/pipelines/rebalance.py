@@ -133,6 +133,7 @@ def rebalance(
         lineage={"_rebalance": {"from": pp, "rows": total}},
         quarantine=list(parent.quarantine),
         partitioning={
+            **pp,  # carry lake-level properties (e.g. merge_policy)
             "num_partitions": new_P,
             "hot_keys": list(new_hot),
             "hot_key_salt": new_salt,

@@ -95,6 +95,13 @@ class TableSpec:
     # carried into the lake (back-filled as nulls for old data).
     # "drop": reference normalize_record behavior (extras dropped).
     extra_columns: str = "keep"
+    # "lww": whole-row last-writer-wins (reference semantics).
+    # "coalesce": column-level partial updates - an update's NULL
+    # fields keep the committed value, non-null fields override; a
+    # delete resets the key. Disables the map-side LWW combiners and
+    # the delta-append fast path (each written row must be fully merged
+    # against current state so cross-run whole-row LWW stays valid).
+    merge_policy: str = "lww"
 
     @property
     def payload_cols(self) -> tuple[str, ...]:
@@ -344,6 +351,68 @@ def lww_reduce(tbl: pa.Table, key_cols=KEY_COLS, ts_col="ts", seq_col="_seq") ->
     s = tbl.take(idx)
     last = _run_last_mask(s, key_cols)
     return s.filter(pa.array(last))
+
+
+def coalesce_reduce(
+    tbl: pa.Table, key_cols=KEY_COLS, ts_col="ts", seq_col="_seq"
+) -> pa.Table:
+    """Column-level merge: per key, order rows by ``(ts, seq)``; a
+    delete resets the key (rows at or before the LAST delete are void);
+    among the surviving rows every column takes its LAST NON-NULL
+    value (partial updates - an update's nulls keep the committed
+    value). Keys whose final row is the delete come out as tombstones.
+    Order-insensitive like ``lww_reduce`` (the sort restores a total
+    order), returns rows key-sorted (stable turn ordering).
+
+    Vectorized: one sort, numpy segment masks for the delete horizon,
+    one pandas ``groupby.last()`` (C-level last-non-null per column) -
+    no Python per key. Note the semantics: NULL never overrides, so
+    explicitly nulling a field requires delete + re-insert."""
+    if len(tbl) == 0:
+        return tbl
+    import pandas as pd
+
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(c, "ascending") for c in (*key_cols, ts_col, seq_col)],
+    )
+    s = tbl.take(idx)
+    df = s.to_pandas()
+    n = len(df)
+    keys = [df[c].to_numpy() for c in key_cols]
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    seg = np.cumsum(change) - 1
+    pos = np.arange(n, dtype=np.int64)
+    deleted = df["_deleted"].fillna(False).to_numpy(bool)
+    seg_starts = np.nonzero(change)[0]
+    # last delete position per segment (-1 = none)
+    d_pos = np.where(deleted, pos, -1)
+    last_d = np.maximum.reduceat(d_pos, seg_starts)
+    row_last_d = last_d[seg]
+    alive = pos > row_last_d  # rows strictly after the key's last delete
+
+    out_parts = []
+    if alive.any():
+        live = df[alive]
+        merged = live.groupby(
+            [live[c] for c in key_cols], sort=True, dropna=False
+        ).last()  # last NON-NULL per column, C-level
+        merged = merged.reset_index()
+        out_parts.append(merged[df.columns.tolist()])
+    # keys with no rows after their last delete -> the delete row
+    # itself survives as the tombstone
+    seg_ends = np.r_[seg_starts[1:] - 1, n - 1]
+    tomb_rows = seg_ends[last_d == seg_ends]
+    if len(tomb_rows):
+        out_parts.append(df.iloc[tomb_rows])
+    out = pd.concat(out_parts, ignore_index=True) if out_parts else df.iloc[0:0]
+    out = out.sort_values(
+        [*key_cols, ts_col, seq_col], kind="mergesort", ignore_index=True
+    )
+    return pa.Table.from_pandas(out, schema=tbl.schema, preserve_index=False)
 
 
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)

@@ -172,6 +172,17 @@ class PartitionMerger:
         # the O(partition)/commit write amplification of pure COW at
         # steady state; compaction re-merges runs down to one.
         self.delta_threshold = delta_threshold
+        # coalesce policy: column-level partial updates. Every written
+        # row must be fully merged against current state (so cross-run
+        # whole-row LWW on reads stays valid) -> delta-append disabled.
+        self.policy = getattr(spec, "merge_policy", "lww")
+        if self.policy == "coalesce":
+            from ..schema import coalesce_reduce
+
+            self.reduce = coalesce_reduce
+            self.delta_threshold = 0.0  # always read-modify-write
+        else:
+            self.reduce = lww_reduce
 
     # -- helpers -------------------------------------------------------
     def _existing(self, part_id: int) -> list[dict]:
@@ -268,7 +279,11 @@ class PartitionMerger:
                 delta_cols.append(group[field.name])
         delta = pa.table(delta_cols, schema=self.lake_schema)
         n_delta = len(delta)
-        delta = lww_reduce(delta, self.key_cols, "ts", "_seq")
+        if self.policy == "lww":
+            delta = lww_reduce(delta, self.key_cols, "ts", "_seq")
+        # coalesce: the delta must reach the combined reduce RAW - a
+        # pre-reduced delta would fold a delete into its successors and
+        # lose the reset against the CURRENT state's columns
         metrics["dedup_hits"] = n_delta - len(delta)
 
         existing = self._existing(part_id)
@@ -290,7 +305,7 @@ class PartitionMerger:
             combined = (
                 pa.concat_tables([current, delta]) if current is not None else delta
             )
-            merged = lww_reduce(combined, self.key_cols, "ts", "_seq")
+            merged = self.reduce(combined, self.key_cols, "ts", "_seq")
             # lww_reduce returns rows key-sorted: stable (conv_id,
             # turn_idx) turn ordering falls out of the reduction sort
             # (SURVEY §2.6 O4).

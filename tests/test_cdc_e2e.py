@@ -409,3 +409,75 @@ def test_pipelined_commits_equal_serial(tmp_path):
     # resubmission stays a no-op through the pipelined path too
     assert engine.apply_changes(changes, lake_p, spec,
                                 pipeline_commits=True) == []
+
+
+def test_coalesce_merge_policy_partial_updates(tmp_path):
+    """merge_policy="coalesce": an update's null fields keep the
+    committed values across commits; the policy is sticky (a later
+    apply with a DEFAULT spec adopts it from the manifest); replay
+    stays idempotent."""
+    import pandas as pd
+
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=4, merge_policy="coalesce")
+
+    def batch(rows, label):
+        engine.apply_dataset(pd.DataFrame(rows), lake, spec, label=label)
+
+    batch(
+        [
+            {"op": "I", "seq": 1, "conv_id": "c1", "turn_idx": 0,
+             "role": "user", "text": "hello", "tool": "t0",
+             "ts": pd.Timestamp("2026-01-01")},
+            {"op": "I", "seq": 2, "conv_id": "c2", "turn_idx": 0,
+             "role": "user", "text": "other", "tool": None,
+             "ts": pd.Timestamp("2026-01-01")},
+        ],
+        "b1",
+    )
+    # partial update ACROSS commits, applied with a DEFAULT (lww) spec:
+    # the manifest's sticky policy must override it
+    engine.apply_dataset(
+        pd.DataFrame(
+            [{"op": "U", "seq": 3, "conv_id": "c1", "turn_idx": 0,
+              "role": None, "text": "edited", "tool": None,
+              "ts": pd.Timestamp("2026-01-02")}]
+        ),
+        lake,
+        engine.default_spec(num_partitions=4),
+        label="b2",
+    )
+    df = engine.read_table(lake).to_pandas().set_index("conv_id")
+    assert df.loc["c1", "text"] == "edited"
+    assert df.loc["c1", "role"] == "user"   # null did NOT override
+    assert df.loc["c1", "tool"] == "t0"
+    assert df.loc["c2", "text"] == "other"
+
+    # delete resets: re-inserted key does not resurrect old fields
+    engine.apply_dataset(
+        pd.DataFrame(
+            [
+                {"op": "D", "seq": 4, "conv_id": "c1", "turn_idx": 0,
+                 "role": None, "text": None, "tool": None,
+                 "ts": pd.Timestamp("2026-01-03")},
+                {"op": "I", "seq": 5, "conv_id": "c1", "turn_idx": 0,
+                 "role": "system", "text": None, "tool": None,
+                 "ts": pd.Timestamp("2026-01-04")},
+            ]
+        ),
+        lake, spec, label="b3",
+    )
+    df = engine.read_table(lake).to_pandas().set_index("conv_id")
+    assert df.loc["c1", "role"] == "system"
+    assert pd.isna(df.loc["c1", "text"]) and pd.isna(df.loc["c1", "tool"])
+
+    # replaying every batch is a no-op
+    for label in ("b1", "b2", "b3"):
+        assert engine.apply_dataset(
+            pd.DataFrame([{"op": "I", "seq": 1, "conv_id": "c1",
+                           "turn_idx": 0, "role": "user", "text": "hello",
+                           "tool": "t0", "ts": pd.Timestamp("2026-01-01")}]),
+            lake, spec, label=label,
+        ) == []
+    m = ManifestStore(lake).load()
+    assert m.partitioning["merge_policy"] == "coalesce"

@@ -134,3 +134,61 @@ def test_schema_union_discovers_extras():
     s2 = pa.schema([("op", pa.string()), ("conv_id", pa.string()), ("meta_tokens", pa.int32())])
     extras = schema_union([s1, s2], engine.TRANSCRIPT_SCHEMA)
     assert extras == [("meta_tokens", pa.int32())]
+
+
+def test_coalesce_reduce_partial_updates():
+    """Column-level merge kernel: later non-null wins per column, nulls
+    keep earlier values, a delete resets the key (trailing delete =
+    tombstone), order-insensitive."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import coalesce_reduce
+
+    def row(conv, turn, ts, seq, role, text, deleted=False):
+        return {
+            "conv_id": conv, "turn_idx": turn,
+            "role": role, "text": text, "tool": None,
+            "ts": pd.Timestamp(ts), "_deleted": deleted, "_seq": seq,
+        }
+
+    rows = [
+        # k1: insert full, then partial update (role only), then
+        # partial update (text only)
+        row("k1", 0, "2026-01-01", 1, "user", "hello"),
+        row("k1", 0, "2026-01-02", 2, "assistant", None),
+        row("k1", 0, "2026-01-03", 3, None, "edited"),
+        # k2: insert, delete, re-insert partial (role only)
+        row("k2", 0, "2026-01-01", 4, "user", "gone"),
+        row("k2", 0, "2026-01-02", 5, None, None, deleted=True),
+        row("k2", 0, "2026-01-03", 6, "system", None),
+        # k3: insert then delete (trailing tombstone)
+        row("k3", 0, "2026-01-01", 7, "user", "bye"),
+        row("k3", 0, "2026-01-02", 8, None, None, deleted=True),
+    ]
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("_deleted", pa.bool_()),
+            pa.field("_seq", pa.int64()),
+        ]
+    )
+    rng = np.random.default_rng(3)
+    for order in (rows, [rows[i] for i in rng.permutation(len(rows))]):
+        tbl = pa.Table.from_pylist(order, schema=schema)
+        out = coalesce_reduce(tbl).to_pylist()
+        by_key = {r["conv_id"]: r for r in out}
+        assert len(out) == 3
+        k1 = by_key["k1"]
+        assert (k1["role"], k1["text"]) == ("assistant", "edited")
+        assert k1["_seq"] == 3 and not k1["_deleted"]
+        k2 = by_key["k2"]
+        assert (k2["role"], k2["text"]) == ("system", None)  # delete reset text
+        assert not k2["_deleted"]
+        assert by_key["k3"]["_deleted"] is True
