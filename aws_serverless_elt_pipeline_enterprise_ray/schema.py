@@ -150,6 +150,7 @@ def spec_from_yaml(path: str) -> TableSpec:
         hot_keys=tuple(cfg.get("hot_keys", ())),
         dq=dq,
         extra_columns=cfg.get("extra_columns", "keep"),
+        merge_policy=cfg.get("merge_policy", "lww"),
     )
 
 
