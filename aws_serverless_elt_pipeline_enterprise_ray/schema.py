@@ -368,7 +368,18 @@ def coalesce_reduce(
     Vectorized: one sort, numpy segment masks for the delete horizon,
     one pandas ``groupby.last()`` (C-level last-non-null per column) -
     no Python per key. Note the semantics: NULL never overrides, so
-    explicitly nulling a field requires delete + re-insert."""
+    explicitly nulling a field requires delete + re-insert.
+
+    Cross-commit caveat (inherent to column-level merging without
+    per-column provenance): a committed row carries ONE (ts, seq) -
+    the latest contribution - so a LATE-arriving update that is older
+    than the row's ts sorts below it and can only FILL columns still
+    null, never override ones a newer event already set (even if that
+    column's value came from an event older than the late arrival).
+    Within one commit the total (ts, seq) order is fully restored, so
+    single-pass application matches the global-order semantics
+    exactly; per-column-timestamp state would be needed to close the
+    cross-commit gap and is deliberately out of scope."""
     if len(tbl) == 0:
         return tbl
     import pandas as pd
