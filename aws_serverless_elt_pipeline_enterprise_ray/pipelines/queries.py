@@ -1941,6 +1941,49 @@ def q_compression_score(sf_dir: str):
     return df
 
 
+def q_image_features(sf_dir: str):
+    """REAL image decode distributed: deterministic synthetic PPM
+    payloads (one 16x16 gradient per doc) decoded, resized and
+    feature-extracted by the actor-pool ImageFeatures stage - the
+    library-free half of the multimodal path (compressed codecs remain
+    stubbed). Rows-only; the pytest asserts pixel-exact decode."""
+    from ..functions.multimodal import ImageFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_ppm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            px = (
+                (np.arange(16)[:, None] * 16 + np.arange(16)[None, :] + int(i))
+                % 256
+            ).astype(np.uint8)
+            img = np.stack([px, px.T, np.full((16, 16), int(i) % 251, np.uint8)], axis=2)
+            payloads.append(b"P6\n16 16\n255\n" + img.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_ppm, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(8, 8)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_model_score(sf_dir: str):
     """Batched model-inference plumbing: weights broadcast via ray.put
     and loaded once per actor, per-batch scoring, narrow (id, score)
@@ -2232,6 +2275,7 @@ QUERIES = {
     "mean_pool_embeddings": q_mean_pool_embeddings,
     "model_score": q_model_score,
     "compression_score": q_compression_score,
+    "image_features": q_image_features,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

@@ -1106,3 +1106,67 @@ def test_compression_scorer_separates_repetitive_from_random():
     assert out.loc[0, "entropy_centibits"] < out.loc[1, "entropy_centibits"]
     assert out.loc[2, "compress_permille"] == 1000
     assert out.loc[3, "entropy_centibits"] == 0
+
+
+def test_real_image_decode_and_features():
+    """PPM/BMP decode in pure numpy: synthetic images round-trip
+    exactly, resize indexing is correct, channel sums are exact, and
+    undecodable payloads degrade to decoded=False instead of failing."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        ImageFeatures,
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(59)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+
+    # PPM P6 with a header comment
+    ppm = b"P6\n# synthetic\n23 17\n255\n" + img.tobytes()
+    got = decode_ppm(ppm)
+    assert got is not None and np.array_equal(got, img)
+
+    # bottom-up 24-bit BMP with row padding
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    pix = rows.tobytes()
+    header = (
+        b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    bmp = header + pix
+    got_bmp = decode_bmp(bmp)
+    assert got_bmp is not None and np.array_equal(got_bmp, img)
+    assert decode_image(b"\x89PNG\r\n....") is None  # compressed -> stub land
+
+    # resize indexing: a 2x scale-down picks every other pixel row/col
+    big = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    small = resize_nearest(big, (4, 4))
+    assert np.array_equal(small, big[::2, ::2])
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([ppm, bmp, b"not an image"], pa.binary()),
+        }
+    )
+    out = ImageFeatures(target_size=(8, 8))(batch).to_pylist()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["decoded"] and by_id[2]["decoded"]
+    assert not by_id[3]["decoded"] and by_id[3]["width"] is None
+    assert (by_id[1]["width"], by_id[1]["height"]) == (23, 17)
+    small1 = resize_nearest(img, (8, 8))
+    assert by_id[1]["sum_r"] == int(small1[:, :, 0].astype(np.int64).sum())
+    # PPM and BMP of the same pixels give identical features
+    for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+        assert by_id[1][k] == by_id[2][k]
