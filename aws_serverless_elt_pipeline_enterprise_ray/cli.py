@@ -208,6 +208,12 @@ def main(argv=None) -> int:
     cl.add_argument("--dst", required=True)
     cl.add_argument("--version", type=int, default=None)
 
+    tg = sub.add_parser("tag", help="pin a name to a version (savepoint)")
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None)
+    tg.add_argument("--delete", action="store_true")
+
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
     )
@@ -384,6 +390,16 @@ def main(argv=None) -> int:
                 layout=args.layout,
             )
             print(json.dumps(res))
+        elif args.cmd == "tag":
+            from .state.manifest import ManifestStore
+
+            store = ManifestStore(args.lake)
+            if args.delete:
+                store.untag(args.name)
+                print(json.dumps({"deleted": args.name}))
+            else:
+                v = store.tag(args.name, args.version)
+                print(json.dumps({"tag": args.name, "version": v}))
         elif args.cmd == "clone":
             from .pipelines.clone import clone_lake
 

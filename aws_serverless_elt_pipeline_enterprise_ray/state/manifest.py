@@ -205,13 +205,53 @@ class ManifestStore:
         with open(p) as f:
             return json.load(f)["version"]
 
-    def load(self, version: int | None = None) -> Manifest | None:
+    def load(self, version: "int | str | None" = None) -> Manifest | None:
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         if version is None:
             version = self.current_version()
         if version is None:
             return None
         with open(os.path.join(self.dir, f"manifest-{version:06d}.json")) as f:
             return Manifest.from_json(f.read())
+
+    # -- tags (named savepoints) --------------------------------------
+    def _tags_path(self) -> str:
+        return os.path.join(self.dir, "TAGS.json")
+
+    def tags(self) -> dict[str, int]:
+        p = self._tags_path()
+        if os.path.exists(p):
+            return json.load(open(p))
+        return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a name to a version (default CURRENT) - the DESCRIBE
+        HISTORY savepoint analogue. Tagged versions read via
+        ``read_table(version="name")``; gc keeps every tagged
+        version's files alive."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise RuntimeError("nothing committed - nothing to tag")
+        if not os.path.exists(
+            os.path.join(self.dir, f"manifest-{v:06d}.json")
+        ):
+            raise FileNotFoundError(f"version {v} does not exist")
+        t = self.tags()
+        t[name] = int(v)
+        _atomic_write(self._tags_path(), json.dumps(t, sort_keys=True))
+        return int(v)
+
+    def untag(self, name: str) -> None:
+        t = self.tags()
+        t.pop(name, None)
+        _atomic_write(self._tags_path(), json.dumps(t, sort_keys=True))
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"unknown tag {name!r}; have {sorted(t)}")
+        return t[name]
 
     def applied_files(self) -> set[str]:
         """DEPRECATED for discovery: returns only the out-of-order
@@ -334,6 +374,9 @@ class ManifestStore:
         cur = self.current_version()
         if cur is not None and cur not in keep:
             keep.append(cur)
+        for v in self.tags().values():  # savepoints stay restorable
+            if v in versions and v not in keep:
+                keep.append(v)
         for v in keep:
             m = self.load(v)
             live.update(m.all_files())

@@ -97,3 +97,38 @@ def test_history_summarizes_every_version(tmp_path):
     assert h[2]["rows"] == 150 and h[2]["watermark"] == 249
     assert all(r["files"] > 0 and r["bytes"] > 0 for r in h)
     assert h[1]["metrics"]["events_applied"] == 50
+
+
+def test_tags_pin_versions_through_gc(tmp_path):
+    """Named savepoints: read_table(version="name") resolves the tag,
+    gc keeps a tagged version's files alive past keep_versions, and
+    untagging releases them."""
+    import pandas as pd
+
+    import aws_serverless_elt_pipeline_enterprise_ray as engine
+
+    lake = str(tmp_path / "lake")
+    spec = engine.default_spec(num_partitions=2)
+    for i in range(4):
+        engine.apply_dataset(
+            pd.DataFrame([{
+                "op": "I", "seq": i, "conv_id": f"c{i}", "turn_idx": 0,
+                "role": "user", "text": f"v{i}", "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+            }]),
+            lake, spec, label=f"b{i}",
+        )
+    store = ManifestStore(lake)
+    assert store.tag("baseline", 1) == 1
+
+    df = engine.read_table(lake, version="baseline").to_pandas()
+    assert list(df["conv_id"]) == ["c0"]
+
+    # gc keeping only the last version must preserve the tagged one
+    store.gc(keep_versions=1, min_age_seconds=0)
+    df = engine.read_table(lake, version="baseline").to_pandas()
+    assert list(df["conv_id"]) == ["c0"]
+
+    store.untag("baseline")
+    removed = store.gc(keep_versions=1, min_age_seconds=0)
+    assert removed  # v1-only files now collectable
