@@ -6,10 +6,11 @@ actor-pool stages, output layout) is real and tested. The codec layer
 is split honestly:
 
 * REAL pure-numpy decoders for formats that need no library -
-  binary PPM (P6) and uncompressed 24-bit BMP - plus a vectorized
-  nearest-neighbor resize and integer-exact channel features
-  (``decode_image`` / ``resize_nearest`` / ``ImageFeatures``);
-* ``DecodeStub`` for compressed codecs (JPEG/PNG/audio/video) that
+  binary PPM (P6), uncompressed 24-bit BMP, and PCM RIFF/WAVE - plus
+  a vectorized nearest-neighbor resize and integer-exact features
+  (``decode_image`` / ``resize_nearest`` / ``ImageFeatures``,
+  ``decode_wav`` / ``AudioFeatures``);
+* ``DecodeStub`` for compressed codecs (JPEG/PNG/MP3/video) that
   genuinely need libraries absent from this container: it raises
   ``NotImplementedError`` unless ``fake=True``, which derives
   deterministic pseudo-metadata so pipelines exercise the full path.
@@ -158,6 +159,85 @@ class ImageFeatures:
         out = out.append_column("height", pa.array(H, pa.int64()))
         for c, name in ((0, "sum_r"), (1, "sum_g"), (2, "sum_b")):
             out = out.append_column(name, pa.array(means[c], pa.int64()))
+        return out
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure-numpy decode of RIFF/WAVE PCM (format 1, 8- or 16-bit,
+    any channel count): walk the chunk list for ``fmt `` and ``data``.
+    Returns ``(samples, sample_rate)`` with samples int32 shaped
+    (n_frames, channels) — 8-bit unsigned recentred to signed — or
+    None if the payload is not parseable uncompressed PCM (compressed
+    codecs like MP3/AAC stay behind ``DecodeStub``)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        fmt = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt = int.from_bytes(body[0:2], "little")
+                channels = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+                if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
+                    return None
+                fmt = (channels, rate, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    return None
+                channels, rate, bits = fmt
+                if bits == 16:
+                    n = len(body) // (2 * channels) * channels
+                    raw = np.frombuffer(body, dtype="<i2", count=n)
+                else:
+                    n = len(body) // channels * channels
+                    raw = np.frombuffer(body, dtype=np.uint8, count=n).astype(
+                        np.int32
+                    ) - 128
+                return raw.astype(np.int32).reshape(-1, channels), rate
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+class AudioFeatures:
+    """Actor-pool audio decode -> feature stage with REAL math for the
+    library-free format (PCM WAV): integer-exact per-payload features —
+    frame count, sample rate, duration_ms (floor), peak amplitude and
+    energy (sum of squared samples across channels). Undecodable
+    payloads degrade to ``decoded=False`` nulls (quarantine-not-crash,
+    same contract as ``ImageFeatures``). Fat-row guidance applies: use
+    a small map_batches ``batch_size`` so batch x concurrency fits the
+    worker heap."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dec, nfr, rate, dur, peak, energy = [], [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            res = decode_wav(p) if p is not None else None
+            if res is None:
+                dec.append(False)
+                for col in (nfr, rate, dur, peak, energy):
+                    col.append(None)
+                continue
+            samples, sr = res
+            dec.append(True)
+            nfr.append(samples.shape[0])
+            rate.append(sr)
+            dur.append(samples.shape[0] * 1000 // sr if sr else None)
+            peak.append(int(np.abs(samples).max(initial=0)))
+            energy.append(int((samples.astype(np.int64) ** 2).sum()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("decoded", pa.array(dec, pa.bool_()))
+        out = out.append_column("n_frames", pa.array(nfr, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(rate, pa.int64()))
+        out = out.append_column("duration_ms", pa.array(dur, pa.int64()))
+        out = out.append_column("peak", pa.array(peak, pa.int64()))
+        out = out.append_column("energy", pa.array(energy, pa.int64()))
         return out
 
 

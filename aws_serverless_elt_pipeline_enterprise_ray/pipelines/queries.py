@@ -1984,6 +1984,55 @@ def q_image_features(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio decode distributed: deterministic synthetic PCM WAV
+    payloads (one 256-frame integer sawtooth per doc) decoded and
+    feature-extracted by the actor-pool AudioFeatures stage — the
+    library-free audio half of the multimodal path (compressed codecs
+    remain stubbed). Rows-only; the pytest asserts sample-exact decode
+    against the stdlib wave writer."""
+    from ..functions.multimodal import AudioFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_wav(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        t = np.arange(256, dtype=np.int64)
+        for i in ids:
+            samples = (((t * (int(i) % 17 + 3)) % 4096) - 2048).astype("<i2")
+            body = samples.tobytes()
+            fmt = (
+                b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+                + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            )
+            data = b"data" + len(body).to_bytes(4, "little") + body
+            riff_body = b"WAVE" + fmt + data
+            payloads.append(
+                b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_wav, batch_format="pyarrow")
+        .map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    cols = ["media_id", "n_frames", "sample_rate", "duration_ms", "peak", "energy"]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[cols]
+
+
 def q_model_score(sf_dir: str):
     """Batched model-inference plumbing: weights broadcast via ray.put
     and loaded once per actor, per-batch scoring, narrow (id, score)
@@ -2276,6 +2325,7 @@ QUERIES = {
     "model_score": q_model_score,
     "compression_score": q_compression_score,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

@@ -1170,3 +1170,70 @@ def test_real_image_decode_and_features():
     # PPM and BMP of the same pixels give identical features
     for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
         assert by_id[1][k] == by_id[2][k]
+
+
+def test_real_wav_decode_and_features():
+    """PCM WAV decode in pure numpy: payloads written by the stdlib
+    wave module round-trip sample-exact (16-bit stereo and 8-bit mono),
+    chunk walking skips extra chunks, features are integer-exact, and
+    undecodable payloads degrade to decoded=False."""
+    import io
+    import wave
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        AudioFeatures,
+        decode_wav,
+    )
+
+    rng = np.random.default_rng(61)
+    stereo = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(stereo.tobytes())
+    wav16 = buf.getvalue()
+    got = decode_wav(wav16)
+    assert got is not None
+    samples, rate = got
+    assert rate == 16000 and np.array_equal(samples, stereo.astype(np.int32))
+
+    mono8 = rng.integers(0, 256, size=77, dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(mono8.tobytes())
+    got8 = decode_wav(buf.getvalue())
+    assert got8 is not None
+    s8, r8 = got8
+    assert r8 == 8000
+    assert np.array_equal(s8[:, 0], mono8.astype(np.int32) - 128)
+
+    # an extra LIST chunk before data must be skipped, not break parsing
+    body = wav16[12:]
+    extra = b"LIST" + (6).to_bytes(4, "little") + b"INFOab"
+    wav_extra = b"RIFF" + (len(body) + 14).to_bytes(4, "little") + b"WAVE" \
+        + extra + body
+    got_x = decode_wav(wav_extra)
+    assert got_x is not None and np.array_equal(got_x[0], stereo.astype(np.int32))
+
+    assert decode_wav(b"ID3\x04 not a wav") is None  # MP3 -> stub land
+    assert decode_wav(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([wav16, b"not audio"], pa.binary()),
+        }
+    )
+    out = {r["media_id"]: r for r in AudioFeatures()(batch).to_pylist()}
+    assert out[1]["decoded"] and not out[2]["decoded"]
+    assert out[1]["n_frames"] == 100
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["duration_ms"] == 100 * 1000 // 16000
+    assert out[1]["peak"] == int(np.abs(stereo.astype(np.int64)).max())
+    assert out[1]["energy"] == int((stereo.astype(np.int64) ** 2).sum())
+    assert out[2]["energy"] is None
