@@ -747,6 +747,63 @@ class DocumentChunker:
         )
 
 
+class UrlCanonicalizer:
+    """URL canonicalization + host/domain extraction (the C4-style
+    web-preprocessing step before URL dedup and domain filtering):
+    drop the query string and fragment, lowercase the ``scheme://host``
+    prefix (path case is preserved), strip trailing slashes; derive
+    ``host`` (port stripped) and a last-two-label registrable
+    ``domain`` (a public-suffix list refines this in production; the
+    heuristic is deliberately SQL-mirrorable so the oracle verifies it
+    exactly). Regexes compiled once per actor. Adds ``canon_url``,
+    ``host``, ``domain``."""
+
+    def __init__(self, url_col: str = "url"):
+        import re
+
+        self.col = url_col
+        self.strip = re.compile(r"[#?].*$", re.S)
+        self.head = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(.*)$", re.S)
+        self.scheme = re.compile(r"^[a-z][a-z0-9+.\-]*://")
+        self.port = re.compile(r":[0-9]+$")
+        self.dom = re.compile(r"([^.]+\.[^.]+)$")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("").str.replace(self.strip, "", regex=True)
+        parts = s.str.extract(self.head)
+        prefix = parts[0].fillna("").str.lower()
+        rest = parts[1].fillna("").str.rstrip("/")
+        batch["canon_url"] = prefix + rest
+        host = prefix.str.replace(self.scheme, "", regex=True).str.replace(
+            self.port, "", regex=True
+        )
+        batch["host"] = host
+        dom = host.str.extract(self.dom)[0]
+        batch["domain"] = dom.where(dom.notna() & (dom != ""), host)
+        return batch
+
+
+def filter_blocked_domains(ds, blocklist, domain_col: str = "domain",
+                           concurrency=(1, 8)):
+    """Drop rows whose registrable domain is on a blocklist (C4-style
+    web filtering). The blocklist is ``ray.put`` once and loaded per
+    actor in ``__init__`` — the corpus streams through map-side, no
+    shuffle. Run ``UrlCanonicalizer`` first to attach ``domain``."""
+    import ray
+
+    ref = ray.put(frozenset(d.lower() for d in blocklist))
+
+    class BlockFilter:
+        def __init__(self):
+            self.blocked = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch[domain_col].isin(self.blocked)]
+
+    return ds.map_batches(BlockFilter, batch_format="pandas",
+                          concurrency=concurrency)
+
+
 class CompressionScorer:
     """Compression-ratio quality signal (Gopher-style): highly
     compressible text is repetitive/templated/low-entropy; barely

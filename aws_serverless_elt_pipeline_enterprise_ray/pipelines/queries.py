@@ -1984,6 +1984,53 @@ def q_image_features(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_url_dedup(sf_dir: str):
+    """C4-style web-preprocessing front half over deterministic
+    synthetic URLs (the corpus has none): canonicalize (drop query and
+    fragment, lowercase scheme://host, strip trailing slashes) ->
+    blocklist-filter by registrable domain (broadcast via ray.put) ->
+    URL dedup keeping min doc_id per canonical URL (the bucketed
+    exact-dedup kernel keyed on canon_url). Triples of consecutive
+    doc_ids share a canonical URL but differ in raw suffix noise, so
+    canonicalization does real unification work."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.text import UrlCanonicalizer, filter_blocked_domains
+
+    HOSTS = np.array(
+        ["WWW.Alpha.COM", "www.Beta.NET", "WWW.gamma.ORG",
+         "Www.Delta.COM", "WWW.Blocked.EXAMPLE"]
+    )
+
+    def make_url(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64").to_numpy()
+        b["url"] = (
+            "HTTPS://"
+            + pd.Series(HOSTS[(i // 3) % 5], index=b.index)
+            + "/Path/"
+            + pd.Series((i // 3).astype(str), index=b.index)
+            + np.where(i % 2 == 0, "/", "")
+            + np.where(i % 3 == 0, "?utm_source=x", "")
+            + np.where(i % 4 == 0, "#frag", "")
+        )
+        return b
+
+    ds = (
+        _documents(sf_dir, ["doc_id"])
+        .map_batches(make_url, batch_format="pandas")
+        .map_batches(UrlCanonicalizer, batch_format="pandas", concurrency=(1, 4))
+    )
+    ds = filter_blocked_domains(ds, ["blocked.example"])
+    out = exact_dedup(ds, text_col="canon_url", id_col="doc_id")
+    df = (
+        out.select_columns(["doc_id", "canon_url", "host", "domain"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio decode distributed: deterministic synthetic PCM WAV
     payloads (one 256-frame integer sawtooth per doc) decoded and
@@ -2326,6 +2373,7 @@ QUERIES = {
     "compression_score": q_compression_score,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
+    "url_dedup": q_url_dedup,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -2973,6 +3021,43 @@ ORACLES = {
     "clean_text": r"""
       SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
       FROM documents ORDER BY doc_id
+    """,
+    "url_dedup": r"""
+      WITH urls AS (
+        SELECT doc_id,
+               'HTTPS://'
+               || CASE CAST((doc_id // 3) % 5 AS INT)
+                    WHEN 0 THEN 'WWW.Alpha.COM' WHEN 1 THEN 'www.Beta.NET'
+                    WHEN 2 THEN 'WWW.gamma.ORG' WHEN 3 THEN 'Www.Delta.COM'
+                    ELSE 'WWW.Blocked.EXAMPLE' END
+               || '/Path/' || CAST(doc_id // 3 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents),
+      stripped AS (
+        SELECT doc_id, regexp_replace(url, '[#?].*$', '') AS u FROM urls),
+      canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)', 1))
+               || rtrim(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(.*)$', 1), '/')
+                 AS canon_url
+        FROM stripped),
+      hostd AS (
+        SELECT doc_id, canon_url,
+               regexp_replace(
+                 regexp_extract(canon_url, '^[a-z][a-z0-9+.\-]*://([^/]*)', 1),
+                 ':[0-9]+$', '') AS host
+        FROM canon),
+      domd AS (
+        SELECT doc_id, canon_url, host,
+               coalesce(nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''), host)
+                 AS domain
+        FROM hostd)
+      SELECT min(doc_id) AS doc_id, canon_url, host, domain
+      FROM domd WHERE domain <> 'blocked.example'
+      GROUP BY canon_url, host, domain
+      ORDER BY doc_id
     """,
     "stratified_sample": """
       WITH ranked AS (

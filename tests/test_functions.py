@@ -394,6 +394,47 @@ def test_pii_redactor_and_cleaner():
     assert cl.loc[2, "text_clean"] == "lots of whitespace here"
 
 
+def test_url_canonicalize_and_domain_filter():
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        UrlCanonicalizer,
+        filter_blocked_domains,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "url": [
+                "HTTPS://WWW.Example.COM/Page/One/?utm_source=x#frag",
+                "https://www.example.com/Page/One",  # same after canon
+                "http://ads.tracker.net:8080/x?q=1",
+                "ftp://files.example.org/a/b/",
+                "nonsense-no-scheme",
+            ],
+        }
+    )
+    out = UrlCanonicalizer()(df.copy())
+    assert out.loc[0, "canon_url"] == "https://www.example.com/Page/One"
+    assert out.loc[0, "canon_url"] == out.loc[1, "canon_url"]
+    assert out.loc[0, "host"] == "www.example.com"
+    assert out.loc[0, "domain"] == "example.com"
+    assert out.loc[2, "host"] == "ads.tracker.net"  # port stripped
+    assert out.loc[2, "domain"] == "tracker.net"
+    assert out.loc[3, "canon_url"] == "ftp://files.example.org/a/b"
+    # no scheme -> empty host, domain degrades to host
+    assert out.loc[4, "host"] == "" and out.loc[4, "domain"] == ""
+
+    kept = (
+        filter_blocked_domains(
+            rd.from_pandas(out), ["tracker.net"], concurrency=(1, 2)
+        )
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert sorted(kept) == [1, 2, 4, 5]
+
+
 def test_contamination_check_planted():
     import ray.data as rd
 
