@@ -424,3 +424,65 @@ def pivot_counts(
         .groupby("_pb")
         .map_groups(lambda g: widen(g.drop(columns="_pb")), batch_format="pandas")
     )
+
+
+def quantile_thresholds(
+    ds: rd.Dataset,
+    *,
+    col: str,
+    quantiles: tuple[float, ...],
+) -> dict[float, int]:
+    """Exact nearest-rank quantile thresholds of an integer column:
+    distributed counting-histogram partials per block (shuffle volume
+    bounded by the value domain, never the row count), combined with
+    one tiny groupby-sum; the CDF walk sees result-sized data only.
+    Nearest-rank = value at 1-based rank ceil(q*n) (DuckDB
+    ``quantile_disc``)."""
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(b[col], pa.int64())})
+        return (
+            t.group_by(["v"]).aggregate([("v", "count")])
+            .rename_columns(["v", "n"])
+        )
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    vals = hist["v"].to_numpy()
+    out = {}
+    for q in quantiles:
+        rank = max(1, int(np.ceil(q * total)))
+        out[q] = int(vals[np.searchsorted(cum, rank)])
+    return out
+
+
+def filter_by_quantile(
+    ds: rd.Dataset,
+    *,
+    col: str,
+    q_lo: float = 0.0,
+    q_hi: float = 1.0,
+) -> rd.Dataset:
+    """Keep rows whose integer measure lies inside the nearest-rank
+    quantile band [q_lo, q_hi] — the drop-the-tails corpus-curation
+    filter ("cut the shortest 10% and longest 10%"). Two passes:
+    ``quantile_thresholds`` (histogram shuffle bounded by the value
+    domain) then a broadcast map-side filter; the corpus itself never
+    shuffles and streams through the second pass."""
+    th = quantile_thresholds(ds, col=col, quantiles=(q_lo, q_hi))
+    lo, hi = th[q_lo], th[q_hi]
+
+    def band(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.int64())
+        return b.filter(
+            pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        )
+
+    return ds.map_batches(band, batch_format="pyarrow")

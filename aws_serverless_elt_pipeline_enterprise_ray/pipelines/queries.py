@@ -1984,6 +1984,26 @@ def q_image_features(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_quantile_band_filter(sf_dir: str):
+    """Drop-the-tails corpus curation: keep documents whose length lies
+    inside the exact nearest-rank [p10, p90] band. Thresholds come from
+    a distributed counting histogram (shuffle bounded by the value
+    domain); the corpus itself never shuffles — the second pass is a
+    broadcast map-side filter."""
+    from ..functions.aggregates import filter_by_quantile
+
+    docs = _documents(sf_dir, ["doc_id", "n_chars"])
+    df = (
+        filter_by_quantile(docs, col="n_chars", q_lo=0.1, q_hi=0.9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_chars"]]
+
+
 def q_url_dedup(sf_dir: str):
     """C4-style web-preprocessing front half over deterministic
     synthetic URLs (the corpus has none): canonicalize (drop query and
@@ -2374,6 +2394,7 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
+    "quantile_band_filter": q_quantile_band_filter,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3021,6 +3042,15 @@ ORACLES = {
     "clean_text": r"""
       SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
       FROM documents ORDER BY doc_id
+    """,
+    "quantile_band_filter": """
+      WITH th AS (
+        SELECT quantile_disc(n_chars, 0.1) AS lo,
+               quantile_disc(n_chars, 0.9) AS hi
+        FROM documents)
+      SELECT doc_id, n_chars FROM documents, th
+      WHERE n_chars BETWEEN th.lo AND th.hi
+      ORDER BY doc_id
     """,
     "url_dedup": r"""
       WITH urls AS (

@@ -582,3 +582,38 @@ def test_temperature_mixing_fractions_and_mixture():
     for name in sizes:
         want = sizes[name] * fracs[name]
         assert abs(got.get(name, 0) - want) <= max(60, 0.15 * want)
+
+
+def test_filter_by_quantile_nearest_rank_exact():
+    """Thresholds match DuckDB quantile_disc (nearest-rank) on a
+    skewed multiset spread over several blocks, and the band filter
+    keeps exactly the rows inside [lo, hi]."""
+    import duckdb
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        filter_by_quantile,
+        quantile_thresholds,
+    )
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [rng.integers(0, 20, 500), rng.integers(100, 2000, 300), [7] * 200]
+    ).astype("int64")
+    df = pd.DataFrame({"i": np.arange(len(vals), dtype="int64"), "v": vals})
+    ds = rd.from_pandas(df).repartition(7)
+
+    th = quantile_thresholds(ds, col="v", quantiles=(0.1, 0.5, 0.9))
+    con = duckdb.connect()
+    con.register("t", df)
+    for q in (0.1, 0.5, 0.9):
+        want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert th[q] == want, (q, th[q], want)
+
+    kept = filter_by_quantile(ds, col="v", q_lo=0.1, q_hi=0.9).to_pandas()
+    assert kept["v"].min() >= th[0.1] and kept["v"].max() <= th[0.9]
+    want_n = con.execute(
+        "SELECT count(*) FROM t WHERE v BETWEEN "
+        f"{th[0.1]} AND {th[0.9]}"
+    ).fetchone()[0]
+    assert len(kept) == want_n
