@@ -747,6 +747,29 @@ class DocumentChunker:
         )
 
 
+class UnicodeNormalizer:
+    """Unicode canonicalization before hashing/dedup: decompose (NFD),
+    strip combining diacritics (the ``strip_accents`` of utf8proc /
+    DuckDB — base characters survive, 'é'→'e', 'ß' kept), and
+    optionally casefold to lower. Adds ``text_norm``. Two corpora that
+    differ only in accent encoding or case then dedup together."""
+
+    def __init__(self, text_col: str = "text", lowercase: bool = True):
+        import re
+
+        self.col = text_col
+        self.lower = lowercase
+        # the Combining Diacritical Marks block covers Latin accents
+        self.marks = re.compile(r"[̀-ͯ]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("").str.normalize("NFD").str.replace(
+            self.marks, "", regex=True
+        )
+        batch["text_norm"] = s.str.lower() if self.lower else s
+        return batch
+
+
 class UrlCanonicalizer:
     """URL canonicalization + host/domain extraction (the C4-style
     web-preprocessing step before URL dedup and domain filtering):

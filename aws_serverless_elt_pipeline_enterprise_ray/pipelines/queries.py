@@ -1984,6 +1984,30 @@ def q_image_features(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_unicode_normalize(sf_dir: str):
+    """Unicode canonicalization (NFD -> strip combining diacritics ->
+    lowercase) with deterministic accented suffixes injected (the
+    corpus is ASCII), oracle-mirrored by DuckDB's utf8proc
+    lower(strip_accents(...))."""
+    from ..functions.text import UnicodeNormalizer
+
+    TAGS = np.array([" Élan", " Grüße", " FAÇADE", " Señor"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].astype("int64").to_numpy()
+        b["text"] = b["text"].fillna("") + pd.Series(TAGS[i % 4], index=b.index)
+        return b
+
+    ds = (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pandas")
+        .map_batches(UnicodeNormalizer, batch_format="pandas", concurrency=(1, 4))
+    )
+    return (
+        ds.select_columns(["doc_id", "text_norm"]).sort("doc_id").to_pandas()
+    )
+
+
 def q_quantile_band_filter(sf_dir: str):
     """Drop-the-tails corpus curation: keep documents whose length lies
     inside the exact nearest-rank [p10, p90] band. Thresholds come from
@@ -2395,6 +2419,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
+    "unicode_normalize": q_unicode_normalize,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3041,6 +3066,14 @@ ORACLES = {
     """,
     "clean_text": r"""
       SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
+      FROM documents ORDER BY doc_id
+    """,
+    "unicode_normalize": """
+      SELECT doc_id,
+             lower(strip_accents(text ||
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN ' Élan' WHEN 1 THEN ' Grüße'
+                 WHEN 2 THEN ' FAÇADE' ELSE ' Señor' END)) AS text_norm
       FROM documents ORDER BY doc_id
     """,
     "quantile_band_filter": """
