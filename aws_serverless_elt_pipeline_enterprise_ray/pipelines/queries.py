@@ -2237,6 +2237,27 @@ def q_lm_bigram_score(sf_dir: str):
     return out
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """Distributed BPE: train merges on the corpus word-frequency
+    table (one shuffle of distinct words), broadcast the ranked merge
+    list, count subword tokens per doc with per-actor word caching.
+    Rows-only check: the iterative merge loop has no SQL oracle; the
+    pytest asserts exact parity with a from-scratch reference."""
+    from ..functions.tokenizer import bpe_token_counts, train_bpe
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=150, min_freq=2)
+    out = (
+        bpe_token_counts(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_words", "n_bpe_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (p=14, ~0.8% err): fixed 16 KiB register partials per
@@ -2420,6 +2441,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
     "unicode_normalize": q_unicode_normalize,
+    "bpe_tokenize": q_bpe_tokenize,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

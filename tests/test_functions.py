@@ -1278,3 +1278,96 @@ def test_real_wav_decode_and_features():
     assert out[1]["peak"] == int(np.abs(stereo.astype(np.int64)).max())
     assert out[1]["energy"] == int((stereo.astype(np.int64) ** 2).sum())
     assert out[2]["energy"] is None
+
+
+def test_bpe_merge_loop_matches_naive_reference():
+    """The incremental-pair-count merge loop must equal a from-scratch
+    recount-every-step reference (same tie-break) on a random word
+    table, and the encoder must reproduce the training segmentation."""
+    from collections import Counter
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.tokenizer import (
+        END,
+        _merge_word,
+        _pairs_of,
+        encode_word,
+        learn_bpe_from_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcde")
+    words = {
+        "".join(rng.choice(alphabet, rng.integers(2, 9))): int(n)
+        for n in rng.integers(1, 50, 60)
+    }
+
+    def naive(word_counts, num_merges, min_freq=2):
+        tbl = {tuple(w) + (END,): n for w, n in word_counts.items()}
+        merges = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for sym, n in tbl.items():
+                for p in _pairs_of(sym):
+                    pc[p] += n
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pc[best] < min_freq:
+                break
+            merges.append(best)
+            tbl = {_merge_word(s, best): n for s, n in tbl.items()}
+        return merges
+
+    for m in (1, 5, 40, 500):
+        assert learn_bpe_from_counts(dict(words), m) == naive(words, m), m
+
+    # encoding a training word must reproduce its merged form
+    merges = learn_bpe_from_counts(dict(words), 40)
+    tbl = {w: tuple(w) + (END,) for w in words}
+    for p in merges:
+        tbl = {w: _merge_word(s, p) for w, s in tbl.items()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, expect in tbl.items():
+        assert tuple(encode_word(w, ranks)) == expect, w
+
+
+def test_bpe_train_and_count_distributed():
+    """End-to-end through Ray: distributed word count -> merge loop ->
+    broadcast encode; counts equal a single-process recount."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.tokenizer import (
+        WORD_RE,
+        bpe_token_counts,
+        encode_word,
+        train_bpe,
+    )
+    import re
+
+    texts = [
+        "the lower the better lower lowest",
+        "new newer newest low lower",
+        "wider wide widest new",
+        "",
+        "the the the lower newer",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(3)
+
+    merges = train_bpe(ds, num_merges=30, min_freq=2)
+    assert merges and all(isinstance(p, tuple) and len(p) == 2 for p in merges)
+
+    out = (
+        bpe_token_counts(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    rx = re.compile(WORD_RE)
+    for i, t in enumerate(texts):
+        ws = rx.findall(t.lower())
+        assert out.loc[i, "n_words"] == len(ws)
+        assert out.loc[i, "n_bpe_tokens"] == sum(
+            len(encode_word(w, ranks)) for w in ws
+        )
+    # merged units shrink the stream: fewer subwords than characters
+    assert (out["n_bpe_tokens"] >= out["n_words"]).all()
