@@ -189,6 +189,10 @@ def main(argv=None) -> int:
         "--layout", choices=("partition", "dt"), default="partition",
         help="dt = Hive dt=YYYY-MM-DD silver layout",
     )
+    ex.add_argument(
+        "--format", choices=("parquet", "jsonl"), default="parquet",
+        help="jsonl = gzipped JSONL training-handoff shards",
+    )
 
     ix = sub.add_parser(
         "index", help="refresh the incremental search index from the lake's CDF"
@@ -388,6 +392,7 @@ def main(argv=None) -> int:
                 version=args.version,
                 max_rows_per_file=args.max_rows_per_file,
                 layout=args.layout,
+                fmt=args.format,
             )
             print(json.dumps(res))
         elif args.cmd == "tag":

@@ -52,6 +52,7 @@ class _Exporter:
         max_rows_per_file: int,
         layout: str = "partition",
         ts_col: str = "ts",
+        fmt: str = "parquet",
     ):
         self.lake_dir = lake_dir
         self.out_dir = out_dir
@@ -61,6 +62,7 @@ class _Exporter:
         self.max_rows = max_rows_per_file
         self.layout = layout
         self.ts_col = ts_col
+        self.fmt = fmt
 
     def _visible(self, paths: list[str]) -> pa.Table:
         from ..schema import lww_reduce
@@ -82,19 +84,44 @@ class _Exporter:
         tbl = tbl.filter(pc.invert(pc.fill_null(tbl["_deleted"], False)))
         return conform_to_schema(tbl, self.payload)
 
+    def _write_jsonl(self, chunk: pa.Table, path: str) -> None:
+        """One gzipped JSONL shard (the training-job handoff format).
+        Binary columns are base64-encoded (JSON has no bytes type);
+        timestamps serialize as ISO-8601. pandas ``to_json`` keeps the
+        serialization C-level."""
+        import base64
+
+        df = chunk.to_pandas()
+        for f in chunk.schema:
+            if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                df[f.name] = [
+                    None if v is None else base64.b64encode(v).decode("ascii")
+                    for v in df[f.name]
+                ]
+        df.to_json(
+            path, orient="records", lines=True,
+            compression="gzip", date_format="iso", date_unit="us",
+        )
+
     def _write_partition_dir(self, pid: int, tbl: pa.Table) -> None:
         part_dir = os.path.join(self.out_dir, f"part={pid:05d}")
         tmp = part_dir + f".tmp.{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         for lo in range(0, max(len(tbl), 1), self.max_rows):
             chunk = tbl.slice(lo, self.max_rows)
-            pq.write_table(
-                chunk,
-                os.path.join(tmp, f"data-{lo // self.max_rows:05d}.parquet"),
-                compression="snappy",
-            )
+            i = lo // self.max_rows
+            if self.fmt == "jsonl":
+                self._write_jsonl(chunk, os.path.join(tmp, f"data-{i:05d}.jsonl.gz"))
+            else:
+                pq.write_table(
+                    chunk,
+                    os.path.join(tmp, f"data-{i:05d}.parquet"),
+                    compression="snappy",
+                )
         with open(os.path.join(tmp, "_DONE"), "w") as f:
-            json.dump({"version": self.version, "rows": len(tbl)}, f)
+            json.dump(
+                {"version": self.version, "rows": len(tbl), "fmt": self.fmt}, f
+            )
         shutil.rmtree(part_dir, ignore_errors=True)
         os.replace(tmp, part_dir)
 
@@ -148,7 +175,10 @@ class _Exporter:
             marker = self._marker(pid)
             if os.path.exists(marker):
                 done = json.load(open(marker))
-                if done.get("version") == self.version:
+                if done.get("version") == self.version and (
+                    self.layout == "dt"
+                    or done.get("fmt", "parquet") == self.fmt
+                ):
                     out_pid.append(pid)
                     out_rows.append(done["rows"])
                     out_skipped.append(True)
@@ -178,6 +208,7 @@ def export_snapshot(
     max_rows_per_file: int = 2_000_000,
     layout: str = "partition",
     ts_col: str = "ts",
+    fmt: str = "parquet",
 ) -> dict:
     """Export the visible state of ``lake_dir`` at ``version`` (default
     CURRENT) to ``out_dir`` as plain partitioned Parquet. Returns
@@ -191,7 +222,16 @@ def export_snapshot(
     ``part<pid>-<chunk>.parquet`` names so a crashed partition's rerun
     overwrites its own files (stale chunks swept by prefix); resume
     markers live under ``_markers/``. Both layouts skip partitions a
-    previous run finished at the same version."""
+    previous run finished at the same version.
+
+    ``fmt="jsonl"`` (``layout="partition"`` only) writes gzipped JSONL
+    shards instead of Parquet — the hand-off format most training jobs
+    ingest directly; binary columns are base64-encoded, timestamps
+    ISO-8601."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown export fmt {fmt!r}")
+    if fmt == "jsonl" and layout != "partition":
+        raise ValueError("fmt='jsonl' supports layout='partition' only")
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:
@@ -215,6 +255,7 @@ def export_snapshot(
             max_rows_per_file=max_rows_per_file,
             layout=layout,
             ts_col=ts_col,
+            fmt=fmt,
         )
         ds = rd.from_items(todo).map_batches(
             exporter.__call__, batch_format="pyarrow", batch_size=1
@@ -230,6 +271,7 @@ def export_snapshot(
                 "rows": rows,
                 "partitions": len(todo),
                 "schema": [f.name for f in payload],
+                "fmt": fmt,
             }
         ),
     )

@@ -130,3 +130,49 @@ def test_export_dt_layout_matches_and_resumes(tmp_path):
     files2 = sorted(glob.glob(os.path.join(out, "dt=*", "part*.parquet")))
     got2 = pd.concat([pq.read_table(f).to_pandas() for f in files2])
     pd.testing.assert_frame_equal(key(got2)[want.columns], key(want))
+
+
+def test_export_jsonl_shards_match_and_resume(tmp_path):
+    """JSONL handoff: gzipped line-JSON shards round-trip the visible
+    state exactly (timestamps ISO, values intact), resume markers are
+    format-aware (a parquet export at the same version does not mask a
+    jsonl export into the same directory)."""
+    gen_changes(
+        str(tmp_path / "ch"), n_events=5_000, n_convs=50, n_files=3, seed=31,
+        delete_ratio=0.05,
+    )
+    lake, out = str(tmp_path / "lake"), str(tmp_path / "out")
+    apply_changes(str(tmp_path / "ch"), lake, default_spec(num_partitions=4))
+
+    res = export_snapshot(lake, out, fmt="jsonl", max_rows_per_file=300)
+    files = sorted(glob.glob(os.path.join(out, "part=*", "data-*.jsonl.gz")))
+    assert files and res["resumed_partitions"] == 0
+    got = pd.concat(
+        [pd.read_json(f, lines=True, compression="gzip") for f in files]
+    )
+    want = read_table(lake).to_pandas()
+    key = lambda df: df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got, want = key(got), key(want)
+    assert len(got) == len(want)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["text"].fillna("").tolist() == want["text"].fillna("").tolist()
+    # timestamps survive the ISO round-trip to the microsecond
+    got_ts = pd.to_datetime(got["ts"], utc=True).dt.tz_localize(None)
+    assert (got_ts == want["ts"]).all()
+
+    # shard sizing respected
+    assert any(
+        len(glob.glob(os.path.join(d, "data-*.jsonl.gz"))) > 1
+        for d in glob.glob(os.path.join(out, "part=*"))
+    )
+
+    # format-aware markers: same version re-export as parquet rewrites
+    res2 = export_snapshot(lake, out, fmt="parquet", max_rows_per_file=300)
+    assert res2["resumed_partitions"] == 0
+    assert glob.glob(os.path.join(out, "part=*", "data-*.parquet"))
+    # and a jsonl re-export after that resumes nothing either, but a
+    # jsonl re-export over jsonl markers resumes everything
+    export_snapshot(lake, out, fmt="jsonl", max_rows_per_file=300)
+    res3 = export_snapshot(lake, out, fmt="jsonl", max_rows_per_file=300)
+    assert res3["resumed_partitions"] == res3["partitions"]
