@@ -552,3 +552,166 @@ def mean_pool(
         .groupby("_mb")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------ int8 ANN
+
+
+def embedding_scales(
+    ds: rd.Dataset, *, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Per-dimension symmetric int8 scales (absmax/127): one streaming
+    pass of per-batch absmax partials — the driver combines B tiny
+    d-vectors, raw vectors never concentrate."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy())
+        return pd.DataFrame({"_m": [np.abs(X).max(axis=0).astype(np.float64).tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    M = np.stack([np.frombuffer(v, dtype=np.float64) for v in parts["_m"]])
+    return np.maximum(M.max(axis=0), 1e-12) / 127.0
+
+
+def quantize_embeddings(
+    ds: rd.Dataset,
+    scales: np.ndarray | None = None,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    keep_float: bool = False,
+) -> tuple[rd.Dataset, np.ndarray]:
+    """Symmetric per-dimension int8 quantization of an embedding
+    column — 4× less memory/IO per vector, the difference between an
+    in-RAM and a spilled ANN corpus at 10^9 vectors. Scales are
+    computed in one streaming pass (or passed in, e.g. from a prior
+    run) and broadcast once per actor; the quantize map is a single
+    vectorized round-and-clip. Returns ``(dataset, scales)``; the
+    float column is dropped unless ``keep_float``.
+    """
+    if scales is None:
+        scales = embedding_scales(ds, vec_col=vec_col)
+    scales_ref = ray.put(scales)
+
+    class Quantize:
+        def __init__(self):
+            self.inv = (1.0 / ray.get(scales_ref)).astype(np.float32)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(b[vec_col].to_numpy()).astype(np.float32)
+            Q = np.clip(np.rint(X * self.inv), -127, 127).astype(np.int8)
+            b[out_col] = list(Q)
+            if not keep_float:
+                b = b.drop(columns=[vec_col])
+            return b
+
+    return (
+        ds.map_batches(Quantize, batch_format="pandas", concurrency=(1, 8)),
+        scales,
+    )
+
+
+def quantized_topk(
+    dsq: rd.Dataset,
+    ds_float: rd.Dataset,
+    scales: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    q8_col: str = "embedding_q8",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Two-phase ANN over the int8 corpus: (1) approximate
+    top-(k·oversample) per query by scanning ONLY the quantized
+    vectors (dequantize = one row-scale multiply per batch, then the
+    same broadcast-matmul local-top-k as ``cosine_topk``); (2) exact
+    rescore of the candidate union against the FLOAT corpus — the
+    candidate id set (≤ nq·k·oversample) is broadcast, candidate float
+    rows are filtered out in one streaming pass (candidate-sized, no
+    corpus shuffle), and exact cosine top-k is computed over them.
+    With sufficient ``oversample`` the result equals brute force;
+    recall is governed by the int8 approximation error (~1e-2 on
+    cosine), so candidates beyond rank k·oversample are the only loss.
+    """
+    qset = set(int(i) for i in query_ids)
+
+    def grab_q(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[id_col].isin(qset)][[id_col, q8_col]]
+
+    qdf = dsq.map_batches(grab_q, batch_format="pandas").to_pandas()
+    qdf = qdf.sort_values(id_col)
+    Q8 = np.stack(qdf[q8_col].to_numpy()).astype(np.float32) * scales.astype(
+        np.float32
+    )
+    queries_ref = ray.put({"ids": qdf[id_col].to_numpy(), "vecs": Q8})
+    scales_ref = ray.put(scales.astype(np.float32))
+
+    class ApproxTopK:
+        def __init__(self):
+            q = ray.get(queries_ref)
+            self.qids = q["ids"]
+            self.Q = _normalize(q["vecs"].astype(np.float64))
+            self.s = ray.get(scales_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[id_col].to_numpy()
+            V = np.stack(b[q8_col].to_numpy()).astype(np.float32) * self.s
+            S = self.Q @ _normalize(V.astype(np.float64)).T
+            kk = min(k * oversample + (1 if exclude_self else 0), S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(self.qids, kk),
+                    "neighbor_id": ids[idx].ravel(),
+                    "approx": np.take_along_axis(S, idx, axis=1).ravel(),
+                }
+            )
+
+    local = dsq.map_batches(
+        ApproxTopK, batch_format="pandas", concurrency=concurrency, num_cpus=1
+    ).to_pandas()  # nq * k * oversample rows per batch — tiny
+    local = local.sort_values(["query_id", "approx"], ascending=[True, False])
+    cand = local.groupby("query_id", sort=False).head(k * oversample + 1)
+    cand_ids = set(cand["neighbor_id"].tolist()) | qset
+    cand_ref = ray.put(frozenset(cand_ids))
+
+    class GrabFloat:
+        def __init__(self):
+            self.want = ray.get(cand_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[b[id_col].isin(self.want)][[id_col, vec_col]]
+
+    fl = ds_float.map_batches(
+        GrabFloat, batch_format="pandas", concurrency=concurrency
+    ).to_pandas()
+    fl = fl.sort_values(id_col).reset_index(drop=True)
+    ids = fl[id_col].to_numpy()
+    X = _normalize(np.stack(fl[vec_col].to_numpy()).astype(np.float64))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qpos = np.array([pos[int(i)] for i in qdf[id_col]], dtype=np.int64)
+
+    # exact rescore restricted to each query's own candidate list
+    out = []
+    for qid, grp in cand.groupby("query_id", sort=True):
+        cidx = np.array(
+            [pos[int(n)] for n in grp["neighbor_id"] if int(n) in pos],
+            dtype=np.int64,
+        )
+        s = X[qpos[np.searchsorted(qdf[id_col].to_numpy(), qid)]] @ X[cidx].T
+        df = pd.DataFrame(
+            {"query_id": qid, "neighbor_id": ids[cidx], "cosine": s}
+        )
+        if exclude_self:
+            df = df[df["neighbor_id"] != qid]
+        df = df.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        df["rank"] = np.arange(1, len(df) + 1)
+        out.append(df)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", "neighbor_id", "cosine"]]

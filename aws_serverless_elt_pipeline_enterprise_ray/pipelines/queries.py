@@ -1108,6 +1108,23 @@ def q_ann_ivf_topk(sf_dir: str):
     return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
 
 
+def q_ann_quantized_topk(sf_dir: str):
+    """int8-quantized two-phase ANN: per-dim absmax scales (streaming),
+    quantize map, approximate top-(k·oversample) scan over the int8
+    corpus, exact float rescore of the candidate union. With this
+    oversample the result equals brute force on this corpus, so the
+    same SQL top-k oracle verifies it hash-exact."""
+    from ..functions.similarity import quantize_embeddings, quantized_topk
+
+    ds = _embeddings(sf_dir)
+    dsq, scales = quantize_embeddings(ds)
+    top = quantized_topk(dsq, ds, scales, list(range(8)), k=5, oversample=8)
+    out = top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (deterministic init/tie-breaks; rows-only — iterative float
@@ -2395,6 +2412,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "contamination_check": q_contamination_check,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semantic_dedup": q_semantic_dedup,
@@ -2811,6 +2829,19 @@ ORACLES = {
     """,
     "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id",
     "ann_cosine_topk": """
+      WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+      sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS cos
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sims)
+      SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """,
+    "ann_quantized_topk": """
       WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
       sims AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -1371,3 +1371,42 @@ def test_bpe_train_and_count_distributed():
         )
     # merged units shrink the stream: fewer subwords than characters
     assert (out["n_bpe_tokens"] >= out["n_words"]).all()
+
+
+def test_quantized_topk_matches_bruteforce_after_rescore():
+    """int8 ANN: quantization round-trip error bounded by the scale
+    step; the two-phase (approx scan -> exact rescore) top-k equals
+    brute-force cosine_topk on a real random corpus with modest
+    oversample; quantized column is int8 and the float column drops."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(size=(300, 24)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": V[i]} for i in range(300)]
+    ).repartition(4)
+
+    dsq, scales = quantize_embeddings(ds)
+    qdf = dsq.to_pandas()
+    assert "embedding" not in qdf.columns
+    Q = np.stack(qdf.sort_values("vec_id")["embedding_q8"].to_numpy())
+    assert Q.dtype == np.int8
+    # round-trip error per coordinate is at most half a quantization step
+    back = Q.astype(np.float64) * scales
+    err = np.abs(back - V).max()
+    assert err <= scales.max() / 2 + 1e-6
+
+    qids = [3, 57, 120]
+    got = quantized_topk(dsq, ds, scales, qids, k=5, oversample=6)
+    want = cosine_topk(ds, qids, k=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["query_id", "rank", "neighbor_id"]],
+        want.reset_index(drop=True)[["query_id", "rank", "neighbor_id"]],
+    )
+    # rescored scores are the EXACT float cosines
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), want["cosine"].to_numpy(), rtol=1e-12
+    )
