@@ -1011,12 +1011,21 @@ def near_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_best_by: str | None = None,
     **lsh_kwargs,
 ) -> rd.Dataset:
     """One-call near-duplicate removal: MinHash-LSH candidate pairs ->
     exact-Jaccard verification -> connected-components clustering ->
-    keep each cluster's minimum doc id. Returns the surviving corpus
-    as a streaming Dataset (schema unchanged).
+    keep one survivor per cluster. Returns the surviving corpus as a
+    streaming Dataset (schema unchanged).
+
+    Survivor policy: by default the cluster's minimum doc id. With
+    ``keep_best_by="<col>"`` the member with the LARGEST value of that
+    column survives (ties -> smallest id) — the keep-the-best-quality
+    variant real curation pipelines run (score with ``QualityScorer``
+    / ``lm_score`` first, then dedup by that signal). Member scores
+    are gathered in one streaming pass over the corpus filtered to the
+    cluster members (member set is pair-bounded, so driver-sized).
 
     The drop set (non-canonical cluster members) is bounded by the
     verified-pair count, which already fits on the driver (pair
@@ -1036,11 +1045,34 @@ def near_dedup(
         )
     )
     clusters = dedup_clusters(pairs_ds).to_pandas()
-    drop = set(
-        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
-        .astype("int64")
-        .tolist()
-    )
+    clusters["doc_id"] = clusters["doc_id"].astype("int64")
+    if keep_best_by is None:
+        drop = set(
+            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+            .tolist()
+        )
+    else:
+        members_ref = ray.put(frozenset(clusters["doc_id"].tolist()))
+
+        class GrabScores:
+            def __init__(self):
+                self.want = ray.get(members_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                return b[b[id_col].isin(self.want)][[id_col, keep_best_by]]
+
+        scores = (
+            ds.map_batches(GrabScores, batch_format="pandas", concurrency=(1, 4))
+            .to_pandas()  # member-sized (pair-bounded), not corpus-sized
+        )
+        j = clusters.merge(scores, left_on="doc_id", right_on=id_col)
+        j = j.sort_values(
+            ["cluster_id", keep_best_by, "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        winners = j.groupby("cluster_id", sort=False).head(1)["doc_id"]
+        drop = set(clusters["doc_id"].tolist()) - set(winners.tolist())
     drop_ref = ray.put(drop)
 
     class DropFilter:

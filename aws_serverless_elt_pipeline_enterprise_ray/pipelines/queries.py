@@ -1018,6 +1018,23 @@ def q_near_dedup(sf_dir: str):
     return out.select_columns(["doc_id"]).sort("doc_id").to_pandas()
 
 
+def q_near_dedup_best(sf_dir: str):
+    """Quality-aware near-dedup: same minhash->CC clustering, but each
+    cluster keeps its LONGEST member (keep_best_by=n_chars, ties ->
+    min id) — the keep-the-best-quality survivor policy. Rows-only
+    check (minhash is not SQL-expressible)."""
+    from ..functions.dedup import near_dedup
+
+    ds = _corpus_with_near_dupes(sf_dir).map_batches(
+        lambda b: b.assign(n_chars=b["text"].fillna("").str.len().astype("int64")),
+        batch_format="pandas",
+    )
+    out = near_dedup(
+        ds, threshold=0.5, num_perm=64, bands=16, keep_best_by="n_chars"
+    )
+    return out.select_columns(["doc_id"]).sort("doc_id").to_pandas()
+
+
 def q_simhash_near_dup(sf_dir: str):
     from ..functions.dedup import simhash_near_dups
 
@@ -2460,6 +2477,7 @@ QUERIES = {
     "quantile_band_filter": q_quantile_band_filter,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
+    "near_dedup_best": q_near_dedup_best,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

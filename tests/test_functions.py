@@ -1410,3 +1410,39 @@ def test_quantized_topk_matches_bruteforce_after_rescore():
     np.testing.assert_allclose(
         got["cosine"].to_numpy(), want["cosine"].to_numpy(), rtol=1e-12
     )
+
+
+def test_near_dedup_keep_best_by_quality():
+    """Survivor policy: with keep_best_by, each near-dup cluster keeps
+    its highest-scoring member (ties -> min id), not the min id."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.dedup import (
+        near_dedup,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(2000)]
+    texts = [
+        " ".join(rng.choice(vocab, 20, replace=False)) for _ in range(20)
+    ]
+    rows = [
+        {"doc_id": i, "text": t, "score": 10} for i, t in enumerate(texts)
+    ]
+    # cluster {0, 100}: the COPY has the higher score -> copy survives
+    rows.append({"doc_id": 100, "text": texts[0], "score": 99})
+    # cluster {1, 101, 102}: middle id has the best score
+    rows.append({"doc_id": 101, "text": texts[1], "score": 50})
+    rows.append({"doc_id": 102, "text": texts[1], "score": 20})
+    # cluster {2, 103}: tie -> min id (2) survives
+    rows.append({"doc_id": 103, "text": texts[2], "score": 10})
+    ds = rd.from_items(rows)
+
+    out = near_dedup(ds, threshold=0.6, keep_best_by="score").to_pandas()
+    kept = set(out["doc_id"].tolist())
+    assert 100 in kept and 0 not in kept
+    assert 101 in kept and 1 not in kept and 102 not in kept
+    assert 2 in kept and 103 not in kept
+    assert set(range(3, 20)) <= kept
+    # default policy on the same corpus keeps the min ids instead
+    out_min = near_dedup(ds, threshold=0.6).to_pandas()
+    kept_min = set(out_min["doc_id"].tolist())
+    assert {0, 1, 2} <= kept_min and {100, 101, 102, 103}.isdisjoint(kept_min)
