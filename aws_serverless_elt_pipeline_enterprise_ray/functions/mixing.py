@@ -258,3 +258,45 @@ def mix_corpora_temperature(
         columns=columns,
     )
     return mixture, fracs
+
+
+def sample_per_group(
+    ds: "rd.Dataset",
+    *,
+    group_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+    out_cols: list[str] | None = None,
+):
+    """Deterministic exact-n sample per group (eval-set construction:
+    "n examples from every stratum"): rows rank by the shared Knuth
+    hash of ``id + seed`` within their group and the first n survive.
+    Rides ``topk_per_group``'s pre-shuffle prune — each block forwards
+    at most n rows per group it holds, so the shuffle carries
+    O(n × groups × blocks-touching-group), never the corpus. Returns a
+    DataFrame (group, rank, out_cols); same-seed runs are identical,
+    different seeds draw different samples, and the SQL mirror is
+    ``row_number() OVER (PARTITION BY group ORDER BY hash, id)``."""
+    import pandas as pd
+
+    from .aggregates import topk_per_group
+
+    s = np.int64(seed)
+
+    def add_h(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        h = knuth_hash32((ids.astype(np.int64) + s).astype(np.uint64))
+        # topk_per_group orders DESC; negate so the SMALLEST hash wins
+        b["_nh"] = -h.astype(np.int64)
+        return b
+
+    out = topk_per_group(
+        ds.map_batches(add_h, batch_format="pandas"),
+        group_col=group_col,
+        order_col="_nh",
+        tiebreak_col=id_col,
+        k=n,
+        out_cols=out_cols or [id_col],
+    )
+    return out.drop(columns=["_nh"], errors="ignore")

@@ -1802,6 +1802,25 @@ def q_topk_events_per_type(sf_dir: str):
     return df[["event_type", "rank", "event_id"]]
 
 
+def q_sample_per_group(sf_dir: str):
+    """Exact-3-per-stratum deterministic sample (eval-set draw): rank
+    by the shared Knuth hash within each event_type, keep rank <= 3;
+    the pre-shuffle prune forwards <=3 rows per (block, group)."""
+    from ..functions.mixing import sample_per_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+    out = sample_per_group(
+        ev, group_col="event_type", n=3, id_col="event_id", seed=0
+    )
+    out = out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+    out["rank"] = out["rank"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_type", "rank", "event_id"]]
+
+
 def q_sample_deterministic(sf_dir: str):
     """Deterministic ~5% sample via multiplicative hashing (Knuth) of
     the key - reproducible across runs/processes (unlike builtin
@@ -2459,6 +2478,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "topk_events_per_type": q_topk_events_per_type,
     "sample_deterministic": q_sample_deterministic,
+    "sample_per_group": q_sample_per_group,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "bloom_semi_join": q_bloom_semi_join,
     "vocab_coverage": q_vocab_coverage,
@@ -3266,6 +3286,19 @@ ORACLES = {
       SELECT event_id, user_id, ts FROM events
       WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 % 20 = 0
       ORDER BY event_id
+    """,
+    "sample_per_group": """
+      WITH h AS (
+        SELECT event_type, event_id,
+               (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
+        FROM events),
+      ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY hv, event_id) AS rank
+        FROM h)
+      SELECT event_type, rank, event_id FROM ranked
+      WHERE rank <= 3 ORDER BY event_type, rank
     """,
     "value_quantiles_by_type": """
       WITH e AS (

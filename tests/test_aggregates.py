@@ -617,3 +617,52 @@ def test_filter_by_quantile_nearest_rank_exact():
         f"{th[0.1]} AND {th[0.9]}"
     ).fetchone()[0]
     assert len(kept) == want_n
+
+
+def test_sample_per_group_exact_n_deterministic():
+    """Exact-n per stratum: every group with >= n members yields
+    exactly n rows, smaller groups yield all their rows; same seed
+    reproduces the draw across block layouts, different seeds differ;
+    result equals the single-process hash-rank reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        knuth_hash32,
+        sample_per_group,
+    )
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "g": rng.choice(["a", "b", "c", "tiny"], 500, p=[0.4, 0.4, 0.19, 0.01]),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = sample_per_group(ds, group_col="g", n=4, id_col="id", seed=0)
+
+    sizes = df.groupby("g").size()
+    got_sizes = out.groupby("g").size()
+    for g, sz in sizes.items():
+        assert got_sizes.get(g, 0) == min(4, sz), g
+
+    # reference: rank by (knuth_hash(id), id) within group
+    ref = df.copy()
+    ref["h"] = knuth_hash32(ref["id"].to_numpy().astype(np.uint64)).astype(
+        np.int64
+    )
+    ref = ref.sort_values(["g", "h", "id"])
+    ref = ref.groupby("g", sort=False).head(4)
+    want = set(map(tuple, ref[["g", "id"]].itertuples(index=False)))
+    got = set(map(tuple, out[["g", "id"]].itertuples(index=False)))
+    assert got == want
+
+    # layout-invariant and seed-sensitive
+    out2 = sample_per_group(
+        rd.from_pandas(df).repartition(11), group_col="g", n=4, id_col="id", seed=0
+    )
+    assert set(map(tuple, out2[["g", "id"]].itertuples(index=False))) == got
+    out3 = sample_per_group(ds, group_col="g", n=4, id_col="id", seed=99)
+    assert set(map(tuple, out3[["g", "id"]].itertuples(index=False))) != got
