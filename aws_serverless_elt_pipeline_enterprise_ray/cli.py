@@ -94,6 +94,10 @@ def main(argv=None) -> int:
     c.add_argument("--drop-columns", nargs="+", default=(),
                    help="schema-narrowing migration: remove these payload "
                         "columns from data + manifest in one commit")
+    c.add_argument("--cluster-by", nargs="+", default=(),
+                   help="Z-order rewritten partitions by these columns "
+                        "(OPTIMIZE ZORDER analogue: tight zone maps for "
+                        "read_where on them)")
 
     xp = sub.add_parser(
         "expire", help="retention: tombstone rows at/before a timestamp"
@@ -348,6 +352,7 @@ def main(argv=None) -> int:
                 purge_tombstones_before_us=args.purge_tombstones_before_us,
                 purge_tombstones_auto=args.purge_tombstones_auto,
                 drop_columns=tuple(args.drop_columns),
+                cluster_by=tuple(args.cluster_by),
             )
             print(json.dumps({"version": m.version if m else None}))
         elif args.cmd == "expire":

@@ -874,6 +874,26 @@ def _key_disjoint(files: list[dict]) -> bool:
     return all(ranges[i - 1][1] < ranges[i][0] for i in range(1, len(ranges)))
 
 
+def _single_run(files: list[dict]) -> bool:
+    """True iff every file of the partition belongs to the SAME write
+    run (shared ``run`` id stamped by the writer): the whole partition
+    was LWW-reduced in one rewrite, so no file can hold a superseded
+    version of a key in another file — secondary-column pruning is
+    LWW-safe even when key ranges overlap (the Z-ordered layout
+    ``compact(cluster_by=...)`` produces). Older manifests without the
+    field get no claim (falls back to ``_key_disjoint``)."""
+    runs = {f.get("run") for f in files}
+    return len(runs) == 1 and None not in runs
+
+
+def _prune_safe(files: list[dict]) -> bool:
+    """File-level pruning by a NON-key column is allowed iff the
+    partition provably holds each key's full history in one file:
+    either disjoint key ranges (key-sorted single-run chunks) or a
+    shared write-run id (any single-run layout, incl. Z-ordered)."""
+    return _single_run(files) or _key_disjoint(files)
+
+
 def read_time_range(
     lake_dir: str,
     ts_from,
@@ -884,8 +904,8 @@ def read_time_range(
     """Time-ranged scan of the CURRENT table state:
     ``ts_from <= ts <= ts_to`` on the LWW-merged rows. Per-file ts
     zone maps (``file_entry``) skip whole files - but only inside
-    partitions whose files hold pairwise-DISJOINT key ranges (checked
-    from the key zone maps): with delta runs stacked, a key's winning
+    partitions where that is provably LWW-safe (``_prune_safe``:
+    pairwise-disjoint key ranges, or one shared write run): with delta runs stacked, a key's winning
     version may sit in one file and a superseded version in another,
     so pruning a file could resurrect a stale row. Such partitions are
     read in full and filtered exactly; compaction restores their
@@ -916,7 +936,7 @@ def read_time_range(
             continue
         kept = (
             [f for f in files if may_overlap(f)]
-            if _key_disjoint(files)
+            if _prune_safe(files)
             else list(files)
         )
         if kept:
@@ -953,9 +973,10 @@ def read_where(
     ``lo <= col <= hi`` on any primitive payload column, using the
     generic per-file zone maps (``file_entry`` records min/max of every
     primitive column at write time). The same LWW-safety rule as
-    ``read_time_range`` applies: files are pruned only inside
-    partitions whose files hold provably disjoint key ranges (a pruned
-    file in a delta-run stack could resurrect a superseded row);
+    ``read_time_range`` applies: files are pruned only where provably
+    LWW-safe (``_prune_safe``: disjoint key ranges or one shared write
+    run - a pruned file in a delta-run stack could resurrect a
+    superseded row);
     other partitions are read in full. Rows are then exact-filtered.
     Timestamp predicates accept datetime/Timestamp/ISO strings."""
     store = ManifestStore(lake_dir)
@@ -988,7 +1009,7 @@ def read_where(
             continue
         kept = (
             [f for f in files if may_overlap(f)]
-            if _key_disjoint(files)
+            if _prune_safe(files)
             else list(files)
         )
         if kept:

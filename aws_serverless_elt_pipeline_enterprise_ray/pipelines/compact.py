@@ -33,6 +33,36 @@ from ..state.manifest import Manifest, ManifestStore
 from .cdc import _now_iso
 
 
+def _zorder_argsort(tbl: pa.Table, cols: tuple[str, ...], bits: int = 16):
+    """Row order interleaving the rank codes of ``cols`` (rank-based =
+    equi-depth, so skewed distributions still split the value space
+    evenly): each column's rows rank-normalize to a ``bits``-bit code
+    via one argsort, the codes bit-interleave into a Morton/Z value,
+    and the returned indices sort rows by it. Rows close in Z are close
+    in EVERY clustered column, so chunking by Z order yields per-file
+    zone maps that are simultaneously tight on all of them."""
+    import numpy as np
+
+    n = len(tbl)
+    if n == 0:
+        return np.arange(0, dtype=np.int64)
+    top = (1 << bits) - 1
+    codes = []
+    for c in cols:
+        v = tbl[c].to_pandas()
+        order = v.argsort(kind="mergesort").to_numpy()  # nulls last
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        codes.append(((rank * top) // max(n - 1, 1)).astype(np.uint64))
+    k = len(codes)
+    z = np.zeros(n, dtype=np.uint64)
+    for b in range(bits):
+        for j, code in enumerate(codes):
+            bit = (code >> np.uint64(b)) & np.uint64(1)
+            z |= bit << np.uint64(b * k + (k - 1 - j))
+    return np.argsort(z, kind="stable")
+
+
 class _Compactor:
     def __init__(
         self,
@@ -43,6 +73,7 @@ class _Compactor:
         purge_before_us: int | None = None,
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         drop_cols: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
     ):
         self.key_cols = key_cols
         self.drop_cols = tuple(drop_cols)
@@ -51,6 +82,7 @@ class _Compactor:
         self.purge_before_us = purge_before_us
         self.target = target_rows_per_file
         self.stamp = stamp_ingested_at
+        self.cluster_by = tuple(cluster_by)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pid, out_files = [], []
@@ -93,17 +125,28 @@ class _Compactor:
                     "_ingested_at",
                     pa.array([self.stamp] * len(tbl), pa.string()),
                 )
+            if self.cluster_by and len(tbl):
+                # Z-order the single run: key zone maps go loose (files
+                # overlap in key range) but the shared run id keeps
+                # secondary-column pruning LWW-safe, and the clustered
+                # columns' zone maps become tight per file.
+                tbl = tbl.take(
+                    pa.array(_zorder_argsort(tbl, self.cluster_by))
+                )
             part_dir = os.path.join(self.lake_dir, "data", f"part={pid:05d}")
             os.makedirs(part_dir, exist_ok=True)
             files = []
             from ..stages.merge import file_entry
 
+            rid = uuid.uuid4().hex
             for lo in range(0, max(len(tbl), 1), self.target):
                 chunk = tbl.slice(lo, self.target)
                 path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
                 pq.write_table(chunk, path, compression="snappy")
                 files.append(
-                    file_entry(self.lake_dir, path, chunk, self.key_cols[0])
+                    file_entry(
+                        self.lake_dir, path, chunk, self.key_cols[0], run_id=rid
+                    )
                 )
             out_pid.append(pid)
             out_files.append(json.dumps(files))
@@ -123,6 +166,7 @@ def compact(
     min_lateness_us: int = 3_600_000_000,
     stamp_ingested_at: str | None = None,
     drop_columns: tuple[str, ...] | list[str] = (),
+    cluster_by: tuple[str, ...] | list[str] = (),
     now: str | None = None,
 ) -> Manifest | None:
     """Re-pack partitions with >= ``min_files_to_compact`` files (or
@@ -136,13 +180,29 @@ def compact(
     only be wrongly purged if a future commit arrives more than
     ``lateness_multiplier`` times later than anything ever observed
     (floored at ``min_lateness_us``, default 1h, so a stream that has
-    shown zero skew still keeps a safety window)."""
+    shown zero skew still keeps a safety window).
+
+    ``cluster_by=(cols...)`` Z-orders every rewritten partition's rows
+    by the interleaved rank codes of those columns before chunking —
+    the Delta/Iceberg OPTIMIZE ZORDER analogue. Per-file zone maps on
+    the clustered columns become tight, so ``read_where`` /
+    ``read_time_range`` prune files a key-sorted layout cannot; key
+    zone maps go loose, so point lookups may touch more files of the
+    partition (the documented trade). Safe because the rewrite is one
+    LWW-reduced run (shared ``run`` id in the manifest) — later delta
+    appends demote the partition to full reads until re-compacted."""
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
     parent = store.load()
     if parent is None:
         return None
     drop_columns = tuple(drop_columns)
+    cluster_by = tuple(cluster_by)
+    if cluster_by:
+        known = {name for name, _ in parent.schema}
+        bad = [c for c in cluster_by if c not in known]
+        if bad:
+            raise KeyError(f"unknown cluster_by columns {bad}; lake has {sorted(known)}")
     if drop_columns:
         keyish = set(parent.partitioning.get("key_cols", spec.key_cols)) | {"ts"}
         bad = [c for c in drop_columns if c in keyish]
@@ -165,6 +225,7 @@ def compact(
             or purge_tombstones_before_us is not None
             or stamp_ingested_at
             or drop_columns
+            or cluster_by
         )
     ]
     if not todo:
@@ -177,6 +238,7 @@ def compact(
         purge_before_us=purge_tombstones_before_us,
         key_cols=tuple(parent.partitioning.get("key_cols", spec.key_cols)),
         drop_cols=drop_columns,
+        cluster_by=cluster_by,
     )
     # task-based (state serialized once): no actor-pool startup latency
     ds = rd.from_items(todo).map_batches(
@@ -204,7 +266,10 @@ def compact(
         watermark=parent.watermark,
         max_event_ts_us=parent.max_event_ts_us,
         max_lateness_us=parent.max_lateness_us,
-        metrics={"compacted_partitions": len(todo)},
+        metrics={
+            "compacted_partitions": len(todo),
+            **({"clustered_by": list(cluster_by)} if cluster_by else {}),
+        },
         lineage={str(t["part_id"]): {"compaction_of": parent.version} for t in todo},
         quarantine=list(parent.quarantine),
         partitioning=dict(parent.partitioning),

@@ -63,11 +63,14 @@ class _PartitionWriter:
         files = []
         from ..stages.merge import file_entry
 
+        rid = uuid.uuid4().hex
         for lo in range(0, len(tbl), self.max_rows_per_file):
             chunk = tbl.slice(lo, self.max_rows_per_file)
             path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
             pq.write_table(chunk, path, compression="snappy")
-            files.append(file_entry(self.lake_dir, path, chunk, self.key_cols[0]))
+            files.append(
+                file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid)
+            )
         return pa.table(
             {"part_id": pa.array([part_id], pa.int32()),
              "files": pa.array([json.dumps(files)], pa.string())}

@@ -55,7 +55,13 @@ MERGE_RESULT_SCHEMA = pa.schema(
 )
 
 
-def file_entry(lake_dir: str, path: str, chunk: pa.Table, key_col: str | None) -> dict:
+def file_entry(
+    lake_dir: str,
+    path: str,
+    chunk: pa.Table,
+    key_col: str | None,
+    run_id: str | None = None,
+) -> dict:
     """Manifest file entry for one written chunk, with a zone map: the
     min/max of the leading key column (chunks are key-sorted by every
     writer, so ranges are tight). Point lookups prune FILES inside a
@@ -70,6 +76,13 @@ def file_entry(lake_dir: str, path: str, chunk: pa.Table, key_col: str | None) -
         "rows": len(chunk),
         "bytes": os.path.getsize(path),
     }
+    # run membership: all files written by ONE partition rewrite share a
+    # run id. A partition whose files all belong to one run provably
+    # holds no superseded rows across files (the writer LWW-reduced
+    # before chunking), so secondary-column pruning is LWW-safe even
+    # when key ranges overlap (e.g. after cluster_by reordering).
+    if run_id is not None:
+        entry["run"] = run_id
     if (
         key_col is not None
         and len(chunk)
@@ -211,12 +224,15 @@ class PartitionMerger:
         files = []
         n = len(tbl)
         step = self.max_rows_per_file
+        rid = uuid.uuid4().hex  # one run per partition write
         for lo in range(0, n, step):
             chunk = tbl.slice(lo, step)
             name = f"f-{uuid.uuid4().hex}.parquet"
             path = os.path.join(part_dir, name)
             pq.write_table(chunk, path, compression="snappy")
-            files.append(file_entry(self.lake_dir, path, chunk, self.key_cols[0]))
+            files.append(
+                file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid)
+            )
         return files
 
     def _write_quarantine(self, part_id: int, tbl: pa.Table) -> list[dict]:

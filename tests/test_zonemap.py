@@ -315,3 +315,122 @@ def test_read_where_generic_stats_pruned_and_exact(tmp_path):
     assert len(hit) == 0  # superseded 'user' version must not come back
     z = read_where(lake, "role", "zzz", "zzz").to_pandas()
     assert len(z) == 1 and z["text"].iloc[0] == "edited"
+
+
+def test_cluster_by_zorder_pruning_and_safety(tmp_path):
+    """Z-order clustering: compact(cluster_by=...) rewrites partitions
+    ordered by the clustered columns' interleaved rank codes, so
+    read_where prunes files a key-sorted layout cannot; safety comes
+    from the shared write-run id (key ranges overlap after the
+    reorder); a later delta append demotes the partition to full reads
+    without breaking exactness."""
+    from aws_serverless_elt_pipeline_enterprise_ray import read_where
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import (
+        _key_disjoint,
+        _single_run,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import (
+        compact,
+    )
+
+    ch = tmp_path / "ch"
+    ch.mkdir()
+    _write_changes(str(ch / "c1.parquet"), n_convs=40, turns=6)
+    lake = str(tmp_path / "lake")
+    apply_changes(
+        str(ch), lake, default_spec(num_partitions=2), max_rows_per_file=30
+    )
+
+    # key-sorted layout: every chunk holds the full 0..5 turn cycle, so
+    # a turn_idx scan cannot prune anything
+    m0 = ManifestStore(lake).load()
+    for files in m0.partitions.values():
+        hit = [f for f in files if f["stats"]["turn_idx"][0] <= 1]
+        assert len(hit) == len(files)
+
+    m = compact(
+        lake, target_rows_per_file=30, min_files_to_compact=99,
+        cluster_by=("turn_idx",),
+    )
+    assert m is not None and m.metrics["clustered_by"] == ["turn_idx"]
+
+    want = read_table(lake).to_pandas()
+    want = (
+        want[(want["turn_idx"] >= 0) & (want["turn_idx"] <= 1)]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    got = (
+        read_where(lake, "turn_idx", 0, 1).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    pruned_somewhere = False
+    for files in m.partitions.values():
+        # the new safety path is what engages: one run, overlapping keys
+        assert _single_run(files)
+        if len(files) > 1:
+            assert not _key_disjoint(files)
+        hit = [
+            f for f in files
+            if f["stats"]["turn_idx"][0] <= 1 and 0 <= f["stats"]["turn_idx"][1]
+        ]
+        if len(hit) < len(files):
+            pruned_somewhere = True
+    assert pruned_somewhere
+
+    # delta append -> mixed runs -> full read, still exact
+    pd.DataFrame(
+        [{
+            "op": "U", "seq": 10_000, "conv_id": "conv_0003", "turn_idx": 0,
+            "role": "admin", "text": "new", "tool": None,
+            "ts": pd.Timestamp("2026-02-01"),
+        }]
+    ).to_parquet(str(ch / "c2.parquet"))
+    apply_changes(str(ch), lake, max_rows_per_file=30)
+    m2 = ManifestStore(lake).load()
+    assert any(not _single_run(fs) for fs in m2.partitions.values() if fs)
+    got2 = read_where(lake, "turn_idx", 0, 0).to_pandas()
+    row = got2[got2["conv_id"] == "conv_0003"]
+    assert row["text"].tolist() == ["new"]  # no stale resurrection
+
+    # two-column z-order: both columns' zone maps prune somewhere
+    m3 = compact(
+        lake, target_rows_per_file=30, min_files_to_compact=99,
+        cluster_by=("turn_idx", "ts"),
+    )
+    total = hits_turn = hits_ts = 0
+    lo_us = int(pd.Timestamp("2026-01-01 00:02:00").value // 1000)
+    hi_us = int(pd.Timestamp("2026-01-01 00:03:00").value // 1000)
+    for files in m3.partitions.values():
+        total += len(files)
+        for f in files:
+            st = f["stats"]
+            if st["turn_idx"][0] <= 1 and 0 <= st["turn_idx"][1]:
+                hits_turn += 1
+            if st["ts"][0] <= hi_us and lo_us <= st["ts"][1]:
+                hits_ts += 1
+    assert hits_turn < total and hits_ts < total
+    got3 = (
+        read_where(lake, "turn_idx", 0, 1).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want3 = read_table(lake).to_pandas()
+    want3 = (
+        want3[(want3["turn_idx"] >= 0) & (want3["turn_idx"] <= 1)]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got3, want3)
+
+
+def test_zorder_argsort_single_column_is_stable_sort():
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import (
+        _zorder_argsort,
+    )
+    import numpy as np
+
+    t = pa.table({"a": [3, 1, 2, 1, 3], "b": list("vwxyz")})
+    idx = _zorder_argsort(t, ("a",))
+    assert [t["a"][int(i)].as_py() for i in idx] == [1, 1, 2, 3, 3]
+    # stability: equal keys keep input order
+    assert [t["b"][int(i)].as_py() for i in idx] == ["w", "y", "x", "v", "z"]
