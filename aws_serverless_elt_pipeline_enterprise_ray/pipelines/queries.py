@@ -250,6 +250,25 @@ def q_cdc_predicate_scan(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_clustered_scan(sf_dir: str):
+    """Z-order clustering end-to-end: apply, compact with
+    cluster_by=("turn_idx", "ts") (rank-interleaved rewrite, shared
+    run id), then the same predicate scan — pruning now rides the
+    single-run safety proof (key ranges overlap after the reorder) and
+    the result must still equal the SQL reduction exactly."""
+    from .cdc import apply_changes, read_where
+    from .compact import compact
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    compact(
+        lake, target_rows_per_file=500, min_files_to_compact=99,
+        cluster_by=("turn_idx", "ts"),
+    )
+    df = read_where(lake, "turn_idx", 5, 9).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def q_cdc_coalesce_merge(sf_dir: str):
     """Column-level merge policy: U events carry only their text (role
     nulled), so the final state keeps each key's last non-null role
@@ -2410,6 +2429,7 @@ QUERIES = {
     "cdc_search_index": q_cdc_search_index,
     "cdc_expire": q_cdc_expire,
     "cdc_predicate_scan": q_cdc_predicate_scan,
+    "cdc_clustered_scan": q_cdc_clustered_scan,
     "cdc_coalesce_merge": q_cdc_coalesce_merge,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_apply_delta_lsm": q_cdc_apply_delta_lsm,
@@ -2556,6 +2576,11 @@ ORACLES = {
       ORDER BY conv_id, turn_idx
     """,
     "cdc_predicate_scan": f"""
+      SELECT * FROM ({FINAL_SQL})
+      WHERE turn_idx BETWEEN 5 AND 9
+      ORDER BY conv_id, turn_idx
+    """,
+    "cdc_clustered_scan": f"""
       SELECT * FROM ({FINAL_SQL})
       WHERE turn_idx BETWEEN 5 AND 9
       ORDER BY conv_id, turn_idx
