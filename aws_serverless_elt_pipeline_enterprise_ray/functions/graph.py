@@ -1,0 +1,134 @@
+"""Distributed link-graph analysis: PageRank over an edge list.
+
+Web-corpus curation ranks domains/pages by link authority (the
+quality prior Common-Crawl-derived pipelines use alongside text
+quality scores). The scale shape here is the classic one:
+
+* The EDGE LIST is the big data; it never concentrates. Each power
+  iteration is (1) a bucketed ``hash_join`` of current ranks onto the
+  edges by source (one tagged-union shuffle), (2) a per-(block, dst)
+  partial sum inside ``map_batches``, (3) one groupby-sum over
+  destinations — so the exchange carries per-(block, dst) partials,
+  not per-edge contributions.
+* Ranks are node-sized Datasets; dangling mass and the convergence
+  delta are two scalar aggregates per iteration.
+
+Deterministic for a fixed iteration count up to float summation order;
+the pytest checks parity with a single-process reference at 1e-9.
+
+Related: ``dedup_clusters`` (functions/dedup.py) is the min-label
+propagation sibling over the same edge-list representation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ray.data.aggregate import Sum
+
+
+def _degrees(edges: rd.Dataset, src: str) -> rd.Dataset:
+    """Out-degree per source: per-block value_counts partials, one
+    groupby-sum — the shuffle carries distinct sources per block."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[src].value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(), "deg": vc.to_numpy(np.int64)}
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """PageRank by power iteration over an (src, dst) edge Dataset.
+    Returns a DataFrame (node, rank) over every node that appears as a
+    source or destination; ranks sum to 1 (dangling mass redistributed
+    uniformly each iteration, the standard treatment).
+
+    Each iteration costs two bucketed shuffles (rank→edge join, dst
+    partial-sum combine); the driver holds only the node-rank table —
+    at web scale swap the driver-side rank frame for a rank Dataset
+    keyed like the edges (the joins already are Dataset-native). For
+    corpus-curation graph sizes (domains, not pages: 10^7ish) the rank
+    frame is megabytes and driver residency is the faster constant.
+    """
+    from .joins import hash_join
+
+    deg = _degrees(edges, src).to_pandas()
+    deg["node"] = deg["node"].astype(np.int64)
+
+    def nodes_of(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
+        )
+
+    nodes = (
+        edges.map_batches(nodes_of, batch_format="pandas")
+        .groupby("node")
+        .count()
+        .to_pandas()["node"]
+        .astype(np.int64)
+        .sort_values()
+        .to_numpy()
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": [], "rank": []})
+
+    ranks = pd.DataFrame({"node": nodes, "rank": np.full(n, 1.0 / n)})
+    deg_map = ranks.merge(deg, on="node", how="left").fillna({"deg": 0})
+    dangling_nodes = deg_map.loc[deg_map["deg"] == 0, "node"].to_numpy()
+
+    for _ in range(iterations):
+        # rank mass each source spreads per out-edge
+        contrib = ranks.merge(deg, on="node", how="inner")
+        contrib = pd.DataFrame(
+            {
+                "node": contrib["node"],
+                "w": contrib["rank"].to_numpy() / contrib["deg"].to_numpy(),
+            }
+        )
+        ranks_ds = rd.from_pandas(contrib)
+        # hash_join joins on a shared column name; rename map-side
+        ed = edges.map_batches(
+            lambda b: b.rename(columns={src: "node"})[["node", dst]],
+            batch_format="pandas",
+        )
+        joined = hash_join(ed, ranks_ds, on="node", num_buckets=num_buckets)
+
+        def dst_partials(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(dst, sort=False)["w"].sum()
+            return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
+
+        sums = (
+            joined.map_batches(dst_partials, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("m", alias_name="m"))
+            .to_pandas()
+        )
+        sums["node"] = sums["node"].astype(np.int64)
+
+        dangling = float(
+            ranks.loc[ranks["node"].isin(dangling_nodes), "rank"].sum()
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        nr = ranks[["node"]].merge(sums, on="node", how="left").fillna({"m": 0.0})
+        ranks = pd.DataFrame(
+            {"node": nr["node"], "rank": base + damping * nr["m"].to_numpy()}
+        )
+    return ranks.sort_values("node").reset_index(drop=True)

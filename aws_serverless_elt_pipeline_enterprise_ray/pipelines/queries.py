@@ -2330,6 +2330,34 @@ def q_bpe_tokenize(sf_dir: str):
     return out
 
 
+def q_pagerank_links(sf_dir: str):
+    """Link-graph authority ranking: a deterministic user->user edge
+    list derived from events (who triggers whom: user_id ->
+    (user_id*31+event_id) % n_users) ranked by distributed PageRank
+    (per-iteration: one rank->edge bucketed join + one dst partial-sum
+    combine). Rows-only: iterative float ranking has no SQL oracle;
+    the pytest asserts 1e-9 parity with a single-process reference."""
+    from ..functions.graph import pagerank
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    ranks = pagerank(
+        ev.map_batches(edges, batch_format="pandas"), iterations=8
+    )
+    ranks["rank_ppb"] = (ranks["rank"] * 1e9).round().astype("int64")
+    ranks["node"] = ranks["node"].astype("int64")
+    return ranks[["node", "rank_ppb"]]
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (p=14, ~0.8% err): fixed 16 KiB register partials per
@@ -2518,6 +2546,7 @@ QUERIES = {
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
+    "pagerank_links": q_pagerank_links,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

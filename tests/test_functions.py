@@ -1446,3 +1446,50 @@ def test_near_dedup_keep_best_by_quality():
     out_min = near_dedup(ds, threshold=0.6).to_pandas()
     kept_min = set(out_min["doc_id"].tolist())
     assert {0, 1, 2} <= kept_min and {100, 101, 102, 103}.isdisjoint(kept_min)
+
+
+def test_pagerank_matches_single_process_reference():
+    """Distributed power iteration equals a from-scratch single-process
+    PageRank (same damping/dangling treatment) to 1e-9, ranks sum to 1,
+    and a hub out-scores leaf nodes."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        pagerank,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 60
+    e = rng.integers(0, n, size=(400, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    # a hub everyone links to, plus a dangling node (out-degree 0)
+    hub_edges = np.stack([np.arange(0, 30), np.full(30, 7)], axis=1)
+    e = np.vstack([e, hub_edges, [[5, 59]]])
+    e = e[~((e[:, 0] == 59))]  # 59 dangles
+    e = np.vstack([e, [[5, 59]]])
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}).drop_duplicates()
+    ds = rd.from_pandas(df).repartition(4)
+
+    got = pagerank(ds, damping=0.85, iterations=12)
+
+    # reference
+    nodes = np.unique(np.concatenate([df["src"], df["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    out = np.zeros(N)
+    for s in df["src"]:
+        out[idx[s]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(12):
+        nr = np.zeros(N)
+        for s, d in df.itertuples(index=False):
+            nr[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - 0.85) / N + 0.85 * (nr + dangling / N)
+    want = pd.DataFrame({"node": nodes, "rank": r}).sort_values("node")
+
+    assert got["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(
+        got["rank"].to_numpy(), want["rank"].to_numpy(), atol=1e-9
+    )
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    hub_rank = float(got.loc[got["node"] == 7, "rank"].iloc[0])
+    assert hub_rank > got["rank"].median() * 3
