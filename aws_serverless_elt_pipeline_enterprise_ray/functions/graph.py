@@ -94,6 +94,15 @@ def pagerank(
     deg_map = ranks.merge(deg, on="node", how="left").fillna({"deg": 0})
     dangling_nodes = deg_map.loc[deg_map["deg"] == 0, "node"].to_numpy()
 
+    # The edge list is reused every iteration; materialize the renamed
+    # projection ONCE so each power step re-shuffles cached blocks
+    # instead of re-reading + re-mapping the source (lazy Datasets
+    # re-execute their whole lineage per consumption).
+    ed = edges.map_batches(
+        lambda b: b.rename(columns={src: "node"})[["node", dst]],
+        batch_format="pandas",
+    ).materialize()
+
     for _ in range(iterations):
         # rank mass each source spreads per out-edge
         contrib = ranks.merge(deg, on="node", how="inner")
@@ -104,11 +113,6 @@ def pagerank(
             }
         )
         ranks_ds = rd.from_pandas(contrib)
-        # hash_join joins on a shared column name; rename map-side
-        ed = edges.map_batches(
-            lambda b: b.rename(columns={src: "node"})[["node", dst]],
-            batch_format="pandas",
-        )
         joined = hash_join(ed, ranks_ds, on="node", num_buckets=num_buckets)
 
         def dst_partials(b: pd.DataFrame) -> pd.DataFrame:
