@@ -136,3 +136,101 @@ def pagerank(
             {"node": nr["node"], "rank": base + damping * nr["m"].to_numpy()}
         )
     return ranks.sort_values("node").reset_index(drop=True)
+
+
+def _spread(
+    prepared: rd.Dataset,
+    weights: pd.DataFrame,
+    out_key: str,
+    num_buckets: int | None,
+) -> pd.DataFrame:
+    """One HITS half-step: join driver-resident ``weights``
+    (node, w) onto the prepared edge projection (node, <out_key>) by
+    ``node``, partial-sum per (block, out_key), one groupby-sum. The
+    exchange carries per-block partials keyed by distinct targets."""
+    from .joins import hash_join
+
+    joined = hash_join(
+        prepared, rd.from_pandas(weights), on="node", num_buckets=num_buckets
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(out_key, sort=False)["w"].sum()
+        return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
+
+    out = (
+        joined.map_batches(partials, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+    )
+    out["node"] = out["node"].astype(np.int64)
+    return out
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) by power iteration
+    over an (src, dst) edge Dataset. Returns (node, hub, authority),
+    each vector L2-normalized, over every node in the graph.
+
+    Per iteration: authority(d) = Σ hub(s) over in-edges, then
+    hub(s) = Σ authority(d) over out-edges — two bucketed-join +
+    partial-sum exchanges; the edge list is materialized once per
+    orientation and re-shuffled from cache. Same driver-residency
+    trade as ``pagerank``: node-sized score frames live on the driver
+    (megabytes at domain-graph scale), the edge list never does.
+    """
+    def project(a: str, b: str):
+        return (
+            edges.map_batches(
+                lambda t, a=a, b=b: t.rename(columns={a: "node"})[["node", b]],
+                batch_format="pandas",
+            ).materialize()
+        )
+
+    ed_by_src = project(src, dst)   # (node=src, dst): spreads hub -> authority
+    ed_by_dst = project(dst, src)   # (node=dst, src): spreads authority -> hub
+
+    def nodes_of(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
+        )
+
+    nodes = (
+        edges.map_batches(nodes_of, batch_format="pandas")
+        .groupby("node")
+        .count()
+        .to_pandas()["node"]
+        .astype(np.int64)
+        .sort_values()
+        .to_numpy()
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": [], "hub": [], "authority": []})
+
+    base = pd.DataFrame({"node": nodes})
+    hub = pd.DataFrame({"node": nodes, "w": np.full(n, 1.0)})
+    auth = pd.DataFrame({"node": nodes, "w": np.full(n, 1.0)})
+
+    def l2(frame: pd.DataFrame, sums: pd.DataFrame) -> pd.DataFrame:
+        m = base.merge(sums, on="node", how="left").fillna({"m": 0.0})
+        v = m["m"].to_numpy()
+        norm = float(np.sqrt((v * v).sum()))
+        return pd.DataFrame({"node": m["node"], "w": v / norm if norm else v})
+
+    for _ in range(iterations):
+        auth = l2(base, _spread(ed_by_src, hub, dst, num_buckets))
+        hub = l2(base, _spread(ed_by_dst, auth, src, num_buckets))
+
+    out = pd.DataFrame(
+        {"node": base["node"], "hub": hub["w"], "authority": auth["w"]}
+    )
+    return out.sort_values("node").reset_index(drop=True)

@@ -2358,6 +2358,32 @@ def q_pagerank_links(sf_dir: str):
     return ranks[["node", "rank_ppb"]]
 
 
+def q_hits_links(sf_dir: str):
+    """Hub/authority scoring of the same deterministic user->user link
+    graph as pagerank_links, via distributed HITS (per half-step: one
+    bucketed rank->edge join + per-target partial sums). Rows-only:
+    iterative L2-normalized ranking has no SQL oracle; the pytest
+    asserts 1e-9 parity with a single-process reference."""
+    from ..functions.graph import hits
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    scores = hits(ev.map_batches(edges, batch_format="pandas"), iterations=4)
+    scores["hub_ppb"] = (scores["hub"] * 1e9).round().astype("int64")
+    scores["authority_ppb"] = (scores["authority"] * 1e9).round().astype("int64")
+    scores["node"] = scores["node"].astype("int64")
+    return scores[["node", "hub_ppb", "authority_ppb"]]
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (p=14, ~0.8% err): fixed 16 KiB register partials per
@@ -2547,6 +2573,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
     "pagerank_links": q_pagerank_links,
+    "hits_links": q_hits_links,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,

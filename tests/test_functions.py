@@ -1493,3 +1493,49 @@ def test_pagerank_matches_single_process_reference():
     assert abs(got["rank"].sum() - 1.0) < 1e-9
     hub_rank = float(got.loc[got["node"] == 7, "rank"].iloc[0])
     assert hub_rank > got["rank"].median() * 3
+
+
+def test_hits_matches_single_process_reference():
+    """Distributed HITS equals a from-scratch single-process power
+    iteration (same L2 normalization) to 1e-9; the everyone-links-to-it
+    node dominates authority and the links-to-everything node hub."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import hits
+
+    rng = np.random.default_rng(43)
+    n = 50
+    e = rng.integers(0, n, size=(300, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    e = np.vstack(
+        [
+            e,
+            np.stack([np.arange(0, 25), np.full(25, 9)], axis=1),  # authority 9
+            np.stack([np.full(25, 3), np.arange(25, 50)], axis=1),  # hub 3
+        ]
+    )
+    e = e[e[:, 0] != e[:, 1]]
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]}).drop_duplicates()
+    ds = rd.from_pandas(df).repartition(4)
+
+    got = hits(ds, iterations=15)
+
+    nodes = np.unique(np.concatenate([df["src"], df["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    h = np.ones(N)
+    a = np.ones(N)
+    pairs = [(idx[s], idx[d]) for s, d in df.itertuples(index=False)]
+    for _ in range(15):
+        na = np.zeros(N)
+        for si, di in pairs:
+            na[di] += h[si]
+        a = na / np.linalg.norm(na)
+        nh = np.zeros(N)
+        for si, di in pairs:
+            nh[si] += a[di]
+        h = nh / np.linalg.norm(nh)
+
+    assert got["node"].tolist() == list(nodes)
+    np.testing.assert_allclose(got["authority"].to_numpy(), a, atol=1e-9)
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-9)
+    assert got.loc[got["authority"].idxmax(), "node"] == 9
+    assert got.loc[got["hub"].idxmax(), "node"] == 3
