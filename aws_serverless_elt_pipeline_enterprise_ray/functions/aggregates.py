@@ -486,3 +486,72 @@ def filter_by_quantile(
         )
 
     return ds.map_batches(band, batch_format="pyarrow")
+
+
+def grouping_sets(
+    ds: rd.Dataset,
+    *,
+    keys: list[str],
+    sets: list[tuple[int, ...]] | None = None,
+    sum_cols: list[str] | None = None,
+    all_token: str = "ALL",
+) -> rd.Dataset:
+    """Multi-level aggregation in ONE pass — SQL ``GROUP BY GROUPING
+    SETS`` / ``CUBE`` / ``ROLLUP`` (Athena rollup analytics are the
+    reference's user-facing query surface, Instructions.md:122-131).
+
+    ``sets`` lists the grouping sets as index tuples into ``keys``
+    (default: the full cube, all 2^len(keys) subsets). Each batch emits
+    its partial (count + sums) for EVERY set with rolled-up key columns
+    replaced by ``all_token``, so the single shuffle carries
+    per-(block, set, group) partials — the map-side-combine shape — and
+    one groupby over the key columns finishes every level at once
+    (the placeholder keeps levels disjoint without a grouping-id
+    column; key values equal to ``all_token`` would collide — pick a
+    sentinel outside the domain).
+
+    ``sum_cols`` must be integer-valued (pre-scale floats to cents)
+    so multi-level sums are summation-order-independent.
+
+    Returns a Dataset with ``keys`` (strings with ``all_token``
+    placeholders), ``n`` and ``sum_<col>`` columns.
+    """
+    from ray.data.aggregate import Sum
+
+    ks = list(keys)
+    scols = list(sum_cols or [])
+    if sets is None:
+        sets = [
+            tuple(i for i in range(len(ks)) if (mask >> i) & 1)
+            for mask in range(1 << len(ks))
+        ]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s in sets:
+            kept = [ks[i] for i in s]
+            g = b.groupby(kept, sort=False, dropna=False) if kept else None
+            if kept:
+                agg = g.size().rename("n").reset_index()
+                for c in scols:
+                    agg[f"sum_{c}"] = g[c].sum().to_numpy()
+            else:
+                agg = pd.DataFrame({"n": [len(b)]})
+                for c in scols:
+                    agg[f"sum_{c}"] = [b[c].sum()]
+            for k in ks:
+                if k in kept:
+                    agg[k] = agg[k].astype("string")
+                else:
+                    agg[k] = all_token
+            outs.append(agg[ks + ["n"] + [f"sum_{c}" for c in scols]])
+        return pd.concat(outs, ignore_index=True)
+
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in scols
+    ]
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(ks)
+        .aggregate(*aggs)
+    )

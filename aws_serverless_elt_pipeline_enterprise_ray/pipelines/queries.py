@@ -2384,6 +2384,41 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_cube_event_stats(sf_dir: str):
+    """Full CUBE over (event_type, dt) in one pass: every batch emits
+    partials for all 4 grouping sets with 'ALL' placeholders, one
+    shuffle of per-(block, set, group) partials, one groupby finishes
+    every level. Sums in integer cents so multi-level totals are
+    summation-order independent (SQL-exact vs GROUP BY CUBE)."""
+    from ..functions.aggregates import grouping_sets
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "dt": b["ts"].dt.strftime("%Y-%m-%d"),
+                "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+            }
+        )
+
+    out = grouping_sets(
+        ds.map_batches(prep, batch_format="pandas"),
+        keys=["event_type", "dt"],
+        sum_cols=["cents"],
+    )
+    df = out.to_pandas().sort_values(["event_type", "dt"]).reset_index(drop=True)
+    df["event_type"] = df["event_type"].astype(str)
+    df["dt"] = df["dt"].astype(str)
+    df["n"] = df["n"].astype("int64")
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    return df[["event_type", "dt", "n", "sum_cents"]]
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (p=14, ~0.8% err): fixed 16 KiB register partials per
@@ -2574,6 +2609,7 @@ QUERIES = {
     "near_dedup_best": q_near_dedup_best,
     "pagerank_links": q_pagerank_links,
     "hits_links": q_hits_links,
+    "cube_event_stats": q_cube_event_stats,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3053,6 +3089,20 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "cube_event_stats": """
+      SELECT COALESCE(event_type, 'ALL') AS event_type,
+             COALESCE(dt, 'ALL') AS dt,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM (
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS dt,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+      )
+      GROUP BY CUBE (event_type, dt)
+      ORDER BY event_type, dt
     """,
     "lineitem_rollup": """
       SELECT l_returnflag, l_linestatus,

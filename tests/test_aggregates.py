@@ -666,3 +666,56 @@ def test_sample_per_group_exact_n_deterministic():
     assert set(map(tuple, out2[["g", "id"]].itertuples(index=False))) == got
     out3 = sample_per_group(ds, group_col="g", n=4, id_col="id", seed=99)
     assert set(map(tuple, out3[["g", "id"]].itertuples(index=False))) != got
+
+
+def test_grouping_sets_cube_and_rollup_match_pandas():
+    """One-pass CUBE equals the four separately-computed levels, and an
+    explicit ROLLUP subset only emits its own sets; partials combine
+    across blocks (11 partitions) to exact totals."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouping_sets,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 400),
+            "b": rng.choice(["p", "q"], 400),
+            "v": rng.integers(0, 100, 400),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(11)
+
+    got = (
+        grouping_sets(ds, keys=["a", "b"], sum_cols=["v"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    def level(keys):
+        if keys:
+            g = df.groupby(keys).agg(n=("v", "size"), sum_v=("v", "sum")).reset_index()
+        else:
+            g = pd.DataFrame({"n": [len(df)], "sum_v": [df["v"].sum()]})
+        for k in ("a", "b"):
+            if k not in keys:
+                g[k] = "ALL"
+        return g[["a", "b", "n", "sum_v"]]
+
+    want = (
+        pd.concat([level([]), level(["a"]), level(["b"]), level(["a", "b"])])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    assert got["sum_v"].astype(int).tolist() == want["sum_v"].astype(int).tolist()
+
+    # ROLLUP(a, b) = {(), (a), (a,b)} — no b-only level
+    roll = grouping_sets(
+        ds, keys=["a", "b"], sets=[(), (0,), (0, 1)], sum_cols=["v"]
+    ).to_pandas()
+    assert len(roll) == 1 + 3 + 6
+    assert not ((roll["a"] == "ALL") & (roll["b"] != "ALL")).any()
