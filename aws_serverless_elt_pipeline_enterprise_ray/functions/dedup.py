@@ -1052,17 +1052,16 @@ def near_dedup(
             .tolist()
         )
     else:
-        members_ref = ray.put(frozenset(clusters["doc_id"].tolist()))
+        # broadcast the member-id ARRAY (numpy -> zero-copy plasma read
+        # per task, node-local after the first get); plain task pool —
+        # no actor startup, the per-task get costs nothing
+        members_ref = ray.put(clusters["doc_id"].to_numpy(dtype=np.int64))
 
-        class GrabScores:
-            def __init__(self):
-                self.want = ray.get(members_ref)
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                return b[b[id_col].isin(self.want)][[id_col, keep_best_by]]
+        def grab_scores(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b[id_col].isin(ray.get(members_ref))][[id_col, keep_best_by]]
 
         scores = (
-            ds.map_batches(GrabScores, batch_format="pandas", concurrency=(1, 4))
+            ds.map_batches(grab_scores, batch_format="pandas")
             .to_pandas()  # member-sized (pair-bounded), not corpus-sized
         )
         j = clusters.merge(scores, left_on="doc_id", right_on=id_col)
@@ -1073,16 +1072,13 @@ def near_dedup(
         )
         winners = j.groupby("cluster_id", sort=False).head(1)["doc_id"]
         drop = set(clusters["doc_id"].tolist()) - set(winners.tolist())
-    drop_ref = ray.put(drop)
+    drop_ref = ray.put(np.fromiter(drop, dtype=np.int64, count=len(drop)))
 
-    class DropFilter:
-        def __init__(self):
-            self.drop = ray.get(drop_ref)  # once per actor
+    def drop_filter(b: pd.DataFrame) -> pd.DataFrame:
+        # zero-copy plasma read of the broadcast id array per task
+        return b[~b[id_col].isin(ray.get(drop_ref))]
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b[~b[id_col].isin(self.drop)]
-
-    return ds.map_batches(DropFilter, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(drop_filter, batch_format="pandas")
 
 
 def paragraph_dedup(

@@ -1044,10 +1044,13 @@ def q_near_dedup_best(sf_dir: str):
     check (minhash is not SQL-expressible)."""
     from ..functions.dedup import near_dedup
 
+    # keep_best_by consumes the corpus three times (pair-gen, score
+    # grab, survivor filter); cache the scored corpus in the object
+    # store once instead of re-running read+union+perturb per pass
     ds = _corpus_with_near_dupes(sf_dir).map_batches(
         lambda b: b.assign(n_chars=b["text"].fillna("").str.len().astype("int64")),
         batch_format="pandas",
-    )
+    ).materialize()
     out = near_dedup(
         ds, threshold=0.5, num_perm=64, bands=16, keep_best_by="n_chars"
     )
