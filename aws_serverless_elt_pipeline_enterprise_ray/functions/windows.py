@@ -226,3 +226,48 @@ def rank_in_group(
         .groupby("_rb")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def lag_lead(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL navigation window functions: per-key LAG/LEAD of ``cols``
+    under ``ORDER BY order_cols`` (include a unique tiebreaker for a
+    total order — SQL leaves ties unspecified; this kernel is
+    deterministic for whatever order you give it).
+
+    Same scale shape as ``trailing_window``: ONE key-bucketed shuffle
+    (~2 buckets/CPU), then each bucket sorts by (key, *order_cols)
+    once and shifts whole columns by ±1 with key-boundary rows masked
+    to null — zero per-key Python. Adds ``lag_<col>`` / ``lead_<col>``
+    columns (null at partition edges).
+    """
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_wb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort").drop(
+            columns="_wb"
+        )
+        same_prev = (g[key] == g[key].shift(1)).to_numpy()
+        same_next = (g[key] == g[key].shift(-1)).to_numpy()
+        for c in cols:
+            g[f"lag_{c}"] = g[c].shift(1).where(same_prev)
+            g[f"lead_{c}"] = g[c].shift(-1).where(same_next)
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(shift_bucket, batch_format="pandas")
+    )

@@ -2387,6 +2387,45 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_lag_user_events(sf_dir: str):
+    """Per-user LAG navigation (prev event's value + inter-event gap)
+    under a total order (ts, event_id): one key-bucketed shuffle, each
+    bucket sorts once and shifts whole columns — zero per-key Python.
+    SQL-exact vs LAG() OVER (PARTITION BY ... ORDER BY ...); nullable
+    firsts coalesced to -1 so the compare stays int64."""
+    from ..functions.windows import lag_lead
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").view("int64"),
+                "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+            }
+        )
+
+    out = lag_lead(
+        ds.map_batches(prep, batch_format="pandas"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        cols=["cents", "ts_us"],
+    ).to_pandas()
+    out["prev_cents"] = out["lag_cents"].fillna(-1).astype("int64")
+    lag_ts = out["lag_ts_us"]
+    out["delta_us"] = (
+        (out["ts_us"] - lag_ts).where(lag_ts.notna(), -1).astype("int64")
+    )
+    out = out.sort_values("event_id").reset_index(drop=True)
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "prev_cents", "delta_us"]]
+
+
 def q_cube_event_stats(sf_dir: str):
     """Full CUBE over (event_type, dt) in one pass: every batch emits
     partials for all 4 grouping sets with 'ALL' placeholders, one
@@ -2613,6 +2652,7 @@ QUERIES = {
     "pagerank_links": q_pagerank_links,
     "hits_links": q_hits_links,
     "cube_event_stats": q_cube_event_stats,
+    "lag_user_events": q_lag_user_events,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3092,6 +3132,19 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "lag_user_events": """
+      SELECT event_id,
+             COALESCE(LAG(cents) OVER w, -1) AS prev_cents,
+             COALESCE(ts_us - LAG(ts_us) OVER w, -1) AS delta_us
+      FROM (
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+      )
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      ORDER BY event_id
     """,
     "cube_event_stats": """
       SELECT COALESCE(event_type, 'ALL') AS event_type,

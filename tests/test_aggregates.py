@@ -719,3 +719,43 @@ def test_grouping_sets_cube_and_rollup_match_pandas():
     ).to_pandas()
     assert len(roll) == 1 + 3 + 6
     assert not ((roll["a"] == "ALL") & (roll["b"] != "ALL")).any()
+
+
+def test_lag_lead_matches_pandas_groupby_shift():
+    """Bucketed LAG/LEAD equals pandas per-key shift under a total
+    order, with nulls exactly at partition edges."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        lag_lead,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "k": rng.integers(0, 23, 500),
+            "t": rng.integers(0, 40, 500),
+            "v": rng.integers(-50, 50, 500),
+        }
+    )
+    got = (
+        lag_lead(
+            rd.from_pandas(df).repartition(7),
+            key="k",
+            order_cols=["t", "id"],
+            cols=["v"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    want = df.sort_values(["k", "t", "id"]).copy()
+    g = want.groupby("k", sort=False)["v"]
+    want["lag_v"] = g.shift(1)
+    want["lead_v"] = g.shift(-1)
+    want = want.sort_values("id").reset_index(drop=True)
+
+    for c in ("lag_v", "lead_v"):
+        a, b = got[c], want[c]
+        assert (a.isna() == b.isna()).all()
+        assert (a.dropna().to_numpy() == b.dropna().to_numpy()).all()
