@@ -868,3 +868,45 @@ class CompressionScorer:
                 "entropy_centibits": ent,
             }
         )
+
+
+class JsonFieldExtractor:
+    """Flatten scalar fields out of a JSON-string column into typed
+    columns — the semi-structured → columnar step (Athena/Glue expose
+    it as ``json_extract``; the reference's transform normalizes raw
+    JSON events the same way, lambdas/transform/app.py).
+
+    ``fields`` maps output column -> dotted path ("a.b.c"); values
+    resolve to None when the path (or parse) fails, so malformed rows
+    degrade instead of erroring — pair with the quarantine machinery
+    when strictness matters. JSON parsing is inherently per-record;
+    the parse runs once per row inside the batch (stdlib ``json``,
+    compiled C scanner) and column assembly is vectorized. Stateless
+    per batch, so it runs in a plain task pool; instantiate via
+    ``fn_constructor_kwargs`` if used as an actor class.
+    """
+
+    def __init__(self, fields: dict[str, str], json_col: str = "props"):
+        self.json_col = json_col
+        self.paths = {out: path.split(".") for out, path in fields.items()}
+
+    def _resolve(self, obj, path):
+        for p in path:
+            if not isinstance(obj, dict):
+                return None
+            obj = obj.get(p)
+        return None if isinstance(obj, (dict, list)) else obj
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        parsed = []
+        for s in b[self.json_col]:
+            try:
+                parsed.append(_json.loads(s) if s else None)
+            except (TypeError, ValueError):
+                parsed.append(None)
+        out = b.drop(columns=[self.json_col]).copy()
+        for col, path in self.paths.items():
+            out[col] = [self._resolve(o, path) for o in parsed]
+        return out

@@ -2387,6 +2387,44 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_json_extract_rollup(sf_dir: str):
+    """Semi-structured flatten: pull the scalar $.k field out of the
+    JSON props column (per-record parse inside the batch, vectorized
+    assembly), then the usual partial-agg -> small groupby rollup.
+    SQL-exact vs DuckDB json_extract_string."""
+    from ..functions.text import JsonFieldExtractor
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+    extract = JsonFieldExtractor({"k": "k"}, json_col="props")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = extract(b)
+        e["k"] = pd.to_numeric(e["k"], errors="coerce").fillna(0).astype("int64")
+        g = e.groupby("event_type", sort=False)["k"]
+        return pd.DataFrame(
+            {
+                "event_type": g.sum().index,
+                "sum_k": g.sum().to_numpy(np.int64),
+                "n": g.size().to_numpy(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+    df = out.sort("event_type").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["sum_k"] = df["sum_k"].astype("int64")
+    return df[["event_type", "n", "sum_k"]]
+
+
 def q_lag_user_events(sf_dir: str):
     """Per-user LAG navigation (prev event's value + inter-event gap)
     under a total order (ts, event_id): one key-bucketed shuffle, each
@@ -2653,6 +2691,7 @@ QUERIES = {
     "hits_links": q_hits_links,
     "cube_event_stats": q_cube_event_stats,
     "lag_user_events": q_lag_user_events,
+    "json_extract_rollup": q_json_extract_rollup,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3132,6 +3171,14 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "json_extract_rollup": """
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
     """,
     "lag_user_events": """
       SELECT event_id,

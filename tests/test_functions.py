@@ -1539,3 +1539,29 @@ def test_hits_matches_single_process_reference():
     np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-9)
     assert got.loc[got["authority"].idxmax(), "node"] == 9
     assert got.loc[got["hub"].idxmax(), "node"] == 3
+
+
+def test_json_field_extractor_nested_and_malformed():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        JsonFieldExtractor,
+    )
+
+    ex = JsonFieldExtractor({"k": "k", "city": "geo.city", "bad": "geo.zip.x"},
+                            json_col="j")
+    b = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "j": [
+                '{"k": 7, "geo": {"city": "ulm", "zip": 89073}}',
+                '{"k": "s"}',
+                "not json",
+                None,
+                '{"geo": {"city": null}}',
+            ],
+        }
+    )
+    out = ex(b.copy())
+    assert list(out.columns) == ["id", "k", "city", "bad"]
+    assert out["k"].tolist() == [7, "s", None, None, None]
+    assert out["city"].tolist() == ["ulm", None, None, None, None]
+    assert out["bad"].isna().all()  # path through a scalar resolves to None
