@@ -555,3 +555,29 @@ def grouping_sets(
         .groupby(ks)
         .aggregate(*aggs)
     )
+
+
+def unpivot(
+    ds: rd.Dataset,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """UNPIVOT / melt — the inverse of ``pivot_counts``: wide columns
+    back to (id_cols, variable, value) long rows. Embarrassingly
+    parallel: one vectorized ``pd.melt`` per batch, NO shuffle, row
+    count multiplies by ``len(value_cols)`` (plan downstream block
+    sizes accordingly)."""
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(
+            b,
+            id_vars=id_cols,
+            value_vars=value_cols,
+            var_name=var_name,
+            value_name=value_name,
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")

@@ -2387,6 +2387,42 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_unpivot_user_counts(sf_dir: str):
+    """Round-trip pivot -> UNPIVOT: the wide users x event-type count
+    matrix melts back to (user_id, event_type, n) long rows — one
+    vectorized pd.melt per batch, no shuffle, zero-count cells kept
+    (pivot semantics). SQL-exact vs a users x types cross join."""
+    from ..functions.aggregates import pivot_counts, unpivot
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    wide = pivot_counts(ev, row_col="user_id", col_col="event_type")
+    vcols = [c for c in wide.schema().names if c.startswith("n_")]
+    long = unpivot(
+        wide,
+        id_cols=["user_id"],
+        value_cols=vcols,
+        var_name="event_type",
+        value_name="n",
+    )
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        b["event_type"] = b["event_type"].str.removeprefix("n_")
+        return b
+
+    df = (
+        long.map_batches(strip, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df[["user_id", "event_type", "n"]]
+
+
 def q_json_extract_rollup(sf_dir: str):
     """Semi-structured flatten: pull the scalar $.k field out of the
     JSON props column (per-record parse inside the batch, vectorized
@@ -2692,6 +2728,7 @@ QUERIES = {
     "cube_event_stats": q_cube_event_stats,
     "lag_user_events": q_lag_user_events,
     "json_extract_rollup": q_json_extract_rollup,
+    "unpivot_user_counts": q_unpivot_user_counts,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3171,6 +3208,16 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "unpivot_user_counts": """
+      SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+      ) c USING (user_id, event_type)
+      ORDER BY u.user_id, t.event_type
     """,
     "json_extract_rollup": """
       SELECT event_type,

@@ -759,3 +759,43 @@ def test_lag_lead_matches_pandas_groupby_shift():
         a, b = got[c], want[c]
         assert (a.isna() == b.isna()).all()
         assert (a.dropna().to_numpy() == b.dropna().to_numpy()).all()
+
+
+def test_unpivot_roundtrips_pivot():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        pivot_counts,
+        unpivot,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"u": rng.integers(0, 12, 300), "t": rng.choice(["a", "b", "c"], 300)}
+    )
+    wide = pivot_counts(rd.from_pandas(df).repartition(5), row_col="u", col_col="t")
+    long = (
+        unpivot(
+            wide,
+            id_cols=["u"],
+            value_cols=["n_a", "n_b", "n_c"],
+            var_name="t",
+            value_name="n",
+        )
+        .to_pandas()
+        .sort_values(["u", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["u", "t"]).size().rename("n")
+        .reindex(
+            pd.MultiIndex.from_product(
+                [sorted(df["u"].unique()), ["n_a", "n_b", "n_c"]], names=["u", "t"]
+            ).map(lambda x: (x[0], x[1][2:])),
+            fill_value=0,
+        )
+        .reset_index()
+        .sort_values(["u", "t"])
+        .reset_index(drop=True)
+    )
+    assert long["u"].astype(int).tolist() == want["u"].astype(int).tolist()
+    assert long["t"].str.removeprefix("n_").tolist() == want["t"].tolist()
+    assert long["n"].astype(int).tolist() == want["n"].astype(int).tolist()
