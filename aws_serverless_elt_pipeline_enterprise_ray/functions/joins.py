@@ -459,3 +459,47 @@ def skew_join(
         num_buckets=num_buckets,
     )
     return hot_stream.union(cold_stream)
+
+
+def _distinct_on(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """DISTINCT over ``cols``: per-batch local dedup (drop_duplicates,
+    C-level) shrinks the stream, then one groupby over the key columns
+    keeps one row per group — the exchange carries distinct rows per
+    block, not the raw stream."""
+    local = ds.map_batches(
+        lambda b: b[cols].drop_duplicates(), batch_format="pandas"
+    )
+    # count() is a fully vectorized aggregate (no per-group Python);
+    # the count column is dropped — one row per distinct key remains
+    return local.groupby(cols).count().drop_columns(["count()"])
+
+
+def set_intersect(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` (distinct): rows of ``on`` present on BOTH
+    sides — distinct left, then one bucketed semi-join against the
+    right keys. Two exchanges total, both carrying distinct keys."""
+    return hash_join(
+        _distinct_on(left, on), right, on=on, how="semi",
+        num_buckets=num_buckets,
+    )
+
+
+def set_except(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``EXCEPT`` (distinct): distinct left rows with NO match on
+    the right — distinct left + one bucketed anti-join."""
+    return hash_join(
+        _distinct_on(left, on), right, on=on, how="anti",
+        num_buckets=num_buckets,
+    )

@@ -2387,6 +2387,62 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+_SET_COLS = ["user_id", "event_type", "dt"]
+
+
+def _events_halves(sf_dir: str):
+    """(user_id, event_type, dt) key streams from the even / odd
+    event-id halves — sparse enough that INTERSECT and EXCEPT are both
+    non-trivial."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def half(parity):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_id"] % 2 == parity]
+            return pd.DataFrame(
+                {
+                    "user_id": b["user_id"],
+                    "event_type": b["event_type"],
+                    "dt": b["ts"].dt.strftime("%Y-%m-%d"),
+                }
+            )
+
+        return ev.map_batches(f, batch_format="pandas")
+
+    return half(0), half(1)
+
+
+def _set_result(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series(dtype="object") for c in _SET_COLS})
+    df = df.sort_values(_SET_COLS).reset_index(drop=True)
+    df["user_id"] = df["user_id"].astype("int64")
+    return df[_SET_COLS]
+
+
+def q_set_intersect_pairs(sf_dir: str):
+    """SQL INTERSECT: distinct (user_id, event_type, dt) keys present
+    in BOTH event-id-parity halves — per-batch local dedup, vectorized
+    distinct groupby, one bucketed semi-join."""
+    from ..functions.joins import set_intersect
+
+    left, right = _events_halves(sf_dir)
+    return _set_result(set_intersect(left, right, on=_SET_COLS))
+
+
+def q_set_except_pairs(sf_dir: str):
+    """SQL EXCEPT: distinct keys in the even half with no match in
+    the odd half — distinct + one bucketed anti-join."""
+    from ..functions.joins import set_except
+
+    left, right = _events_halves(sf_dir)
+    return _set_result(set_except(left, right, on=_SET_COLS))
+
+
 def q_unpivot_user_counts(sf_dir: str):
     """Round-trip pivot -> UNPIVOT: the wide users x event-type count
     matrix melts back to (user_id, event_type, n) long rows — one
@@ -2729,6 +2785,8 @@ QUERIES = {
     "lag_user_events": q_lag_user_events,
     "json_extract_rollup": q_json_extract_rollup,
     "unpivot_user_counts": q_unpivot_user_counts,
+    "set_intersect_pairs": q_set_intersect_pairs,
+    "set_except_pairs": q_set_except_pairs,
     "hll_users_by_type": q_hll_users_by_type,
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
@@ -3208,6 +3266,22 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "set_intersect_pairs": """
+      SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt
+      FROM events WHERE event_id % 2 = 0
+      INTERSECT
+      SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt
+      FROM events WHERE event_id % 2 = 1
+      ORDER BY user_id, event_type, dt
+    """,
+    "set_except_pairs": """
+      SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt
+      FROM events WHERE event_id % 2 = 0
+      EXCEPT
+      SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt
+      FROM events WHERE event_id % 2 = 1
+      ORDER BY user_id, event_type, dt
     """,
     "unpivot_user_counts": """
       SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n

@@ -799,3 +799,31 @@ def test_unpivot_roundtrips_pivot():
     assert long["u"].astype(int).tolist() == want["u"].astype(int).tolist()
     assert long["t"].str.removeprefix("n_").tolist() == want["t"].tolist()
     assert long["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+
+
+def test_set_intersect_except_match_python_sets():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import (
+        set_except,
+        set_intersect,
+    )
+
+    rng = np.random.default_rng(5)
+    la = pd.DataFrame(
+        {"k": rng.integers(0, 40, 300), "t": rng.choice(["a", "b"], 300)}
+    )
+    rb = pd.DataFrame(
+        {"k": rng.integers(20, 60, 300), "t": rng.choice(["a", "b"], 300)}
+    )
+    L = rd.from_pandas(la).repartition(5)
+    R = rd.from_pandas(rb).repartition(3)
+
+    lset = set(map(tuple, la.itertuples(index=False)))
+    rset = set(map(tuple, rb.itertuples(index=False)))
+
+    inter = set_intersect(L, R, on=["k", "t"]).to_pandas()
+    assert set(map(tuple, inter.itertuples(index=False))) == (lset & rset)
+    assert not inter.duplicated().any()
+
+    exc = set_except(L, R, on=["k", "t"]).to_pandas()
+    assert set(map(tuple, exc.itertuples(index=False))) == (lset - rset)
+    assert not exc.duplicated().any()
