@@ -581,3 +581,72 @@ def unpivot(
         )
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def grouped_moments(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str | None = None,
+) -> pd.DataFrame:
+    """Exact second-moment statistics per group from INTEGER columns:
+    one pass of per-batch int64 partials (n, Σx, Σx², and with
+    ``y_col`` Σy, Σy², Σxy), one tiny groupby-sum — variance, stddev,
+    and Pearson correlation then derive on the driver from the
+    group-sized sums with a fixed float formula, so results are
+    bitwise-reproducible regardless of row order or partitioning
+    (float accumulation never touches the data path).
+
+    Columns must be integer-valued (scale floats to cents first);
+    Σx² stays exact while n·max(x)² < 2^63 — beyond that, pre-shift
+    to coarser units.
+
+    Returns a driver-sized DataFrame: group, n, sum_x, sum_xx and, if
+    ``y_col``, sum_y, sum_yy, sum_xy.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype=np.int64)
+        d = pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "n": np.int64(1),
+                "sum_x": x,
+                "sum_xx": x * x,
+            }
+        )
+        if y_col is not None:
+            y = b[y_col].to_numpy(dtype=np.int64)
+            d["sum_y"] = y
+            d["sum_yy"] = y * y
+            d["sum_xy"] = x * y
+        g = d.groupby(group_col, sort=False).sum().reset_index()
+        return g
+
+    names = ["n", "sum_x", "sum_xx"] + (
+        ["sum_y", "sum_yy", "sum_xy"] if y_col is not None else []
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in names])
+        .to_pandas()
+    )
+    for c in names:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def pearson_from_moments(m: pd.DataFrame) -> np.ndarray:
+    """Pearson r per row of a ``grouped_moments(..., y_col=...)``
+    frame, via the textbook sums formula evaluated in doubles — the
+    exact expression a SQL mirror can reproduce bit-for-bit."""
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sum_x"].to_numpy(dtype=np.float64)
+    sy = m["sum_y"].to_numpy(dtype=np.float64)
+    sxx = m["sum_xx"].to_numpy(dtype=np.float64)
+    syy = m["sum_yy"].to_numpy(dtype=np.float64)
+    sxy = m["sum_xy"].to_numpy(dtype=np.float64)
+    return (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )

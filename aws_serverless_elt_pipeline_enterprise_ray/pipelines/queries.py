@@ -2387,6 +2387,39 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_corr_value_hour(sf_dir: str):
+    """Per-event-type Pearson correlation between value (cents) and
+    hour-of-day, from EXACT int64 moment partials (one pass, one tiny
+    groupby-sum); the float formula runs only on the group-sized sums,
+    so the result is bitwise order-independent and SQL-mirrorable.
+    Reported as floor(r * 1e6) ppm."""
+    from ..functions.aggregates import grouped_moments, pearson_from_moments
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+                "hour": b["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    m = grouped_moments(
+        ds.map_batches(prep, batch_format="pandas"),
+        group_col="event_type",
+        x_col="cents",
+        y_col="hour",
+    )
+    m["corr_ppm"] = np.floor(pearson_from_moments(m) * 1e6).astype("int64")
+    m = m.sort_values("event_type").reset_index(drop=True)
+    return m[["event_type", "n", "corr_ppm"]]
+
+
 _SET_COLS = ["user_id", "event_type", "dt"]
 
 
@@ -2785,6 +2818,7 @@ QUERIES = {
     "lag_user_events": q_lag_user_events,
     "json_extract_rollup": q_json_extract_rollup,
     "unpivot_user_counts": q_unpivot_user_counts,
+    "corr_value_hour": q_corr_value_hour,
     "set_intersect_pairs": q_set_intersect_pairs,
     "set_except_pairs": q_set_except_pairs,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3266,6 +3300,32 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "corr_value_hour": """
+      SELECT event_type, n,
+             CAST(FLOOR(
+               (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+               * 1e6) AS BIGINT) AS corr_ppm
+      FROM (
+        SELECT event_type,
+               count(*) AS n,
+               sum(cents) AS sum_x, sum(cents * cents) AS sum_xx,
+               sum(hour) AS sum_y, sum(hour * hour) AS sum_yy,
+               sum(cents * hour) AS sum_xy
+        FROM (
+          SELECT event_type,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                 CAST(hour(ts) AS BIGINT) AS hour
+          FROM events
+        )
+        GROUP BY event_type
+      )
+      ORDER BY event_type
     """,
     "set_intersect_pairs": """
       SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt

@@ -827,3 +827,35 @@ def test_set_intersect_except_match_python_sets():
     exc = set_except(L, R, on=["k", "t"]).to_pandas()
     assert set(map(tuple, exc.itertuples(index=False))) == (lset - rset)
     assert not exc.duplicated().any()
+
+
+def test_grouped_moments_exact_and_pearson_matches_numpy():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouped_moments,
+        pearson_from_moments,
+    )
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 1000),
+            "x": rng.integers(-1000, 1000, 1000),
+            "y": rng.integers(0, 24, 1000),
+        }
+    )
+    m = grouped_moments(
+        rd.from_pandas(df).repartition(9), group_col="g", x_col="x", y_col="y"
+    ).sort_values("g").reset_index(drop=True)
+
+    for _, row in m.iterrows():
+        sub = df[df["g"] == row["g"]]
+        assert row["n"] == len(sub)
+        assert row["sum_x"] == sub["x"].sum()
+        assert row["sum_xx"] == (sub["x"] ** 2).sum()
+        assert row["sum_xy"] == (sub["x"] * sub["y"]).sum()
+
+    r = pearson_from_moments(m)
+    for i, g in enumerate(m["g"]):
+        sub = df[df["g"] == g]
+        want = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(r[i] - want) < 1e-12
