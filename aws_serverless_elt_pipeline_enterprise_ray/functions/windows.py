@@ -271,3 +271,63 @@ def lag_lead(
         .groupby("_wb")
         .map_groups(shift_bucket, batch_format="pandas")
     )
+
+
+def ntile_in_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    n_tiles: int,
+    tiebreak: str | None = None,
+    descending: bool = False,
+    out_col: str = "tile",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY ...)``: rows of
+    each key split into ``n`` tiles as evenly as possible, the first
+    ``count % n`` tiles one row larger (the SQL remainder rule).
+
+    Same one-bucketed-shuffle shape as ``rank_in_group``: each bucket
+    sorts once; row numbers and per-key counts come from cumulative
+    masks, and the tile is a closed-form vectorized function of
+    (row_number, key_count, n) — zero per-key Python. Curriculum /
+    difficulty binning per stratum is the LLM-pipeline use."""
+    assert n_tiles >= 1
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_nb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, order_col] + ([tiebreak] if tiebreak else [])
+        asc = [True, not descending] + ([True] if tiebreak else [])
+        g = g.sort_values(order, ascending=asc, kind="mergesort").drop(
+            columns="_nb"
+        )
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(key_change, pos, 0))
+        rn0 = pos - seg_start  # 0-based row number within key
+        # per-key count, broadcast back to rows: segment end - start
+        seg_id = np.cumsum(key_change)
+        cnt = np.bincount(seg_id)[seg_id]
+        base = cnt // n_tiles
+        rem = cnt % n_tiles
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        in_big = rn0 < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile_big = rn0 // np.maximum(base + 1, 1)
+            tile_small = rem + (rn0 - big) // np.maximum(base, 1)
+        g[out_col] = np.where(in_big, tile_big, tile_small).astype("int64") + 1
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(tile_bucket, batch_format="pandas")
+    )

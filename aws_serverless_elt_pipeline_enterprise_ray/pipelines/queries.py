@@ -2387,6 +2387,43 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_ntile_user_events(sf_dir: str):
+    """NTILE(4) per user over (ts, event_id): quartile-bins each
+    user's events — one bucketed shuffle, per-bucket single sort,
+    closed-form vectorized tile assignment. SQL-exact."""
+    from ..functions.windows import ntile_in_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").view("int64"),
+            }
+        )
+
+    out = (
+        ntile_in_group(
+            ds.map_batches(prep, batch_format="pandas"),
+            key="user_id",
+            order_col="ts_us",
+            tiebreak="event_id",
+            n_tiles=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["tile"] = out["tile"].astype("int64")
+    return out[["event_id", "tile"]]
+
+
 def q_corr_value_hour(sf_dir: str):
     """Per-event-type Pearson correlation between value (cents) and
     hour-of-day, from EXACT int64 moment partials (one pass, one tiny
@@ -2818,6 +2855,7 @@ QUERIES = {
     "lag_user_events": q_lag_user_events,
     "json_extract_rollup": q_json_extract_rollup,
     "unpivot_user_counts": q_unpivot_user_counts,
+    "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
     "set_intersect_pairs": q_set_intersect_pairs,
     "set_except_pairs": q_set_except_pairs,
@@ -3300,6 +3338,12 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "ntile_user_events": """
+      SELECT event_id,
+             NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+      FROM events
+      ORDER BY event_id
     """,
     "corr_value_hour": """
       SELECT event_type, n,

@@ -859,3 +859,46 @@ def test_grouped_moments_exact_and_pearson_matches_numpy():
         sub = df[df["g"] == g]
         want = np.corrcoef(sub["x"], sub["y"])[0, 1]
         assert abs(r[i] - want) < 1e-12
+
+
+def test_ntile_matches_sql_remainder_rule():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        ntile_in_group,
+    )
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(700),
+            "k": rng.integers(0, 29, 700),  # ragged group sizes incl. < n_tiles
+            "o": rng.integers(0, 1000, 700),
+        }
+    )
+    got = (
+        ntile_in_group(
+            rd.from_pandas(df).repartition(6),
+            key="k",
+            order_col="o",
+            tiebreak="id",
+            n_tiles=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    def sql_ntile(cnt, rn0, n):
+        base, rem = divmod(cnt, n)
+        big = rem * (base + 1)
+        if rn0 < big:
+            return rn0 // (base + 1) + 1
+        return rem + (rn0 - big) // base + 1
+
+    want = df.sort_values(["k", "o", "id"]).copy()
+    want["rn0"] = want.groupby("k", sort=False).cumcount()
+    cnt = want.groupby("k", sort=False)["id"].transform("size")
+    want["tile"] = [
+        sql_ntile(c, r, 4) for c, r in zip(cnt, want["rn0"])
+    ]
+    want = want.sort_values("id").reset_index(drop=True)
+    assert got["tile"].tolist() == want["tile"].tolist()
