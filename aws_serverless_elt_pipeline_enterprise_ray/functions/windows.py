@@ -331,3 +331,75 @@ def ntile_in_group(
         .groupby("_nb")
         .map_groups(tile_bucket, batch_format="pandas")
     )
+
+
+def funnel_steps(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Ordered-funnel analysis (MATCH_RECOGNIZE-lite): for each key,
+    greedily match ``steps`` in order — step i+1 must occur STRICTLY
+    after the earliest completion time of step i. Returns one row per
+    key: ``(key, steps_completed, last_step_ts)`` (ts of the deepest
+    completed step; keys with zero matches are omitted — every key
+    with at least one step-0 event appears).
+
+    One key-bucketed shuffle; within each bucket every step is ONE
+    vectorized pass (boolean mask + ``groupby(key).min`` + map back),
+    so cost is O(len(steps)) passes with zero per-key Python. The
+    conversion-rate / sequence-mining primitive over event streams.
+    """
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_fb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_fb")
+        ts = g[ts_col].to_numpy()
+        first = g[g[type_col] == steps[0]].groupby(key, sort=False)[ts_col].min()
+        if len(first) == 0:
+            return pd.DataFrame(
+                {key: [], "steps_completed": [], "last_step_ts": []}
+            )
+        depth = pd.Series(np.int64(1), index=first.index)
+        cur_ts = first.copy()
+        for i in range(1, len(steps)):
+            # only keys whose frontier is EXACTLY step i may advance —
+            # no step-skipping
+            elig_ts = cur_ts[depth == i]
+            if len(elig_ts) == 0:
+                break
+            pmap = g[key].map(elig_ts).to_numpy()
+            mask = (
+                (g[type_col] == steps[i]).to_numpy()
+                & pd.notna(pmap)
+                & (ts > pmap)
+            )
+            hit = g[mask]
+            if len(hit) == 0:
+                break
+            cur = hit.groupby(key, sort=False)[ts_col].min()
+            depth.loc[cur.index] = i + 1
+            cur_ts.loc[cur.index] = cur
+        return pd.DataFrame(
+            {
+                key: depth.index,
+                "steps_completed": depth.to_numpy(np.int64),
+                "last_step_ts": cur_ts.reindex(depth.index).to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(funnel_bucket, batch_format="pandas")
+    )

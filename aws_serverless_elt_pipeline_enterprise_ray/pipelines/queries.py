@@ -2387,6 +2387,36 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_funnel_signup_purchase(sf_dir: str):
+    """Ordered conversion funnel signup -> view -> purchase per user:
+    greedy earliest-completion matching, step i+1 strictly after step
+    i's time, no step skipping. One bucketed shuffle, one vectorized
+    pass per step. SQL-exact vs a chain of min-ts self-joins."""
+    from ..functions.windows import funnel_steps
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type"],
+    )
+    out = (
+        funnel_steps(
+            ds,
+            key="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            steps=["signup", "view", "purchase"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["last_ts_us"] = (
+        out["last_step_ts"].astype("datetime64[us]").view("int64")
+    )
+    return out[["user_id", "steps_completed", "last_ts_us"]]
+
+
 def q_ntile_user_events(sf_dir: str):
     """NTILE(4) per user over (ts, event_id): quartile-bins each
     user's events — one bucketed shuffle, per-bucket single sort,
@@ -2855,6 +2885,7 @@ QUERIES = {
     "lag_user_events": q_lag_user_events,
     "json_extract_rollup": q_json_extract_rollup,
     "unpivot_user_counts": q_unpivot_user_counts,
+    "funnel_signup_purchase": q_funnel_signup_purchase,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
     "set_intersect_pairs": q_set_intersect_pairs,
@@ -3338,6 +3369,29 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "funnel_signup_purchase": """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+      ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+      )
+      SELECT s1.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS steps_completed,
+             CAST(epoch_us(COALESCE(s3.t3, s2.t2, s1.t1)) AS BIGINT) AS last_ts_us
+      FROM s1
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY s1.user_id
     """,
     "ntile_user_events": """
       SELECT event_id,

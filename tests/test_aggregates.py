@@ -902,3 +902,43 @@ def test_ntile_matches_sql_remainder_rule():
     ]
     want = want.sort_values("id").reset_index(drop=True)
     assert got["tile"].tolist() == want["tile"].tolist()
+
+
+def test_funnel_steps_no_skipping_and_greedy_order():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        funnel_steps,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # u1 completes A,B,C in order
+        (1, t0, "A"), (1, t0 + h, "B"), (1, t0 + 2 * h, "C"),
+        # u2 has A and C but no B after A -> depth 1 (no skipping)
+        (2, t0, "A"), (2, t0 + h, "C"),
+        # u3: B before A, then A -> only depth 1 (B must be AFTER A)
+        (3, t0, "B"), (3, t0 + h, "A"),
+        # u4: A, B at SAME ts as A (not strictly after) -> depth 1
+        (4, t0, "A"), (4, t0, "B"),
+        # u5: no A at all -> omitted
+        (5, t0, "B"), (5, t0 + h, "C"),
+        # u6: A, B, then C BEFORE B -> depth 2
+        (6, t0, "A"), (6, t0 + 2 * h, "B"), (6, t0 + h, "C"),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "ts", "typ"])
+    out = (
+        funnel_steps(
+            rd.from_pandas(df).repartition(3),
+            key="u",
+            ts_col="ts",
+            type_col="typ",
+            steps=["A", "B", "C"],
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["u"].tolist() == [1, 2, 3, 4, 6]
+    assert out["steps_completed"].tolist() == [3, 1, 1, 1, 2]
+    assert out.loc[out["u"] == 1, "last_step_ts"].iloc[0] == t0 + 2 * h
+    assert out.loc[out["u"] == 6, "last_step_ts"].iloc[0] == t0 + 2 * h
