@@ -2387,6 +2387,56 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts: (previous event_type -> event_type)
+    per user under the (ts, event_id) total order — pure composition
+    of the lag_lead kernel with a partial-agg rollup. SQL-exact vs
+    LAG() + GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.windows import lag_lead
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").view("int64"),
+                "event_type": b["event_type"],
+            }
+        )
+
+    lagged = lag_lead(
+        ds.map_batches(prep, batch_format="pandas"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        cols=["event_type"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["lag_event_type"].notna()]
+        g = (
+            b.groupby(["lag_event_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return g.rename(columns={"lag_event_type": "prev_type"})
+
+    out = (
+        lagged.map_batches(partial, batch_format="pandas")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = out.sort(["prev_type", "event_type"]).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["prev_type", "event_type", "n"]]
+
+
 def q_funnel_signup_purchase(sf_dir: str):
     """Ordered conversion funnel signup -> view -> purchase per user:
     greedy earliest-completion matching, step i+1 strictly after step
@@ -2885,6 +2935,7 @@ QUERIES = {
     "lag_user_events": q_lag_user_events,
     "json_extract_rollup": q_json_extract_rollup,
     "unpivot_user_counts": q_unpivot_user_counts,
+    "event_transitions": q_event_transitions,
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
@@ -3369,6 +3420,19 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "event_transitions": """
+      SELECT prev_type, event_type, count(*) AS n
+      FROM (
+        SELECT LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type
+        FROM events
+      )
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+      ORDER BY prev_type, event_type
     """,
     "funnel_signup_purchase": """
       WITH s1 AS (

@@ -942,3 +942,39 @@ def test_funnel_steps_no_skipping_and_greedy_order():
     assert out["steps_completed"].tolist() == [3, 1, 1, 1, 2]
     assert out.loc[out["u"] == 1, "last_step_ts"].iloc[0] == t0 + 2 * h
     assert out.loc[out["u"] == 6, "last_step_ts"].iloc[0] == t0 + 2 * h
+
+
+def test_event_transitions_match_pandas_shift(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.queries import (
+        q_event_transitions,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "buy"], n),
+            "value": rng.random(n),
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = q_event_transitions(str(tmp_path)).reset_index(drop=True)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    prev = ref.groupby("user_id", sort=False)["event_type"].shift(1)
+    want = (
+        pd.DataFrame({"prev_type": prev, "event_type": ref["event_type"]})
+        .dropna(subset=["prev_type"])
+        .groupby(["prev_type", "event_type"], sort=True)
+        .size()
+        .reset_index(name="n")
+    )
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
