@@ -183,7 +183,13 @@ def rank_in_group(
     first k rows per key are needed (it prunes before the shuffle);
     this operator RETAINS every row, annotated - sampling curricula,
     per-user recency indexes, "nth attempt" features."""
-    assert method in ("row_number", "rank", "dense_rank"), method
+    assert method in (
+        "row_number",
+        "rank",
+        "dense_rank",
+        "percent_rank",
+        "cume_dist",
+    ), method
     if num_buckets is None:
         num_buckets = _buckets_for_cluster()
 
@@ -213,18 +219,114 @@ def rank_in_group(
             # rank = row_number of the first peer in the segment
             first_peer = np.maximum.accumulate(np.where(order_change, pos, 0))
             g[out_col] = first_peer - seg_start + 1
-        else:  # dense_rank: count of order changes within the segment
+        elif method == "dense_rank":
+            # dense_rank: count of order changes within the segment
             changes = np.cumsum(order_change)
             at_start = np.maximum.accumulate(
                 np.where(key_change, changes, 0)
             )
             g[out_col] = changes - at_start + 1
+        else:
+            # percent_rank / cume_dist need the per-key count and the
+            # peer-group boundaries; both reduce to straight-line double
+            # division of exact integers, so they hash-match SQL engines
+            # computing the same standard formulas.
+            if not n:
+                g[out_col] = np.zeros(0, np.float64)
+                return g
+            seg_id = np.cumsum(key_change)
+            cnt = np.bincount(seg_id)[seg_id]
+            if method == "percent_rank":
+                # (rank - 1) / (count - 1); 0.0 for single-row keys
+                first_peer = np.maximum.accumulate(
+                    np.where(order_change, pos, 0)
+                )
+                rank = first_peer - seg_start + 1
+                denom = np.maximum(cnt - 1, 1)
+                g[out_col] = np.where(cnt > 1, (rank - 1) / denom, 0.0)
+            else:  # cume_dist = (# rows ordered <= current) / count
+                # position AFTER each row's last peer = first change
+                # strictly after it (key_change folds into order_change,
+                # so segments bound the scan)
+                chg_pos = np.where(order_change, pos, n)
+                first_chg_at_or_after = np.minimum.accumulate(
+                    chg_pos[::-1]
+                )[::-1]
+                peers_end = np.concatenate(
+                    [first_chg_at_or_after[1:], [n]]
+                )
+                # rows whose NEXT change is beyond the segment end stop
+                # at the segment end: segment end = seg_start + cnt
+                peers_end = np.minimum(peers_end, seg_start + cnt)
+                g[out_col] = (peers_end - seg_start) / cnt
         return g
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("_rb")
         .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def cumulate_in_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Running per-key aggregates under a total order — the SQL
+    ``SUM(v) / COUNT(*) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` family. Adds ``cum_n`` (running row count)
+    and ``cum_<col>`` (running sum) for each of ``value_cols``.
+
+    Include a unique tiebreaker in ``order_cols`` for a total order:
+    ROWS-frame running sums are order-sensitive across ties, so only a
+    total order gives a deterministic (and SQL-comparable) result.
+
+    Same one-bucketed-shuffle shape as ``rank_in_group``: each bucket
+    sorts once by (key, *order_cols); the running sum is one global
+    ``np.cumsum`` rebased at key boundaries (cumsum minus the cumsum
+    just before each row's segment start) — zero per-key Python.
+    Integer columns accumulate in exact int64 (bit-identical to any
+    SQL engine); float columns accumulate in float64 via the global
+    cumsum rebased per segment, which can differ from a per-partition
+    sequential sum in the last ulp — use integerized units (cents,
+    micros) when exact SQL parity matters."""
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+    value_cols = list(value_cols or [])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_cb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def cum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort").drop(
+            columns="_cb"
+        )
+        n = len(g)
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(key_change, pos, 0))
+        g["cum_n"] = pos - seg_start + 1
+        for c in value_cols:
+            v = g[c].to_numpy()
+            if np.issubdtype(v.dtype, np.integer):
+                total = np.cumsum(v.astype(np.int64))
+            else:
+                total = np.cumsum(v.astype(np.float64))
+            # running-within-segment = total - total[just before start]
+            base = np.where(seg_start > 0, total[seg_start - 1], 0)
+            g[f"cum_{c}"] = total - base
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(cum_bucket, batch_format="pandas")
     )
 
 

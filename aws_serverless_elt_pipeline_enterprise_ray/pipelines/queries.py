@@ -1981,6 +1981,80 @@ def q_rank_events_per_user(sf_dir: str):
     return df[["event_id", "user_id", "value_cents", "rank"]]
 
 
+def q_cumsum_user_value(sf_dir: str):
+    """Running per-user value total (SUM() OVER ... ROWS UNBOUNDED
+    PRECEDING): one bucketed shuffle, one sort + rebased global cumsum
+    per bucket — zero per-key Python. Integer cents keep the running
+    sums bit-identical to the SQL window."""
+    from ..functions.windows import cumulate_in_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        ts_us = pc.cast(b["ts"], pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": ts_us,
+                "value_cents": c,
+            }
+        )
+
+    out = cumulate_in_group(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_cols=["value_cents"],
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "user_id", "cum_n", "cum_value_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "user_id", "cum_n", "cum_value_cents"]]
+
+
+def q_percent_rank_events(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per event_type over value cents: the
+    rank kernel's one-shuffle shape; both outputs are straight-line
+    double divisions of exact integers, so they hash-match the SQL
+    windows bit-for-bit (ties share ranks, so no tiebreak order
+    dependence)."""
+    from ..functions.windows import rank_in_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.drop_columns("value").append_column("value_cents", c)
+
+    prepped = ev.map_batches(cents, batch_format="pyarrow")
+    pr = rank_in_group(
+        prepped,
+        key="event_type",
+        order_col="value_cents",
+        method="percent_rank",
+        out_col="pct_rank",
+    )
+    cd = rank_in_group(
+        pr,
+        key="event_type",
+        order_col="value_cents",
+        method="cume_dist",
+        out_col="cume_dist",
+    )
+    df = cd.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "value_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "event_type", "value_cents", "pct_rank", "cume_dist"]]
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed PCA: one streaming pass of (sum, X^T X, n) partials
     (d-vector + d x d per block - rows never concentrate), driver
@@ -2918,6 +2992,8 @@ QUERIES = {
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "skew_join_events_segment": q_skew_join_events_segment,
     "rank_events_per_user": q_rank_events_per_user,
+    "cumsum_user_value": q_cumsum_user_value,
+    "percent_rank_events": q_percent_rank_events,
     "pca_embeddings": q_pca_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
     "model_score": q_model_score,
@@ -3931,6 +4007,26 @@ ORACLES = {
                ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC, event_id
              ) AS BIGINT) AS rank
       FROM events ORDER BY event_id
+    """,
+    "cumsum_user_value": """
+      SELECT event_id, user_id,
+             CAST(count(*) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS cum_value_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """,
+    "percent_rank_events": """
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume_dist
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(FLOOR(value * 100) AS BIGINT))
+      ORDER BY event_id
     """,
     "skew_join_events_segment": """
       SELECT e.event_id, e.user_id, c.c_mktsegment

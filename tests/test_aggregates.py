@@ -978,3 +978,76 @@ def test_event_transitions_match_pandas_shift(tmp_path):
     )
     want["n"] = want["n"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cumulate_in_group_matches_pandas_running_sums():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        cumulate_in_group,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 40, n).astype(np.int64),
+            "o": rng.integers(0, 500, n).astype(np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    got = (
+        cumulate_in_group(
+            rd.from_pandas(df).repartition(5),
+            key="k",
+            order_cols=["o", "id"],
+            value_cols=["v"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "id"], kind="stable")
+    g = ref.groupby("k", sort=False)
+    ref = ref.assign(cum_n=g.cumcount() + 1, cum_v=g["v"].cumsum())
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert got["cum_n"].tolist() == ref["cum_n"].tolist()
+    assert got["cum_v"].tolist() == ref["cum_v"].tolist()
+
+
+def test_percent_rank_and_cume_dist_match_sql_formulas():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        rank_in_group,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            # narrow domain so ties are common
+            "o": rng.integers(0, 12, n).astype(np.int64),
+        }
+    )
+    # one single-row key to exercise the n==1 percent_rank=0 rule
+    df.loc[n - 1, "k"] = 999
+    ds = rd.from_pandas(df).repartition(4)
+    pr = rank_in_group(
+        ds, key="k", order_col="o", method="percent_rank", out_col="pr"
+    )
+    out = (
+        rank_in_group(
+            pr, key="k", order_col="o", method="cume_dist", out_col="cd"
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    g = df.groupby("k")
+    rank_min = g["o"].rank(method="min")
+    rank_max = g["o"].rank(method="max")
+    cnt = g["o"].transform("size")
+    want_pr = np.where(cnt > 1, (rank_min - 1) / np.maximum(cnt - 1, 1), 0.0)
+    want_cd = (rank_max / cnt).to_numpy()
+    assert np.array_equal(out["pr"].to_numpy(), want_pr)
+    assert np.array_equal(out["cd"].to_numpy(), want_cd)
