@@ -637,6 +637,155 @@ def grouped_moments(
     return out
 
 
+def grouped_mode(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exact per-key MODE (most frequent value) with a DETERMINISTIC
+    min-value tiebreak — SQL's ``mode()`` leaves ties unspecified, so
+    the mirror is an explicit argmax (``row_number() OVER (ORDER BY n
+    DESC, value)``) rather than the aggregate.
+
+    Scale shape: per-batch (key, value) partial counts (C-level
+    groupby) shrink the stream to distinct pairs, ONE groupby-sum over
+    those pairs, then a key-bucketed finisher sorts each bucket once by
+    (key, n desc, value) and keeps the first row per key — zero
+    per-key Python anywhere. Returns (key, mode_value, n)."""
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([key, value_col], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_mb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key, "n", value_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop(columns="_mb")
+        out = g.drop_duplicates(subset=[key], keep="first")
+        out = out.rename(columns={value_col: "mode_value"})
+        out["n"] = out["n"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(mode_bucket, batch_format="pandas")
+    )
+
+
+def grouped_entropy(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Shannon entropy of each key's value distribution, in integer
+    MICROBITS so a SQL mirror hash-matches despite logarithms.
+
+    H = log2(n) - (Σ c·log2(c)) / n over the per-(key, value) counts
+    c. Raw float sums are order-dependent, so each term is quantized
+    FIRST — t = floor(c·log2(c)·2^20), an exact int64 — and the sums
+    Σc, Σt are exact integers; the final entropy is one straight-line
+    double expression of those two ints, floored to microbits. Both
+    sides (numpy here, SQL there) evaluate identical expression trees,
+    so results are bitwise order-independent (a 1-ulp libm divergence
+    would need the term to land within ~1e-10 of an integer to change
+    a floor — negligible).
+
+    Scale shape: per-batch (key, value) partial counts, ONE groupby-sum
+    over distinct pairs, per-batch term quantization + partial (key)
+    sums, one tiny second groupby-sum — the exchanges carry distinct
+    pairs, then key-sized partials. Returns (key, n, entropy_ub)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([key, value_col], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, value_col])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(dtype=np.float64)
+        t = np.floor(c * np.log2(c) * 1048576.0).astype(np.int64)
+        d = pd.DataFrame(
+            {key: b[key], "n": b["c"].astype("int64"), "t": t}
+        )
+        return d.groupby(key, sort=False).sum().reset_index()
+
+    sums = (
+        counts.map_batches(quantize, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.float64)
+        t = b["t"].to_numpy(dtype=np.float64)
+        h = np.log2(n) - (t / 1048576.0) / n
+        return pd.DataFrame(
+            {
+                key: b[key],
+                "n": b["n"].astype("int64"),
+                "entropy_ub": np.floor(h * 1048576.0).astype("int64"),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def ols_from_moments(m: pd.DataFrame) -> pd.DataFrame:
+    """Per-group simple linear regression (y on x) from a
+    ``grouped_moments(..., y_col=...)`` frame: slope, intercept, and
+    R² via the textbook sums formulas evaluated in doubles — exact
+    int64 sums in, one straight-line float expression out, so a SQL
+    mirror computing the same tree matches bit-for-bit (DuckDB's
+    ``regr_slope``/``regr_intercept`` family, without relying on its
+    internal accumulation order)."""
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sum_x"].to_numpy(dtype=np.float64)
+    sy = m["sum_y"].to_numpy(dtype=np.float64)
+    sxx = m["sum_xx"].to_numpy(dtype=np.float64)
+    syy = m["sum_yy"].to_numpy(dtype=np.float64)
+    sxy = m["sum_xy"].to_numpy(dtype=np.float64)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    out = m.copy()
+    out["slope"] = cov_n / var_x
+    out["intercept"] = (sy - (cov_n / var_x) * sx) / n
+    out["r2"] = (cov_n * cov_n) / (var_x * var_y)
+    return out
+
+
 def pearson_from_moments(m: pd.DataFrame) -> np.ndarray:
     """Pearson r per row of a ``grouped_moments(..., y_col=...)``
     frame, via the textbook sums formula evaluated in doubles — the

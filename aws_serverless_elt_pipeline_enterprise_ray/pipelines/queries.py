@@ -2611,6 +2611,75 @@ def q_corr_value_hour(sf_dir: str):
     return m[["event_type", "n", "corr_ppm"]]
 
 
+def q_mode_event_type(sf_dir: str):
+    """Exact per-user MODE with deterministic min-value tiebreak: the
+    exchange carries distinct (user, type) count partials, the finisher
+    is one sort + drop_duplicates per bucket — zero per-key Python."""
+    from ..functions.aggregates import grouped_mode
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = grouped_mode(ev, key="user_id", value_col="event_type")
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "mode_value", "n"]]
+
+
+def q_entropy_user_events(sf_dir: str):
+    """Shannon entropy of each user's event-type mix in integer
+    microbits: per-term floor-quantization makes the log-sum an exact
+    int64, so the SQL mirror hash-matches despite float logs."""
+    from ..functions.aggregates import grouped_entropy
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = grouped_entropy(ev, key="user_id", value_col="event_type")
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "n", "entropy_ub"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "n", "entropy_ub"]]
+
+
+def q_ols_value_by_type(sf_dir: str):
+    """Per-event-type OLS of value (cents) on hour-of-day from exact
+    int64 moment partials: slope / intercept / R² are straight-line
+    double formulas over the group-sized sums (ppm-floored), bitwise
+    order-independent and SQL-mirrorable."""
+    from ..functions.aggregates import grouped_moments, ols_from_moments
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].dt.hour.astype("int64"),
+                "cents": np.floor(b["value"].to_numpy() * 100.0).astype("int64"),
+            }
+        )
+
+    m = grouped_moments(
+        ds.map_batches(prep, batch_format="pandas"),
+        group_col="event_type",
+        x_col="hour",
+        y_col="cents",
+    )
+    o = ols_from_moments(m)
+    o["slope_ppm"] = np.floor(o["slope"].to_numpy() * 1e6).astype("int64")
+    o["intercept_ppm"] = np.floor(o["intercept"].to_numpy() * 1e6).astype("int64")
+    o["r2_ppm"] = np.floor(o["r2"].to_numpy() * 1e6).astype("int64")
+    o = o.sort_values("event_type").reset_index(drop=True)
+    return o[["event_type", "n", "slope_ppm", "intercept_ppm", "r2_ppm"]]
+
+
 _SET_COLS = ["user_id", "event_type", "dt"]
 
 
@@ -3015,6 +3084,9 @@ QUERIES = {
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
+    "mode_event_type": q_mode_event_type,
+    "entropy_user_events": q_entropy_user_events,
+    "ols_value_by_type": q_ols_value_by_type,
     "set_intersect_pairs": q_set_intersect_pairs,
     "set_except_pairs": q_set_except_pairs,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3538,6 +3610,67 @@ ORACLES = {
              NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
       FROM events
       ORDER BY event_id
+    """,
+    "mode_event_type": """
+      SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n
+      FROM (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+      )
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, mode_value
+      ) = 1
+      ORDER BY user_id
+    """,
+    "entropy_user_events": """
+      WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+      ), s AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(FLOOR(CAST(c AS DOUBLE)
+                     * log2(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT))
+                    AS BIGINT) AS t
+        FROM c GROUP BY user_id
+      )
+      SELECT user_id, n,
+             CAST(FLOOR((log2(CAST(n AS DOUBLE))
+                   - (CAST(t AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE))
+                   * 1048576.0) AS BIGINT) AS entropy_ub
+      FROM s ORDER BY user_id
+    """,
+    "ols_value_by_type": """
+      SELECT event_type, n,
+             CAST(FLOOR(
+               (nf * sxy - sx * sy) / (nf * sxx - sx * sx) * 1e6
+             ) AS BIGINT) AS slope_ppm,
+             CAST(FLOOR(
+               (sy - ((nf * sxy - sx * sy) / (nf * sxx - sx * sx)) * sx)
+               / nf * 1e6
+             ) AS BIGINT) AS intercept_ppm,
+             CAST(FLOOR(
+               ((nf * sxy - sx * sy) * (nf * sxy - sx * sy))
+               / ((nf * sxx - sx * sx) * (nf * syy - sy * sy)) * 1e6
+             ) AS BIGINT) AS r2_ppm
+      FROM (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE) AS nf,
+               CAST(sum(hour) AS DOUBLE) AS sx,
+               CAST(sum(hour * hour) AS DOUBLE) AS sxx,
+               CAST(sum(cents) AS DOUBLE) AS sy,
+               CAST(sum(cents * cents) AS DOUBLE) AS syy,
+               CAST(sum(hour * cents) AS DOUBLE) AS sxy
+        FROM (
+          SELECT event_type,
+                 CAST(hour(ts) AS BIGINT) AS hour,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        GROUP BY event_type
+      )
+      ORDER BY event_type
     """,
     "corr_value_hour": """
       SELECT event_type, n,

@@ -1051,3 +1051,115 @@ def test_percent_rank_and_cume_dist_match_sql_formulas():
     want_cd = (rank_max / cnt).to_numpy()
     assert np.array_equal(out["pr"].to_numpy(), want_pr)
     assert np.array_equal(out["cd"].to_numpy(), want_cd)
+
+
+def test_grouped_mode_exact_with_min_value_tiebreak():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouped_mode,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, n).astype(np.int64),
+            "v": rng.choice(list("abcde"), n),
+        }
+    )
+    # forced tie: key 999 has 'b' and 'a' twice each -> mode must be 'a'
+    tie = pd.DataFrame({"k": [999] * 4, "v": ["b", "a", "b", "a"]})
+    df = pd.concat([df, tie], ignore_index=True)
+    got = (
+        grouped_mode(
+            rd.from_pandas(df).repartition(6), key="k", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    counts = df.groupby(["k", "v"]).size().reset_index(name="n")
+    counts = counts.sort_values(
+        ["k", "n", "v"], ascending=[True, False, True], kind="mergesort"
+    )
+    want = counts.drop_duplicates("k").sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["mode_value"].tolist() == want["v"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got.loc[got["k"] == 999, "mode_value"].iloc[0] == "a"
+
+
+def test_grouped_entropy_matches_direct_quantized_formula():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouped_entropy,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n).astype(np.int64),
+            "v": rng.choice(list("abcdefgh"), n, p=[0.4, 0.2, 0.1, 0.1, 0.08, 0.06, 0.04, 0.02]),
+        }
+    )
+    # single-value key: entropy must be exactly 0 microbits
+    df = pd.concat(
+        [df, pd.DataFrame({"k": [777] * 5, "v": ["z"] * 5})], ignore_index=True
+    )
+    got = (
+        grouped_entropy(
+            rd.from_pandas(df).repartition(5), key="k", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    def direct(sub):
+        c = sub.groupby("v").size().to_numpy().astype(np.float64)
+        t = np.floor(c * np.log2(c) * 1048576.0).astype(np.int64).sum()
+        nn = float(c.sum())
+        return int(np.floor((np.log2(nn) - (float(t) / 1048576.0) / nn) * 1048576.0))
+
+    want = (
+        df.groupby("k")
+        .apply(direct, include_groups=False)
+        .sort_index()
+    )
+    assert got["entropy_ub"].tolist() == want.tolist()
+    assert got.loc[got["k"] == 777, "entropy_ub"].iloc[0] == 0
+    # uniform 2-value check: H = 1 bit exactly
+    two = pd.DataFrame({"k": [1] * 8, "v": ["x"] * 4 + ["y"] * 4})
+    g2 = (
+        grouped_entropy(rd.from_pandas(two), key="k", value_col="v")
+        .to_pandas()
+    )
+    assert g2["entropy_ub"].iloc[0] == 1048576
+
+
+def test_ols_from_moments_matches_numpy_lstsq():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouped_moments,
+        ols_from_moments,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    x = rng.integers(0, 24, n).astype(np.int64)
+    g = rng.integers(0, 3, n).astype(np.int64)
+    noise = rng.integers(-50, 50, n)
+    y = (7 * x + 100 * g + noise).astype(np.int64)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    m = grouped_moments(
+        rd.from_pandas(df).repartition(4), group_col="g", x_col="x", y_col="y"
+    )
+    o = ols_from_moments(m).sort_values("g").reset_index(drop=True)
+    for gi in range(3):
+        sub = df[df["g"] == gi]
+        slope, intercept = np.polyfit(
+            sub["x"].to_numpy(float), sub["y"].to_numpy(float), 1
+        )
+        r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        row = o[o["g"] == gi].iloc[0]
+        assert abs(row["slope"] - slope) < 1e-8
+        assert abs(row["intercept"] - intercept) < 1e-6
+        assert abs(row["r2"] - r * r) < 1e-10
