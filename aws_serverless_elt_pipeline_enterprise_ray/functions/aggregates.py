@@ -762,6 +762,93 @@ def grouped_entropy(
     return sums.map_batches(finish, batch_format="pandas")
 
 
+def cooccurrence(
+    ds: rd.Dataset,
+    *,
+    basket_col: str,
+    item_col: str,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair
+    (a < b), the number of baskets containing both, plus per-item
+    basket counts and the total basket count — enough to derive
+    support / confidence / lift exactly. The association-mining step
+    behind "documents tagged X are usually also tagged Y" corpus
+    curation.
+
+    Scale shape: rows locally dedup per batch, then ONE basket-bucketed
+    shuffle co-locates each basket; every bucket dedups globally (all
+    rows of a basket share its bucket), emits its pairs with one
+    vectorized self-merge, and pre-counts pairs/items/baskets into a
+    tagged partial frame; one tiny groupby-sum finishes. The exchange
+    carries distinct (basket, item) rows; the pair table is
+    O(items²)-bounded — driver-sized for bounded vocabularies (use a
+    per-basket item cap upstream for unbounded ones)."""
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[basket_col, item_col]].drop_duplicates()
+        b = b.copy()
+        b["_ab"] = _key_buckets(b[basket_col], num_buckets)
+        return b
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_ab").drop_duplicates()
+        ga = g.rename(columns={item_col: "a"})
+        gb = g.rename(columns={item_col: "b"})
+        m = ga.merge(gb, on=basket_col)
+        m = m[m["a"] < m["b"]]
+        pair = (
+            m.groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .assign(kind="pair")
+        )
+        item = (
+            g.groupby(item_col, sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={item_col: "a"})
+            .assign(b="", kind="item")
+        )
+        total = pd.DataFrame(
+            {
+                "a": [""],
+                "b": [""],
+                "n": [g[basket_col].nunique()],
+                "kind": ["total"],
+            }
+        )
+        return pd.concat(
+            [pair[["kind", "a", "b", "n"]], item[["kind", "a", "b", "n"]],
+             total[["kind", "a", "b", "n"]]],
+            ignore_index=True,
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_ab")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["kind", "a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    partials["n"] = partials["n"].astype("int64")
+    pairs = partials[partials["kind"] == "pair"][["a", "b", "n"]].rename(
+        columns={"a": "item_a", "b": "item_b", "n": "n_ab"}
+    )
+    items = partials[partials["kind"] == "item"][["a", "n"]]
+    n_baskets = int(partials.loc[partials["kind"] == "total", "n"].iloc[0])
+    out = pairs.merge(
+        items.rename(columns={"a": "item_a", "n": "n_a"}), on="item_a"
+    ).merge(items.rename(columns={"a": "item_b", "n": "n_b"}), on="item_b")
+    out["n_baskets"] = np.int64(n_baskets)
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
 def ols_from_moments(m: pd.DataFrame) -> pd.DataFrame:
     """Per-group simple linear regression (y on x) from a
     ``grouped_moments(..., y_col=...)`` frame: slope, intercept, and

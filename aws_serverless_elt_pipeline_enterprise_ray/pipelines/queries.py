@@ -2645,6 +2645,26 @@ def q_entropy_user_events(sf_dir: str):
     return df[["user_id", "n", "entropy_ub"]]
 
 
+def q_cooccur_event_types(sf_dir: str):
+    """Market-basket co-occurrence of event types within a user: pair
+    counts, item supports, and ppm-floored lift — all from exact int64
+    counts; one basket-bucketed shuffle of locally-deduped rows, pairs
+    emitted with a vectorized self-merge per bucket."""
+    from ..functions.aggregates import cooccurrence
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = cooccurrence(ev, basket_col="user_id", item_col="event_type")
+    nab = out["n_ab"].to_numpy(dtype=np.float64)
+    na = out["n_a"].to_numpy(dtype=np.float64)
+    nb = out["n_b"].to_numpy(dtype=np.float64)
+    tot = out["n_baskets"].to_numpy(dtype=np.float64)
+    out["lift_ppm"] = np.floor((nab * tot) / (na * nb) * 1e6).astype("int64")
+    return out[["item_a", "item_b", "n_ab", "n_a", "n_b", "lift_ppm"]]
+
+
 def q_ols_value_by_type(sf_dir: str):
     """Per-event-type OLS of value (cents) on hour-of-day from exact
     int64 moment partials: slope / intercept / R² are straight-line
@@ -3087,6 +3107,7 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "entropy_user_events": q_entropy_user_events,
     "ols_value_by_type": q_ols_value_by_type,
+    "cooccur_event_types": q_cooccur_event_types,
     "set_intersect_pairs": q_set_intersect_pairs,
     "set_except_pairs": q_set_except_pairs,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3639,6 +3660,25 @@ ORACLES = {
                    - (CAST(t AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE))
                    * 1048576.0) AS BIGINT) AS entropy_ub
       FROM s ORDER BY user_id
+    """,
+    "cooccur_event_types": """
+      WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+           s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM d GROUP BY event_type),
+           p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                        CAST(count(*) AS BIGINT) AS n_ab
+                 FROM d a JOIN d b
+                   ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2),
+           t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nb FROM d)
+      SELECT item_a, item_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+             CAST(FLOOR(
+               (CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE))
+               / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) * 1e6
+             ) AS BIGINT) AS lift_ppm
+      FROM p JOIN s sa ON item_a = sa.event_type
+             JOIN s sb ON item_b = sb.event_type, t
+      ORDER BY item_a, item_b
     """,
     "ols_value_by_type": """
       SELECT event_type, n,

@@ -1163,3 +1163,38 @@ def test_ols_from_moments_matches_numpy_lstsq():
         assert abs(row["slope"] - slope) < 1e-8
         assert abs(row["intercept"] - intercept) < 1e-6
         assert abs(row["r2"] - r * r) < 1e-10
+
+
+def test_cooccurrence_counts_match_python_sets():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        cooccurrence,
+    )
+    from itertools import combinations
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "basket": rng.integers(0, 80, n).astype(np.int64),
+            "item": rng.choice(list("pqrst"), n),
+        }
+    )
+    got = cooccurrence(
+        rd.from_pandas(df).repartition(5), basket_col="basket", item_col="item"
+    )
+    baskets = df.groupby("basket")["item"].agg(lambda s: frozenset(s))
+    from collections import Counter
+
+    pair_n = Counter()
+    item_n = Counter()
+    for items in baskets:
+        for it in items:
+            item_n[it] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] += 1
+    assert int(got["n_baskets"].iloc[0]) == len(baskets)
+    for _, r in got.iterrows():
+        assert pair_n[(r["item_a"], r["item_b"])] == r["n_ab"]
+        assert item_n[r["item_a"]] == r["n_a"]
+        assert item_n[r["item_b"]] == r["n_b"]
+    assert len(got) == len(pair_n)
