@@ -762,6 +762,46 @@ def grouped_entropy(
     return sums.map_batches(finish, batch_format="pandas")
 
 
+def zscore_outliers(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    z: float = 3.0,
+) -> rd.Dataset:
+    """Per-group z-score outlier filter: keep rows whose integer
+    measure deviates more than ``z`` standard deviations from their
+    group's mean — the statistical quality gate for anomalous lengths,
+    prices, or scores.
+
+    Two passes, corpus never shuffles: ``grouped_moments`` computes
+    exact int64 (n, Σx, Σx²) per group (tiny exchange of partials),
+    then a broadcast map-side filter evaluates
+    ``(x − μ)² > z²·max(σ², 0)`` with μ = Σx/n and σ² = Σx²/n − μ²
+    — one fixed straight-line double tree over exact integers, so a
+    SQL mirror computing the same expressions matches row-for-row
+    (constant groups clamp σ² at 0 and flag nothing). Group stats are
+    driver-sized (one row per group) and ship once per task."""
+    m = grouped_moments(ds, group_col=group_col, x_col=value_col)
+    nf = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sum_x"].to_numpy(dtype=np.float64)
+    sxx = m["sum_xx"].to_numpy(dtype=np.float64)
+    mean = sx / nf
+    var = np.maximum(sxx / nf - mean * mean, 0.0)
+    mean_map = dict(zip(m[group_col], mean))
+    var_map = dict(zip(m[group_col], var))
+    zz = float(z) * float(z)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        mu = b[group_col].map(mean_map).to_numpy(dtype=np.float64)
+        v = b[group_col].map(var_map).to_numpy(dtype=np.float64)
+        x = b[value_col].to_numpy(dtype=np.float64)
+        d = x - mu
+        return b[d * d > zz * v]
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def cooccurrence(
     ds: rd.Dataset,
     *,

@@ -2645,6 +2645,38 @@ def q_entropy_user_events(sf_dir: str):
     return df[["user_id", "n", "entropy_ub"]]
 
 
+def q_outliers_value_by_type(sf_dir: str):
+    """Per-type 3σ outlier rows: exact int64 moments (tiny partial
+    exchange), then a broadcast map-side filter with one fixed double
+    expression tree — the corpus streams, never shuffles, and the SQL
+    mirror matches row-for-row."""
+    from ..functions.aggregates import zscore_outliers
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_cents": c,
+            }
+        )
+
+    prepped = ev.map_batches(cents, batch_format="pyarrow")
+    out = zscore_outliers(
+        prepped, group_col="event_type", value_col="value_cents", z=3.0
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "value_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "event_type", "value_cents"]]
+
+
 def q_cooccur_event_types(sf_dir: str):
     """Market-basket co-occurrence of event types within a user: pair
     counts, item supports, and ppm-floored lift — all from exact int64
@@ -3108,6 +3140,7 @@ QUERIES = {
     "entropy_user_events": q_entropy_user_events,
     "ols_value_by_type": q_ols_value_by_type,
     "cooccur_event_types": q_cooccur_event_types,
+    "outliers_value_by_type": q_outliers_value_by_type,
     "set_intersect_pairs": q_set_intersect_pairs,
     "set_except_pairs": q_set_except_pairs,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3660,6 +3693,25 @@ ORACLES = {
                    - (CAST(t AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE))
                    * 1048576.0) AS BIGINT) AS entropy_ub
       FROM s ORDER BY user_id
+    """,
+    "outliers_value_by_type": """
+      WITH p AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+        FROM events
+      ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS nf,
+               CAST(sum(value_cents) AS DOUBLE) AS sx,
+               CAST(sum(value_cents * value_cents) AS DOUBLE) AS sxx
+        FROM p GROUP BY event_type
+      )
+      SELECT event_id, event_type, value_cents
+      FROM p JOIN m USING (event_type)
+      WHERE (CAST(value_cents AS DOUBLE) - sx / nf)
+            * (CAST(value_cents AS DOUBLE) - sx / nf)
+            > 9.0 * GREATEST(sxx / nf - (sx / nf) * (sx / nf), 0.0)
+      ORDER BY event_id
     """,
     "cooccur_event_types": """
       WITH d AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -1198,3 +1198,35 @@ def test_cooccurrence_counts_match_python_sets():
         assert item_n[r["item_a"]] == r["n_a"]
         assert item_n[r["item_b"]] == r["n_b"]
     assert len(got) == len(pair_n)
+
+
+def test_zscore_outliers_matches_numpy_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        zscore_outliers,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    g = rng.integers(0, 4, n).astype(np.int64)
+    x = rng.normal(100 * g, 10, n).astype(np.int64)
+    # a constant group must flag nothing (sigma clamps to 0)
+    g = np.concatenate([g, np.full(20, 9, np.int64)])
+    x = np.concatenate([x, np.full(20, 42, np.int64)])
+    df = pd.DataFrame({"id": np.arange(len(g)), "g": g, "x": x})
+    got = (
+        zscore_outliers(
+            rd.from_pandas(df).repartition(4), group_col="g", value_col="x", z=2.0
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    stats = df.groupby("g")["x"].agg(["count", "sum", lambda s: (s * s).sum()])
+    stats.columns = ["n", "sx", "sxx"]
+    mu = stats["sx"] / stats["n"]
+    var = np.maximum(stats["sxx"] / stats["n"] - mu * mu, 0.0)
+    d = df["x"] - df["g"].map(mu)
+    want = df[(d * d) > 4.0 * df["g"].map(var)]
+    assert got["id"].tolist() == want["id"].tolist()
+    assert (got["g"] != 9).all()
+    assert len(got) > 0
