@@ -910,3 +910,103 @@ class JsonFieldExtractor:
         for col, path in self.paths.items():
             out[col] = [self._resolve(o, path) for o in parsed]
         return out
+
+
+def bm25_scores(
+    ds,
+    *,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranked retrieval (Robertson/Sparck Jones, the Okapi
+    formula with the +1 idf floor) for a FIXED query over the corpus —
+    the classic lexical ranking to pair with the ANN cosine retrieval.
+
+    Two streaming passes, the corpus never shuffles:
+      1. stats — per-batch tagged partials (doc count, Σdl, per-term
+         document frequencies) and one tiny groupby-sum;
+      2. score — idf/avgdl broadcast as plain floats; per-batch
+         vectorized token counts (explode → C-level unstack) and ONE
+         fixed left-associative expression per query term, so a SQL
+         mirror evaluating the same tree hash-matches after microbit
+         flooring. Docs matching no query term drop out (their score
+         is exactly 0.0).
+
+    Tokenization matches ``term_frequencies`` ([a-z0-9]+ on lower).
+    Returns (id, dl, score_ub) with score_ub = floor(score · 2^20).
+    """
+    from ray.data.aggregate import Sum
+
+    terms = list(query_terms)
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        dl = toks.str.len().astype("int64")
+        ex = toks.explode().dropna()
+        u = pd.DataFrame({"d": ex.index, "t": ex.to_numpy()}).drop_duplicates()
+        vc = u["t"].value_counts()
+        rows = [("_ndocs", len(batch)), ("_sumdl", int(dl.sum()))]
+        rows += [(f"df:{t}", int(vc.get(t, 0))) for t in terms]
+        return pd.DataFrame(rows, columns=["k", "n"])
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sm = dict(zip(stats["k"], stats["n"].astype(np.int64)))
+    nf = float(sm["_ndocs"])
+    avgdl = float(sm["_sumdl"]) / nf
+    k1 = float(k1)
+    b = float(b)
+    idf = {
+        t: float(
+            np.log((nf - float(sm.get(f"df:{t}", 0)) + 0.5)
+                   / (float(sm.get(f"df:{t}", 0)) + 0.5) + 1.0)
+        )
+        for t in terms
+    }
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch.set_index(id_col)[text_col]
+            .fillna("")
+            .str.lower()
+            .str.findall(r"[a-z0-9]+")
+        )
+        n = len(batch)
+        dl = toks.str.len().to_numpy(dtype=np.float64)
+        ex = toks.explode().dropna()
+        ex = ex[ex.isin(terms)]
+        tfm = (
+            pd.DataFrame({"d": ex.index, "t": ex.to_numpy()})
+            .groupby(["d", "t"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            if len(ex)
+            else pd.DataFrame()
+        )
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(n, dtype=np.float64)
+        for t in terms:  # fixed left-associative order, mirrored in SQL
+            if t in getattr(tfm, "columns", ()):
+                tf = tfm[t].reindex(toks.index, fill_value=0).to_numpy(
+                    dtype=np.float64
+                )
+            else:
+                tf = np.zeros(n, dtype=np.float64)
+            s = s + idf[t] * (tf * (k1 + 1.0)) / (tf + denom_norm)
+        out = pd.DataFrame(
+            {
+                id_col: toks.index.to_numpy(),
+                "dl": dl.astype(np.int64),
+                "score_ub": np.floor(s * 1048576.0).astype(np.int64),
+            }
+        )
+        return out[out["score_ub"] > 0]
+
+    return ds.map_batches(score, batch_format="pandas")

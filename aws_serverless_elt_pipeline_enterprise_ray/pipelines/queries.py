@@ -1520,6 +1520,24 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_bm25_rank(sf_dir: str):
+    """Okapi BM25 over a fixed 3-term query: stats pass (doc count,
+    Σdl, per-term df as tagged partials), then a broadcast map-side
+    scoring pass with one fixed left-associative expression tree per
+    term — microbit-floored so the SQL mirror hash-matches despite
+    ln()."""
+    from ..functions.text import bm25_scores
+
+    out = bm25_scores(
+        _documents(sf_dir, ["doc_id", "text"]),
+        query_terms=["hash", "join", "vector"],
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "dl", "score_ub"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "dl", "score_ub"]]
+
+
 def q_tfidf_keywords(sf_dir: str):
     """TF-IDF keyword extraction: top-5 terms per document by integer
     tf/df score (df via one term shuffle, then broadcast to a per-batch
@@ -3089,6 +3107,7 @@ QUERIES = {
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
     "tfidf_keywords": q_tfidf_keywords,
+    "bm25_rank": q_bm25_rank,
     "training_examples": q_training_examples,
     "assign_split": q_assign_split,
     "pack_sequences": q_pack_sequences,
@@ -3925,6 +3944,47 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    "bm25_rank": """
+      WITH base AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+        FROM documents
+      ), d AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2,
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf3
+        FROM base
+      ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nf,
+               CAST(sum(dl) AS DOUBLE) AS sdl,
+               CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+               CAST(count(*) FILTER (tf2 > 0) AS DOUBLE) AS df2,
+               CAST(count(*) FILTER (tf3 > 0) AS DOUBLE) AS df3
+        FROM d
+      )
+      SELECT doc_id, dl, score_ub FROM (
+        SELECT doc_id, dl,
+               CAST(FLOOR((
+                   ln((nf - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                     * (tf1 * (1.2 + 1.0))
+                     / (tf1 + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(dl AS DOUBLE) / (sdl / nf)))
+                 + ln((nf - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                     * (tf2 * (1.2 + 1.0))
+                     / (tf2 + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(dl AS DOUBLE) / (sdl / nf)))
+                 + ln((nf - df3 + 0.5) / (df3 + 0.5) + 1.0)
+                     * (tf3 * (1.2 + 1.0))
+                     / (tf3 + 1.2 * (1.0 - 0.75
+                          + 0.75 * CAST(dl AS DOUBLE) / (sdl / nf)))
+               ) * 1048576.0) AS BIGINT) AS score_ub
+        FROM d, s
+      )
+      WHERE score_ub > 0
+      ORDER BY doc_id
     """,
     "tfidf_keywords": """
       WITH toks AS (

@@ -1565,3 +1565,51 @@ def test_json_field_extractor_nested_and_malformed():
     assert out["k"].tolist() == [7, "s", None, None, None]
     assert out["city"].tolist() == ["ulm", None, None, None, None]
     assert out["bad"].isna().all()  # path through a scalar resolves to None
+
+
+def test_bm25_matches_single_process_reference():
+    import math
+    import re
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        bm25_scores,
+    )
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "a hash join beats a nested loop join on big tables",
+        "vector search with a hash index",
+        "nothing relevant here at all",
+        "join join join",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    terms = ["hash", "join", "vector"]
+    got = (
+        bm25_scores(
+            rd.from_pandas(df).repartition(3), query_terms=terms
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    tok = [re.findall(r"[a-z0-9]+", d.lower()) for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in tok) / N
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, t in enumerate(tok):
+        s = 0.0
+        for term in terms:
+            dfc = sum(1 for tt in tok if term in tt)
+            idf = math.log((N - dfc + 0.5) / (dfc + 0.5) + 1.0)
+            tf = float(t.count(term))
+            s = s + idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(t) / avgdl))
+        if math.floor(s * 1048576.0) > 0:
+            want[i] = (len(t), math.floor(s * 1048576.0))
+    assert dict(zip(got["doc_id"], zip(got["dl"], got["score_ub"]))) == want
+    # doc 4 (pure 'join' spam) must outrank doc 1 on the join-heavy query
+    s4 = got.loc[got["doc_id"] == 4, "score_ub"]
+    assert len(s4) == 1 and int(s4.iloc[0]) > 0
