@@ -1520,6 +1520,24 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """All customer-name pairs within Levenshtein distance 1 via
+    deletion-neighborhood blocking (SymSpell): variant hashes bucket
+    the candidates (complete for ed≤1 by construction), one shuffle,
+    vectorized matrix verification — never an all-pairs scan."""
+    from ..functions.fuzzy import fuzzy_pairs_ed1
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    out = fuzzy_pairs_ed1(cust, id_col="c_custkey", text_col="c_name")
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    for c in ("id_a", "id_b", "dist"):
+        df[c] = df[c].astype("int64")
+    return df[["id_a", "id_b", "dist"]]
+
+
 def q_bm25_rank(sf_dir: str):
     """Okapi BM25 over a fixed 3-term query: stats pass (doc count,
     Σdl, per-term df as tagged partials), then a broadcast map-side
@@ -3108,6 +3126,7 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_rank": q_bm25_rank,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "training_examples": q_training_examples,
     "assign_split": q_assign_split,
     "pack_sequences": q_pack_sequences,
@@ -3944,6 +3963,13 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    "fuzzy_name_pairs": """
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b
     """,
     "bm25_rank": """
       WITH base AS (

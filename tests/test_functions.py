@@ -1613,3 +1613,55 @@ def test_bm25_matches_single_process_reference():
     # doc 4 (pure 'join' spam) must outrank doc 1 on the join-heavy query
     s4 = got.loc[got["doc_id"] == 4, "score_ub"]
     assert len(s4) == 1 and int(s4.iloc[0]) > 0
+
+
+def test_fuzzy_pairs_ed1_matches_bruteforce_levenshtein():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.fuzzy import (
+        fuzzy_pairs_ed1,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(37)
+    base = ["alpha", "beta", "gamma", "delta", "kappa", "om", ""]
+    strs = []
+    for i in range(160):
+        s = base[i % len(base)]
+        op = rng.integers(0, 4)
+        pos = int(rng.integers(0, max(len(s), 1)))
+        ch = chr(ord("a") + int(rng.integers(0, 6)))
+        if op == 1 and s:
+            s = s[:pos] + ch + s[pos + 1:]          # substitute
+        elif op == 2:
+            s = s[:pos] + ch + s[pos:]              # insert
+        elif op == 3 and s:
+            s = s[:pos] + s[pos + 1:]               # delete
+        strs.append(s)
+    df = pd.DataFrame({"id": np.arange(len(strs), dtype=np.int64),
+                       "text": strs})
+    got = (
+        fuzzy_pairs_ed1(
+            rd.from_pandas(df).repartition(4), id_col="id", text_col="text"
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = {}
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            d = lev(strs[i], strs[j])
+            if d <= 1:
+                want[(i, j)] = d
+    assert dict(zip(zip(got["id_a"], got["id_b"]), got["dist"])) == want
+    assert (got["dist"] == 0).any() and (got["dist"] == 1).any()
