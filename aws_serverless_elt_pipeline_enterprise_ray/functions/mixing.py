@@ -300,3 +300,59 @@ def sample_per_group(
         out_cols=out_cols or [id_col],
     )
     return out.drop(columns=["_nh"], errors="ignore")
+
+
+def weighted_sample(
+    ds: "rd.Dataset",
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    out_cols: list[str] | None = None,
+):
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis, IPL 2006): each row draws a reproducible uniform from
+    the shared Knuth hash of ``id + seed`` and ranks by
+    ``ln(u) / w`` descending — the top k form an exact weighted
+    sample (P(first pick = i) = w_i / Σw). The up-weight-the-long-docs
+    / importance-sampling primitive for corpus mixing.
+
+    Integer weights clamp to ≥ 1 both here and in the SQL mirror.
+    Scale shape: the rank key is map-side; each block pre-prunes to
+    its local top-k, so the final exact top-k sort sees ≤ k rows per
+    block, never the corpus. ``ln(u)/w`` is one correctly-rounded ln
+    plus one division of exact inputs — a cross-libm last-ulp
+    divergence could only flip membership at the k-th boundary between
+    two near-identical keys (measure-zero for hash-derived uniforms).
+    Returns a DataFrame (id, weight, key_q) with
+    key_q = floor(ln(u)/w · 2^30)."""
+    import pandas as pd
+
+    s = np.int64(seed)
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        h = knuth_hash32((ids.astype(np.int64) + s).astype(np.uint64))
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        w = np.maximum(b[weight_col].to_numpy(dtype=np.float64), 1.0)
+        b = b.copy()
+        b["_wk"] = np.log(u) / w
+        # local prune: only each block's top-k can reach the global top-k
+        b = b.sort_values(["_wk", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return b
+
+    cols = [id_col, weight_col] + [
+        c for c in (out_cols or []) if c not in (id_col, weight_col)
+    ]
+    out = (
+        ds.map_batches(add_key, batch_format="pandas")
+        .sort(["_wk", id_col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["key_q"] = np.floor(
+        out["_wk"].to_numpy(dtype=np.float64) * 1073741824.0
+    ).astype("int64")
+    return out[cols + ["key_q"]].reset_index(drop=True)

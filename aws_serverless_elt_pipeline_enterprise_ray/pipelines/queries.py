@@ -1520,6 +1520,35 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis) of 50 docs
+    by character length: hash-derived uniforms, ln(u)/w ranking,
+    per-block top-k prune before the result-sized exact sort."""
+    from ..functions.mixing import weighted_sample
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["text"].fillna("").str.len().astype("int64"),
+            }
+        )
+
+    out = weighted_sample(
+        docs.map_batches(prep, batch_format="pandas"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=50,
+        seed=7,
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_chars", "key_q"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "n_chars", "key_q"]]
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """All customer-name pairs within Levenshtein distance 1 via
     deletion-neighborhood blocking (SymSpell): variant hashes bucket
@@ -3127,6 +3156,7 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_rank": q_bm25_rank,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "training_examples": q_training_examples,
     "assign_split": q_assign_split,
     "pack_sequences": q_pack_sequences,
@@ -3963,6 +3993,26 @@ ORACLES = {
         FROM sims)
       SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank
+    """,
+    "weighted_sample_docs": """
+      SELECT doc_id, n_chars, key_q FROM (
+        SELECT doc_id, n_chars,
+               ln((CAST((CAST(doc_id + 7 AS HUGEINT) * 2654435761)
+                        % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0)
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS key,
+               CAST(FLOOR(
+                 ln((CAST((CAST(doc_id + 7 AS HUGEINT) * 2654435761)
+                          % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0)
+                 / GREATEST(CAST(n_chars AS DOUBLE), 1.0)
+                 * 1073741824.0) AS BIGINT) AS key_q
+        FROM (
+          SELECT doc_id,
+                 CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+          FROM documents
+        )
+        ORDER BY key DESC, doc_id LIMIT 50
+      )
+      ORDER BY doc_id
     """,
     "fuzzy_name_pairs": """
       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -1230,3 +1230,44 @@ def test_zscore_outliers_matches_numpy_reference():
     assert got["id"].tolist() == want["id"].tolist()
     assert (got["g"] != 9).all()
     assert len(got) > 0
+
+
+def test_weighted_sample_matches_reference_and_prefers_heavy_rows():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        knuth_hash32,
+        weighted_sample,
+    )
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    # two strata: heavy rows (w=200) vs light rows (w=2)
+    w = np.where(ids % 10 == 0, 200, 2).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "w": w})
+    got = weighted_sample(
+        rd.from_pandas(df).repartition(4),
+        id_col="id",
+        weight_col="w",
+        k=100,
+        seed=3,
+    )
+    # single-process reference: same hash, same key, same top-k
+    h = knuth_hash32((ids + 3).astype(np.uint64)).astype(np.float64)
+    u = (h + 0.5) / 4294967296.0
+    key = np.log(u) / np.maximum(w.astype(np.float64), 1.0)
+    order = np.lexsort((ids, -key))[:100]
+    want_ids = sorted(ids[order].tolist())
+    assert sorted(got["id"].tolist()) == want_ids
+    # heavy rows are 10% of the corpus but carry ~91% of the mass:
+    # they must dominate the sample
+    heavy = (got["id"] % 10 == 0).sum()
+    assert heavy > 60
+    # determinism + seed sensitivity
+    again = weighted_sample(
+        rd.from_pandas(df).repartition(7), id_col="id", weight_col="w",
+        k=100, seed=3,
+    )
+    assert got["id"].tolist() == again["id"].tolist()
+    other = weighted_sample(
+        rd.from_pandas(df), id_col="id", weight_col="w", k=100, seed=4
+    )
+    assert got["id"].tolist() != other["id"].tolist()
