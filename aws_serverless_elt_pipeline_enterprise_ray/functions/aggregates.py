@@ -889,6 +889,58 @@ def cooccurrence(
     return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
 
 
+def mutual_information(
+    ds: rd.Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+) -> pd.DataFrame:
+    """Mutual information I(A;B) between two bounded-domain
+    categorical columns, in integer microbits — the dependence /
+    redundancy signal between labels (is `lang` just `domain` in
+    disguise?).
+
+    I = (1/N)·Σ_cells c·log2(c·N / (c_a·c_b)). Per-CELL terms are
+    floor-quantized to int64 microbit units before summing (float
+    log-sums are order-dependent; quantized terms sum exactly), so the
+    result is bitwise order-independent and a SQL mirror evaluating
+    the same tree hash-matches. Scale shape: per-batch (a, b) count
+    partials, ONE groupby-sum over distinct cells; marginals and the
+    finish touch only the O(|A|·|B|) cell table on the driver.
+    Returns one row: (n, t_sum, mi_ub)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([col_a, col_b], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([col_a, col_b])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    cells["c"] = cells["c"].astype("int64")
+    n = int(cells["c"].sum())
+    ca = cells.groupby(col_a)["c"].transform("sum").to_numpy(np.float64)
+    cb = cells.groupby(col_b)["c"].transform("sum").to_numpy(np.float64)
+    cf = cells["c"].to_numpy(dtype=np.float64)
+    nf = np.float64(n)
+    t = np.floor(
+        cf * np.log2((cf * nf) / (ca * cb)) * 1048576.0
+    ).astype(np.int64)
+    t_sum = int(t.sum())
+    mi_ub = int(
+        np.floor((np.float64(t_sum) / 1048576.0) / nf * 1048576.0)
+    )
+    return pd.DataFrame(
+        {"n": [np.int64(n)], "t_sum": [np.int64(t_sum)],
+         "mi_ub": [np.int64(mi_ub)]}
+    )
+
+
 def ols_from_moments(m: pd.DataFrame) -> pd.DataFrame:
     """Per-group simple linear regression (y on x) from a
     ``grouped_moments(..., y_col=...)`` frame: slope, intercept, and

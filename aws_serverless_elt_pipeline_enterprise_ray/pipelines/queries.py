@@ -2676,6 +2676,33 @@ def q_corr_value_hour(sf_dir: str):
     return m[["event_type", "n", "corr_ppm"]]
 
 
+def q_mi_type_hour(sf_dir: str):
+    """Mutual information between event_type and hour-of-day in
+    integer microbits: distinct-cell count exchange only, per-cell
+    quantized log terms summed exactly — order-independent and
+    SQL-mirrorable."""
+    from ..functions.aggregates import mutual_information
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    return mutual_information(
+        ev.map_batches(prep, batch_format="pandas"),
+        col_a="event_type",
+        col_b="hour",
+    )
+
+
 def q_mode_event_type(sf_dir: str):
     """Exact per-user MODE with deterministic min-value tiebreak: the
     exchange carries distinct (user, type) count partials, the finisher
@@ -3205,6 +3232,7 @@ QUERIES = {
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
     "mode_event_type": q_mode_event_type,
+    "mi_type_hour": q_mi_type_hour,
     "entropy_user_events": q_entropy_user_events,
     "ols_value_by_type": q_ols_value_by_type,
     "cooccur_event_types": q_cooccur_event_types,
@@ -3732,6 +3760,30 @@ ORACLES = {
              NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
       FROM events
       ORDER BY event_id
+    """,
+    "mi_type_hour": """
+      WITH cells AS (
+        SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY a, b
+      ), j AS (
+        SELECT c,
+               CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS ca,
+               CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS cb,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM cells
+      ), s AS (
+        SELECT max(n) AS n,
+               CAST(sum(CAST(FLOOR(CAST(c AS DOUBLE)
+                 * log2((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                 * 1048576.0) AS BIGINT)) AS BIGINT) AS t_sum
+        FROM j
+      )
+      SELECT n, t_sum,
+             CAST(FLOOR((CAST(t_sum AS DOUBLE) / 1048576.0)
+                  / CAST(n AS DOUBLE) * 1048576.0) AS BIGINT) AS mi_ub
+      FROM s
     """,
     "mode_event_type": """
       SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n

@@ -1271,3 +1271,42 @@ def test_weighted_sample_matches_reference_and_prefers_heavy_rows():
         rd.from_pandas(df), id_col="id", weight_col="w", k=100, seed=4
     )
     assert got["id"].tolist() != other["id"].tolist()
+
+
+def test_mutual_information_independent_vs_dependent():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        mutual_information,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    a = rng.integers(0, 4, n).astype(np.int64)
+    # dependent: b mirrors a with a bit of noise
+    b_dep = np.where(rng.random(n) < 0.9, a, rng.integers(0, 4, n))
+    # independent draw
+    b_ind = rng.integers(0, 4, n).astype(np.int64)
+    mi_dep = mutual_information(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": b_dep})).repartition(4),
+        col_a="a", col_b="b",
+    )
+    mi_ind = mutual_information(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": b_ind})).repartition(4),
+        col_a="a", col_b="b",
+    )
+    assert int(mi_dep["n"].iloc[0]) == n and int(mi_ind["n"].iloc[0]) == n
+    # dependent MI must be large (> 1 bit here), independent near 0
+    assert int(mi_dep["mi_ub"].iloc[0]) > 1048576
+    assert abs(int(mi_ind["mi_ub"].iloc[0])) < 1048576 // 50
+    # identical copy: MI == H(A); compare against the direct formula
+    mi_copy = mutual_information(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": a})), col_a="a", col_b="b"
+    )
+    counts = pd.Series(a).value_counts().to_numpy(np.float64)
+    h = -(counts / n * np.log2(counts / n)).sum()
+    assert abs(int(mi_copy["mi_ub"].iloc[0]) / 1048576.0 - h) < 1e-4
+    # layout invariance: different partitioning, identical result
+    again = mutual_information(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": b_dep})).repartition(9),
+        col_a="a", col_b="b",
+    )
+    assert int(again["t_sum"].iloc[0]) == int(mi_dep["t_sum"].iloc[0])
