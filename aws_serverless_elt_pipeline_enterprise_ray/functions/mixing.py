@@ -356,3 +356,57 @@ def weighted_sample(
         out["_wk"].to_numpy(dtype=np.float64) * 1073741824.0
     ).astype("int64")
     return out[cols + ["key_q"]].reset_index(drop=True)
+
+
+def negative_samples(
+    ds: "rd.Dataset",
+    *,
+    id_col: str,
+    m: int,
+    seed: int = 0,
+):
+    """Deterministic contrastive negative sampling: each anchor row
+    draws ``m`` pseudo-random corpus ids via the shared Knuth hash of
+    ``id·m + j + seed`` mapped onto the rank-ordered id list — the
+    (anchor, negative) pair generator for contrastive / triplet
+    training data. Same-seed runs are bitwise identical; the SQL
+    mirror is the identical hash joined to ``row_number() − 1`` ranks.
+
+    Scale shape: the sorted id array is collected once (8 bytes/id —
+    fine to ~10^8 ids; beyond that swap the rank lookup for a
+    hash-bucketed rank join) and broadcast via ``ray.put``, read once
+    per actor; sampling is a vectorized repeat + gather per batch. A
+    negative can collide with its own anchor with probability 1/N —
+    standard practice is to keep it (loss masks it) rather than
+    re-draw, which would break the fixed hash↔rank SQL mirror.
+    Returns a Dataset (id, j, neg_id) with m rows per anchor."""
+    import pandas as pd
+    import ray
+
+    ids_sorted = np.sort(
+        ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
+    )
+    n = len(ids_sorted)
+    ids_ref = ray.put(ids_sorted)
+    mm = np.int64(m)
+    s = np.int64(seed)
+
+    class Draw:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            anchors = b[id_col].to_numpy()
+            rep = np.repeat(anchors, m)
+            j = np.tile(np.arange(m, dtype=np.int64), len(anchors))
+            h = knuth_hash32(
+                (rep.astype(np.int64) * mm + j + s).astype(np.uint64)
+            )
+            r = (h % np.uint64(n)).astype(np.int64)
+            return pd.DataFrame(
+                {id_col: rep, "j": j, "neg_id": self.ids[r]}
+            )
+
+    return ds.map_batches(
+        Draw, batch_format="pandas", concurrency=(1, 8), num_cpus=1
+    )

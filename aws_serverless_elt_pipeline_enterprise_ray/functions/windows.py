@@ -330,6 +330,54 @@ def cumulate_in_group(
     )
 
 
+def ewma_in_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key exponentially-weighted moving average in event order —
+    the streaming recursion y_t = (1−α)·y_{t−1} + α·x_t (pandas
+    ``ewm(adjust=False)``), the smoothing/trend primitive for per-user
+    rates and drift monitors.
+
+    Same one-bucketed-shuffle shape as the other window kernels; the
+    recursion runs as ONE grouped-Cython ``groupby(...).ewm(...)``
+    pass per bucket (pandas GroupbyIndexer — per-group boundaries over
+    a single concatenated array, no per-key Python). Adds
+    ``ewma_<col>``. Float output ⇒ verified against a single-process
+    reference in pytest rather than a SQL oracle (the recursion has no
+    order-independent SQL form)."""
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_eb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def ewma_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort").drop(
+            columns="_eb"
+        )
+        g[f"ewma_{value_col}"] = (
+            g.groupby(key, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_eb")
+        .map_groups(ewma_bucket, batch_format="pandas")
+    )
+
+
 def lag_lead(
     ds: rd.Dataset,
     *,

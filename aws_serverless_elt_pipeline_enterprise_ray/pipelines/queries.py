@@ -2082,6 +2082,56 @@ def q_cumsum_user_value(sf_dir: str):
     return df[["event_id", "user_id", "cum_n", "cum_value_cents"]]
 
 
+def q_ewma_user_value(sf_dir: str):
+    """Per-user EWMA of value cents under the (ts, event_id) total
+    order (alpha=0.25, adjust=False streaming recursion): one bucketed
+    shuffle, one grouped-Cython ewm pass per bucket. Rows-only — the
+    recursion has no order-independent SQL form; pytest pins parity
+    with a single-process reference."""
+    from ..functions.windows import ewma_in_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "value_cents": c,
+            }
+        )
+
+    out = ewma_in_group(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="value_cents",
+        alpha=0.25,
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df[["event_id", "user_id", "value_cents", "ewma_value_cents"]]
+
+
+def q_negative_samples_docs(sf_dir: str):
+    """Contrastive negative sampling: 3 deterministic hash-drawn
+    corpus negatives per anchor doc — broadcast rank array, vectorized
+    repeat + gather per batch; SQL mirror = identical hash joined to
+    row_number() ranks."""
+    from ..functions.mixing import negative_samples
+
+    docs = _documents(sf_dir, ["doc_id"])
+    out = negative_samples(docs, id_col="doc_id", m=3, seed=11)
+    df = out.to_pandas().sort_values(["doc_id", "j"]).reset_index(drop=True)
+    for c in ("doc_id", "j", "neg_id"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "j", "neg_id"]]
+
+
 def q_percent_rank_events(sf_dir: str):
     """PERCENT_RANK / CUME_DIST per event_type over value cents: the
     rank kernel's one-shuffle shape; both outputs are straight-line
@@ -3210,6 +3260,8 @@ QUERIES = {
     "rank_events_per_user": q_rank_events_per_user,
     "cumsum_user_value": q_cumsum_user_value,
     "percent_rank_events": q_percent_rank_events,
+    "ewma_user_value": q_ewma_user_value,
+    "negative_samples_docs": q_negative_samples_docs,
     "pca_embeddings": q_pca_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
     "model_score": q_model_score,
@@ -4430,6 +4482,22 @@ ORACLES = {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY event_id
+    """,
+    "negative_samples_docs": """
+      WITH ids AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+        FROM documents
+      ), n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+      a AS (
+        SELECT doc_id, j
+        FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+      )
+      SELECT a.doc_id, CAST(a.j AS BIGINT) AS j, i.doc_id AS neg_id
+      FROM a, n
+      JOIN ids i
+        ON i.r = CAST(((CAST(a.doc_id AS HUGEINT) * 3 + a.j + 11)
+                       * 2654435761) % 4294967296 AS BIGINT) % n.c
+      ORDER BY a.doc_id, j
     """,
     "percent_rank_events": """
       SELECT event_id, event_type,

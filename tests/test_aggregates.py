@@ -1310,3 +1310,76 @@ def test_mutual_information_independent_vs_dependent():
         col_a="a", col_b="b",
     )
     assert int(again["t_sum"].iloc[0]) == int(mi_dep["t_sum"].iloc[0])
+
+
+def test_ewma_in_group_matches_pandas_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        ewma_in_group,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 30, n).astype(np.int64),
+            "o": rng.integers(0, 400, n).astype(np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    got = (
+        ewma_in_group(
+            rd.from_pandas(df).repartition(5),
+            key="k",
+            order_cols=["o", "id"],
+            value_col="v",
+            alpha=0.25,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "id"], kind="stable")
+    ref = ref.assign(
+        want=ref.groupby("k", sort=False)["v"]
+        .ewm(alpha=0.25, adjust=False)
+        .mean()
+        .reset_index(level=0, drop=True)
+    ).sort_values("id")
+    assert np.allclose(
+        got["ewma_v"].to_numpy(), ref["want"].to_numpy(), rtol=0, atol=0
+    )
+
+
+def test_negative_samples_deterministic_and_in_corpus():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        knuth_hash32,
+        negative_samples,
+    )
+
+    ids = np.array([3, 7, 11, 20, 21, 35, 50], dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    got = (
+        negative_samples(
+            rd.from_pandas(df).repartition(3), id_col="doc_id", m=4, seed=5
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ids) * 4
+    assert set(got["neg_id"]) <= set(ids)
+    # exact reference: hash -> rank -> sorted id
+    srt = np.sort(ids)
+    for _, r in got.iterrows():
+        h = knuth_hash32(
+            np.array([r["doc_id"] * 4 + r["j"] + 5], dtype=np.uint64)
+        )[0]
+        assert r["neg_id"] == srt[int(h % np.uint64(len(ids)))]
+    again = (
+        negative_samples(rd.from_pandas(df), id_col="doc_id", m=4, seed=5)
+        .to_pandas()
+        .sort_values(["doc_id", "j"])
+        .reset_index(drop=True)
+    )
+    assert got["neg_id"].tolist() == again["neg_id"].tolist()
