@@ -385,6 +385,57 @@ def q_cdc_normalize(sf_dir: str):
     return ds.sort("seq").to_pandas()
 
 
+def q_cdc_cojoin(sf_dir: str):
+    """Storage-partitioned join: transcripts lake ⋈ conv-dimension
+    lake, both hash-partitioned on conv_id with the same P — one task
+    per partition pair, ZERO exchange (the two-big-tables join that
+    hash_join would shuffle twice for)."""
+    from .cdc import apply_changes
+    from .cojoin import copartitioned_join
+
+    # lake A: the standard transcripts stream
+    changes_a, lake_a = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes_a, lake_a, _spec(sf_dir))
+
+    # lake B: conv-level dimension (turn_idx pinned 0 -> one row per
+    # conv after LWW; role = the conv's latest event_type)
+    def derive_b(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        op = np.where(eid % 5 >= 3, "U", "I").astype(object)
+        conv = np.char.add("conv_", uid.astype("U20")).astype(object)
+        return pa.table(
+            {
+                "op": pa.array(op, pa.string()),
+                "seq": pa.array(eid, pa.int64()),
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(
+                    np.zeros(len(batch), np.int32), pa.int32()
+                ),
+                "role": batch["event_type"],
+                "text": pa.nulls(len(batch), pa.string()),
+                "tool": pa.nulls(len(batch), pa.string()),
+                "ts": batch["ts"],
+            }
+        )
+
+    changes_b, lake_b = _scratch("changes"), _scratch("lake")
+    _events(sf_dir).map_batches(
+        derive_b, batch_format="pyarrow"
+    ).write_parquet(changes_b)
+    apply_changes(changes_b, lake_b, _spec(sf_dir))
+
+    out = copartitioned_join(lake_a, lake_b, on=["conv_id"], how="inner")
+    df = (
+        out.select_columns(["conv_id", "turn_idx", "role", "role_b"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    return df[["conv_id", "turn_idx", "role", "role_b"]]
+
+
 def q_cdc_lww_latest(sf_dir: str):
     """D2 record-level LWW dedup in isolation: winning row per key
     (deletes included, exposed as last_op), via the engine's vectorized
@@ -3184,6 +3235,7 @@ QUERIES = {
     "cdc_replay_idempotent": q_cdc_replay_idempotent,
     "cdc_normalize": q_cdc_normalize,
     "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_cojoin": q_cdc_cojoin,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dt_rollup": q_cdc_dt_rollup,
     "cdc_sorted_recent": q_cdc_sorted_recent,
@@ -3387,6 +3439,25 @@ ORACLES = {
     "cdc_apply_delta_lsm": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_replay_idempotent": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_normalize": f"WITH ch AS ({CH_SQL}) SELECT op, seq, conv_id, turn_idx, role, text, tool, ts FROM ch ORDER BY seq",
+    "cdc_cojoin": f"""
+      WITH a AS ({FINAL_SQL}),
+      chb AS (
+        SELECT CASE WHEN event_id % 5 >= 3 THEN 'U' ELSE 'I' END AS op,
+               event_id AS seq,
+               'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+               event_type AS role, ts
+        FROM events
+      ),
+      rb AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id ORDER BY ts DESC, seq DESC) AS rn
+        FROM chb
+      ),
+      b AS (SELECT conv_id, role FROM rb WHERE rn = 1)
+      SELECT a.conv_id, a.turn_idx, a.role, b.role AS role_b
+      FROM a JOIN b USING (conv_id)
+      ORDER BY a.conv_id, a.turn_idx
+    """,
     "cdc_lww_latest": f"""
       WITH ch AS ({CH_SQL}),
       ranked AS (

@@ -825,3 +825,70 @@ def test_gc_sweeps_applied_staging_files(tmp_path):
         }]),
         lake, spec, label="b1",
     ) == []
+
+
+# ---------------------------------------------------------------------------
+# co-partitioned (storage-partitioned) join
+# ---------------------------------------------------------------------------
+
+
+def _two_lakes(tmp_path, p_b=4):
+    """Two lakes over overlapping conv populations, same partitioning
+    unless p_b differs."""
+    ch_a, lake_a = str(tmp_path / "cha"), str(tmp_path / "la")
+    ch_b, lake_b = str(tmp_path / "chb"), str(tmp_path / "lb")
+    gen_changes(ch_a, n_events=3000, n_convs=50, n_files=3, seed=21)
+    gen_changes(ch_b, n_events=800, n_convs=30, n_files=2, seed=22)
+    engine.apply_changes(ch_a, lake_a, engine.default_spec(num_partitions=4))
+    engine.apply_changes(ch_b, lake_b, engine.default_spec(num_partitions=p_b))
+    return lake_a, lake_b
+
+
+def test_copartitioned_join_matches_hash_join(tmp_path):
+    import pandas as pd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cojoin import (
+        copartitioned_join,
+    )
+
+    lake_a, lake_b = _two_lakes(tmp_path)
+    got = (
+        copartitioned_join(lake_a, lake_b, on=["conv_id", "turn_idx"],
+                           how="inner")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    a = engine.read_table(lake_a).to_pandas()
+    b = engine.read_table(lake_b).to_pandas()
+    want = (
+        a.merge(b, on=["conv_id", "turn_idx"], suffixes=("", "_b"))
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+    # left join keeps every A row; B payload is nullable everywhere
+    left = (
+        copartitioned_join(lake_a, lake_b, on=["conv_id", "turn_idx"],
+                           how="left")
+        .to_pandas()
+    )
+    assert len(left) == len(a)
+    assert str(left["role_b"].dtype) in ("object", "string")
+    assert left["role_b"].isna().sum() == len(a) - len(want)
+
+
+def test_copartitioned_join_guards(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cojoin import (
+        copartitioned_join,
+    )
+
+    lake_a, lake_b = _two_lakes(tmp_path, p_b=8)
+    with pytest.raises(ValueError, match="partition counts differ"):
+        copartitioned_join(lake_a, lake_b, on=["conv_id"])
+    with pytest.raises(ValueError, match="must start with"):
+        copartitioned_join(lake_a, lake_a, on=["turn_idx"])
