@@ -1010,3 +1010,64 @@ def bm25_scores(
         return out[out["score_ub"] > 0]
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def chunk_documents(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 512,
+    overlap: int = 64,
+):
+    """Split documents into fixed-size overlapping character windows —
+    the RAG / context-window chunking step. Chunk i covers
+    ``[i·step, i·step + chunk_size)`` with ``step = chunk_size −
+    overlap``; starts run while ``start < max(len, 1)``, so an empty
+    document yields exactly one empty chunk (stable ids downstream).
+
+    Fully vectorized, zero per-row Python: each batch decodes to ONE
+    fixed-width char matrix, chunk membership is a repeat/arange
+    explode, and every chunk is a 2-D ``take_along_axis`` gather with
+    tail positions nulled (numpy U-strings terminate at the first
+    null). Embarrassingly parallel — no shuffle; output is
+    (id, chunk_idx, chunk_text). SQL mirror: ``generate_series`` +
+    ``substr`` (character semantics, matching numpy's)."""
+    assert 0 <= overlap < chunk_size
+    step = chunk_size - overlap
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        u = np.asarray(t.to_numpy(dtype=object), dtype="U")
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {id_col: b[id_col], "chunk_idx": np.zeros(0, np.int64),
+                 "chunk_text": t}
+            )
+        width = max(u.dtype.itemsize // 4, 1)
+        grid = u.view("U1").reshape(n, width)
+        lens = t.str.len().to_numpy(dtype=np.int64)
+        k = (np.maximum(lens, 1) - 1) // step + 1
+        total = int(k.sum())
+        rows = np.repeat(np.arange(n), k)
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(k) - k, k
+        )
+        start = j * step
+        cols = start[:, None] + np.arange(chunk_size, dtype=np.int64)[None, :]
+        valid = cols < lens[rows][:, None]
+        gathered = np.take_along_axis(
+            grid[rows], np.minimum(cols, width - 1), axis=1
+        )
+        chars = np.where(valid, gathered, "")
+        texts = np.ascontiguousarray(chars).view(f"U{chunk_size}").ravel()
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[rows],
+                "chunk_idx": j,
+                "chunk_text": texts.astype(object),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")

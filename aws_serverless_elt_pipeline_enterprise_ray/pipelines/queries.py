@@ -1618,6 +1618,24 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return df[["id_a", "id_b", "dist"]]
 
 
+def q_chunk_documents(sf_dir: str):
+    """RAG chunking: 200-char windows with 40-char overlap, one
+    char-matrix gather per batch (no per-row Python, no shuffle)."""
+    from ..functions.text import chunk_documents
+
+    out = chunk_documents(
+        _documents(sf_dir, ["doc_id", "text"]),
+        chunk_size=200,
+        overlap=40,
+    )
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(
+        drop=True
+    )
+    for c in ("doc_id", "chunk_idx"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "chunk_idx", "chunk_text"]]
+
+
 def q_bm25_rank(sf_dir: str):
     """Okapi BM25 over a fixed 3-term query: stats pass (doc count,
     Σdl, per-term df as tagged partials), then a broadcast map-side
@@ -3284,6 +3302,7 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_rank": q_bm25_rank,
+    "chunk_documents": q_chunk_documents,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "weighted_sample_docs": q_weighted_sample_docs,
     "training_examples": q_training_examples,
@@ -4195,6 +4214,22 @@ ORACLES = {
       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b
+    """,
+    "chunk_documents": """
+      WITH s AS (
+        SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      )
+      SELECT doc_id,
+             CAST(start / 160 AS BIGINT) AS chunk_idx,
+             substr(t, CAST(start AS BIGINT) + 1, 200) AS chunk_text
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                 0, CAST(GREATEST(length(t) - 1, 0) AS BIGINT), 160
+               )) AS start
+        FROM s
+      )
+      ORDER BY doc_id, chunk_idx
     """,
     "bm25_rank": """
       WITH base AS (

@@ -1665,3 +1665,40 @@ def test_fuzzy_pairs_ed1_matches_bruteforce_levenshtein():
                 want[(i, j)] = d
     assert dict(zip(zip(got["id_a"], got["id_b"]), got["dist"])) == want
     assert (got["dist"] == 0).any() and (got["dist"] == 1).any()
+
+
+def test_chunk_documents_overlap_and_reconstruction():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        chunk_documents,
+    )
+
+    docs = [
+        "abcdefghijklmnopqrstuvwxyz",  # multiple chunks
+        "short",                       # single chunk
+        "",                            # empty -> one empty chunk
+        "x" * 10,                      # exact boundary (step=8,size=10)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
+    got = (
+        chunk_documents(
+            rd.from_pandas(df).repartition(2),
+            chunk_size=10,
+            overlap=2,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    step = 8
+    want = []
+    for i, t in enumerate(docs):
+        starts = range(0, max(len(t), 1), step)
+        for j, s in enumerate(starts):
+            want.append((i, j, t[s:s + 10]))
+    assert list(zip(got["doc_id"], got["chunk_idx"], got["chunk_text"])) == want
+    # reconstruction: stripping the overlap from chunks 1.. rebuilds the doc
+    d0 = got[got["doc_id"] == 0]
+    rebuilt = d0["chunk_text"].iloc[0] + "".join(
+        c[2:] for c in d0["chunk_text"].iloc[1:]
+    )
+    assert rebuilt == docs[0]
