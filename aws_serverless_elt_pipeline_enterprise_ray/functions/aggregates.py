@@ -941,6 +941,62 @@ def mutual_information(
     )
 
 
+def chi2_independence(
+    ds: rd.Dataset,
+    *,
+    col_a: str,
+    col_b: str,
+) -> pd.DataFrame:
+    """Pearson χ² test of independence between two bounded-domain
+    categorical columns — the drift / association screen alongside
+    ``mutual_information``.
+
+    χ² = Σ_cells (O − E)²/E with E = c_a·c_b/N, summed over the FULL
+    |A|×|B| grid (zero-observed cells contribute E). Same
+    order-independence discipline as entropy/MI: per-cell terms are
+    floor-quantized to int64 micro-units before the exact integer sum,
+    and every float step is one fixed straight-line tree, so a SQL
+    mirror hash-matches. Exchange carries distinct observed cells
+    only; grid completion + finish happen on the O(|A|·|B|) driver
+    table. Returns one row: (n, dof, chi2_uq)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([col_a, col_b], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([col_a, col_b])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    cells["c"] = cells["c"].astype("int64")
+    # complete the grid: zero-observed cells still contribute E
+    avals = np.sort(cells[col_a].unique())
+    bvals = np.sort(cells[col_b].unique())
+    full = cells.set_index([col_a, col_b])["c"].reindex(
+        pd.MultiIndex.from_product([avals, bvals]), fill_value=0
+    )
+    n = int(full.sum())
+    grid = full.to_numpy(dtype=np.float64).reshape(len(avals), len(bvals))
+    ca = grid.sum(axis=1)
+    cb = grid.sum(axis=0)
+    nf = np.float64(n)
+    e = ca[:, None] * cb[None, :] / nf
+    t = np.floor((grid - e) * (grid - e) / e * 1048576.0).astype(np.int64)
+    dof = (len(avals) - 1) * (len(bvals) - 1)
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "dof": [np.int64(dof)],
+            "chi2_uq": [np.int64(t.sum())],
+        }
+    )
+
+
 def ols_from_moments(m: pd.DataFrame) -> pd.DataFrame:
     """Per-group simple linear regression (y on x) from a
     ``grouped_moments(..., y_col=...)`` frame: slope, intercept, and

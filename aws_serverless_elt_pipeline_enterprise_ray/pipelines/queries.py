@@ -2822,6 +2822,32 @@ def q_mi_type_hour(sf_dir: str):
     )
 
 
+def q_chi2_type_hour(sf_dir: str):
+    """Pearson χ² independence test between event_type and hour over
+    the COMPLETE contingency grid (zero cells contribute E), per-cell
+    micro-quantized terms — order-independent and SQL-exact."""
+    from ..functions.aggregates import chi2_independence
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].dt.hour.astype("int64"),
+            }
+        )
+
+    return chi2_independence(
+        ev.map_batches(prep, batch_format="pandas"),
+        col_a="event_type",
+        col_b="hour",
+    )
+
+
 def q_mode_event_type(sf_dir: str):
     """Exact per-user MODE with deterministic min-value tiebreak: the
     exchange carries distinct (user, type) count partials, the finisher
@@ -3356,6 +3382,7 @@ QUERIES = {
     "corr_value_hour": q_corr_value_hour,
     "mode_event_type": q_mode_event_type,
     "mi_type_hour": q_mi_type_hour,
+    "chi2_type_hour": q_chi2_type_hour,
     "entropy_user_events": q_entropy_user_events,
     "ols_value_by_type": q_ols_value_by_type,
     "cooccur_event_types": q_cooccur_event_types,
@@ -3902,6 +3929,42 @@ ORACLES = {
              NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
       FROM events
       ORDER BY event_id
+    """,
+    "chi2_type_hour": """
+      WITH cells AS (
+        SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY a, b
+      ), grid AS (
+        SELECT av.a, bv.b, COALESCE(cells.c, 0) AS c
+        FROM (SELECT DISTINCT a FROM cells) av
+        CROSS JOIN (SELECT DISTINCT b FROM cells) bv
+        LEFT JOIN cells USING (a, b)
+      ), j AS (
+        SELECT c,
+               CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS ca,
+               CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS cb,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM grid
+      ), s AS (
+        SELECT max(n) AS n,
+               CAST(sum(CAST(FLOOR(
+                 (CAST(c AS DOUBLE)
+                    - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 * (CAST(c AS DOUBLE)
+                    - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 * 1048576.0) AS BIGINT)) AS BIGINT) AS chi2_uq
+        FROM j
+      ), d AS (
+        SELECT CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                    AS BIGINT) AS dof
+        FROM cells
+      )
+      SELECT s.n, d.dof, s.chi2_uq FROM s, d
     """,
     "mi_type_hour": """
       WITH cells AS (

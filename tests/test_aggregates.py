@@ -1383,3 +1383,35 @@ def test_negative_samples_deterministic_and_in_corpus():
         .reset_index(drop=True)
     )
     assert got["neg_id"].tolist() == again["neg_id"].tolist()
+
+
+def test_chi2_independence_matches_scipy_formula():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        chi2_independence,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    a = rng.integers(0, 3, n).astype(np.int64)
+    b_dep = np.where(rng.random(n) < 0.7, a, rng.integers(0, 3, n))
+    got = chi2_independence(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": b_dep})).repartition(4),
+        col_a="a", col_b="b",
+    )
+    # direct reference over the complete grid
+    ct = pd.crosstab(pd.Series(a, name="a"), pd.Series(b_dep, name="b"))
+    obs = ct.to_numpy(np.float64)
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    chi2 = ((obs - e) ** 2 / e).sum()
+    assert int(got["n"].iloc[0]) == n
+    assert int(got["dof"].iloc[0]) == 4
+    assert abs(int(got["chi2_uq"].iloc[0]) / 1048576.0 - chi2) < 1e-3
+    # a zero-observed cell still contributes: tiny handmade table
+    df = pd.DataFrame({"a": [0, 0, 1, 1, 1], "b": [0, 0, 0, 1, 1]})
+    g2 = chi2_independence(rd.from_pandas(df), col_a="a", col_b="b")
+    ct2 = pd.crosstab(df["a"], df["b"]).reindex(
+        index=[0, 1], columns=[0, 1], fill_value=0
+    ).to_numpy(np.float64)
+    e2 = ct2.sum(1)[:, None] * ct2.sum(0)[None, :] / ct2.sum()
+    want2 = ((ct2 - e2) ** 2 / e2).sum()
+    assert abs(int(g2["chi2_uq"].iloc[0]) / 1048576.0 - want2) < 1e-3
