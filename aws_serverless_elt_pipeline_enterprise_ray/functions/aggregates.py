@@ -488,6 +488,34 @@ def filter_by_quantile(
     return ds.map_batches(band, batch_format="pyarrow")
 
 
+def winsorize_by_quantile(
+    ds: rd.Dataset,
+    *,
+    col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Winsorization: CLAMP an integer measure into the nearest-rank
+    [q_lo, q_hi] quantile band instead of dropping the tails
+    (``filter_by_quantile``'s sibling — keeps every row, tames the
+    outliers that would dominate means/losses). Two passes: the
+    histogram-shuffle threshold pass, then a broadcast map-side
+    LEAST/GREATEST clamp; the corpus streams and never shuffles."""
+    th = quantile_thresholds(ds, col=col, quantiles=(q_lo, q_hi))
+    lo, hi = th[q_lo], th[q_hi]
+    dst = out_col or f"{col}_w"
+
+    def clamp(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.int64())
+        w = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        if dst in b.column_names:
+            b = b.drop_columns(dst)
+        return b.append_column(dst, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
 def grouping_sets(
     ds: rd.Dataset,
     *,

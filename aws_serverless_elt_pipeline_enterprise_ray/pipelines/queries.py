@@ -2361,6 +2361,24 @@ def q_quantile_band_filter(sf_dir: str):
     return df[["doc_id", "n_chars"]]
 
 
+def q_winsorize_doc_len(sf_dir: str):
+    """Winsorization: clamp doc lengths into the exact nearest-rank
+    [p5, p95] band (keep every row, tame the tails) — histogram
+    thresholds, then a broadcast map-side LEAST/GREATEST clamp."""
+    from ..functions.aggregates import winsorize_by_quantile
+
+    docs = _documents(sf_dir, ["doc_id", "n_chars"])
+    df = (
+        winsorize_by_quantile(docs, col="n_chars", q_lo=0.05, q_hi=0.95)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_chars", "n_chars_w"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_chars", "n_chars_w"]]
+
+
 def q_url_dedup(sf_dir: str):
     """C4-style web-preprocessing front half over deterministic
     synthetic URLs (the corpus has none): canonicalize (drop query and
@@ -3367,6 +3385,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
+    "winsorize_doc_len": q_winsorize_doc_len,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
@@ -4453,6 +4472,17 @@ ORACLES = {
                  WHEN 0 THEN ' Élan' WHEN 1 THEN ' Grüße'
                  WHEN 2 THEN ' FAÇADE' ELSE ' Señor' END)) AS text_norm
       FROM documents ORDER BY doc_id
+    """,
+    "winsorize_doc_len": """
+      WITH th AS (
+        SELECT quantile_disc(n_chars, 0.05) AS lo,
+               quantile_disc(n_chars, 0.95) AS hi
+        FROM documents
+      )
+      SELECT doc_id, n_chars,
+             LEAST(GREATEST(n_chars, lo), hi) AS n_chars_w
+      FROM documents, th
+      ORDER BY doc_id
     """,
     "quantile_band_filter": """
       WITH th AS (

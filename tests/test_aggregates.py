@@ -1415,3 +1415,31 @@ def test_chi2_independence_matches_scipy_formula():
     e2 = ct2.sum(1)[:, None] * ct2.sum(0)[None, :] / ct2.sum()
     want2 = ((ct2 - e2) ** 2 / e2).sum()
     assert abs(int(g2["chi2_uq"].iloc[0]) / 1048576.0 - want2) < 1e-3
+
+
+def test_winsorize_by_quantile_clamps_tails_only():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        quantile_thresholds,
+        winsorize_by_quantile,
+    )
+
+    rng = np.random.default_rng(53)
+    v = np.concatenate(
+        [rng.integers(100, 200, 900), [1, 2, 3], [9999, 8888, 7777]]
+    ).astype(np.int64)
+    df = pd.DataFrame({"id": np.arange(len(v), dtype=np.int64), "v": v})
+    ds = rd.from_pandas(df).repartition(4)
+    th = quantile_thresholds(ds, col="v", quantiles=(0.05, 0.95))
+    got = (
+        winsorize_by_quantile(ds, col="v", q_lo=0.05, q_hi=0.95)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    lo, hi = th[0.05], th[0.95]
+    want = np.clip(df["v"].to_numpy(), lo, hi)
+    assert got["v_w"].tolist() == want.tolist()
+    assert len(got) == len(df)               # nothing dropped
+    assert got["v_w"].min() == lo and got["v_w"].max() == hi
+    mid = (df["v"] > lo) & (df["v"] < hi)    # interior rows untouched
+    assert (got.loc[mid, "v_w"] == df.loc[mid, "v"]).all()
