@@ -315,3 +315,75 @@ def resize_batch_fake(batch: pa.Table, size=(224, 224)) -> pa.Table:
         batch.append_column("resized_w", pa.array([size[0]] * n, pa.int64()))
         .append_column("resized_h", pa.array([size[1]] * n, pa.int64()))
     )
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the classic perceptual image
+    fingerprint): luminance -> nearest-resize to 9x8 -> sign of each
+    horizontal gradient. Uniform brightness/contrast shifts preserve
+    the gradient signs, so near-identical renders collide while
+    different images do not; integer-exact and library-free."""
+    gray = img.astype(np.int64).sum(axis=2)  # unweighted luminance
+    small = resize_nearest(gray[:, :, None], (9, 8))[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8)  # 8x8
+    return int.from_bytes(np.packbits(bits.ravel()).tobytes(), "big")
+
+
+class ImageDHash:
+    """Actor-pool decode -> dHash stage: (media_id, payload) ->
+    (media_id, decoded, dhash). Undecodable payloads emit
+    decoded=False with a null hash (quarantine-not-crash). dhash is
+    stored as int64 (the uint64 bit pattern viewed signed) so it
+    groups/shuffles as a plain integer column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dec, hashes = [], []
+        for p in batch["payload"].to_pylist():
+            img = decode_image(p) if p is not None else None
+            if img is None:
+                dec.append(False)
+                hashes.append(None)
+            else:
+                dec.append(True)
+                hashes.append(
+                    int(np.uint64(dhash64(img)).view(np.int64))
+                )
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("decoded", pa.array(dec, pa.bool_()))
+        out = out.append_column("dhash", pa.array(hashes, pa.int64()))
+        return out
+
+
+def image_dhash_clusters(
+    ds,
+    *,
+    id_col: str = "media_id",
+) -> "rd.Dataset":
+    """Perceptual near-duplicate clustering: decode + dHash in an
+    actor pool (payload bytes never shuffle), then ONE exchange of
+    (dhash, id) rows groups colliding fingerprints and assigns each
+    image its cluster's min id as ``canonical_id`` (keep
+    ``id == canonical_id``, drop the rest). The image analogue of
+    exact text dedup, with dHash standing in for the content hash."""
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (type only)
+
+    hashed = ds.map_batches(
+        ImageDHash, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 8), num_cpus=1,
+    ).map_batches(
+        lambda b: b.select([id_col, "decoded", "dhash"]).filter(
+            pc.field("decoded")
+        ),
+        batch_format="pyarrow",
+    )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "canonical_id": g[id_col].min(),
+            }
+        )
+
+    return hashed.groupby("dhash").map_groups(assign, batch_format="pandas")

@@ -1012,7 +1012,7 @@ def bm25_scores(
     return ds.map_batches(score, batch_format="pandas")
 
 
-def chunk_documents(
+def chunk_by_chars(
     ds,
     *,
     id_col: str = "doc_id",

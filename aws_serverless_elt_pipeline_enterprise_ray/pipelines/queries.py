@@ -1618,12 +1618,50 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return df[["id_a", "id_b", "dist"]]
 
 
-def q_chunk_documents(sf_dir: str):
-    """RAG chunking: 200-char windows with 40-char overlap, one
-    char-matrix gather per batch (no per-row Python, no shuffle)."""
-    from ..functions.text import chunk_documents
+def q_image_dhash_dedup(sf_dir: str):
+    """Perceptual image dedup: deterministic synthetic PPM pairs
+    (even/odd ids render the same pattern at different brightness),
+    actor-pool decode + dHash, one (dhash, id) exchange assigns
+    min-id canonical clusters. Rows-only; pytest pins the hash
+    invariances."""
+    from ..functions.multimodal import image_dhash_clusters
 
-    out = chunk_documents(
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_ppm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            base, off = int(i) // 2, (int(i) % 2) * 23
+            px = (
+                (np.arange(16)[:, None] * 7
+                 + np.arange(16)[None, :] * 3 + base * 5) % 180 + off
+            ).astype(np.uint8)
+            img = np.stack([px, px, px], axis=2)
+            payloads.append(b"P6\n16 16\n255\n" + img.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = image_dhash_clusters(
+        docs.map_batches(make_ppm, batch_format="pyarrow")
+    )
+    df = out.to_pandas().sort_values("media_id").reset_index(drop=True)
+    for c in ("media_id", "canonical_id"):
+        df[c] = df[c].astype("int64")
+    return df[["media_id", "canonical_id"]]
+
+
+def q_chunk_chars(sf_dir: str):
+    """RAG chunking: 200-char windows with 40-char overlap, one
+    char-matrix gather per batch (no per-row Python, no shuffle) —
+    the character-window sibling of the token-window chunk_documents."""
+    from ..functions.text import chunk_by_chars
+
+    out = chunk_by_chars(
         _documents(sf_dir, ["doc_id", "text"]),
         chunk_size=200,
         overlap=40,
@@ -3346,7 +3384,8 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_rank": q_bm25_rank,
-    "chunk_documents": q_chunk_documents,
+    "chunk_chars": q_chunk_chars,
+    "image_dhash_dedup": q_image_dhash_dedup,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "weighted_sample_docs": q_weighted_sample_docs,
     "training_examples": q_training_examples,
@@ -4297,7 +4336,7 @@ ORACLES = {
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b
     """,
-    "chunk_documents": """
+    "chunk_chars": """
       WITH s AS (
         SELECT doc_id, COALESCE(text, '') AS t FROM documents
       )

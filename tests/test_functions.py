@@ -1669,7 +1669,7 @@ def test_fuzzy_pairs_ed1_matches_bruteforce_levenshtein():
 
 def test_chunk_documents_overlap_and_reconstruction():
     from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
-        chunk_documents,
+        chunk_by_chars,
     )
 
     docs = [
@@ -1680,7 +1680,7 @@ def test_chunk_documents_overlap_and_reconstruction():
     ]
     df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": docs})
     got = (
-        chunk_documents(
+        chunk_by_chars(
             rd.from_pandas(df).repartition(2),
             chunk_size=10,
             overlap=2,
@@ -1702,3 +1702,41 @@ def test_chunk_documents_overlap_and_reconstruction():
         c[2:] for c in d0["chunk_text"].iloc[1:]
     )
     assert rebuilt == docs[0]
+
+
+def test_image_dhash_brightness_invariant_clusters():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        dhash64,
+        image_dhash_clusters,
+    )
+
+    def ppm(img):
+        h, w = img.shape[:2]
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    rng = np.random.default_rng(59)
+    base = rng.integers(0, 180, (16, 16), dtype=np.uint8)
+    img_a = np.stack([base] * 3, axis=2)
+    img_b = img_a + 40                      # brightness shift, no wrap
+    other = np.stack([base.T] * 3, axis=2)  # different structure
+    # direct hash invariances
+    assert dhash64(img_a) == dhash64(img_b)
+    assert dhash64(img_a) != dhash64(other)
+
+    df = pd.DataFrame(
+        {
+            "media_id": np.array([1, 2, 3, 4], dtype=np.int64),
+            "payload": [ppm(img_a), ppm(img_b), ppm(other), b"not an image"],
+        }
+    )
+    got = (
+        image_dhash_clusters(
+            rd.from_pandas(df).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    # undecodable payload dropped; 1 and 2 cluster together under min id
+    assert got["media_id"].tolist() == [1, 2, 3]
+    assert got["canonical_id"].tolist() == [1, 1, 3]
