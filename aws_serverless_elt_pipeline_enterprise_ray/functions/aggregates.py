@@ -283,6 +283,40 @@ def grouped_quantiles(
     return df
 
 
+def grouped_mad(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    cents_expr,
+) -> pd.DataFrame:
+    """Robust per-group location/scale: exact nearest-rank MEDIAN and
+    MAD (median absolute deviation) of an integer measure — the
+    outlier-resistant alternative to mean/σ when heavy tails would
+    drag both (`zscore_outliers`' robust sibling).
+
+    Two counting-histogram passes (each exchange bounded by the value
+    domain, never rows): medians first, broadcast as a driver-sized
+    map, then the same machinery over |x − median(group)|. Integer in,
+    integer out — hash-exact vs `quantile_disc` mirrors."""
+    med = grouped_quantiles(
+        ds, group_col=group_col, cents_expr=cents_expr,
+        quantiles=(0.5,), col_names=("median",),
+    )
+    mmap = dict(zip(med[group_col], med["median"].astype(np.int64)))
+
+    def dev_expr(b: pa.Table) -> np.ndarray:
+        x = np.asarray(cents_expr(b), dtype=np.int64)
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        m = pd.Series(g).map(mmap).to_numpy(dtype=np.int64)
+        return np.abs(x - m)
+
+    mad = grouped_quantiles(
+        ds, group_col=group_col, cents_expr=dev_expr,
+        quantiles=(0.5,), col_names=("mad",),
+    )
+    return med.merge(mad, on=group_col)
+
+
 def heavy_hitters(
     ds: "rd.Dataset",
     col: str,

@@ -2053,6 +2053,28 @@ def q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
 
 
+def q_mad_value_by_type(sf_dir: str):
+    """Robust location/scale per event_type: exact median + MAD of
+    value cents via two counting-histogram passes (exchange bounded by
+    the value domain) and a broadcast median map."""
+    from ..functions.aggregates import grouped_mad
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> np.ndarray:
+        return pc.cast(
+            pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    out = grouped_mad(ev, group_col="event_type", cents_expr=cents)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("median", "mad"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "median", "mad"]]
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Bloom-pruned semi join: lineitem ⋉ urgent orders. The urgent
     orderkeys build a compact bitset (10 bits/key, broadcast once);
@@ -3425,6 +3447,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
     "winsorize_doc_len": q_winsorize_doc_len,
+    "mad_value_by_type": q_mad_value_by_type,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
@@ -4511,6 +4534,21 @@ ORACLES = {
                  WHEN 0 THEN ' Élan' WHEN 1 THEN ' Grüße'
                  WHEN 2 THEN ' FAÇADE' ELSE ' Señor' END)) AS text_norm
       FROM documents ORDER BY doc_id
+    """,
+    "mad_value_by_type": """
+      WITH p AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), med AS (
+        SELECT event_type, quantile_disc(cents, 0.5) AS median
+        FROM p GROUP BY event_type
+      )
+      SELECT event_type, median,
+             quantile_disc(abs(cents - median), 0.5) AS mad
+      FROM p JOIN med USING (event_type)
+      GROUP BY event_type, median
+      ORDER BY event_type
     """,
     "winsorize_doc_len": """
       WITH th AS (

@@ -1443,3 +1443,41 @@ def test_winsorize_by_quantile_clamps_tails_only():
     assert got["v_w"].min() == lo and got["v_w"].max() == hi
     mid = (df["v"] > lo) & (df["v"] < hi)    # interior rows untouched
     assert (got.loc[mid, "v_w"] == df.loc[mid, "v"]).all()
+
+
+def test_grouped_mad_matches_numpy_median_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouped_mad,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    g = rng.integers(0, 5, n).astype(np.int64)
+    # heavy-tailed: a few huge outliers that would wreck mean/sigma
+    x = rng.integers(0, 100, n).astype(np.int64) + 1000 * g
+    x[:10] = 10_000_000
+    df = pd.DataFrame({"g": g, "x": x})
+
+    def expr(b):
+        return b["x"].to_numpy(zero_copy_only=False)
+
+    got = (
+        grouped_mad(
+            rd.from_pandas(df).repartition(4), group_col="g", cents_expr=expr
+        )
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+    def nearest_rank(v, q):
+        v = np.sort(v)
+        return int(v[max(int(np.ceil(q * len(v))), 1) - 1])
+
+    for gi in range(5):
+        sub = df.loc[df["g"] == gi, "x"].to_numpy()
+        med = nearest_rank(sub, 0.5)
+        mad = nearest_rank(np.abs(sub - med), 0.5)
+        row = got[got["g"] == gi].iloc[0]
+        assert (row["median"], row["mad"]) == (med, mad)
+    # outliers moved the max but not the medians: MAD stays small
+    assert (got["mad"] < 100).all()
