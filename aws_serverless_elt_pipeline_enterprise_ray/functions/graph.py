@@ -234,3 +234,118 @@ def hits(
         {"node": base["node"], "hub": hub["w"], "authority": auth["w"]}
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+def triangle_count(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_buckets: int | None = None,
+) -> int:
+    """Exact triangle count of the undirected simple graph induced by
+    an edge list — the clustering-coefficient / community-density
+    signal for link-graph curation.
+
+    The compact-forward recipe (Latapy 2008; MapReduce form: Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11):
+      1. normalize to undirected distinct edges (one groupby over
+         locally-deduped (a<b) pairs);
+      2. total-order nodes by (degree, id) and orient every edge
+         low → high — each triangle survives as exactly ONE wedge
+         whose center is its lowest-ordered corner, and oriented
+         out-degrees are bounded ~√(2m), taming the wedge explosion;
+      3. wedges per center via one center-bucketed self-merge;
+      4. ONE bucketed join of wedges against the oriented edges
+         closes them.
+    The degree table is node-sized and ships as a broadcast map
+    (swap for a hash_join at >10^8 nodes); exchanges carry distinct
+    edges, then wedges — never raw duplicate edges."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    und = (
+        edges.map_batches(normalize, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused: degrees, orientation, closing join
+    )
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([b["a"], b["b"]]).value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(), "deg": vc.to_numpy(np.int64)}
+        )
+
+    deg = (
+        und.map_batches(deg_partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="deg"))
+        .to_pandas()
+    )
+    deg_ref = ray.put(dict(zip(deg["node"], deg["deg"].astype(np.int64))))
+
+    class Orient:
+        """(a, b) -> (u, v) with u strictly before v in (deg, id)."""
+
+        def __init__(self):
+            self.deg = ray.get(deg_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            da = b["a"].map(self.deg).to_numpy(np.int64)
+            db = b["b"].map(self.deg).to_numpy(np.int64)
+            av, bv = b["a"].to_numpy(), b["b"].to_numpy()
+            a_first = (da < db) | ((da == db) & (av < bv))
+            return pd.DataFrame(
+                {
+                    "u": np.where(a_first, av, bv),
+                    "v": np.where(a_first, bv, av),
+                }
+            )
+
+    oriented = und.map_batches(
+        Orient, batch_format="pandas", concurrency=(1, 8), num_cpus=1
+    ).materialize()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_tb"] = _key_buckets(b["u"], nb)
+        return b
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all ordered out-neighbor pairs per center: one self-merge
+        # per bucket; pair order reuses the same (deg, id) total
+        # order. ray.get of the broadcast map is an object-store
+        # pointer lookup, once per group call.
+        degmap = ray.get(deg_ref)
+        g = g.drop(columns="_tb")
+        m = g.merge(g, on="u", suffixes=("_1", "_2"))
+        d1 = m["v_1"].map(degmap).to_numpy(np.int64)
+        d2 = m["v_2"].map(degmap).to_numpy(np.int64)
+        first = (d1 < d2) | (
+            (d1 == d2) & (m["v_1"].to_numpy() < m["v_2"].to_numpy())
+        )
+        m = m[first]
+        return pd.DataFrame({"u": m["v_1"], "v": m["v_2"]})
+
+    wedges = (
+        oriented.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(wedge_bucket, batch_format="pandas")
+    )
+    closed = hash_join(wedges, oriented, on=["u", "v"], how="semi")
+    return closed.count()

@@ -2669,6 +2669,28 @@ def q_bpe_tokenize(sf_dir: str):
     return out
 
 
+def q_triangle_count_links(sf_dir: str):
+    """Exact distributed triangle count over the derived link graph
+    (compact-forward: degree-ordered orientation bounds the wedge
+    explosion, one center-bucketed self-merge, one closing semi-join).
+    SQL-exact vs a three-way self-join."""
+    from ..functions.graph import triangle_count
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    n = triangle_count(ev.map_batches(edges, batch_format="pandas"))
+    return pd.DataFrame({"n_triangles": [np.int64(n)]})
+
+
 def q_pagerank_links(sf_dir: str):
     """Link-graph authority ranking: a deterministic user->user edge
     list derived from events (who triggers whom: user_id ->
@@ -3452,6 +3474,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
     "pagerank_links": q_pagerank_links,
+    "triangle_count_links": q_triangle_count_links,
     "hits_links": q_hits_links,
     "cube_event_stats": q_cube_event_stats,
     "lag_user_events": q_lag_user_events,
@@ -4534,6 +4557,20 @@ ORACLES = {
                  WHEN 0 THEN ' Élan' WHEN 1 THEN ' Grüße'
                  WHEN 2 THEN ' FAÇADE' ELSE ' Señor' END)) AS text_norm
       FROM documents ORDER BY doc_id
+    """,
+    "triangle_count_links": """
+      WITH raw AS (
+        SELECT user_id % 500 AS s,
+               ((user_id % 500) * 31 + event_id) % 500 AS d
+        FROM events
+      ), e0 AS (
+        SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        FROM raw WHERE s <> d
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e0 x
+      JOIN e0 y ON x.b = y.a
+      JOIN e0 z ON z.a = x.a AND z.b = y.b
     """,
     "mad_value_by_type": """
       WITH p AS (

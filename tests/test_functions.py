@@ -1740,3 +1740,31 @@ def test_image_dhash_brightness_invariant_clusters():
     # undecodable payload dropped; 1 and 2 cluster together under min id
     assert got["media_id"].tolist() == [1, 2, 3]
     assert got["canonical_id"].tolist() == [1, 1, 3]
+
+
+def test_triangle_count_matches_bruteforce():
+    from itertools import combinations
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(67)
+    n_nodes, n_edges = 40, 300
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    got = triangle_count(rd.from_pandas(df).repartition(4))
+
+    adj = {}
+    for a, b in zip(src, dst):
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    want = 0
+    for trio in combinations(sorted(adj), 3):
+        a, b, c = trio
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want += 1
+    assert got == want > 0
