@@ -1071,3 +1071,47 @@ def chunk_by_chars(
         )
 
     return ds.map_batches(chunk, batch_format="pandas")
+
+
+class HtmlStripper:
+    """C4-style HTML boilerplate removal as an actor-pool stage:
+    drop <script>/<style> blocks and comments, strip all tags, decode
+    the common entities, collapse whitespace. Regexes compile once per
+    actor; every pass is one vectorized pandas ``str.replace``. Each
+    step has an exact DuckDB ``regexp_replace``/``replace`` mirror
+    (RE2 and Python agree on these patterns), so the oracle verifies
+    the transform bit-for-bit."""
+
+    #: (pattern, replacement, regex?) applied in order; SQL mirrors
+    #: must apply the same order
+    STEPS = (
+        (r"(?is)<script[^>]*>.*?</script>", " ", True),
+        (r"(?is)<style[^>]*>.*?</style>", " ", True),
+        (r"(?s)<!--.*?-->", " ", True),
+        (r"(?s)<[^>]+>", " ", True),
+        ("&nbsp;", " ", False),
+        ("&amp;", "&", False),
+        ("&lt;", "<", False),
+        ("&gt;", ">", False),
+        ("&quot;", '"', False),
+        ("&#39;", "'", False),
+    )
+
+    def __init__(self, text_col: str = "text", out_col: str = "clean"):
+        import re
+
+        self.col = text_col
+        self.out = out_col
+        self.steps = [
+            ((re.compile(p) if is_re else p), r, is_re)
+            for p, r, is_re in self.STEPS
+        ]
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        s = b[self.col].fillna("")
+        for pat, rep, is_re in self.steps:
+            s = s.str.replace(pat, rep, regex=is_re)
+        s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+        b = b.copy()
+        b[self.out] = s
+        return b

@@ -1618,6 +1618,38 @@ def q_fuzzy_name_pairs(sf_dir: str):
     return df[["id_a", "id_b", "dist"]]
 
 
+def q_strip_html(sf_dir: str):
+    """HTML boilerplate removal (C4-style): docs wrapped in a
+    deterministic HTML shell (tags + script + entities), stripped by
+    the actor-pool regex stage — SQL mirrors every replace in the
+    same order, so recovery is verified bit-for-bit."""
+    from ..functions.text import HtmlStripper
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def wrap(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "text": (
+                    "<html><head><style>p{color:red}</style></head>"
+                    "<body><!-- boilerplate --><p class=\"main\">"
+                    + t
+                    + "</p>&nbsp;&amp;&lt;tail&gt;"
+                    + "<script>var x = 1 < 2;</script></body></html>"
+                ),
+            }
+        )
+
+    out = docs.map_batches(wrap, batch_format="pandas").map_batches(
+        HtmlStripper, batch_format="pandas", concurrency=(1, 4), num_cpus=1
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df[["doc_id", "clean"]]
+
+
 def q_image_dhash_dedup(sf_dir: str):
     """Perceptual image dedup: deterministic synthetic PPM pairs
     (even/odd ids render the same pattern at different brightness),
@@ -3430,6 +3462,7 @@ QUERIES = {
     "bm25_rank": q_bm25_rank,
     "chunk_chars": q_chunk_chars,
     "image_dhash_dedup": q_image_dhash_dedup,
+    "strip_html": q_strip_html,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "weighted_sample_docs": q_weighted_sample_docs,
     "training_examples": q_training_examples,
@@ -4557,6 +4590,35 @@ ORACLES = {
                  WHEN 0 THEN ' Élan' WHEN 1 THEN ' Grüße'
                  WHEN 2 THEN ' FAÇADE' ELSE ' Señor' END)) AS text_norm
       FROM documents ORDER BY doc_id
+    """,
+    "strip_html": """
+      WITH w AS (
+        SELECT doc_id,
+               '<html><head><style>p{color:red}</style></head>'
+               || '<body><!-- boilerplate --><p class="main">'
+               || COALESCE(text, '')
+               || '</p>&nbsp;&amp;&lt;tail&gt;'
+               || '<script>var x = 1 < 2;</script></body></html>' AS t
+        FROM documents
+      ),
+      s1 AS (SELECT doc_id,
+               regexp_replace(t, '<script[^>]*>.*?</script>', ' ', 'gis') AS t
+             FROM w),
+      s2 AS (SELECT doc_id,
+               regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'gis') AS t
+             FROM s1),
+      s3 AS (SELECT doc_id,
+               regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t FROM s2),
+      s4 AS (SELECT doc_id,
+               regexp_replace(t, '<[^>]+>', ' ', 'gs') AS t FROM s3),
+      s5 AS (SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(t,
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                 '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS t
+             FROM s4)
+      SELECT doc_id,
+             trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean
+      FROM s5 ORDER BY doc_id
     """,
     "triangle_count_links": """
       WITH raw AS (

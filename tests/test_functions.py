@@ -1768,3 +1768,33 @@ def test_triangle_count_matches_bruteforce():
         if b in adj[a] and c in adj[a] and c in adj[b]:
             want += 1
     assert got == want > 0
+
+
+def test_html_stripper_removes_boilerplate_exactly():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        HtmlStripper,
+    )
+
+    raw = [
+        "<html><body><p>Hello   <b>world</b></p>"
+        "<script>if (1 < 2) { alert('x'); }</script>"
+        "<style>.x{}</style><!-- note -->Tail &amp; more&nbsp;here</body></html>",
+        "plain text, no markup",
+        "<SCRIPT>upper case</SCRIPT>kept",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": raw})
+    out = (
+        rd.from_pandas(df)
+        .map_batches(HtmlStripper, batch_format="pandas",
+                     concurrency=1, num_cpus=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean"].tolist() == [
+        "Hello world Tail & more here",
+        "plain text, no markup",
+        "kept",
+        "",
+    ]
