@@ -2777,6 +2777,53 @@ def q_hits_links(sf_dir: str):
     return scores[["node", "hub_ppb", "authority_ppb"]]
 
 
+def q_sequence_fingerprint(sf_dir: str):
+    """Behavioral sequence dedup: each user's ordered event-type path
+    hashes to an md5 fingerprint; users sharing a fingerprint form a
+    duplicate-behavior group keyed by its min user id. One key-bucketed
+    shuffle; paths assemble per bucket (groups partition-local by
+    construction, same shape as conversation assembly)."""
+    import hashlib
+
+    from ..functions.windows import _buckets_for_cluster, _key_buckets
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    nb = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_fb"] = _key_buckets(b["user_id"], nb)
+        return b
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        fp = [hashlib.md5(p.encode()).hexdigest() for p in agg]
+        return pd.DataFrame(
+            {"user_id": agg.index.to_numpy(), "fp": fp}
+        )
+
+    fps = (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(paths, batch_format="pandas")
+    )
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": g["user_id"], "canonical_user": g["user_id"].min()}
+        )
+
+    out = fps.groupby("fp").map_groups(canon, batch_format="pandas")
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "canonical_user"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "canonical_user"]]
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition counts: (previous event_type -> event_type)
     per user under the (ts, event_id) total order — pure composition
@@ -3514,6 +3561,7 @@ QUERIES = {
     "json_extract_rollup": q_json_extract_rollup,
     "unpivot_user_counts": q_unpivot_user_counts,
     "event_transitions": q_event_transitions,
+    "sequence_fingerprint": q_sequence_fingerprint,
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
@@ -4024,6 +4072,16 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "sequence_fingerprint": """
+      WITH p AS (
+        SELECT user_id,
+               md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS fp
+        FROM events GROUP BY user_id
+      )
+      SELECT user_id,
+             min(user_id) OVER (PARTITION BY fp) AS canonical_user
+      FROM p ORDER BY user_id
     """,
     "event_transitions": """
       SELECT prev_type, event_type, count(*) AS n

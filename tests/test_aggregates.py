@@ -1481,3 +1481,25 @@ def test_grouped_mad_matches_numpy_median_reference():
         assert (row["median"], row["mad"]) == (med, mad)
     # outliers moved the max but not the medians: MAD stays small
     assert (got["mad"] < 100).all()
+
+
+def test_sequence_fingerprint_groups_identical_paths(tmp_path):
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.queries import (
+        q_sequence_fingerprint,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # users 1 and 3 share the exact path; user 2 differs in order
+    for uid, types in ((1, ["a", "b", "c"]), (2, ["b", "a", "c"]),
+                       (3, ["a", "b", "c"])):
+        for i, ty in enumerate(types):
+            rows.append((uid * 10 + i, t0 + pd.Timedelta(minutes=i), uid, ty))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 0.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = q_sequence_fingerprint(str(tmp_path))
+    assert got["user_id"].tolist() == [1, 2, 3]
+    assert got["canonical_user"].tolist() == [1, 2, 1]
