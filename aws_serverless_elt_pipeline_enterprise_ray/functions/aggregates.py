@@ -951,6 +951,96 @@ def cooccurrence(
     return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
 
 
+def profile_table(
+    ds: rd.Dataset,
+    *,
+    columns: list[str],
+) -> pd.DataFrame:
+    """Column profiling (the ANALYZE / data-quality summary): per
+    column, row count, null count, exact distinct count, and min/max
+    — the first look at any new table before wiring it into a
+    pipeline.
+
+    Two streaming passes, nothing row-sized ever concentrates:
+      1. counts + TYPED min/max as per-block one-row wide partials
+         (each stat keeps its own dtype so numeric min is numeric,
+         not lexicographic) finished by one global aggregate;
+      2. exact distinct via locally-deduped (col, value) pairs — the
+         exchange carries distinct pairs per block, a tiny per-col
+         count finishes.
+    Returns a long frame (col, n, n_null, n_distinct, min, max) with
+    min/max stringified only at the very end for a uniform schema."""
+    from ray.data.aggregate import Max, Min
+
+    def wide_partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for c in columns:
+            s = b[c]
+            sv = s.dropna()
+            row[f"{c}__n"] = [np.int64(len(s))]
+            row[f"{c}__null"] = [np.int64(s.isna().sum())]
+            row[f"{c}__min"] = [sv.min() if len(sv) else None]
+            row[f"{c}__max"] = [sv.max() if len(sv) else None]
+        return pd.DataFrame(row)
+
+    aggs = []
+    for c in columns:
+        aggs += [
+            Sum(f"{c}__n", alias_name=f"{c}__n"),
+            Sum(f"{c}__null", alias_name=f"{c}__null"),
+            Min(f"{c}__min", alias_name=f"{c}__min"),
+            Max(f"{c}__max", alias_name=f"{c}__max"),
+        ]
+    wide = ds.map_batches(wide_partial, batch_format="pandas").aggregate(*aggs)
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame(
+                {"col": c, "v": b[c].dropna().astype(str).unique()}
+            )
+            for c in columns
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ds.map_batches(distinct_partial, batch_format="pandas")
+        .groupby(["col", "v"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["col"].value_counts()
+        return pd.DataFrame(
+            {"col": vc.index.to_numpy(), "nd": vc.to_numpy(np.int64)}
+        )
+
+    nd = (
+        pairs.map_batches(count_partial, batch_format="pandas")
+        .groupby("col")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+    )
+    ndmap = dict(zip(nd["col"], nd["nd"].astype(np.int64)))
+
+    rows = []
+    for c in columns:
+        rows.append(
+            {
+                "col": c,
+                "n": np.int64(wide[f"{c}__n"]),
+                "n_null": np.int64(wide[f"{c}__null"]),
+                "n_distinct": np.int64(ndmap.get(c, 0)),
+                "min": None if wide[f"{c}__min"] is None
+                else str(wide[f"{c}__min"]),
+                "max": None if wide[f"{c}__max"] is None
+                else str(wide[f"{c}__max"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def mutual_information(
     ds: rd.Dataset,
     *,

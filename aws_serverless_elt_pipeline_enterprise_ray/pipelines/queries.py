@@ -3001,6 +3001,23 @@ def q_mi_type_hour(sf_dir: str):
     )
 
 
+def q_profile_events(sf_dir: str):
+    """ANALYZE-style column profile of the events table: counts +
+    typed min/max as one-row wide partials, exact distinct via a
+    locally-deduped (col, value) exchange."""
+    from ..functions.aggregates import profile_table
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    out = profile_table(ev, columns=["event_id", "user_id", "event_type"])
+    out = out.sort_values("col").reset_index(drop=True)
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out[["col", "n", "n_null", "n_distinct", "min", "max"]]
+
+
 def q_chi2_type_hour(sf_dir: str):
     """Pearson χ² independence test between event_type and hour over
     the COMPLETE contingency grid (zero cells contribute E), per-cell
@@ -3568,6 +3585,7 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "mi_type_hour": q_mi_type_hour,
     "chi2_type_hour": q_chi2_type_hour,
+    "profile_events": q_profile_events,
     "entropy_user_events": q_entropy_user_events,
     "ols_value_by_type": q_ols_value_by_type,
     "cooccur_event_types": q_cooccur_event_types,
@@ -4124,6 +4142,29 @@ ORACLES = {
              NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
       FROM events
       ORDER BY event_id
+    """,
+    "profile_events": """
+      SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(min(event_id) AS VARCHAR) AS min,
+             CAST(max(event_id) AS VARCHAR) AS max
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(user_id) AS BIGINT),
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(min(user_id) AS VARCHAR),
+             CAST(max(user_id) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(event_type) AS BIGINT),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             CAST(min(event_type) AS VARCHAR),
+             CAST(max(event_type) AS VARCHAR)
+      FROM events
+      ORDER BY col
     """,
     "chi2_type_hour": """
       WITH cells AS (

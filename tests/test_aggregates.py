@@ -1503,3 +1503,28 @@ def test_sequence_fingerprint_groups_identical_paths(tmp_path):
     got = q_sequence_fingerprint(str(tmp_path))
     assert got["user_id"].tolist() == [1, 2, 3]
     assert got["canonical_user"].tolist() == [1, 2, 1]
+
+
+def test_profile_table_counts_nulls_distinct_and_typed_minmax():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        profile_table,
+    )
+
+    df = pd.DataFrame(
+        {
+            # numeric min must be numeric (2 < 10), not lexicographic
+            "x": pd.array([10, 2, None, 100, 2], dtype="Int64"),
+            "s": ["b", None, "a", "b", None],
+        }
+    )
+    got = (
+        profile_table(
+            rd.from_pandas(df).repartition(3), columns=["x", "s"]
+        )
+        .set_index("col")
+    )
+    assert got.loc["x", "n"] == 5 and got.loc["x", "n_null"] == 1
+    assert got.loc["x", "n_distinct"] == 3
+    assert got.loc["x", "min"] == "2" and got.loc["x", "max"] == "100"
+    assert got.loc["s", "n_null"] == 2 and got.loc["s", "n_distinct"] == 2
+    assert got.loc["s", "min"] == "a" and got.loc["s", "max"] == "b"
