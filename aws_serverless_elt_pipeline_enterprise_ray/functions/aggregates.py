@@ -317,6 +317,88 @@ def grouped_mad(
     return med.merge(mad, on=group_col)
 
 
+def grouped_gini(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    cents_expr,
+) -> pd.DataFrame:
+    """Gini concentration coefficient of a non-negative integer
+    measure per group — "do 1% of the docs hold 90% of the tokens?"
+    — from the same counting histogram the quantile ops use (exchange
+    bounded by the value domain, never rows).
+
+    For sorted values the numerator is Σ(2i − n − 1)·x_i; over a
+    histogram run of count c at value v starting after s prior rows it
+    collapses to v·c·(2s + c − n) — an exact int64 sum, vectorized
+    over runs. gini = numerator / (n · Σx) evaluates as ONE
+    straight-line double division of exact ints (ppm-floored by
+    callers), so a SQL window mirror hash-matches. Returns
+    (group, n, sum_x, gini_num)."""
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {group_col: b[group_col],
+             "v": pa.array(cents_expr(b), pa.int64())}
+        )
+        return (
+            t.group_by([group_col, "v"])
+            .aggregate([("v", "count")])
+            .rename_columns([group_col, "v", "c"])
+        )
+
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_gb"] = _key_buckets(b[group_col], nb)
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "v"], kind="mergesort").reset_index(
+            drop=True
+        )
+        c = g["c"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        codes, keys = pd.factorize(g[group_col], sort=False)
+        starts = np.flatnonzero(np.r_[True, np.diff(codes) != 0])
+        ends = np.r_[starts[1:], len(g)]
+        cum = c.cumsum()
+        prev_total = np.r_[0, cum[ends[:-1] - 1]]
+        n_per = cum[ends - 1] - prev_total          # rows per group
+        # s = rows before this run WITHIN the group
+        s = cum - c - np.repeat(prev_total, ends - starts)
+        n_rep = np.repeat(n_per, ends - starts)
+        term = v * c * (2 * s + c - n_rep)
+        # reduceat keeps int64 exact (bincount weights would go float)
+        num = np.add.reduceat(term, starts)
+        sx = np.add.reduceat(v * c, starts)
+        return pd.DataFrame(
+            {
+                group_col: keys[codes[starts]],
+                "n": n_per,
+                "sum_x": sx,
+                "gini_num": num,
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    out = (
+        hist.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    for col in ("n", "sum_x", "gini_num"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def heavy_hitters(
     ds: "rd.Dataset",
     col: str,

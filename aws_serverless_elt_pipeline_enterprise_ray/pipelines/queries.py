@@ -2085,6 +2085,29 @@ def q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
 
 
+def q_gini_value_by_type(sf_dir: str):
+    """Gini concentration of value cents per event_type from the
+    counting histogram — exact int64 rank-weighted numerator, one
+    straight-line ppm division; SQL-exact vs a window mirror."""
+    from ..functions.aggregates import grouped_gini
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> np.ndarray:
+        return pc.cast(
+            pc.floor(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+    out = grouped_gini(ev, group_col="event_type", cents_expr=cents)
+    num = out["gini_num"].to_numpy(dtype=np.float64)
+    nf = out["n"].to_numpy(dtype=np.float64)
+    sx = out["sum_x"].to_numpy(dtype=np.float64)
+    out["gini_ppm"] = np.floor(num / (nf * sx) * 1e6).astype("int64")
+    return out[["event_type", "n", "sum_x", "gini_num", "gini_ppm"]]
+
+
 def q_mad_value_by_type(sf_dir: str):
     """Robust location/scale per event_type: exact median + MAD of
     value cents via two counting-histogram passes (exchange bounded by
@@ -3567,6 +3590,7 @@ QUERIES = {
     "quantile_band_filter": q_quantile_band_filter,
     "winsorize_doc_len": q_winsorize_doc_len,
     "mad_value_by_type": q_mad_value_by_type,
+    "gini_value_by_type": q_gini_value_by_type,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
@@ -4732,6 +4756,28 @@ ORACLES = {
       FROM e0 x
       JOIN e0 y ON x.b = y.a
       JOIN e0 z ON z.a = x.a AND z.b = y.b
+    """,
+    "gini_value_by_type": """
+      WITH p AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v
+        FROM events
+      ), r AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY g) AS n,
+               sum(v) OVER (PARTITION BY g) AS sx
+        FROM p
+      )
+      SELECT g AS event_type,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(max(sx) AS BIGINT) AS sum_x,
+             CAST(sum((2 * rn - n - 1) * v) AS BIGINT) AS gini_num,
+             CAST(FLOOR(
+               CAST(sum((2 * rn - n - 1) * v) AS DOUBLE)
+               / (CAST(max(n) AS DOUBLE) * CAST(max(sx) AS DOUBLE))
+               * 1e6) AS BIGINT) AS gini_ppm
+      FROM r GROUP BY g ORDER BY g
     """,
     "mad_value_by_type": """
       WITH p AS (

@@ -1528,3 +1528,45 @@ def test_profile_table_counts_nulls_distinct_and_typed_minmax():
     assert got.loc["x", "min"] == "2" and got.loc["x", "max"] == "100"
     assert got.loc["s", "n_null"] == 2 and got.loc["s", "n_distinct"] == 2
     assert got.loc["s", "min"] == "a" and got.loc["s", "max"] == "b"
+
+
+def test_grouped_gini_matches_direct_formula():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        grouped_gini,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    g = rng.integers(0, 3, n).astype(np.int64)
+    # group 0: uniform-ish; group 1: one giant holder; group 2: equal
+    x = rng.integers(1, 100, n).astype(np.int64)
+    x[g == 1] = 1
+    first1 = np.flatnonzero(g == 1)[0]
+    x[first1] = 1_000_000
+    x[g == 2] = 42
+    df = pd.DataFrame({"g": g, "x": x})
+
+    def expr(b):
+        return b["x"].to_numpy(zero_copy_only=False)
+
+    got = grouped_gini(
+        rd.from_pandas(df).repartition(4), group_col="g", cents_expr=expr
+    )
+
+    def direct(v):
+        v = np.sort(v).astype(np.int64)
+        nn = len(v)
+        i = np.arange(1, nn + 1, dtype=np.int64)
+        return int(((2 * i - nn - 1) * v).sum())
+
+    for gi in range(3):
+        sub = df.loc[df["g"] == gi, "x"].to_numpy()
+        row = got[got["g"] == gi].iloc[0]
+        assert row["gini_num"] == direct(sub)
+        assert row["n"] == len(sub) and row["sum_x"] == sub.sum()
+    gini = got.set_index("g").apply(
+        lambda r: r["gini_num"] / (r["n"] * r["sum_x"]), axis=1
+    )
+    assert gini[2] == 0.0               # perfectly equal
+    assert gini[1] > 0.9                # one holder owns everything
+    assert 0.0 < gini[0] < gini[1]
