@@ -168,28 +168,38 @@ def rank_in_group(
     order_col: str,
     tiebreak: str | None = None,
     descending: bool = False,
-    method: str = "row_number",
-    out_col: str = "rank",
+    method: str | list[str] = "row_number",
+    out_col: str | list[str] = "rank",
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """Per-key ranking (the ``row_number()/rank()/dense_rank() OVER
-    (PARTITION BY key ORDER BY ...)`` family) without per-key Python:
-    keys hash-bucket into ~2 groups per CPU, each group sorts ONCE by
-    (key, order, tiebreak) and ranks every key with numpy cumulative
-    masks - key boundaries reset the counter, equal order values share
-    a rank for ``rank``/``dense_rank``. 1-based, like SQL.
+    """Per-key ranking (the ``row_number()/rank()/dense_rank()/
+    percent_rank()/cume_dist() OVER (PARTITION BY key ORDER BY ...)``
+    family) without per-key Python: keys hash-bucket into ~2 groups
+    per CPU, each group sorts ONCE by (key, order, tiebreak) and ranks
+    every key with numpy cumulative masks - key boundaries reset the
+    counter, equal order values share a rank for ``rank``/
+    ``dense_rank``. 1-based, like SQL. ``percent_rank``/``cume_dist``
+    reduce to straight-line double divisions of exact integers, so
+    they hash-match SQL engines computing the standard formulas.
+
+    ``method``/``out_col`` accept parallel LISTS to emit several
+    window functions from the same single shuffle + sort.
 
     ``topk_per_group`` (aggregates.py) is the better tool when only the
     first k rows per key are needed (it prunes before the shuffle);
     this operator RETAINS every row, annotated - sampling curricula,
     per-user recency indexes, "nth attempt" features."""
-    assert method in (
-        "row_number",
-        "rank",
-        "dense_rank",
-        "percent_rank",
-        "cume_dist",
-    ), method
+    methods = [method] if isinstance(method, str) else list(method)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(methods) == len(out_cols), (methods, out_cols)
+    for m in methods:
+        assert m in (
+            "row_number",
+            "rank",
+            "dense_rank",
+            "percent_rank",
+            "cume_dist",
+        ), m
     if num_buckets is None:
         num_buckets = _buckets_for_cluster()
 
@@ -209,41 +219,38 @@ def rank_in_group(
         # index of each row's key-segment start
         seg_start = np.maximum.accumulate(np.where(key_change, pos, 0))
         row_number = pos - seg_start + 1
-        if method == "row_number":
-            g[out_col] = row_number
-            return g
         order_change = key_change | (
             (g[order_col] != g[order_col].shift()).to_numpy()
         )
-        if method == "rank":
-            # rank = row_number of the first peer in the segment
-            first_peer = np.maximum.accumulate(np.where(order_change, pos, 0))
-            g[out_col] = first_peer - seg_start + 1
-        elif method == "dense_rank":
-            # dense_rank: count of order changes within the segment
-            changes = np.cumsum(order_change)
-            at_start = np.maximum.accumulate(
-                np.where(key_change, changes, 0)
-            )
-            g[out_col] = changes - at_start + 1
-        else:
-            # percent_rank / cume_dist need the per-key count and the
-            # peer-group boundaries; both reduce to straight-line double
-            # division of exact integers, so they hash-match SQL engines
-            # computing the same standard formulas.
-            if not n:
-                g[out_col] = np.zeros(0, np.float64)
-                return g
-            seg_id = np.cumsum(key_change)
-            cnt = np.bincount(seg_id)[seg_id]
-            if method == "percent_rank":
-                # (rank - 1) / (count - 1); 0.0 for single-row keys
-                first_peer = np.maximum.accumulate(
-                    np.where(order_change, pos, 0)
+        first_peer = np.maximum.accumulate(np.where(order_change, pos, 0))
+        cnt = None
+        for m, oc in zip(methods, out_cols):
+            if m == "row_number":
+                g[oc] = row_number
+                continue
+            if m == "rank":
+                # rank = row_number of the first peer in the segment
+                g[oc] = first_peer - seg_start + 1
+                continue
+            if m == "dense_rank":
+                # count of order changes within the segment
+                changes = np.cumsum(order_change)
+                at_start = np.maximum.accumulate(
+                    np.where(key_change, changes, 0)
                 )
+                g[oc] = changes - at_start + 1
+                continue
+            if not n:
+                g[oc] = np.zeros(0, np.float64)
+                continue
+            if cnt is None:
+                seg_id = np.cumsum(key_change)
+                cnt = np.bincount(seg_id)[seg_id]
+            if m == "percent_rank":
+                # (rank - 1) / (count - 1); 0.0 for single-row keys
                 rank = first_peer - seg_start + 1
                 denom = np.maximum(cnt - 1, 1)
-                g[out_col] = np.where(cnt > 1, (rank - 1) / denom, 0.0)
+                g[oc] = np.where(cnt > 1, (rank - 1) / denom, 0.0)
             else:  # cume_dist = (# rows ordered <= current) / count
                 # position AFTER each row's last peer = first change
                 # strictly after it (key_change folds into order_change,
@@ -258,7 +265,7 @@ def rank_in_group(
                 # rows whose NEXT change is beyond the segment end stop
                 # at the segment end: segment end = seg_start + cnt
                 peers_end = np.minimum(peers_end, seg_start + cnt)
-                g[out_col] = (peers_end - seg_start) / cnt
+                g[oc] = (peers_end - seg_start) / cnt
         return g
 
     return (

@@ -2333,22 +2333,14 @@ def q_percent_rank_events(sf_dir: str):
         c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
         return b.drop_columns("value").append_column("value_cents", c)
 
-    prepped = ev.map_batches(cents, batch_format="pyarrow")
-    pr = rank_in_group(
-        prepped,
+    out = rank_in_group(
+        ev.map_batches(cents, batch_format="pyarrow"),
         key="event_type",
         order_col="value_cents",
-        method="percent_rank",
-        out_col="pct_rank",
+        method=["percent_rank", "cume_dist"],
+        out_col=["pct_rank", "cume_dist"],
     )
-    cd = rank_in_group(
-        pr,
-        key="event_type",
-        order_col="value_cents",
-        method="cume_dist",
-        out_col="cume_dist",
-    )
-    df = cd.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     for c in ("event_id", "value_cents"):
         df[c] = df[c].astype("int64")
     return df[["event_id", "event_type", "value_cents", "pct_rank", "cume_dist"]]
