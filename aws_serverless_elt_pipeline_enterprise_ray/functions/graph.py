@@ -349,3 +349,91 @@ def triangle_count(
     )
     closed = hash_join(wedges, oriented, on=["u", "v"], how="semi")
     return closed.count()
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 5,
+) -> pd.DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a deterministic min-label tiebreak: labels start
+    as node ids; each round every node adopts the most frequent label
+    among its neighbors (ties -> smallest label). Synchronous updates
+    + deterministic ties make the result reproducible (the async
+    variant is run-order dependent); a fixed round budget bounds the
+    oscillation the synchronous variant can exhibit on bipartite
+    structures.
+
+    Scale shape per round: ONE bucketed hash_join of the node-sized
+    label table onto the symmetrized edge list, per-batch partial
+    (node, label) counts, one groupby-sum, then the grouped-mode
+    argmax (sort + drop_duplicates per bucket) — the exchange carries
+    label-count partials, never raw edges twice. Labels are node-sized
+    driver frames between rounds (the same contract as pagerank's rank
+    vector). Returns (node, label)."""
+    from .joins import hash_join
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([a[keep], c[keep]]),
+                "v": np.concatenate([c[keep], a[keep]]),
+            }
+        ).drop_duplicates()
+
+    from ray.data.aggregate import Count
+
+    und = (
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    nodes = und.groupby("u").aggregate(Count(alias_name="_d")).to_pandas()
+    labels = pd.DataFrame(
+        {"u": nodes["u"], "label": nodes["u"].astype(np.int64)}
+    )
+
+    for _ in range(rounds):
+        # neighbor labels: edge (u, v) contributes label(v) to u
+        lab_ds = rd.from_pandas(labels.rename(columns={"u": "v"}))
+        contrib = hash_join(und, lab_ds, on="v", how="inner")
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return (
+                b.groupby(["u", "label"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+
+        counts = (
+            contrib.map_batches(partial, batch_format="pandas")
+            .groupby(["u", "label"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        counts = counts.sort_values(
+            ["u", "n", "label"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        new = counts.drop_duplicates("u")[["u", "label"]].reset_index(
+            drop=True
+        )
+        new["label"] = new["label"].astype(np.int64)
+        if new.sort_values("u")["label"].tolist() == labels.sort_values(
+            "u"
+        )["label"].tolist():
+            labels = new
+            break
+        labels = new
+
+    out = labels.rename(columns={"u": "node"}).sort_values("node")
+    return out.reset_index(drop=True)

@@ -2716,6 +2716,33 @@ def q_bpe_tokenize(sf_dir: str):
     return out
 
 
+def q_label_propagation_links(sf_dir: str):
+    """Community detection over the derived link graph: synchronous
+    label propagation with deterministic min-label ties — per round
+    one label→edge join + count partials + grouped-mode argmax.
+    Rows-only (iterative mode has no SQL oracle); pytest pins the
+    two-clique ground truth and single-process parity."""
+    from ..functions.graph import label_propagation
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    out = label_propagation(
+        ev.map_batches(edges, batch_format="pandas"), rounds=4
+    )
+    out["node"] = out["node"].astype("int64")
+    out["label"] = out["label"].astype("int64")
+    return out[["node", "label"]]
+
+
 def q_triangle_count_links(sf_dir: str):
     """Exact distributed triangle count over the derived link graph
     (compact-forward: degree-ordered orientation bounds the wedge
@@ -3588,6 +3615,7 @@ QUERIES = {
     "near_dedup_best": q_near_dedup_best,
     "pagerank_links": q_pagerank_links,
     "triangle_count_links": q_triangle_count_links,
+    "label_propagation_links": q_label_propagation_links,
     "hits_links": q_hits_links,
     "cube_event_stats": q_cube_event_stats,
     "lag_user_events": q_lag_user_events,

@@ -1798,3 +1798,50 @@ def test_html_stripper_removes_boilerplate_exactly():
         "kept",
         "",
     ]
+
+
+def test_label_propagation_matches_single_process_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        label_propagation,
+    )
+
+    # two 4-cliques + a bridge: ground truth = two communities
+    e = []
+    for nodes in ([0, 1, 2, 3], [10, 11, 12, 13]):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                e.append((nodes[i], nodes[j]))
+    e.append((3, 10))
+    df = pd.DataFrame(e, columns=["src", "dst"])
+    got = label_propagation(rd.from_pandas(df).repartition(3), rounds=6)
+    assert got.set_index("node")["label"].to_dict() == {
+        0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10
+    }
+
+    # random graph: parity with a from-scratch synchronous reference
+    rng = np.random.default_rng(73)
+    src = rng.integers(0, 30, 120).astype(np.int64)
+    dst = rng.integers(0, 30, 120).astype(np.int64)
+    rdf = pd.DataFrame({"src": src, "dst": dst})
+    got2 = label_propagation(rd.from_pandas(rdf).repartition(4), rounds=4)
+
+    adj = {}
+    for a, b in zip(src, dst):
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    labels = {u: u for u in adj}
+    from collections import Counter
+
+    for _ in range(4):
+        new = {}
+        for u in adj:
+            c = Counter(labels[v] for v in adj[u])
+            top = max(c.values())
+            new[u] = min(lab for lab, k in c.items() if k == top)
+        if new == labels:
+            labels = new
+            break
+        labels = new
+    assert got2.set_index("node")["label"].to_dict() == labels
