@@ -157,6 +157,16 @@ def main(argv=None) -> int:
     st.add_argument("--lake", required=True)
     st.add_argument("--version", type=int, default=None)
 
+    pf = sub.add_parser(
+        "profile",
+        help="ANALYZE-style column profile of the committed state "
+        "(n / nulls / exact distinct / min / max per column)",
+    )
+    pf.add_argument("--lake", required=True)
+    pf.add_argument("--columns", default=None,
+                    help="comma list; default = all payload columns")
+    pf.add_argument("--version", default=None)
+
     rb = sub.add_parser(
         "rebalance", help="migrate lake to new partitioning (P / hot keys / salt)"
     )
@@ -299,7 +309,18 @@ def main(argv=None) -> int:
     import ray
 
     try:
-        if args.cmd == "ingest":
+        if args.cmd == "profile":
+            from .functions.aggregates import profile_table
+            from .pipelines.cdc import read_table
+
+            ds = read_table(args.lake, version=args.version)
+            cols = (
+                args.columns.split(",") if args.columns
+                else list(ds.schema().names)
+            )
+            prof = profile_table(ds, columns=cols)
+            print(prof.to_json(orient="records"))
+        elif args.cmd == "ingest":
             from . import apply_changes, default_spec
 
             ms = apply_changes(
