@@ -490,6 +490,74 @@ def ntile_in_group(
     )
 
 
+def resample_fill(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key time-series resampling with GAP FILLING: event counts
+    per fixed bucket (default 1h), with every empty bucket between a
+    key's first and last event emitted as an explicit 0 — downstream
+    rate/trend math (EWMA, drift monitors) needs the zeros that a
+    plain groupby silently drops.
+
+    One exchange of per-(key, bucket) count partials (partial-agg
+    before the shuffle, the tumbling-window shape), then a key-bucketed
+    fill: per bucket the dense grid is ONE repeat/arange explode + a
+    merge against the observed counts — zero per-key Python. Returns
+    (key, bucket_start_us, n). Span is bounded by (max−min)/bucket per
+    key; keys whose span explodes the grid are the caller's signal to
+    coarsen ``bucket_us``."""
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[ts_col].astype("datetime64[us]").view("int64")
+        d = pd.DataFrame(
+            {key: b[key], "bs": (t // bucket_us) * bucket_us}
+        )
+        return d.groupby([key, "bs"], sort=False).size().reset_index(name="n")
+
+    from ray.data.aggregate import Sum as _Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "bs"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_sb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_sb")
+        span = g.groupby(key, sort=False)["bs"].agg(["min", "max"])
+        k = ((span["max"] - span["min"]) // bucket_us + 1).to_numpy(np.int64)
+        total = int(k.sum())
+        rows = np.repeat(np.arange(len(span)), k)
+        j = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+        grid = pd.DataFrame(
+            {
+                key: span.index.to_numpy()[rows],
+                "bs": span["min"].to_numpy()[rows] + j * bucket_us,
+            }
+        )
+        out = grid.merge(g, on=[key, "bs"], how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        return out
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(fill_bucket, batch_format="pandas")
+    )
+
+
 def funnel_steps(
     ds: rd.Dataset,
     *,

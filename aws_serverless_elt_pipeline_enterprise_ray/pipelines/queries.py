@@ -2266,6 +2266,24 @@ def q_cumsum_user_value(sf_dir: str):
     return df[["event_id", "user_id", "cum_n", "cum_value_cents"]]
 
 
+def q_resample_user_6h(sf_dir: str):
+    """Gap-filled per-user 6h event counts: partial-agg exchange, then
+    a dense repeat/arange grid merge per key bucket — the zeros that a
+    plain groupby drops, needed by rate/trend math."""
+    from ..functions.windows import resample_fill
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = resample_fill(
+        ev, key="user_id", ts_col="ts", bucket_us=21_600_000_000
+    )
+    df = out.to_pandas().sort_values(["user_id", "bs"]).reset_index(drop=True)
+    for c in ("user_id", "bs", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "bs", "n"]]
+
+
 def q_ewma_user_value(sf_dir: str):
     """Per-user EWMA of value cents under the (ts, event_id) total
     order (alpha=0.25, adjust=False streaming recursion): one bucketed
@@ -3598,6 +3616,7 @@ QUERIES = {
     "cumsum_user_value": q_cumsum_user_value,
     "percent_rank_events": q_percent_rank_events,
     "ewma_user_value": q_ewma_user_value,
+    "resample_user_6h": q_resample_user_6h,
     "negative_samples_docs": q_negative_samples_docs,
     "pca_embeddings": q_pca_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
@@ -5022,6 +5041,23 @@ ORACLES = {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY event_id
+    """,
+    "resample_user_6h": """
+      WITH c AS (
+        SELECT user_id,
+               (epoch_us(ts) // 21600000000) * 21600000000 AS bs,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, bs
+      ), span AS (
+        SELECT user_id, min(bs) AS mn, max(bs) AS mx FROM c GROUP BY user_id
+      ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, 21600000000)) AS bs
+        FROM span
+      )
+      SELECT g.user_id, g.bs, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN c USING (user_id, bs)
+      ORDER BY g.user_id, g.bs
     """,
     "negative_samples_docs": """
       WITH ids AS (

@@ -1570,3 +1570,37 @@ def test_grouped_gini_matches_direct_formula():
     assert gini[2] == 0.0               # perfectly equal
     assert gini[1] > 0.9                # one holder owns everything
     assert 0.0 < gini[0] < gini[1]
+
+
+def test_resample_fill_emits_zero_buckets():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        resample_fill,
+    )
+
+    H = 3_600_000_000
+    t0 = pd.Timestamp("2024-05-01")
+    rows = [
+        # key 1: events in hours 0, 0, 3  -> zeros at hours 1, 2
+        (1, t0), (1, t0 + pd.Timedelta(minutes=20)),
+        (1, t0 + pd.Timedelta(hours=3)),
+        # key 2: single event -> a single bucket, no fill
+        (2, t0 + pd.Timedelta(hours=7)),
+    ]
+    df = pd.DataFrame(rows, columns=["k", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (
+        resample_fill(
+            rd.from_pandas(df).repartition(2), key="k", ts_col="ts",
+            bucket_us=H,
+        )
+        .to_pandas()
+        .sort_values(["k", "bs"])
+        .reset_index(drop=True)
+    )
+    base = t0.value // 1000
+    want = [
+        (1, base, 2), (1, base + H, 0), (1, base + 2 * H, 0),
+        (1, base + 3 * H, 1),
+        (2, base + 7 * H, 1),
+    ]
+    assert list(zip(got["k"], got["bs"], got["n"])) == want
