@@ -437,3 +437,74 @@ def label_propagation(
 
     out = labels.rename(columns={"u": "node"}).sort_values("node")
     return out.reset_index(drop=True)
+
+
+def bfs_distances(
+    edges: rd.Dataset,
+    *,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_depth: int = 32,
+) -> pd.DataFrame:
+    """Single-source BFS hop distances — reachability / radius-from-seed
+    curation (e.g. "within 2 clicks of a trusted seed site").
+
+    Classic frontier iteration: per level ONE bucketed hash_join of the
+    node-sized frontier onto the (materialized) edge list, per-batch
+    distinct-neighbor partials, a tiny groupby — the exchange carries
+    the frontier's out-neighborhood, never the whole graph; visited
+    state is a node-sized driver set (the pagerank/label-propagation
+    residency contract). Unreached nodes are absent from the result.
+    Returns (node, dist)."""
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        if directed:
+            return pd.DataFrame({"u": a[keep], "v": c[keep]}).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([a[keep], c[keep]]),
+                "v": np.concatenate([c[keep], a[keep]]),
+            }
+        ).drop_duplicates()
+
+    adj = (
+        edges.map_batches(prep, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    dist = {int(source): 0}
+    frontier = pd.DataFrame({"u": np.array([source], dtype=np.int64)})
+    for depth in range(1, max_depth + 1):
+        if not len(frontier):
+            break
+        joined = hash_join(adj, rd.from_pandas(frontier), on="u", how="semi")
+
+        def nbr_partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": pd.unique(b["v"].to_numpy())})
+
+        neigh = (
+            joined.map_batches(nbr_partial, batch_format="pandas")
+            .groupby("v")
+            .aggregate(Count(alias_name="_n"))
+            .to_pandas()
+        )
+        new = [int(v) for v in neigh["v"] if int(v) not in dist]
+        for v in new:
+            dist[v] = depth
+        frontier = pd.DataFrame({"u": np.array(new, dtype=np.int64)})
+
+    out = pd.DataFrame(
+        {"node": list(dist.keys()), "dist": list(dist.values())}
+    ).astype({"node": "int64", "dist": "int64"})
+    return out.sort_values("node").reset_index(drop=True)

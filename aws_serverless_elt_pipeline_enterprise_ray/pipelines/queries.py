@@ -2734,6 +2734,30 @@ def q_bpe_tokenize(sf_dir: str):
     return out
 
 
+def q_bfs_links(sf_dir: str):
+    """Single-source BFS hop distances (≤4) over the derived link
+    graph: frontier joins against the materialized edge list, visited
+    set node-sized on the driver. SQL-exact vs a depth-capped
+    recursive CTE taking min(depth)."""
+    from ..functions.graph import bfs_distances
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    out = bfs_distances(
+        ev.map_batches(edges, batch_format="pandas"), source=0, max_depth=4
+    )
+    return out[["node", "dist"]]
+
+
 def q_label_propagation_links(sf_dir: str):
     """Community detection over the derived link graph: synchronous
     label propagation with deterministic min-label ties — per round
@@ -3635,6 +3659,7 @@ QUERIES = {
     "pagerank_links": q_pagerank_links,
     "triangle_count_links": q_triangle_count_links,
     "label_propagation_links": q_label_propagation_links,
+    "bfs_links": q_bfs_links,
     "hits_links": q_hits_links,
     "cube_event_stats": q_cube_event_stats,
     "lag_user_events": q_lag_user_events,
@@ -4781,6 +4806,27 @@ ORACLES = {
       SELECT doc_id,
              trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean
       FROM s5 ORDER BY doc_id
+    """,
+    "bfs_links": """
+      WITH RECURSIVE raw AS (
+        SELECT user_id % 500 AS s,
+               ((user_id % 500) * 31 + event_id) % 500 AS d
+        FROM events
+      ), e AS (
+        SELECT u, v FROM (
+          SELECT s AS u, d AS v FROM raw WHERE s <> d
+          UNION
+          SELECT d AS u, s AS v FROM raw WHERE s <> d
+        )
+      ), walk(node, dep) AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS dep
+        UNION
+        SELECT e.v, walk.dep + 1
+        FROM walk JOIN e ON e.u = walk.node
+        WHERE walk.dep < 4
+      )
+      SELECT node, CAST(min(dep) AS BIGINT) AS dist
+      FROM walk GROUP BY node ORDER BY node
     """,
     "triangle_count_links": """
       WITH raw AS (

@@ -1845,3 +1845,39 @@ def test_label_propagation_matches_single_process_reference():
             break
         labels = new
     assert got2.set_index("node")["label"].to_dict() == labels
+
+
+def test_bfs_distances_matches_python_bfs():
+    from collections import deque
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        bfs_distances,
+    )
+
+    rng = np.random.default_rng(79)
+    src = rng.integers(0, 60, 150).astype(np.int64)
+    dst = rng.integers(0, 60, 150).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    got = bfs_distances(rd.from_pandas(df).repartition(4), source=0)
+
+    adj = {}
+    for a, b in zip(src, dst):
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    want = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got.set_index("node")["dist"].to_dict() == want
+    # max_depth truncates: only source + direct neighbors at depth 1
+    shallow = bfs_distances(rd.from_pandas(df), source=0, max_depth=1)
+    assert set(shallow["dist"]) <= {0, 1}
+    assert shallow.set_index("node")["dist"].to_dict() == {
+        k: v for k, v in want.items() if v <= 1
+    }
