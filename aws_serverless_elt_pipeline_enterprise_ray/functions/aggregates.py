@@ -701,6 +701,38 @@ def grouping_sets(
     )
 
 
+def explode_list(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    list_col: str,
+    idx_col: str = "idx",
+    val_col: str = "val",
+) -> rd.Dataset:
+    """UNNEST a list column into (id, 1-based index, value) rows —
+    embedding dims, token lists, frame arrays — with ZERO-COPY Arrow
+    kernels: ``list_flatten`` reuses the child buffer,
+    ``list_parent_indices`` gathers ids, and the within-list index is
+    one arange minus the repeated offsets. No Python per row, no
+    shuffle (embarrassingly parallel); output is rows × list-length —
+    size the batch accordingly."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - starts + 1
+        ids = pc.take(b[id_col], parents)
+        return pa.table({id_col: ids, idx_col: pa.array(idx), val_col: flat})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def unpivot(
     ds: rd.Dataset,
     *,

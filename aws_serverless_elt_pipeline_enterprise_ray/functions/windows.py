@@ -337,6 +337,58 @@ def cumulate_in_group(
     )
 
 
+def first_last_in_group(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``FIRST_VALUE / LAST_VALUE OVER (PARTITION BY key ORDER BY
+    ... ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``:
+    every row annotated with its key's first and last value under the
+    total order — "time since first touch", "final state on every
+    row" features without a self-join.
+
+    One bucketed shuffle; per bucket one sort, then first/last are two
+    numpy gathers at segment boundaries (seg_start forward-fill and
+    its reverse twin) — zero per-key Python. Adds ``first_<col>`` /
+    ``last_<col>``."""
+    if num_buckets is None:
+        num_buckets = _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_fb"] = _key_buckets(b[key], num_buckets)
+        return b
+
+    def fl_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort").drop(
+            columns="_fb"
+        )
+        n = len(g)
+        key_change = (g[key] != g[key].shift()).to_numpy()
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(key_change, pos, 0))
+        # segment end (inclusive): reverse of the start trick
+        key_change_rev = np.r_[key_change[1:], True]
+        seg_end = np.minimum.accumulate(
+            np.where(key_change_rev, pos, n - 1)[::-1]
+        )[::-1]
+        for c in value_cols:
+            v = g[c].to_numpy()
+            g[f"first_{c}"] = v[seg_start] if n else v
+            g[f"last_{c}"] = v[seg_end] if n else v
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(fl_bucket, batch_format="pandas")
+    )
+
+
 def ewma_in_group(
     ds: rd.Dataset,
     *,

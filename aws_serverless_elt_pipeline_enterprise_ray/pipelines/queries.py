@@ -2266,6 +2266,55 @@ def q_cumsum_user_value(sf_dir: str):
     return df[["event_id", "user_id", "cum_n", "cum_value_cents"]]
 
 
+def q_explode_embeddings(sf_dir: str):
+    """UNNEST the embedding list column to (vec_id, idx, val) rows via
+    zero-copy Arrow list kernels — no Python per row, no shuffle."""
+    from ..functions.aggregates import explode_list
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = explode_list(emb, id_col="vec_id", list_col="embedding")
+    df = out.to_pandas().sort_values(["vec_id", "idx"]).reset_index(drop=True)
+    for c in ("vec_id", "idx"):
+        df[c] = df[c].astype("int64")
+    return df[["vec_id", "idx", "val"]]
+
+
+def q_first_last_user(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user under the (ts, event_id)
+    total order — two boundary gathers after one bucketed sort; every
+    row retained."""
+    from ..functions.windows import first_last_in_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    out = first_last_in_group(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_cols=["event_type"],
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "user_id"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "user_id", "first_event_type", "last_event_type"]]
+
+
 def q_resample_user_6h(sf_dir: str):
     """Gap-filled per-user 6h event counts: partial-agg exchange, then
     a dense repeat/arange grid merge per key bucket — the zeros that a
@@ -3641,6 +3690,8 @@ QUERIES = {
     "percent_rank_events": q_percent_rank_events,
     "ewma_user_value": q_ewma_user_value,
     "resample_user_6h": q_resample_user_6h,
+    "first_last_user": q_first_last_user,
+    "explode_embeddings": q_explode_embeddings,
     "negative_samples_docs": q_negative_samples_docs,
     "pca_embeddings": q_pca_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
@@ -5086,6 +5137,24 @@ ORACLES = {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """,
+    "explode_embeddings": """
+      SELECT vec_id,
+             CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+               AS idx,
+             unnest(embedding) AS val
+      FROM embeddings
+      ORDER BY vec_id, idx
+    """,
+    "first_last_user": """
+      SELECT event_id, user_id,
+             first_value(event_type) OVER w AS first_event_type,
+             last_value(event_type) OVER w AS last_event_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
       ORDER BY event_id
     """,
     "resample_user_6h": """

@@ -1604,3 +1604,61 @@ def test_resample_fill_emits_zero_buckets():
         (2, base + 7 * H, 1),
     ]
     assert list(zip(got["k"], got["bs"], got["n"])) == want
+
+
+def test_first_last_in_group_matches_pandas_transform():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        first_last_in_group,
+    )
+
+    rng = np.random.default_rng(83)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 40, n).astype(np.int64),
+            "o": rng.integers(0, 300, n).astype(np.int64),
+            "v": rng.integers(0, 9, n).astype(np.int64),
+        }
+    )
+    got = (
+        first_last_in_group(
+            rd.from_pandas(df).repartition(5),
+            key="k",
+            order_cols=["o", "id"],
+            value_cols=["v"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "id"], kind="stable")
+    g = ref.groupby("k", sort=False)["v"]
+    ref = ref.assign(f=g.transform("first"), l=g.transform("last"))
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert got["first_v"].tolist() == ref["f"].tolist()
+    assert got["last_v"].tolist() == ref["l"].tolist()
+
+
+def test_explode_list_roundtrips_and_indexes():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        explode_list,
+    )
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "xs": pa.array(
+                [[1.5, 2.5], [], [7.0, 8.0, 9.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        explode_list(rd.from_arrow(tbl), id_col="id", list_col="xs")
+        .to_pandas()
+        .sort_values(["id", "idx"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id"], got["idx"])) == [(1, 1), (1, 2), (3, 1),
+                                                (3, 2), (3, 3)]
+    assert got["val"].tolist() == [1.5, 2.5, 7.0, 8.0, 9.0]
