@@ -715,3 +715,89 @@ def quantized_topk(
         out.append(df)
     res = pd.concat(out, ignore_index=True)
     return res[["query_id", "rank", "neighbor_id", "cosine"]]
+
+
+def mmr_select(
+    ds,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lam: float = 0.5,
+) -> pd.DataFrame:
+    """Diversity-aware selection by Maximal Marginal Relevance
+    (Carbonell & Goldstein, SIGIR'98): greedily pick k items maximizing
+    ``lam·centrality − (1−lam)·max_sim_to_already_selected`` — the
+    "cover the embedding space, don't pick near-duplicates" sampler
+    for eval-set / few-shot selection.
+
+    Centrality = cosine to the corpus mean direction (one streaming
+    (Σv, n) pass). Each greedy step is ONE embarrassingly-parallel
+    pass: the ≤k selected vectors broadcast (`ray.put`, re-read per
+    actor), every batch reduces to its local best candidate, the
+    driver picks the global argmax (ties → min id, so the result is
+    deterministic and layout-invariant). k passes total — MMR is
+    inherently sequential in k; at corpus scale each pass is a cheap
+    projection. Returns (rank, id, score) in pick order."""
+    # corpus mean direction for the relevance term
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(b[vec_col].to_numpy())
+        return pd.DataFrame({"s": [v.sum(axis=0)], "n": [np.int64(len(b))]})
+
+    parts = ds.map_batches(sum_partial, batch_format="pandas").to_pandas()
+    mean = np.sum(np.stack(parts["s"].to_numpy()), axis=0) / float(
+        parts["n"].sum()
+    )
+    mean = mean / max(float(np.linalg.norm(mean)), 1e-12)
+    mean_ref = ray.put(mean.astype(np.float64))
+
+    selected_ids: list[int] = []
+    selected_vecs: list[np.ndarray] = []
+    picks = []
+    for step in range(k):
+        sel_ref = ray.put(
+            np.stack(selected_vecs) if selected_vecs else None
+        )
+        sel_ids = frozenset(selected_ids)
+
+        def best_local(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[~b[id_col].isin(sel_ids)]
+            if not len(b):
+                return pd.DataFrame({"id": [], "score": [], "vi": []})
+            v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(v, axis=1)
+            norms = np.maximum(norms, 1e-12)
+            vn = v / norms[:, None]
+            rel = vn @ ray.get(mean_ref)
+            sel = ray.get(sel_ref)
+            if sel is None:
+                pen = np.zeros(len(b))
+            else:
+                sn = sel / np.maximum(
+                    np.linalg.norm(sel, axis=1), 1e-12
+                )[:, None]
+                pen = (vn @ sn.T).max(axis=1)
+            score = lam * rel - (1.0 - lam) * pen
+            # deterministic: best score, ties -> min id
+            order = np.lexsort((b[id_col].to_numpy(), -score))
+            i = order[0]
+            return pd.DataFrame(
+                {
+                    "id": [b[id_col].to_numpy()[i]],
+                    "score": [score[i]],
+                    "vi": [v[i]],
+                }
+            )
+
+        cands = ds.map_batches(best_local, batch_format="pandas").to_pandas()
+        if not len(cands):
+            break
+        cands = cands.sort_values(
+            ["score", "id"], ascending=[False, True], kind="mergesort"
+        )
+        row = cands.iloc[0]
+        selected_ids.append(int(row["id"]))
+        selected_vecs.append(np.asarray(row["vi"], dtype=np.float64))
+        picks.append((step + 1, int(row["id"]), float(row["score"])))
+
+    return pd.DataFrame(picks, columns=["rank", "id", "score"])

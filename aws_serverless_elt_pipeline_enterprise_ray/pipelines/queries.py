@@ -2413,6 +2413,27 @@ def q_percent_rank_events(sf_dir: str):
     return df[["event_id", "event_type", "value_cents", "pct_rank", "cume_dist"]]
 
 
+def q_mmr_select_embeddings(sf_dir: str):
+    """Diversity-aware selection (MMR, SIGIR'98): 10 picks at λ=0.5 —
+    k embarrassingly-parallel passes with the ≤k selected vectors
+    broadcast; deterministic (ties → min id) and layout-invariant.
+    Rows-only: greedy float argmax has no SQL form; pytest pins
+    cluster coverage + determinism."""
+    from ..functions.similarity import mmr_select
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = mmr_select(emb, k=10, lam=0.5)
+    out["id"] = out["id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["score_ub"] = np.floor(
+        out["score"].to_numpy(dtype=np.float64) * 1048576.0
+    ).astype("int64")
+    return out[["rank", "id", "score_ub"]]
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed PCA: one streaming pass of (sum, X^T X, n) partials
     (d-vector + d x d per block - rows never concentrate), driver
@@ -3694,6 +3715,7 @@ QUERIES = {
     "explode_embeddings": q_explode_embeddings,
     "negative_samples_docs": q_negative_samples_docs,
     "pca_embeddings": q_pca_embeddings,
+    "mmr_select_embeddings": q_mmr_select_embeddings,
     "mean_pool_embeddings": q_mean_pool_embeddings,
     "model_score": q_model_score,
     "compression_score": q_compression_score,

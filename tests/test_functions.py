@@ -1881,3 +1881,35 @@ def test_bfs_distances_matches_python_bfs():
     assert shallow.set_index("node")["dist"].to_dict() == {
         k: v for k, v in want.items() if v <= 1
     }
+
+
+def test_mmr_select_diverse_and_deterministic():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        mmr_select,
+    )
+
+    rng = np.random.default_rng(89)
+    # three tight clusters; MMR at lam=0.5 must cover all three before
+    # taking a second member of any cluster
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    vecs, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(5):
+            vecs.append(c + rng.normal(0, 0.05, 3))
+            ids.append(ci * 100 + j)
+    df = pd.DataFrame(
+        {"vec_id": np.array(ids, dtype=np.int64),
+         "embedding": [v.astype(np.float32) for v in vecs]}
+    )
+    got = mmr_select(
+        rd.from_pandas(df).repartition(4), k=3, lam=0.5
+    )
+    assert len(got) == 3
+    assert sorted(i // 100 for i in got["id"]) == [0, 1, 2]
+    # layout invariance
+    again = mmr_select(rd.from_pandas(df).repartition(7), k=3, lam=0.5)
+    assert got["id"].tolist() == again["id"].tolist()
+    # pure relevance (lam=1) picks by centrality only: still 3 rows,
+    # rank strictly ordered
+    rel = mmr_select(rd.from_pandas(df), k=3, lam=1.0)
+    assert rel["rank"].tolist() == [1, 2, 3]
