@@ -604,6 +604,44 @@ def filter_by_quantile(
     return ds.map_batches(band, batch_format="pyarrow")
 
 
+def histogram_fixed(
+    ds: rd.Dataset,
+    *,
+    col: str,
+    lo: int,
+    hi: int,
+    nbins: int,
+) -> pd.DataFrame:
+    """Equi-width histogram of an integer measure over [lo, hi):
+    values clamp into the edge bins (no silent drops), EMPTY bins are
+    emitted as explicit zeros — the profile/monitoring companion to
+    the exact-quantile ops. One pass of per-batch ``np.bincount``
+    partials, one tiny groupby-sum; the exchange carries ≤ nbins rows
+    per block. Returns (bin, bin_lo, n) for every bin."""
+    width = (hi - lo) // nbins
+    assert width > 0, "need hi - lo >= nbins"
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        v = pc.cast(b[col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.clip((v - lo) // width, 0, nbins - 1)
+        c = np.bincount(idx, minlength=nbins)
+        return pd.DataFrame(
+            {"bin": np.arange(nbins, dtype=np.int64), "n": c.astype(np.int64)}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out.insert(1, "bin_lo", lo + out["bin"].to_numpy() * width)
+    return out
+
+
 def winsorize_by_quantile(
     ds: rd.Dataset,
     *,

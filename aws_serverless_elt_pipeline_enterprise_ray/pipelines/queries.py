@@ -2085,6 +2085,25 @@ def q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
 
 
+def q_histogram_value(sf_dir: str):
+    """Equi-width 20-bin histogram of value cents over [0, 100000):
+    per-batch bincount partials, tiny groupby-sum, zeros explicit."""
+    from ..functions.aggregates import histogram_fixed
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"cents": c})
+
+    return histogram_fixed(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        col="cents", lo=0, hi=100_000, nbins=20,
+    )
+
+
 def q_gini_value_by_type(sf_dir: str):
     """Gini concentration of value cents per event_type from the
     counting histogram — exact int64 rank-weighted numerator, one
@@ -3726,6 +3745,7 @@ QUERIES = {
     "winsorize_doc_len": q_winsorize_doc_len,
     "mad_value_by_type": q_mad_value_by_type,
     "gini_value_by_type": q_gini_value_by_type,
+    "histogram_value": q_histogram_value,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
@@ -4914,6 +4934,23 @@ ORACLES = {
       FROM e0 x
       JOIN e0 y ON x.b = y.a
       JOIN e0 z ON z.a = x.a AND z.b = y.b
+    """,
+    "histogram_value": """
+      WITH p AS (
+        SELECT LEAST(GREATEST(
+                 (CAST(FLOOR(value * 100) AS BIGINT) - 0) // 5000, 0), 19)
+               AS bin
+        FROM events
+      ), bins AS (
+        SELECT unnest(generate_series(0, 19)) AS bin
+      )
+      SELECT CAST(b.bin AS BIGINT) AS bin,
+             CAST(b.bin * 5000 AS BIGINT) AS bin_lo,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM bins b LEFT JOIN (
+        SELECT bin, count(*) AS n FROM p GROUP BY bin
+      ) c USING (bin)
+      ORDER BY bin
     """,
     "gini_value_by_type": """
       WITH p AS (

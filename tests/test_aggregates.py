@@ -1662,3 +1662,21 @@ def test_explode_list_roundtrips_and_indexes():
     assert list(zip(got["id"], got["idx"])) == [(1, 1), (1, 2), (3, 1),
                                                 (3, 2), (3, 3)]
     assert got["val"].tolist() == [1.5, 2.5, 7.0, 8.0, 9.0]
+
+
+def test_histogram_fixed_fills_empty_bins_and_clamps():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        histogram_fixed,
+    )
+
+    v = np.array([-5, 0, 3, 7, 7, 12, 99, 1000], dtype=np.int64)
+    df = pd.DataFrame({"x": v})
+    got = histogram_fixed(
+        rd.from_pandas(df).repartition(3), col="x", lo=0, hi=20, nbins=4
+    )
+    # width 5: bins [0,5) [5,10) [10,15) [15,20); -5 clamps into bin 0,
+    # 99/1000 clamp into bin 3; bin 3 otherwise empty of in-range vals
+    assert got["bin"].tolist() == [0, 1, 2, 3]
+    assert got["bin_lo"].tolist() == [0, 5, 10, 15]
+    assert got["n"].tolist() == [3, 2, 1, 2]
+    assert int(got["n"].sum()) == len(v)
