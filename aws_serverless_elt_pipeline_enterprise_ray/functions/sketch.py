@@ -194,3 +194,63 @@ def hll_distinct(
         }
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def hll_distinct_by_group(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via HyperLogLog —
+    the scale path beside the exact ``aggregates.distinct_count``: the
+    exchange carries at most groups × 2^p register rows per block
+    (p=8 ⇒ ±~6.5%), regardless of value cardinality, where the exact
+    op's shuffle grows with the distinct count itself.
+
+    Per batch: one vectorized hash → (register, rho) pass and a
+    C-level per-(group, register) max partial; ONE groupby-max merges
+    (max is associative/commutative ⇒ the result is bitwise
+    deterministic and layout-invariant); the bias-corrected estimate
+    runs on the register-sized driver table. Returns
+    (group, n_distinct_est)."""
+    from ray.data.aggregate import Max
+
+    mask = (np.uint64(1) << np.uint64(64 - p)) - np.uint64(1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[group_col, value_col]].dropna(subset=[value_col])
+        if not len(d):
+            return pd.DataFrame({group_col: [], "reg": [], "rho": []})
+        h = pd.util.hash_pandas_object(
+            d[value_col], index=False
+        ).to_numpy(dtype=np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h & mask
+        rho = ((64 - p) - _bit_length_u64(rest) + 1).astype(np.int64)
+        f = pd.DataFrame(
+            {group_col: d[group_col].to_numpy(), "reg": idx, "rho": rho}
+        )
+        return (
+            f.groupby([group_col, "reg"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in merged.groupby(group_col):
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[sub["reg"].to_numpy(dtype=np.int64)] = sub["rho"].to_numpy(
+            dtype=np.uint8
+        )
+        rows.append({group_col: g, "n_distinct_est": hll_estimate(regs)})
+    out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
+    out["n_distinct_est"] = out["n_distinct_est"].astype("int64")
+    return out

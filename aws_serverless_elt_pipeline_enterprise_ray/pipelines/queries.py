@@ -2085,6 +2085,23 @@ def q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Approximate distinct users per event_type via grouped HLL
+    (p=8): the exchange is bounded by groups × 256 registers, not the
+    cardinality. Rows-only (estimate); the pytest pins the error bound
+    and layout-invariant determinism; the exact sibling is
+    `distinct_users_per_type`."""
+    from ..functions.sketch import hll_distinct_by_group
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    return hll_distinct_by_group(
+        ev, group_col="event_type", value_col="user_id"
+    )
+
+
 def q_histogram_value(sf_dir: str):
     """Equi-width 20-bin histogram of value cents over [0, 100000):
     per-batch bincount partials, tiny groupby-sum, zeros explicit."""
@@ -3746,6 +3763,7 @@ QUERIES = {
     "mad_value_by_type": q_mad_value_by_type,
     "gini_value_by_type": q_gini_value_by_type,
     "histogram_value": q_histogram_value,
+    "hll_users_by_type": q_hll_users_by_type,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,

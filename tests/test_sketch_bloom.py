@@ -217,3 +217,34 @@ def test_hll_merge_equals_union():
     ra, rb = _registers(a, 14), _registers(b, 14)
     est = hll_estimate(hll_merge([ra, rb]))
     assert abs(est - 100_000) / 100_000 < 0.05, est
+
+
+def test_hll_distinct_by_group_accuracy_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import (
+        hll_distinct_by_group,
+    )
+
+    rng = np.random.default_rng(97)
+    frames = []
+    truth = {"a": 50, "b": 1000, "c": 5000}
+    for g, card in truth.items():
+        vals = rng.choice(card * 10, card, replace=False)
+        # repeat values so dedup matters
+        rep = np.concatenate([vals, rng.choice(vals, 2000)])
+        frames.append(pd.DataFrame({"g": g, "v": rep.astype(np.int64)}))
+    df = pd.concat(frames, ignore_index=True)
+    got = hll_distinct_by_group(
+        rd.from_pandas(df).repartition(6), group_col="g", value_col="v"
+    ).set_index("g")["n_distinct_est"]
+    for g, card in truth.items():
+        assert abs(got[g] - card) / card < 0.15, (g, got[g], card)
+    # max-merge is order-free: different layout, identical estimates
+    again = hll_distinct_by_group(
+        rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(11),
+        group_col="g", value_col="v",
+    ).set_index("g")["n_distinct_est"]
+    assert got.to_dict() == again.to_dict()
