@@ -54,11 +54,17 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     num_buckets: int | None = None,
+    personalization: list | None = None,
 ) -> pd.DataFrame:
     """PageRank by power iteration over an (src, dst) edge Dataset.
     Returns a DataFrame (node, rank) over every node that appears as a
     source or destination; ranks sum to 1 (dangling mass redistributed
     uniformly each iteration, the standard treatment).
+
+    ``personalization``: optional seed-node list — teleport (and
+    dangling) mass goes uniformly to the SEEDS instead of all nodes
+    (personalized PageRank, the "rank relative to trusted sites" /
+    TrustRank-style curation prior). Seeds must exist in the graph.
 
     Each iteration costs two bucketed shuffles (rank→edge join, dst
     partial-sum combine); the driver holds only the node-rank table —
@@ -90,7 +96,17 @@ def pagerank(
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
 
-    ranks = pd.DataFrame({"node": nodes, "rank": np.full(n, 1.0 / n)})
+    if personalization is not None:
+        seeds = np.array(sorted(set(int(s) for s in personalization)),
+                         dtype=np.int64)
+        missing = np.setdiff1d(seeds, nodes)
+        if len(missing):
+            raise ValueError(f"personalization seeds not in graph: {missing[:5]}")
+        tele = np.isin(nodes, seeds).astype(np.float64)
+        tele = tele / tele.sum()
+    else:
+        tele = np.full(n, 1.0 / n)
+    ranks = pd.DataFrame({"node": nodes, "rank": tele.copy()})
     deg_map = ranks.merge(deg, on="node", how="left").fillna({"deg": 0})
     dangling_nodes = deg_map.loc[deg_map["deg"] == 0, "node"].to_numpy()
 
@@ -130,7 +146,7 @@ def pagerank(
         dangling = float(
             ranks.loc[ranks["node"].isin(dangling_nodes), "rank"].sum()
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (1.0 - damping) * tele + damping * dangling * tele
         nr = ranks[["node"]].merge(sums, on="node", how="left").fillna({"m": 0.0})
         ranks = pd.DataFrame(
             {"node": nr["node"], "rank": base + damping * nr["m"].to_numpy()}

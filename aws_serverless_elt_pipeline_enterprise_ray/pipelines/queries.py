@@ -2913,6 +2913,34 @@ def q_triangle_count_links(sf_dir: str):
     return pd.DataFrame({"n_triangles": [np.int64(n)]})
 
 
+def q_ppr_links(sf_dir: str):
+    """Personalized PageRank (TrustRank-style seed prior): teleport +
+    dangling mass flow to seeds {0,1,2} only — rank-relative-to-
+    trusted-sites curation. Rows-only; pytest pins single-process
+    parity at 1e-9."""
+    from ..functions.graph import pagerank
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    ranks = pagerank(
+        ev.map_batches(edges, batch_format="pandas"),
+        iterations=8,
+        personalization=[0, 1, 2],
+    )
+    ranks["rank_ppb"] = (ranks["rank"] * 1e9).round().astype("int64")
+    ranks["node"] = ranks["node"].astype("int64")
+    return ranks[["node", "rank_ppb"]]
+
+
 def q_pagerank_links(sf_dir: str):
     """Link-graph authority ranking: a deterministic user->user edge
     list derived from events (who triggers whom: user_id ->
@@ -3768,6 +3796,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
     "pagerank_links": q_pagerank_links,
+    "ppr_links": q_ppr_links,
     "triangle_count_links": q_triangle_count_links,
     "label_propagation_links": q_label_propagation_links,
     "bfs_links": q_bfs_links,

@@ -1913,3 +1913,54 @@ def test_mmr_select_diverse_and_deterministic():
     # rank strictly ordered
     rel = mmr_select(rd.from_pandas(df), k=3, lam=1.0)
     assert rel["rank"].tolist() == [1, 2, 3]
+
+
+def test_personalized_pagerank_concentrates_on_seeds():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        pagerank,
+    )
+
+    rng = np.random.default_rng(101)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    seeds = [0, 1]
+    got = pagerank(
+        rd.from_pandas(df).repartition(3), iterations=8,
+        personalization=seeds,
+    )
+    uni = pagerank(rd.from_pandas(df).repartition(3), iterations=8)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    # seeds gain rank relative to the uniform teleport run
+    g = got.set_index("node")["rank"]
+    u = uni.set_index("node")["rank"]
+    assert g[0] > u[0] and g[1] > u[1]
+    # reference: single-process personalized power iteration
+    adj = {}
+    deg = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), []).append(int(b))
+        deg[int(a)] = deg.get(int(a), 0) + 1
+    nodes = sorted(set(src) | set(dst))
+    tele = {v: (0.5 if v in seeds else 0.0) for v in nodes}
+    r = dict(tele)
+    for _ in range(8):
+        nxt = {v: 0.0 for v in nodes}
+        dangling = sum(r[v] for v in nodes if v not in deg)
+        for a, outs in adj.items():
+            w = r[a] / deg[a]
+            for b in outs:
+                nxt[b] += w
+        r = {
+            v: (1 - 0.85) * tele[v] + 0.85 * dangling * tele[v]
+               + 0.85 * nxt[v]
+            for v in nodes
+        }
+    for v in nodes:
+        assert abs(g[v] - r[v]) < 1e-9
+    missing_seed = [999]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seeds not in graph"):
+        pagerank(rd.from_pandas(df), iterations=1,
+                 personalization=missing_seed)
