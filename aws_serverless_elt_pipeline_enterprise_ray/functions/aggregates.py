@@ -1016,6 +1016,77 @@ def zscore_outliers(
     return ds.map_batches(flag, batch_format="pandas")
 
 
+def cohort_retention(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    bucket_us: int = 604_800_000_000,
+) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    bucket (the cohort), counted in every bucket they were active —
+    the classic "week-0 cohort, % active in week k" analytics grid,
+    exact integers only.
+
+    Two streaming passes: (1) per-key first bucket via min partials +
+    one groupby-min, broadcast as a key→cohort map (`ray.put`, ~16 B
+    per key — swap for a hash_join beyond ~10^8 keys); (2) per-batch
+    locally-deduped (key, bucket) pairs → cohort lookup → count
+    partials per (cohort, bucket) → one tiny groupby-sum. Returns
+    (cohort, bucket, n_active, n_cohort)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[ts_col].astype("datetime64[us]").view("int64")
+        d = pd.DataFrame({key: b[key], "bs": (t // bucket_us) * bucket_us})
+        return d.groupby(key, sort=False)["bs"].min().reset_index()
+
+    first = (
+        ds.map_batches(first_partial, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Min("bs", alias_name="bs"))
+        .to_pandas()
+    )
+    cohort_map = dict(zip(first[key], first["bs"].astype(np.int64)))
+    sizes = first.groupby("bs").size()
+    cohort_ref = ray.put(cohort_map)
+
+    def active_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[ts_col].astype("datetime64[us]").view("int64")
+        d = pd.DataFrame(
+            {key: b[key], "bucket": (t // bucket_us) * bucket_us}
+        ).drop_duplicates()
+        d["cohort"] = d[key].map(ray.get(cohort_ref)).astype(np.int64)
+        return d
+
+    from ray.data.aggregate import Count
+
+    deduped = (
+        ds.map_batches(active_partial, batch_format="pandas")
+        .groupby([key, "bucket", "cohort"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def grid_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["cohort", "bucket"], sort=False)
+            .size()
+            .reset_index(name="n_active")
+        )
+
+    grid = (
+        deduped.map_batches(grid_partial, batch_format="pandas")
+        .groupby(["cohort", "bucket"])
+        .aggregate(Sum("n_active", alias_name="n_active"))
+        .to_pandas()
+    )
+    grid["n_cohort"] = grid["cohort"].map(sizes).astype(np.int64)
+    for c in ("cohort", "bucket", "n_active"):
+        grid[c] = grid[c].astype("int64")
+    return grid.sort_values(["cohort", "bucket"]).reset_index(drop=True)
+
+
 def cooccurrence(
     ds: rd.Dataset,
     *,

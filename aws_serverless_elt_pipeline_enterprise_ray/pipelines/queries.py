@@ -2102,6 +2102,18 @@ def q_hll_users_by_type(sf_dir: str):
     )
 
 
+def q_cohort_retention_weekly(sf_dir: str):
+    """Weekly cohort retention grid: first-activity week per user
+    (min partials + broadcast map), distinct (user, week) exchange,
+    grid-sized counts — exact integers end to end."""
+    from ..functions.aggregates import cohort_retention
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev, key="user_id", ts_col="ts")
+
+
 def q_histogram_value(sf_dir: str):
     """Equi-width 20-bin histogram of value cents over [0, 100000):
     per-batch bincount partials, tiny groupby-sum, zeros explicit."""
@@ -3791,6 +3803,7 @@ QUERIES = {
     "mad_value_by_type": q_mad_value_by_type,
     "gini_value_by_type": q_gini_value_by_type,
     "histogram_value": q_histogram_value,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
     "hll_users_by_type": q_hll_users_by_type,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
@@ -4981,6 +4994,25 @@ ORACLES = {
       FROM e0 x
       JOIN e0 y ON x.b = y.a
       JOIN e0 z ON z.a = x.a AND z.b = y.b
+    """,
+    "cohort_retention_weekly": """
+      WITH f AS (
+        SELECT user_id,
+               min((epoch_us(ts) // 604800000000) * 604800000000) AS cohort
+        FROM events GROUP BY user_id
+      ), cs AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY cohort
+      ), a AS (
+        SELECT DISTINCT user_id,
+               (epoch_us(ts) // 604800000000) * 604800000000 AS bucket
+        FROM events
+      )
+      SELECT f.cohort, a.bucket,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(max(cs.n) AS BIGINT) AS n_cohort
+      FROM a JOIN f USING (user_id) JOIN cs USING (cohort)
+      GROUP BY f.cohort, a.bucket
+      ORDER BY f.cohort, a.bucket
     """,
     "histogram_value": """
       WITH p AS (

@@ -1680,3 +1680,35 @@ def test_histogram_fixed_fills_empty_bins_and_clamps():
     assert got["bin_lo"].tolist() == [0, 5, 10, 15]
     assert got["n"].tolist() == [3, 2, 1, 2]
     assert int(got["n"].sum()) == len(v)
+
+
+def test_cohort_retention_counts_match_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        cohort_retention,
+    )
+
+    W = pd.Timedelta(days=7)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # cohort week0: users 1,2 — user1 active weeks 0,1,2; user2 only 0
+    rows += [(1, t0), (1, t0 + W), (1, t0 + 2 * W), (2, t0)]
+    # cohort week1: user 3 active weeks 1 and 2 (twice in week 1 —
+    # dedup must count it once)
+    rows += [(3, t0 + W), (3, t0 + W + pd.Timedelta(hours=5)),
+             (3, t0 + 2 * W)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = cohort_retention(
+        rd.from_pandas(df).repartition(3), key="user_id", ts_col="ts"
+    )
+    b0 = (t0.value // 1000 // 604800000000) * 604800000000
+    b = lambda k: b0 + k * 604800000000
+    want = [
+        (b(0), b(0), 2, 2),
+        (b(0), b(1), 1, 2),
+        (b(0), b(2), 1, 2),
+        (b(1), b(1), 1, 1),
+        (b(1), b(2), 1, 1),
+    ]
+    assert list(zip(got["cohort"], got["bucket"],
+                    got["n_active"], got["n_cohort"])) == want
