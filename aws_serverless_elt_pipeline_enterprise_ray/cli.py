@@ -226,6 +226,14 @@ def main(argv=None) -> int:
     cl.add_argument("--dst", required=True)
     cl.add_argument("--version", type=int, default=None)
 
+    pb = sub.add_parser(
+        "publish",
+        help="write-audit-publish: atomically install a validated "
+        "branch's state as the destination's next version",
+    )
+    pb.add_argument("--branch", required=True)
+    pb.add_argument("--dst", required=True)
+
     tg = sub.add_parser("tag", help="pin a name to a version (savepoint)")
     tg.add_argument("--lake", required=True)
     tg.add_argument("--name", required=True)
@@ -435,6 +443,11 @@ def main(argv=None) -> int:
             from .pipelines.clone import clone_lake
 
             m = clone_lake(args.src, args.dst, version=args.version)
+            print(json.dumps({"version": m.version, "metrics": m.metrics}))
+        elif args.cmd == "publish":
+            from .pipelines.clone import publish_branch
+
+            m = publish_branch(args.branch, args.dst)
             print(json.dumps({"version": m.version, "metrics": m.metrics}))
         elif args.cmd == "index":
             from .pipelines.search import refresh_search_index

@@ -90,3 +90,101 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> Manife
             {"source": os.path.abspath(src_dir), "source_version": m.version}, fh
         )
     return committed
+
+
+def publish_branch(branch_dir: str, dst_dir: str) -> Manifest:
+    """Write-audit-publish: atomically install a validated branch's
+    state as the destination's next version — the Iceberg WAP / audit
+    -branch workflow over the engine's own clone machinery. Pipeline:
+    ``clone_lake(main, branch)`` → apply/ compact/ DQ-gate on the
+    branch → ``publish_branch(branch, main)``; main's readers see the
+    branch state only after the one atomic CURRENT swap (the same
+    exactly-once commit every writer uses).
+
+    Safety: refuses unless the branch's recorded clone lineage points
+    at ``dst_dir`` AND the destination is still at the cloned version
+    — if main advanced since the branch was cut, publishing would
+    silently drop main's commits; re-branch and re-apply instead
+    (documented as the rebase). Data files move by hard link (COW
+    naming makes collisions impossible for post-clone files; files
+    shared since the clone already exist in both); cross-device
+    degrades to a copy. The branch's applied-files checkpoint carries
+    over, so the changelogs it absorbed stay no-ops on main."""
+    bst = ManifestStore(branch_dir)
+    bm = bst.load()
+    if bm is None:
+        raise FileNotFoundError(f"no committed version in {branch_dir}")
+    # the clone provenance lives in the durable CLONE.json (later
+    # branch commits rebuild manifest lineage and drop the _clone key)
+    clone_path = os.path.join(branch_dir, "_manifest", "CLONE.json")
+    clone_info = None
+    if os.path.exists(clone_path):
+        with open(clone_path) as fh:
+            clone_info = json.load(fh)
+    if not clone_info or os.path.abspath(clone_info.get("source", "")) != (
+        os.path.abspath(dst_dir)
+    ):
+        raise ValueError(
+            f"{branch_dir} was not branched from {dst_dir} "
+            "(no matching clone provenance); refusing to publish"
+        )
+    dst = ManifestStore(dst_dir)
+    dm = dst.load()
+    if dm is None:
+        raise FileNotFoundError(f"no committed version in {dst_dir}")
+    cloned_at = clone_info["source_version"]
+    if dm.version != cloned_at:
+        raise RuntimeError(
+            f"{dst_dir} advanced to v{dm.version} since the branch was "
+            f"cut at v{cloned_at}; re-branch and re-apply "
+            "(publish would drop those commits)"
+        )
+
+    n_linked = n_copied = n_shared = 0
+    for files in bm.partitions.values():
+        for f in files:
+            rel = f["path"]
+            sp = os.path.join(branch_dir, rel)
+            dp = os.path.join(dst_dir, rel)
+            if os.path.exists(dp):
+                n_shared += 1
+                continue
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            try:
+                os.link(sp, dp)
+                n_linked += 1
+            except OSError:
+                shutil.copy2(sp, dp)
+                n_copied += 1
+
+    from .cdc import _now_iso
+
+    lineage = dict(bm.lineage or {})
+    lineage.pop("_clone", None)
+    lineage["_published_from"] = {
+        "branch": os.path.abspath(branch_dir),
+        "branch_version": bm.version,
+    }
+    manifest = Manifest(
+        version=dm.version + 1,
+        parent_version=dm.version,
+        created_at=_now_iso(),
+        schema=list(bm.schema),
+        schema_ipc=bm.schema_ipc,
+        partitions={pid: list(files) for pid, files in bm.partitions.items()},
+        applied=list(bm.applied),
+        applied_watermarks=dict(bm.applied_watermarks),
+        watermark=bm.watermark,
+        max_event_ts_us=bm.max_event_ts_us,
+        max_lateness_us=bm.max_lateness_us,
+        metrics={
+            "published_from_version": bm.version,
+            "files_linked": n_linked,
+            "files_copied": n_copied,
+            "files_shared": n_shared,
+        },
+        lineage=lineage,
+        quarantine=list(bm.quarantine),
+        partitioning=dict(bm.partitioning),
+    )
+    return dst.commit(manifest)

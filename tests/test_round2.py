@@ -892,3 +892,58 @@ def test_copartitioned_join_guards(tmp_path):
         copartitioned_join(lake_a, lake_b, on=["conv_id"])
     with pytest.raises(ValueError, match="must start with"):
         copartitioned_join(lake_a, lake_a, on=["turn_idx"])
+
+
+def test_publish_branch_write_audit_publish(tmp_path):
+    """WAP: branch main -> apply new changes + DQ on the branch ->
+    publish -> main shows the branch state atomically; the absorbed
+    changelog stays a no-op on main; a stale branch refuses."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.clone import (
+        clone_lake,
+        publish_branch,
+    )
+
+    main, branch = str(tmp_path / "main"), str(tmp_path / "branch")
+    ch1, ch2 = str(tmp_path / "ch1"), str(tmp_path / "ch2")
+    gen_changes(ch1, n_events=1500, n_convs=30, n_files=2, seed=31)
+    gen_changes(ch2, n_events=800, n_convs=30, n_files=1, seed=32)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(ch1, main, spec)
+
+    clone_lake(main, branch)
+    engine.apply_changes(ch2, branch, spec)
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dq import run_dq
+
+    report = run_dq(branch)
+    assert report["ok"]
+
+    before = engine.read_table(main).to_pandas()
+    m = publish_branch(branch, main)
+    assert m.version == 2 and m.metrics["published_from_version"] >= 2
+    after = (
+        engine.read_table(main)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        engine.read_table(branch)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(after) != len(before) or not after.equals(before)
+    assert after.equals(want)
+    # the branch-absorbed changelog is a no-op on main now
+    assert engine.apply_changes(ch2, main, spec) == []
+    # stale branch: main advanced past the clone point -> refuse
+    branch2 = str(tmp_path / "branch2")
+    clone_lake(main, branch2)
+    ch3 = str(tmp_path / "ch3")
+    gen_changes(ch3, n_events=300, n_convs=10, n_files=1, seed=33)
+    engine.apply_changes(ch3, main, spec)  # main moves on
+    with pytest.raises(RuntimeError, match="advanced"):
+        publish_branch(branch2, main)
+    # unrelated lake: no lineage -> refuse
+    with pytest.raises(ValueError, match="not branched"):
+        publish_branch(main, branch)
