@@ -2085,12 +2085,14 @@ def q_value_quantiles_by_type(sf_dir: str):
     return grouped_quantiles(ev, group_col="event_type", cents_expr=cents)
 
 
-def q_hll_users_by_type(sf_dir: str):
-    """Approximate distinct users per event_type via grouped HLL
-    (p=8): the exchange is bounded by groups × 256 registers, not the
-    cardinality. Rows-only (estimate); the pytest pins the error bound
-    and layout-invariant determinism; the exact sibling is
-    `distinct_users_per_type`."""
+def q_hll_users_sparse(sf_dir: str):
+    """Approximate distinct users per event_type via SPARSE grouped
+    HLL (p=8): per-(group, register) max partials — the exchange is
+    bounded by groups × 256 ROWS, where the dense sibling
+    `hll_users_by_type` ships a full 16 KiB register block per group
+    per batch (fine for few groups, heavy at 10^6 strata). Rows-only
+    (estimate); the pytest pins the error bound and layout-invariant
+    determinism."""
     from ..functions.sketch import hll_distinct_by_group
 
     ev = rd.read_parquet(
@@ -3804,7 +3806,7 @@ QUERIES = {
     "gini_value_by_type": q_gini_value_by_type,
     "histogram_value": q_histogram_value,
     "cohort_retention_weekly": q_cohort_retention_weekly,
-    "hll_users_by_type": q_hll_users_by_type,
+    "hll_users_sparse": q_hll_users_sparse,
     "unicode_normalize": q_unicode_normalize,
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,

@@ -71,3 +71,30 @@ def test_query_matches_oracle(name):
     assert len(got) == len(want), name
     assert sorted(got.columns) == sorted(want.columns), name
     assert _norm(got) == _norm(want), name
+
+
+def test_query_registry_has_no_shadowed_names():
+    """Regression guard: QUERIES/ORACLES are dict literals — a
+    duplicate key (or a re-defined q_* function) silently shadows an
+    operator, so the gate runs the wrong code. Parse the module AST
+    and refuse duplicates outright."""
+    import ast
+    import os
+
+    import aws_serverless_elt_pipeline_enterprise_ray.pipelines.queries as qmod
+
+    src = open(os.path.abspath(qmod.__file__).replace(".pyc", ".py")).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id in ("QUERIES", "ORACLES"):
+                    keys = [k.value for k in node.value.keys]
+                    dups = {k for k in keys if keys.count(k) > 1}
+                    assert not dups, f"duplicate {t.id} keys: {dups}"
+    defs = [n.name for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name.startswith("q_")]
+    dup_defs = {n for n in defs if defs.count(n) > 1}
+    assert not dup_defs, f"shadowed query functions: {dup_defs}"
+    # every oracle has a query
+    assert set(qmod.ORACLES) <= set(qmod.QUERIES)
