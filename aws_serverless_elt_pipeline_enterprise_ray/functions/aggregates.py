@@ -642,6 +642,50 @@ def histogram_fixed(
     return out
 
 
+def global_percentile(
+    ds: rd.Dataset,
+    *,
+    col: str,
+    out_col: str = "pct_rank",
+) -> rd.Dataset:
+    """Annotate every row with its GLOBAL percent rank — SQL
+    ``percent_rank() OVER (ORDER BY col)`` — WITHOUT a global sort:
+    one counting-histogram exchange (bounded by the value domain)
+    builds the exact CDF, which broadcasts and resolves per batch with
+    one ``searchsorted``. The cross-corpus normalization feature
+    ("this doc is longer than 93% of the corpus") at streaming cost.
+
+    pct_rank = (# rows strictly below) / (n − 1), ties share the rank
+    (exactly SQL's definition) — a straight-line double division of
+    exact ints, so the SQL mirror hash-matches."""
+    th = (
+        ds.map_batches(
+            lambda b: pa.table(
+                {"v": pc.cast(b[col], pa.int64())}
+            ).group_by(["v"]).aggregate([("v", "count")])
+            .rename_columns(["v", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = th["v"].to_numpy(dtype=np.int64)
+    cum = th["n"].to_numpy(dtype=np.int64).cumsum()
+    below = np.r_[0, cum[:-1]]  # rows strictly below each distinct value
+    n = int(cum[-1]) if len(cum) else 0
+
+    def annotate(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v)
+        less = below[idx].astype(np.float64)
+        pr = less / (n - 1) if n > 1 else np.zeros(len(v))
+        return b.append_column(out_col, pa.array(pr, pa.float64()))
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
+
+
 def winsorize_by_quantile(
     ds: rd.Dataset,
     *,

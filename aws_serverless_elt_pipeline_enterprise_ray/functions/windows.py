@@ -444,6 +444,7 @@ def lag_lead(
     order_cols: list[str],
     cols: list[str],
     num_buckets: int | None = None,
+    shifts: tuple[int, ...] = (1,),
 ) -> rd.Dataset:
     """SQL navigation window functions: per-key LAG/LEAD of ``cols``
     under ``ORDER BY order_cols`` (include a unique tiebreaker for a
@@ -452,9 +453,11 @@ def lag_lead(
 
     Same scale shape as ``trailing_window``: ONE key-bucketed shuffle
     (~2 buckets/CPU), then each bucket sorts by (key, *order_cols)
-    once and shifts whole columns by ±1 with key-boundary rows masked
-    to null — zero per-key Python. Adds ``lag_<col>`` / ``lead_<col>``
-    columns (null at partition edges).
+    once and shifts whole columns by ±k with key-boundary rows masked
+    to null — zero per-key Python. For shift 1 the columns are
+    ``lag_<col>`` / ``lead_<col>`` (back-compat); further ``shifts``
+    add ``lag<k>_<col>`` / ``lead<k>_<col>`` — n-gram sequence mining
+    gets all its offsets from the same single shuffle + sort.
     """
     if num_buckets is None:
         num_buckets = _buckets_for_cluster()
@@ -468,11 +471,13 @@ def lag_lead(
         g = g.sort_values([key, *order_cols], kind="mergesort").drop(
             columns="_wb"
         )
-        same_prev = (g[key] == g[key].shift(1)).to_numpy()
-        same_next = (g[key] == g[key].shift(-1)).to_numpy()
-        for c in cols:
-            g[f"lag_{c}"] = g[c].shift(1).where(same_prev)
-            g[f"lead_{c}"] = g[c].shift(-1).where(same_next)
+        for s in shifts:
+            same_prev = (g[key] == g[key].shift(s)).to_numpy()
+            same_next = (g[key] == g[key].shift(-s)).to_numpy()
+            tag = "" if s == 1 else str(s)
+            for c in cols:
+                g[f"lag{tag}_{c}"] = g[c].shift(s).where(same_prev)
+                g[f"lead{tag}_{c}"] = g[c].shift(-s).where(same_next)
         return g
 
     return (

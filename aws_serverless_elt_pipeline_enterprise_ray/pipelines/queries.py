@@ -2606,6 +2606,24 @@ def q_quantile_band_filter(sf_dir: str):
     return df[["doc_id", "n_chars"]]
 
 
+def q_global_percentile_doclen(sf_dir: str):
+    """Global percent rank of every doc's length WITHOUT a global
+    sort: one histogram exchange builds the exact CDF, broadcast, one
+    searchsorted per batch."""
+    from ..functions.aggregates import global_percentile
+
+    docs = _documents(sf_dir, ["doc_id", "n_chars"])
+    df = (
+        global_percentile(docs, col="n_chars")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_chars", "pct_rank"]]
+
+
 def q_winsorize_doc_len(sf_dir: str):
     """Winsorization: clamp doc lengths into the exact nearest-rank
     [p5, p95] band (keep every row, tame the tails) — histogram
@@ -3104,6 +3122,63 @@ def q_event_transitions(sf_dir: str):
     df = out.sort(["prev_type", "event_type"]).to_pandas()
     df["n"] = df["n"].astype("int64")
     return df[["prev_type", "event_type", "n"]]
+
+
+def q_event_trigrams(sf_dir: str):
+    """Frequent behavior trigrams: (prev2, prev1, cur) event-type
+    windows per user under the (ts, event_id) total order — BOTH lags
+    from ONE shuffle + sort (lag_lead shifts=(1,2)), then a partial-agg
+    rollup. The sequence-pattern-mining step over event streams."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.windows import lag_lead
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").view("int64"),
+                "event_type": b["event_type"],
+            }
+        )
+
+    lagged = lag_lead(
+        ds.map_batches(prep, batch_format="pandas"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        cols=["event_type"],
+        shifts=(1, 2),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["lag2_event_type"].notna()]
+        g = (
+            b.groupby(
+                ["lag2_event_type", "lag_event_type", "event_type"],
+                sort=False,
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        return g.rename(
+            columns={"lag2_event_type": "t1", "lag_event_type": "t2",
+                     "event_type": "t3"}
+        )
+
+    out = (
+        lagged.map_batches(partial, batch_format="pandas")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = out.sort(["t1", "t2", "t3"]).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["t1", "t2", "t3", "n"]]
 
 
 def q_funnel_signup_purchase(sf_dir: str):
@@ -3802,6 +3877,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
     "winsorize_doc_len": q_winsorize_doc_len,
+    "global_percentile_doclen": q_global_percentile_doclen,
     "mad_value_by_type": q_mad_value_by_type,
     "gini_value_by_type": q_gini_value_by_type,
     "histogram_value": q_histogram_value,
@@ -3822,6 +3898,7 @@ QUERIES = {
     "unpivot_user_counts": q_unpivot_user_counts,
     "event_transitions": q_event_transitions,
     "sequence_fingerprint": q_sequence_fingerprint,
+    "event_trigrams": q_event_trigrams,
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
@@ -4333,6 +4410,19 @@ ORACLES = {
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name ORDER BY nation
+    """,
+    "event_trigrams": """
+      SELECT t1, t2, t3, count(*) AS n
+      FROM (
+        SELECT lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2,
+               event_type AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      WHERE t1 IS NOT NULL
+      GROUP BY t1, t2, t3
+      ORDER BY t1, t2, t3
     """,
     "sequence_fingerprint": """
       WITH p AS (
@@ -5069,6 +5159,11 @@ ORACLES = {
       FROM p JOIN med USING (event_type)
       GROUP BY event_type, median
       ORDER BY event_type
+    """,
+    "global_percentile_doclen": """
+      SELECT doc_id, n_chars,
+             percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+      FROM documents ORDER BY doc_id
     """,
     "winsorize_doc_len": """
       WITH th AS (

@@ -1712,3 +1712,35 @@ def test_cohort_retention_counts_match_reference():
     ]
     assert list(zip(got["cohort"], got["bucket"],
                     got["n_active"], got["n_cohort"])) == want
+
+
+def test_lag_lead_multi_shift_masks_key_boundaries():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        lag_lead,
+    )
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "k": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+            "v": list("abcdef"),
+        }
+    )
+    got = (
+        lag_lead(
+            rd.from_pandas(df).repartition(2),
+            key="k",
+            order_cols=["id"],
+            cols=["v"],
+            shifts=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    def vals(col):
+        return [None if pd.isna(x) else x for x in got[col]]
+
+    assert vals("lag_v") == [None, "a", "b", None, "d", "e"]
+    assert vals("lag2_v") == [None, None, "a", None, None, "d"]
+    assert vals("lead2_v") == ["c", None, None, "f", None, None]
