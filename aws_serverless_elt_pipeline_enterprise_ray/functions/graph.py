@@ -524,3 +524,78 @@ def bfs_distances(
         {"node": list(dist.keys()), "dist": list(dist.values())}
     ).astype({"node": "int64", "dist": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def k_core(
+    edges: rd.Dataset,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> pd.DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree
+    ≥ k — the dense-community extraction / spam-farm screen beside
+    PageRank and triangles.
+
+    Iterative peeling: per round ONE distinct-degree exchange over the
+    surviving edge list, the node-sized survivor set broadcasts, and a
+    map-side filter drops edges touching peeled nodes; converges when
+    a round peels nobody (≤ max_rounds guard). The edge list shrinks
+    monotonically; nodes/degrees are driver-sized (the pagerank
+    residency contract). Returns the surviving (node, deg)."""
+    import ray
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy()
+        c = b[dst].to_numpy()
+        keep = a != c
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([a[keep], c[keep]]),
+                "v": np.concatenate([c[keep], a[keep]]),
+            }
+        ).drop_duplicates()
+
+    from ray.data.aggregate import Count
+
+    cur = (
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        deg = (
+            cur.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["u"].value_counts().index.to_numpy(),
+                     "deg": b["u"].value_counts().to_numpy(np.int64)}
+                ),
+                batch_format="pandas",
+            )
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+            .to_pandas()
+        )
+        survivors = deg[deg["deg"] >= k]
+        if len(survivors) == len(deg):
+            return (
+                survivors.sort_values("node")
+                .reset_index(drop=True)
+                .astype({"node": "int64", "deg": "int64"})
+            )
+        if not len(survivors):
+            return pd.DataFrame({"node": [], "deg": []}).astype(
+                {"node": "int64", "deg": "int64"}
+            )
+        keep_ref = ray.put(frozenset(int(n) for n in survivors["node"]))
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            kept = ray.get(keep_ref)
+            return b[b["u"].isin(kept) & b["v"].isin(kept)]
+
+        cur = cur.map_batches(prune, batch_format="pandas").materialize()
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

@@ -2872,6 +2872,29 @@ def q_bpe_tokenize(sf_dir: str):
     return out
 
 
+def q_kcore_links(sf_dir: str):
+    """Dense-community extraction: the 25-core of the derived link
+    graph by iterative peeling (distinct-degree exchange + broadcast
+    survivor filter per round; 175 of 500 nodes survive). Rows-only
+    (iterative fixpoint has no SQL oracle); pytest pins parity with a
+    from-scratch peeler."""
+    from ..functions.graph import k_core
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    out = k_core(ev.map_batches(edges, batch_format="pandas"), k=25)
+    return out[["node", "deg"]]
+
+
 def q_bfs_links(sf_dir: str):
     """Single-source BFS hop distances (≤4) over the derived link
     graph: frontier joins against the materialized edge list, visited
@@ -3891,6 +3914,7 @@ QUERIES = {
     "triangle_count_links": q_triangle_count_links,
     "label_propagation_links": q_label_propagation_links,
     "bfs_links": q_bfs_links,
+    "kcore_links": q_kcore_links,
     "hits_links": q_hits_links,
     "cube_event_stats": q_cube_event_stats,
     "lag_user_events": q_lag_user_events,

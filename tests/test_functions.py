@@ -1964,3 +1964,43 @@ def test_personalized_pagerank_concentrates_on_seeds():
     with _pytest.raises(ValueError, match="seeds not in graph"):
         pagerank(rd.from_pandas(df), iterations=1,
                  personalization=missing_seed)
+
+
+def test_k_core_matches_peeling_reference():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        k_core,
+    )
+
+    # a 4-clique (3-core) with pendant chains that must peel away
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7), (3, 8)]
+    df = pd.DataFrame(e, columns=["src", "dst"])
+    got = k_core(rd.from_pandas(df).repartition(3), k=3)
+    assert got["node"].tolist() == [1, 2, 3, 4]
+    assert got["deg"].tolist() == [3, 3, 3, 3]
+    # k=2 over a random graph vs a from-scratch peeler
+    rng = np.random.default_rng(103)
+    src = rng.integers(0, 30, 100).astype(np.int64)
+    dst = rng.integers(0, 30, 100).astype(np.int64)
+    rdf = pd.DataFrame({"src": src, "dst": dst})
+    got2 = k_core(rd.from_pandas(rdf).repartition(4), k=4)
+
+    adj = {}
+    for a, b in zip(src, dst):
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    changed = True
+    while changed:
+        changed = False
+        for u in list(adj):
+            if len(adj[u]) < 4:
+                for v in adj[u]:
+                    adj[v].discard(u)
+                del adj[u]
+                changed = True
+    want = {u: len(vs) for u, vs in sorted(adj.items())}
+    assert got2.set_index("node")["deg"].to_dict() == want
+    # empty core
+    assert len(k_core(rd.from_pandas(df), k=10)) == 0
