@@ -178,3 +178,57 @@ def fuzzy_pairs_ed1(
         .groupby(["id_a", "id_b"])
         .aggregate(Min("dist", alias_name="dist"))
     )
+
+
+#: letter -> soundex digit; 0 = vowel-ish (resets the repeat guard),
+#: 7 = H/W (transparent: does NOT reset it), 8 = non-letter
+_SOUNDEX_CODE = np.full(256, 8, dtype=np.int8)
+for _ch, _d in [("AEIOUY", 0), ("BFPV", 1), ("CGJKQSXZ", 2), ("DT", 3),
+                ("L", 4), ("MN", 5), ("R", 6), ("HW", 7)]:
+    for _c in _ch:
+        _SOUNDEX_CODE[ord(_c)] = _d
+        _SOUNDEX_CODE[ord(_c.lower())] = _d
+
+
+def soundex(strings: np.ndarray) -> np.ndarray:
+    """Vectorized American Soundex (the classic phonetic blocking key
+    for name matching): first letter + 3 digits, adjacent same-coded
+    letters collapse, H/W are transparent to the repeat rule, vowels
+    reset it. One O(max_len) vectorized column sweep per batch — no
+    per-row Python. Empty / letterless strings code to ''."""
+    mat, lens = _byte_matrix(strings)
+    n, width = mat.shape
+    codes = _SOUNDEX_CODE[mat]  # (n, width)
+    out_digits = np.zeros((n, 3), dtype=np.int8)
+    count = np.zeros(n, dtype=np.int64)
+    first = np.full(n, 0, dtype=np.uint8)
+    started = np.zeros(n, dtype=bool)
+    last = np.zeros(n, dtype=np.int8)  # code of the previous letter
+    for col in range(width):
+        ch = mat[:, col]
+        c = codes[:, col]
+        is_letter = c != 8
+        begin = is_letter & ~started
+        first = np.where(begin, np.where((ch >= 97) & (ch <= 122),
+                                         ch - 32, ch), first)
+        last = np.where(begin, np.where(c == 7, np.int8(0), c), last)
+        started = started | begin
+        after = is_letter & started & ~begin
+        emit = after & (c >= 1) & (c <= 6) & (c != last) & (count < 3)
+        for slot in range(3):
+            out_digits[:, slot] = np.where(
+                emit & (count == slot), c, out_digits[:, slot]
+            )
+        count = count + emit.astype(np.int64)
+        # vowels reset the repeat guard; H/W leave it; letters set it
+        upd = after & (c != 7)
+        last = np.where(upd, c, last)
+    res = np.empty(n, dtype=object)
+    for i in range(n):  # assembly only: 4 chars per row
+        if not started[i]:
+            res[i] = ""
+        else:
+            res[i] = chr(first[i]) + "".join(
+                str(int(d)) for d in out_digits[i]
+            )
+    return res

@@ -1571,6 +1571,47 @@ def q_lineitem_rollup(sf_dir: str):
     return df
 
 
+def q_soundex_clusters(sf_dir: str):
+    """Phonetic blocking: Soundex code per customer name (vectorized
+    column sweep, no per-row Python), min-key canonical grouping —
+    the sounds-alike sibling of the edit-distance-1 matcher.
+    Rows-only (DuckDB has no soundex); pytest pins the canonical
+    Ashcraft/Tymczak/Pfister codes."""
+    from ..functions.fuzzy import soundex
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+
+    def code(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"],
+                "sx": soundex(b["c_name"].fillna("").to_numpy(dtype=object)),
+            }
+        )
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"],
+                "sx": g["sx"],
+                "canonical": g["c_custkey"].min(),
+            }
+        )
+
+    out = (
+        cust.map_batches(code, batch_format="pandas")
+        .groupby("sx")
+        .map_groups(canon, batch_format="pandas")
+    )
+    df = out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    for c in ("c_custkey", "canonical"):
+        df[c] = df[c].astype("int64")
+    return df[["c_custkey", "sx", "canonical"]]
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Deterministic weighted sample (Efraimidis-Spirakis) of 50 docs
     by character length: hash-derived uniforms, ln(u)/w ranking,
@@ -3859,6 +3900,7 @@ QUERIES = {
     "strip_html": q_strip_html,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "soundex_clusters": q_soundex_clusters,
     "training_examples": q_training_examples,
     "assign_split": q_assign_split,
     "pack_sequences": q_pack_sequences,

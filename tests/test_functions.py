@@ -2004,3 +2004,21 @@ def test_k_core_matches_peeling_reference():
     assert got2.set_index("node")["deg"].to_dict() == want
     # empty core
     assert len(k_core(rd.from_pandas(df), k=10)) == 0
+
+
+def test_soundex_canonical_examples_and_vectorized_batch():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.fuzzy import (
+        soundex,
+    )
+
+    names = np.array(
+        ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+         "Pfister", "Honeyman", "rObErT", "", "  ", "Lee", "O"],
+        dtype=object,
+    )
+    got = list(soundex(names))
+    assert got[:7] == ["R163", "R163", "A261", "A261", "T522",
+                       "P236", "H555"]
+    assert got[7] == "R163"          # case-insensitive
+    assert got[8] == "" and got[9] == ""   # letterless -> empty
+    assert got[10] == "L000" and got[11] == "O000"  # zero padding
