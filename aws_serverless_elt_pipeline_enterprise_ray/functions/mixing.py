@@ -387,6 +387,8 @@ def negative_samples(
         ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
     )
     n = len(ids_sorted)
+    if n == 0:
+        raise ValueError("negative_samples: empty corpus")
     ids_ref = ray.put(ids_sorted)
     mm = np.int64(m)
     s = np.int64(seed)

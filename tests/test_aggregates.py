@@ -1744,3 +1744,15 @@ def test_lag_lead_multi_shift_masks_key_boundaries():
     assert vals("lag_v") == [None, "a", "b", None, "d", "e"]
     assert vals("lag2_v") == [None, None, "a", None, None, "d"]
     assert vals("lead2_v") == ["c", None, None, "f", None, None]
+
+
+def test_negative_samples_empty_corpus_raises():
+    import pytest as _pytest
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        negative_samples,
+    )
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64")}))
+    with _pytest.raises(ValueError, match="empty corpus"):
+        negative_samples(empty, id_col="doc_id", m=2)
