@@ -383,9 +383,13 @@ def negative_samples(
     import pandas as pd
     import ray
 
-    ids_sorted = np.sort(
-        ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
-    )
+    try:
+        # an EMPTY Dataset's to_pandas loses its schema -> KeyError
+        ids_sorted = np.sort(
+            ds.select_columns([id_col]).to_pandas()[id_col].to_numpy()
+        )
+    except KeyError:
+        ids_sorted = np.array([], dtype=np.int64)
     n = len(ids_sorted)
     if n == 0:
         raise ValueError("negative_samples: empty corpus")
