@@ -226,6 +226,9 @@ def run_bench() -> dict:
         "pivot_user_event_counts",
         "lm_bigram_score",
         "shuffle_shards",
+        "bm25_rank",
+        "cumsum_user_value",
+        "cooccur_event_types",
     )
     for name in qnames:
         t0 = time.perf_counter()
