@@ -1115,3 +1115,94 @@ class HtmlStripper:
         b = b.copy()
         b[self.out] = s
         return b
+
+
+def novelty_scores(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Cross-corpus n-gram novelty per document: the fraction (per
+    mille) of a doc's DISTINCT word n-grams that occur in no other
+    document — the "how much of this is boilerplate that exists
+    elsewhere" curation signal (complement of Lee et al.'s duplicate-
+    text fraction, arXiv:2107.06499).
+
+    Shape: per-batch distinct (gram-hash, doc) pairs (grams live as
+    64-bit hashes — a cross-doc collision needs 2^-64 odds; exchanges
+    never carry gram STRINGS), one groupby-count for global df, ONE
+    bucketed hash_join of df back onto the pairs, per-doc partials,
+    tiny groupby-sum. Docs with fewer than n tokens have no grams and
+    drop out (mirror filters identically). Returns a Dataset
+    (id, n_grams, novelty_pm)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..schema import hash_strings
+    from .joins import hash_join
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.set_index(id_col)[text_col].fillna("").str.lower().str.findall(
+            r"[a-z0-9]+"
+        )
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"gh": pd.array([], dtype="int64"),
+                                 id_col: pd.array([], dtype="int64")})
+        d = pd.DataFrame({id_col: ex.index, "w": ex.to_numpy()})
+        # n-gram join via shifted columns WITHIN each doc
+        parts = [d["w"].groupby(d[id_col]).shift(-k) for k in range(n)]
+        same_doc = parts[n - 1].notna()
+        gram = parts[0].str.cat(parts[1:], sep=" ")
+        g = pd.DataFrame(
+            {id_col: d[id_col][same_doc], "g": gram[same_doc]}
+        ).drop_duplicates()
+        gh = hash_strings(g["g"].to_numpy()).view(np.int64)
+        return pd.DataFrame({"gh": gh, id_col: g[id_col].to_numpy()}
+                            ).drop_duplicates()
+
+    pair_ds = ds.map_batches(pairs, batch_format="pandas")
+    # global dedup across batches, then df per gram
+    from ray.data.aggregate import Count
+
+    deduped = (
+        pair_ds.groupby(["gh", id_col]).aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["gh"].value_counts()
+        return pd.DataFrame({"gh": vc.index.to_numpy(),
+                             "df": vc.to_numpy(np.int64)})
+
+    dfreq = (
+        deduped.map_batches(df_partial, batch_format="pandas")
+        .groupby("gh")
+        .aggregate(_Sum("df", alias_name="df"))
+    )
+    joined = hash_join(deduped, dfreq, on="gh")
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(_u=(b["df"] == 1).astype(np.int64))
+        g = b.groupby(id_col, sort=False).agg(
+            n_grams=("df", "size"), uniq=("_u", "sum")
+        )
+        return g.reset_index()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ng = b["n_grams"].to_numpy(dtype=np.int64)
+        uq = b["uniq"].to_numpy(dtype=np.float64)
+        pm = np.floor(1000.0 * uq / ng.astype(np.float64)).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: b[id_col], "n_grams": ng, "novelty_pm": pm}
+        )
+
+    return (
+        joined.map_batches(doc_partial, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(_Sum("n_grams", alias_name="n_grams"),
+                   _Sum("uniq", alias_name="uniq"))
+        .map_batches(finish, batch_format="pandas")
+    )

@@ -1765,6 +1765,19 @@ def q_bm25_rank(sf_dir: str):
     return df[["doc_id", "dl", "score_ub"]]
 
 
+def q_novelty_scores(sf_dir: str):
+    """Cross-corpus word-trigram novelty per doc (per-mille of grams
+    unique to the doc): gram-hash pair exchange + df join — the
+    duplicate-text-fraction complement."""
+    from ..functions.text import novelty_scores
+
+    out = novelty_scores(_documents(sf_dir, ["doc_id", "text"]), n=3)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_grams", "novelty_pm"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_grams", "novelty_pm"]]
+
+
 def q_tfidf_keywords(sf_dir: str):
     """TF-IDF keyword extraction: top-5 terms per document by integer
     tf/df score (df via one term shuffle, then broadcast to a per-batch
@@ -3894,6 +3907,7 @@ QUERIES = {
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
     "tfidf_keywords": q_tfidf_keywords,
+    "novelty_scores": q_novelty_scores,
     "bm25_rank": q_bm25_rank,
     "chunk_chars": q_chunk_chars,
     "image_dhash_dedup": q_image_dhash_dedup,
@@ -4969,6 +4983,28 @@ ORACLES = {
       )
       WHERE score_ub > 0
       ORDER BY doc_id
+    """,
+    "novelty_scores": """
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')
+                 AS t
+        FROM documents
+      ), tri AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+      ), df AS (
+        SELECT g, count(*) AS df FROM tri GROUP BY g
+      )
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(FLOOR(1000.0
+               * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+               / count(*)) AS BIGINT) AS novelty_pm
+      FROM tri JOIN df USING (g)
+      GROUP BY doc_id ORDER BY doc_id
     """,
     "tfidf_keywords": """
       WITH toks AS (

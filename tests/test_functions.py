@@ -2022,3 +2022,43 @@ def test_soundex_canonical_examples_and_vectorized_batch():
     assert got[7] == "R163"          # case-insensitive
     assert got[8] == "" and got[9] == ""   # letterless -> empty
     assert got[10] == "L000" and got[11] == "O000"  # zero padding
+
+
+def test_novelty_scores_match_bruteforce_trigram_df():
+    from collections import Counter
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        novelty_scores,
+    )
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",   # unique tail
+        "the quick brown fox sits still",                # shares a prefix
+        "completely different words entirely here now",  # all novel
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "too short",                                     # < 3 tokens -> drop
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": docs})
+    got = (
+        novelty_scores(rd.from_pandas(df).repartition(3), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(s):
+        t = s.lower().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    dfreq = Counter(g for d in docs for g in grams(d))
+    want = {}
+    for i, d in enumerate(docs):
+        gs = grams(d)
+        if not gs:
+            continue
+        uniq = sum(1 for g in gs if dfreq[g] == 1)
+        want[i] = (len(gs), int(np.floor(1000.0 * uniq / len(gs))))
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_grams"], got["novelty_pm"]))) == want
+    assert 4 not in set(got["doc_id"])          # short doc dropped
+    assert want[3][1] == 0 and want[2][1] == 1000  # dup vs all-novel
