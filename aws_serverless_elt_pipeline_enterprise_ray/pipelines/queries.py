@@ -3288,6 +3288,44 @@ def q_funnel_signup_purchase(sf_dir: str):
     return out[["user_id", "steps_completed", "last_ts_us"]]
 
 
+def q_time_to_convert(sf_dir: str):
+    """Signup→purchase conversion latency per converting user: funnel
+    kernel (greedy, strictly-after) gives the completion ts, a
+    groupby-min gives the anchor, ONE bucketed hash_join pairs them —
+    exact integer microsecond deltas."""
+    from ..functions.joins import hash_join
+    from ..functions.windows import funnel_steps
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    fun = funnel_steps(
+        ev, key="user_id", ts_col="ts", type_col="event_type",
+        steps=["signup", "purchase"],
+    ).filter(lambda r: r["steps_completed"] == 2)
+
+    from ray.data.aggregate import Min
+
+    def s1_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "signup"]
+        g = b.groupby("user_id", sort=False)["ts"].min().reset_index()
+        g["t1_us"] = g["ts"].astype("datetime64[us]").view("int64")
+        return g[["user_id", "t1_us"]]
+
+    s1 = (
+        ev.map_batches(s1_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Min("t1_us", alias_name="t1_us"))
+    )
+    joined = hash_join(fun, s1, on="user_id")
+    df = joined.to_pandas().sort_values("user_id").reset_index(drop=True)
+    t2 = df["last_step_ts"].astype("datetime64[us]").view("int64")
+    df["delta_us"] = (t2 - df["t1_us"].astype("int64")).astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df[["user_id", "delta_us"]]
+
+
 def q_ntile_user_events(sf_dir: str):
     """NTILE(4) per user over (ts, event_id): quartile-bins each
     user's events — one bucketed shuffle, per-bucket single sort,
@@ -3980,6 +4018,7 @@ QUERIES = {
     "sequence_fingerprint": q_sequence_fingerprint,
     "event_trigrams": q_event_trigrams,
     "funnel_signup_purchase": q_funnel_signup_purchase,
+    "time_to_convert": q_time_to_convert,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
     "mode_event_type": q_mode_event_type,
@@ -4526,6 +4565,21 @@ ORACLES = {
       WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type
       ORDER BY prev_type, event_type
+    """,
+    "time_to_convert": """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id
+      )
+      SELECT s1.user_id,
+             CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT) AS delta_us
+      FROM s1 JOIN s2 USING (user_id)
+      ORDER BY s1.user_id
     """,
     "funnel_signup_purchase": """
       WITH s1 AS (
