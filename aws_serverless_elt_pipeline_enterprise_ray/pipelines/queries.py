@@ -3258,6 +3258,57 @@ def q_event_trigrams(sf_dir: str):
     return df[["t1", "t2", "t3", "n"]]
 
 
+def q_interevent_gap(sf_dir: str):
+    """Mean inter-event gap per user (integer µs, floor division):
+    lag kernel supplies consecutive deltas, exact int sums finish —
+    the activity-cadence feature for engagement curation."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.windows import lag_lead
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].astype("datetime64[us]").view("int64"),
+            }
+        )
+
+    lagged = lag_lead(
+        ds.map_batches(prep, batch_format="pandas"),
+        key="user_id",
+        order_cols=["ts_us", "event_id"],
+        cols=["ts_us"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["lag_ts_us"].notna()]
+        gap = (b["ts_us"] - b["lag_ts_us"].astype("int64")).astype("int64")
+        g = pd.DataFrame({"user_id": b["user_id"], "gap": gap})
+        out = g.groupby("user_id", sort=False).agg(
+            n_gaps=("gap", "size"), sum_gap=("gap", "sum")
+        )
+        return out.reset_index()
+
+    agg = (
+        lagged.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"),
+                   Sum("sum_gap", alias_name="sum_gap"))
+    )
+    df = agg.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "n_gaps", "sum_gap"):
+        df[c] = df[c].astype("int64")
+    df["mean_gap_us"] = df["sum_gap"] // df["n_gaps"]
+    return df[["user_id", "n_gaps", "mean_gap_us"]]
+
+
 def q_funnel_signup_purchase(sf_dir: str):
     """Ordered conversion funnel signup -> view -> purchase per user:
     greedy earliest-completion matching, step i+1 strictly after step
@@ -4019,6 +4070,7 @@ QUERIES = {
     "event_trigrams": q_event_trigrams,
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "time_to_convert": q_time_to_convert,
+    "interevent_gap": q_interevent_gap,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
     "mode_event_type": q_mode_event_type,
@@ -4565,6 +4617,19 @@ ORACLES = {
       WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type
       ORDER BY prev_type, event_type
+    """,
+    "interevent_gap": """
+      WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+      )
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY user_id ORDER BY user_id
     """,
     "time_to_convert": """
       WITH s1 AS (
