@@ -3603,6 +3603,28 @@ def q_cooccur_event_types(sf_dir: str):
     return out[["item_a", "item_b", "n_ab", "n_a", "n_b", "lift_ppm"]]
 
 
+def q_pmi_event_types(sf_dir: str):
+    """Pointwise mutual information per co-occurring event-type pair
+    (collocation strength): exact counts from the co-occurrence
+    kernel, pmi_ub = floor(log2(n_ab·N/(n_a·n_b))·2^20) — one fixed
+    double tree over ints, SQL-exact."""
+    from ..functions.aggregates import cooccurrence
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = cooccurrence(ev, basket_col="user_id", item_col="event_type")
+    nab = out["n_ab"].to_numpy(dtype=np.float64)
+    na = out["n_a"].to_numpy(dtype=np.float64)
+    nb = out["n_b"].to_numpy(dtype=np.float64)
+    tot = out["n_baskets"].to_numpy(dtype=np.float64)
+    out["pmi_ub"] = np.floor(
+        np.log2((nab * tot) / (na * nb)) * 1048576.0
+    ).astype("int64")
+    return out[["item_a", "item_b", "n_ab", "pmi_ub"]]
+
+
 def q_ols_value_by_type(sf_dir: str):
     """Per-event-type OLS of value (cents) on hour-of-day from exact
     int64 moment partials: slope / intercept / R² are straight-line
@@ -4080,6 +4102,7 @@ QUERIES = {
     "entropy_user_events": q_entropy_user_events,
     "ols_value_by_type": q_ols_value_by_type,
     "cooccur_event_types": q_cooccur_event_types,
+    "pmi_event_types": q_pmi_event_types,
     "outliers_value_by_type": q_outliers_value_by_type,
     "set_intersect_pairs": q_set_intersect_pairs,
     "set_except_pairs": q_set_except_pairs,
@@ -4805,6 +4828,25 @@ ORACLES = {
             * (CAST(value_cents AS DOUBLE) - sx / nf)
             > 9.0 * GREATEST(sxx / nf - (sx / nf) * (sx / nf), 0.0)
       ORDER BY event_id
+    """,
+    "pmi_event_types": """
+      WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+           s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM d GROUP BY event_type),
+           p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                        CAST(count(*) AS BIGINT) AS n_ab
+                 FROM d a JOIN d b
+                   ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2),
+           t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nb FROM d)
+      SELECT item_a, item_b, n_ab,
+             CAST(FLOOR(log2(
+               (CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE))
+               / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))
+             ) * 1048576.0) AS BIGINT) AS pmi_ub
+      FROM p JOIN s sa ON item_a = sa.event_type
+             JOIN s sb ON item_b = sb.event_type, t
+      ORDER BY item_a, item_b
     """,
     "cooccur_event_types": """
       WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
