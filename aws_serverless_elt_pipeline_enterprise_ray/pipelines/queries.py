@@ -3258,6 +3258,55 @@ def q_event_trigrams(sf_dir: str):
     return df[["t1", "t2", "t3", "n"]]
 
 
+def q_wau_sliding(sf_dir: str):
+    """Sliding 7-day active users at daily hops (the WAU curve): each
+    event replicates to its 7 covering windows inside map_batches
+    (numpy repeat), locally-deduped (window, user) pairs exchange once
+    for the global dedup, per-window count partials finish — COUNT
+    (DISTINCT) under a sliding window without ever shuffling raw
+    events."""
+    from ray.data.aggregate import Count, Sum
+
+    DAY = 86_400_000_000
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").view("int64")
+        day = (t // DAY) * DAY
+        uid = b["user_id"].to_numpy()
+        # windows [day-6d .. day] each contain this event
+        rep_day = np.repeat(day, 7)
+        rep_uid = np.repeat(uid, 7)
+        off = np.tile(np.arange(7, dtype=np.int64) * DAY, len(b))
+        return pd.DataFrame(
+            {"win": rep_day - off, "user_id": rep_uid}
+        ).drop_duplicates()
+
+    deduped = (
+        ev.map_batches(pairs, batch_format="pandas")
+        .groupby(["win", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def win_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["win"].value_counts()
+        return pd.DataFrame(
+            {"win": vc.index.to_numpy(), "n_users": vc.to_numpy(np.int64)}
+        )
+
+    out = (
+        deduped.map_batches(win_partial, batch_format="pandas")
+        .groupby("win")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    df = out.to_pandas().sort_values("win").reset_index(drop=True)
+    for c in ("win", "n_users"):
+        df[c] = df[c].astype("int64")
+    return df[["win", "n_users"]]
+
+
 def q_interevent_gap(sf_dir: str):
     """Mean inter-event gap per user (integer µs, floor division):
     lag kernel supplies consecutive deltas, exact int sums finish —
@@ -4093,6 +4142,7 @@ QUERIES = {
     "funnel_signup_purchase": q_funnel_signup_purchase,
     "time_to_convert": q_time_to_convert,
     "interevent_gap": q_interevent_gap,
+    "wau_sliding": q_wau_sliding,
     "ntile_user_events": q_ntile_user_events,
     "corr_value_hour": q_corr_value_hour,
     "mode_event_type": q_mode_event_type,
@@ -4640,6 +4690,18 @@ ORACLES = {
       WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type
       ORDER BY prev_type, event_type
+    """,
+    "wau_sliding": """
+      WITH p AS (
+        SELECT DISTINCT
+               (epoch_us(ts) // 86400000000) * 86400000000
+                 - k * 86400000000 AS win,
+               user_id
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)
+      )
+      SELECT win, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY win ORDER BY win
     """,
     "interevent_gap": """
       WITH g AS (
