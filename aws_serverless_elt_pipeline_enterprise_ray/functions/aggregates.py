@@ -567,10 +567,15 @@ def quantile_thresholds(
         .groupby("v")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("v")
     )
+    if len(hist) == 0 or "v" not in hist.columns:
+        # Empty input: no ranks exist (an empty Dataset's to_pandas also
+        # drops the schema entirely); callers (filter/winsorize) treat
+        # the zero band as "keep nothing", matching the empty result.
+        return {q: 0 for q in quantiles}
+    hist = hist.sort_values("v")
     cum = hist["n"].cumsum().to_numpy()
-    total = int(cum[-1]) if len(cum) else 0
+    total = int(cum[-1])
     vals = hist["v"].to_numpy()
     out = {}
     for q in quantiles:

@@ -208,7 +208,8 @@ def interval_join(
 
     def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g[_TAG] == "l"][lcols]
-        rg = g[g[_TAG] == "r"][[by] + keep + ([start] if start not in keep else [])]
+        bounds = [c for c in (start, end) if c not in keep]
+        rg = g[g[_TAG] == "r"][[by] + keep + bounds]
         if len(lg) == 0:
             return pd.DataFrame(columns=out_cols)
         if len(rg) == 0:

@@ -343,6 +343,7 @@ def _same_run_spec(a: TableSpec, b: TableSpec) -> bool:
         and tuple(a.hot_keys) == tuple(b.hot_keys)
         and a.hot_key_salt == b.hot_key_salt
         and a.key_cols == b.key_cols
+        and getattr(a, "merge_policy", "lww") == getattr(b, "merge_policy", "lww")
     )
 
 

@@ -46,6 +46,10 @@ def _zorder_argsort(tbl: pa.Table, cols: tuple[str, ...], bits: int = 16):
     n = len(tbl)
     if n == 0:
         return np.arange(0, dtype=np.int64)
+    # The interleaved code must fit in 64 bits: numpy shifts >= 64 are
+    # platform-undefined, so shrink per-column resolution when many
+    # cluster columns are given rather than silently dropping bits.
+    bits = max(1, min(bits, 64 // max(len(cols), 1)))
     top = (1 << bits) - 1
     codes = []
     for c in cols:

@@ -1,0 +1,117 @@
+"""Round-3 hardening tests: ADVICE fixes (merge-policy in the run-spec
+fold guard, z-order shift-overflow guard, empty-input quantiles,
+interval_join right_cols projection of both bounds)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+import aws_serverless_elt_pipeline_enterprise_ray as engine
+
+
+# ---------------------------------------------------------------------------
+# _same_run_spec must include merge_policy (ADVICE: a prebuilt LWW
+# stream must not be applied under a coalesce-policy fold)
+# ---------------------------------------------------------------------------
+
+
+def test_same_run_spec_distinguishes_merge_policy():
+    import dataclasses
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.cdc import _same_run_spec
+
+    spec = engine.default_spec(num_partitions=4)
+    other = dataclasses.replace(spec, merge_policy="coalesce")
+    assert _same_run_spec(spec, spec)
+    assert not _same_run_spec(spec, other)
+
+
+# ---------------------------------------------------------------------------
+# z-order shift overflow: >4 cols at bits=16 must not shift >= 64
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_many_columns_stays_in_64_bits():
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import (
+        _zorder_argsort,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 256
+    cols = {f"c{i}": rng.integers(0, 1000, n) for i in range(5)}
+    t = pa.table(cols)
+    idx = _zorder_argsort(t, tuple(cols), bits=16)
+    assert sorted(idx.tolist()) == list(range(n))
+    # clustering still works: the leading column must be far from
+    # random order (adjacent-pair locality better than shuffled)
+    v = t["c0"].to_numpy()[idx]
+    locality = np.abs(np.diff(v.astype(np.int64))).mean()
+    shuffled = np.abs(np.diff(np.sort(v)[rng.permutation(n)].astype(np.int64))).mean()
+    assert locality < shuffled * 0.8
+
+
+# ---------------------------------------------------------------------------
+# quantile_thresholds on an empty dataset
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_thresholds_empty_input():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        filter_by_quantile,
+        quantile_thresholds,
+    )
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
+    th = quantile_thresholds(ds, col="v", quantiles=(0.1, 0.9))
+    assert th == {0.1: 0, 0.9: 0}
+    out = filter_by_quantile(ds, col="v", q_lo=0.1, q_hi=0.9)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# interval_join with right_cols that excludes the bound columns
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("disjoint", [False, True])
+def test_interval_join_right_cols_without_bounds(disjoint):
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import (
+        interval_join,
+    )
+
+    pts = rd.from_pandas(
+        pd.DataFrame(
+            {"k": ["a", "a", "b"], "t": [5, 50, 7], "x": [1, 2, 3]}
+        )
+    )
+    ivs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": ["a", "b"],
+                "lo": [0, 0],
+                "hi": [10, 10],
+                "label": ["first", "second"],
+            }
+        )
+    )
+    out = (
+        interval_join(
+            pts,
+            ivs,
+            by="k",
+            on="t",
+            start="lo",
+            end="hi",
+            how="inner",
+            right_cols=["label"],
+            disjoint=disjoint,
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "t", "x", "label"]
+    assert out["label"].tolist() == ["first", "second"]
+    assert out["t"].tolist() == [5, 7]
