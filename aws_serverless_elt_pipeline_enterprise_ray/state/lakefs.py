@@ -1,0 +1,495 @@
+"""Lake filesystem abstraction: POSIX fast path + rename-free
+object-store path.
+
+The reference's data plane is object-store-native end to end: the
+landing zone, silver and gold layers are S3 prefixes and every writer
+PUTs uniquely-named objects (``lambdas/transform/app.py:46-54,104``,
+``lambdas/ingest/app.py:47-49``). Through round 2 this engine was
+POSIX-only - atomic commit via ``os.replace``, clone via hard links -
+which does not transfer to a multi-node cluster whose shared storage is
+an object store with no atomic rename.
+
+This module makes every lake/changelog location a URI:
+
+* plain paths (``/data/lake``) keep the existing POSIX fast path
+  byte-for-byte (O_EXCL creates, temp-write + ``os.replace``, fsync);
+* ``<scheme>://...`` locations route through fsspec with an
+  OBJECT-STORE CONTRACT: the engine only ever issues ``put`` (atomic,
+  full-object), ``put-if-absent`` (conditional create, the S3
+  ``If-None-Match: *`` / GCS ``ifGenerationMatch=0`` primitive),
+  ``get``, ``list``, ``delete`` and server-side ``copy``. NO rename,
+  NO append, NO in-place mutation.
+
+``s3sim://`` is the in-sandbox stand-in for S3: an fsspec filesystem
+backed by the local disk (so it is shared across Ray worker
+PROCESSES, unlike ``memory://`` whose store is per-process) that
+*refuses* rename/append and emulates the server-side atomicity of
+object PUTs internally (temp file + link/replace inside the shim is
+the "server's" implementation detail - the client-visible API is
+put/get/list/delete only). Conditional create maps to a hard-link
+publish, which is atomic and all-or-nothing exactly like S3's
+``If-None-Match``. The key space maps to absolute local paths
+(``s3sim://tmp/x/lake`` <-> ``/tmp/x/lake``), so the filesystem is
+STATELESS: any process reconstructing it from the URI alone - exactly
+what Ray does when a dataset's filesystem is re-instantiated in a
+worker - sees the same store with zero configuration.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import shutil
+import time
+import uuid
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# ---------------------------------------------------------------------------
+# the S3-semantics shim (fsspec filesystem)
+# ---------------------------------------------------------------------------
+
+
+class _ShimUpload(io.BytesIO):
+    """Buffered upload: bytes accumulate client-side and the object
+    appears atomically on close (multipart-upload semantics)."""
+
+    def __init__(self, fs: "ObjStoreShimFileSystem", path: str):
+        super().__init__()
+        self._fs = fs
+        self._path = path
+        self._committed = False
+
+    def close(self):
+        if not self._committed and not self.closed:
+            self._committed = True
+            self._fs.pipe_file(self._path, self.getvalue())
+        super().close()
+
+
+try:
+    import fsspec
+    from fsspec import AbstractFileSystem
+
+    _HAVE_FSSPEC = True
+except ImportError:  # pragma: no cover - fsspec ships with pyarrow/ray
+    _HAVE_FSSPEC = False
+    AbstractFileSystem = object
+
+
+class ObjStoreShimFileSystem(AbstractFileSystem):
+    """Local-directory-backed object store with S3 API semantics.
+
+    Keys ARE absolute local paths (``s3sim://tmp/x/k`` <-> ``/tmp/x/k``)
+    stored as ordinary files, so every Ray worker process sees the same
+    store with no per-process configuration. The client API is
+    put / put-if-absent / get / list / delete / copy; ``mv`` and
+    append raise. Internal use of temp-file + link/replace emulates
+    the SERVER's atomic-PUT guarantee and is invisible to clients
+    (in-flight temps carry a reserved name prefix that listings hide).
+    """
+
+    protocol = "s3sim"
+    root_marker = ""
+    _TMP_PREFIX = ".s3sim-tmp-"
+
+    # -- local mapping -------------------------------------------------
+    def _local(self, path: str) -> str:
+        return "/" + self._strip_protocol(path).lstrip("/")
+
+    def _tmp(self, near: str) -> str:
+        d = os.path.dirname(near)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, self._TMP_PREFIX + uuid.uuid4().hex)
+
+    # -- write path (atomic puts) --------------------------------------
+    def pipe_file(self, path, value, **kwargs):
+        """Atomic full-object PUT: readers see the old object or the
+        new one, never a partial write."""
+        lp = self._local(path)
+        t = self._tmp(lp)
+        with open(t, "wb") as f:
+            f.write(value if isinstance(value, bytes) else bytes(value))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(t, lp)  # server-side atomicity emulation
+
+    def put_if_absent(self, path, value) -> None:
+        """Conditional create (S3 ``If-None-Match: *``): atomic,
+        all-or-nothing; raises FileExistsError if the key exists."""
+        lp = self._local(path)
+        t = self._tmp(lp)
+        with open(t, "wb") as f:
+            f.write(value if isinstance(value, bytes) else bytes(value))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(t, lp)  # atomic publish-if-absent, content complete
+        except FileExistsError:
+            raise FileExistsError(path) from None
+        finally:
+            os.unlink(t)
+
+    def _open(self, path, mode="rb", **kwargs):
+        if "r" in mode:
+            return open(self._local(path), "rb")
+        if "a" in mode or "+" in mode:
+            raise NotImplementedError("object store: no append/update")
+        if "x" in mode:
+            if self.exists(path):
+                raise FileExistsError(path)
+        return _ShimUpload(self, path)
+
+    # -- forbidden on object stores ------------------------------------
+    def mv(self, *a, **k):
+        raise NotImplementedError("object store: no rename - use put+delete")
+
+    def _rm(self, path):  # pragma: no cover - base-class hook
+        self.rm_file(path)
+
+    # -- read path -----------------------------------------------------
+    def cat_file(self, path, start=None, end=None, **kwargs):
+        with open(self._local(path), "rb") as f:
+            if start is not None:
+                f.seek(start)
+            if end is not None:
+                return f.read(end - (start or 0))
+            return f.read()
+
+    def info(self, path, **kwargs):
+        lp = self._local(path)
+        key = self._strip_protocol(path)
+        if os.path.isfile(lp):
+            st = os.stat(lp)
+            return {
+                "name": key,
+                "size": st.st_size,
+                "type": "file",
+                "mtime": st.st_mtime,
+            }
+        if os.path.isdir(lp):
+            # object stores have no directories; a prefix with keys
+            # under it reads as a pseudo-directory
+            return {"name": key, "size": 0, "type": "directory"}
+        raise FileNotFoundError(path)
+
+    def exists(self, path, **kwargs):
+        return os.path.exists(self._local(path))
+
+    def ls(self, path, detail=True, **kwargs):
+        lp = self._local(path)
+        key = self._strip_protocol(path).strip("/")
+        if os.path.isfile(lp):
+            return [self.info(path)] if detail else [key]
+        if not os.path.isdir(lp):
+            raise FileNotFoundError(path)
+        out = []
+        for name in sorted(os.listdir(lp)):
+            if name.startswith(self._TMP_PREFIX):
+                continue
+            child = f"{key}/{name}" if key else name
+            out.append(self.info(child) if detail else child)
+        return out
+
+    def created(self, path):
+        return self.modified(path)
+
+    def modified(self, path):
+        import datetime
+
+        return datetime.datetime.fromtimestamp(
+            os.stat(self._local(path)).st_mtime, tz=datetime.timezone.utc
+        )
+
+    # -- delete / copy -------------------------------------------------
+    def rm_file(self, path):
+        try:
+            os.remove(self._local(path))
+        except IsADirectoryError:  # pragma: no cover
+            pass
+
+    def rm(self, path, recursive=False, **kwargs):
+        lp = self._local(path)
+        if os.path.isdir(lp):
+            if not recursive:
+                raise IsADirectoryError(path)
+            shutil.rmtree(lp)
+        elif os.path.exists(lp):
+            os.remove(lp)
+
+    def cp_file(self, path1, path2, **kwargs):
+        """Server-side object copy (the S3 CopyObject analogue)."""
+        self.pipe_file(path2, self.cat_file(path1))
+
+    def makedirs(self, path, exist_ok=True):
+        # object stores have no directories - creating a "prefix" is a
+        # no-op; keys mint their parents on write
+        return
+
+    def mkdir(self, path, **kwargs):
+        return
+
+
+if _HAVE_FSSPEC:
+    fsspec.register_implementation("s3sim", ObjStoreShimFileSystem, clobber=True)
+
+
+# ---------------------------------------------------------------------------
+# LakeFS: the engine-facing wrapper
+# ---------------------------------------------------------------------------
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+class LakeFS:
+    """Every filesystem touch the engine makes, over either backend.
+
+    POSIX backend (plain paths): identical to the pre-round-3 behavior
+    - O_EXCL creates, temp-write + ``os.replace`` + dir fsync.
+
+    Object backend (``scheme://...``): the rename-free contract above.
+    ``write_atomic`` is a plain PUT (object PUTs are atomic);
+    ``create_exclusive`` is a conditional create - atomic on backends
+    exposing one (``s3sim``, and real S3/GCS/Azure conditional puts),
+    exists-check + put best-effort elsewhere.
+
+    Instances are cheap and picklable (state is the base string);
+    worker-side code rebuilds via the process-local ``lakefs()`` cache.
+    """
+
+    def __init__(self, base: str):
+        self.base = base.rstrip("/")
+        self.is_object = "://" in base
+
+    # -- lazy fsspec handles (never pickled) ---------------------------
+    def __getstate__(self):
+        return {"base": self.base, "is_object": self.is_object}
+
+    @property
+    def fs(self):
+        if not self.is_object:
+            raise RuntimeError("posix backend has no fsspec handle")
+        f = getattr(self, "_fs", None)
+        if f is None:
+            import fsspec
+
+            f = fsspec.filesystem(self.base.split("://", 1)[0])
+            self._fs = f
+        return f
+
+    def pyarrow_fs(self):
+        """A pyarrow FileSystem for ray.data read_/write_parquet
+        (``None`` on POSIX - Ray's default local handling is faster)."""
+        if not self.is_object:
+            return None
+        f = getattr(self, "_pafs", None)
+        if f is None:
+            from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+            f = PyFileSystem(FSSpecHandler(self.fs))
+            self._pafs = f
+        return f
+
+    # -- paths ---------------------------------------------------------
+    def full(self, *rel: str) -> str:
+        parts = [p for p in rel if p]
+        if not parts:
+            return self.base
+        if self.is_object:
+            return posixpath.join(self.base, *parts)
+        return os.path.join(self.base, *parts)
+
+    def rel(self, path: str) -> str:
+        """Base-relative form (what manifests store)."""
+        if self.is_object:
+            strip = self.strip(self.base).rstrip("/")
+            p = self.strip(path)
+            if p.startswith(strip + "/"):
+                return p[len(strip) + 1:]
+            return posixpath.relpath(p, strip)
+        return os.path.relpath(path, self.base)
+
+    def strip(self, path: str) -> str:
+        """Scheme-less path (what a pyarrow filesystem consumes)."""
+        if "://" in path:
+            return path.split("://", 1)[1]
+        return path
+
+    # -- queries ---------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(self.strip(path)) if self.is_object else os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return self.fs.isdir(self.strip(path)) if self.is_object else os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        """Basenames of direct children ([] if the prefix is empty)."""
+        if self.is_object:
+            try:
+                return sorted(
+                    posixpath.basename(p.rstrip("/"))
+                    for p in self.fs.ls(self.strip(path), detail=False)
+                )
+            except FileNotFoundError:
+                return []
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def walk_files(self, path: str) -> list[str]:
+        """All file paths (full form) under a prefix, sorted."""
+        if self.is_object:
+            sp = self.strip(path)
+            try:
+                found = self.fs.find(sp)
+            except FileNotFoundError:
+                return []
+            scheme = self.base.split("://", 1)[0]
+            return sorted(f"{scheme}://{p}" for p in found)
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+
+    def size(self, path: str) -> int:
+        if self.is_object:
+            return self.fs.info(self.strip(path))["size"]
+        return os.path.getsize(path)
+
+    def mtime(self, path: str) -> float:
+        if self.is_object:
+            return self.fs.modified(self.strip(path)).timestamp()
+        return os.path.getmtime(path)
+
+    # -- read ------------------------------------------------------------
+    def read_bytes(self, path: str) -> bytes:
+        if self.is_object:
+            return self.fs.cat_file(self.strip(path))
+        with open(path, "rb") as f:
+            return f.read()
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode()
+
+    # -- write -----------------------------------------------------------
+    def makedirs(self, path: str) -> None:
+        if not self.is_object:
+            os.makedirs(path, exist_ok=True)
+
+    def write_atomic(self, path: str, data: "bytes | str") -> None:
+        """All-or-nothing visibility: object PUT, or POSIX temp +
+        ``os.replace`` + dir fsync."""
+        if isinstance(data, str):
+            data = data.encode()
+        if self.is_object:
+            self.fs.pipe_file(self.strip(path), data)
+            return
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(os.path.dirname(os.path.abspath(path)))
+
+    def create_exclusive(self, path: str, data: "bytes | str") -> None:
+        """Create-if-absent with full content, raising FileExistsError
+        on conflict - the commit-race arbiter. Atomic on POSIX (O_EXCL)
+        and on conditional-put backends; generic fsspec backends get a
+        best-effort exists+put (document per-backend)."""
+        if isinstance(data, str):
+            data = data.encode()
+        if self.is_object:
+            sp = self.strip(path)
+            if hasattr(self.fs, "put_if_absent"):
+                self.fs.put_if_absent(sp, data)
+            else:  # pragma: no cover - non-shim backends
+                if self.fs.exists(sp):
+                    raise FileExistsError(path)
+                self.fs.pipe_file(sp, data)
+            return
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        _fsync_dir(os.path.dirname(os.path.abspath(path)))
+
+    def remove(self, path: str) -> None:
+        if self.is_object:
+            self.fs.rm_file(self.strip(path))
+        else:
+            os.remove(path)
+
+    def remove_if_exists(self, path: str) -> None:
+        try:
+            self.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def copy_file(self, src: str, dst: str) -> None:
+        """Server-side copy on object stores; hard link (COW clone
+        cost) on POSIX, falling back to a byte copy across devices."""
+        if self.is_object:
+            self.fs.cp_file(self.strip(src), self.strip(dst))
+            return
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+
+    def prune_empty_dirs(self, path: str) -> None:
+        """Remove now-empty directories bottom-up (no-op on object
+        stores, which have no directories)."""
+        if self.is_object:
+            return
+        for root, dirs, files in os.walk(path, topdown=False):
+            if root != path and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:  # pragma: no cover
+                    pass
+
+    # -- parquet ---------------------------------------------------------
+    def read_parquet(self, path: str, **kw) -> pa.Table:
+        if self.is_object:
+            return pq.read_table(self.strip(path), filesystem=self.pyarrow_fs(), **kw)
+        return pq.read_table(path, **kw)
+
+    def write_parquet(self, tbl: pa.Table, path: str, **kw) -> None:
+        kw.setdefault("compression", "snappy")
+        if self.is_object:
+            pq.write_table(tbl, self.strip(path), filesystem=self.pyarrow_fs(), **kw)
+            return
+        pq.write_table(tbl, path, **kw)
+
+    def ray_read_parquet(self, paths: "str | list[str]", **kw):
+        """``ray.data.read_parquet`` routed through this backend."""
+        import ray.data as rd
+
+        if self.is_object:
+            ps = [paths] if isinstance(paths, str) else list(paths)
+            return rd.read_parquet(
+                [self.strip(p) for p in ps], filesystem=self.pyarrow_fs(), **kw
+            )
+        return rd.read_parquet(paths, **kw)
+
+
+@lru_cache(maxsize=64)
+def lakefs(base: str) -> LakeFS:
+    """Process-local LakeFS cache - call sites (including Ray workers)
+    resolve their backend from the location string alone."""
+    return LakeFS(base)

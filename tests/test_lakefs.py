@@ -1,0 +1,115 @@
+"""The object-store shim and LakeFS abstraction: atomic puts,
+conditional create, no-rename contract, cross-process visibility,
+parquet + ray.data round trips."""
+
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import (
+    LakeFS,
+    ObjStoreShimFileSystem,
+    lakefs,
+)
+
+
+def shim_uri(tmp_path) -> str:
+    """The lake's object-store URI: key space == absolute local path,
+    so every test gets its own isolated 'bucket' with no global state."""
+    return "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
+
+
+@pytest.fixture()
+def shim_base(tmp_path):
+    return shim_uri(tmp_path)
+
+
+def test_put_get_list_delete(shim_base):
+    fs = LakeFS(shim_base)
+    assert fs.is_object
+    fs.write_atomic(fs.full("_manifest", "CURRENT"), b'{"version": 1}')
+    assert fs.read_text(fs.full("_manifest", "CURRENT")) == '{"version": 1}'
+    fs.write_atomic(fs.full("data", "a.bin"), b"A")
+    fs.write_atomic(fs.full("data", "b.bin"), b"B")
+    assert fs.listdir(fs.full("data")) == ["a.bin", "b.bin"]
+    assert fs.walk_files(fs.full()) == [
+        shim_base + "/_manifest/CURRENT",
+        shim_base + "/data/a.bin",
+        shim_base + "/data/b.bin",
+    ]
+    assert fs.size(fs.full("data", "a.bin")) == 1
+    assert fs.mtime(fs.full("data", "a.bin")) > 0
+    fs.remove(fs.full("data", "a.bin"))
+    assert not fs.exists(fs.full("data", "a.bin"))
+    assert fs.listdir(fs.full("missing")) == []
+
+
+def test_create_exclusive_is_atomic_and_conflicts(shim_base):
+    fs = LakeFS(shim_base)
+    p = fs.full("_manifest", "manifest-000001.json")
+    fs.create_exclusive(p, b"v1")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, b"v1-loser")
+    assert fs.read_bytes(p) == b"v1"
+
+
+def test_rename_is_refused(shim_base):
+    fs = LakeFS(shim_base)
+    fs.write_atomic(fs.full("x"), b"x")
+    with pytest.raises(NotImplementedError):
+        fs.fs.mv(fs.strip(fs.full("x")), fs.strip(fs.full("y")))
+
+
+def test_rel_and_copy(shim_base):
+    fs = LakeFS(shim_base)
+    full = fs.full("data", "part=00001", "f-1.parquet")
+    assert fs.rel(full) == "data/part=00001/f-1.parquet"
+    fs.write_atomic(full, b"PQ")
+    fs.copy_file(full, fs.full("data", "part=00001", "f-2.parquet"))
+    assert fs.read_bytes(fs.full("data", "part=00001", "f-2.parquet")) == b"PQ"
+
+
+def test_parquet_roundtrip_and_ray_read(shim_base):
+    fs = LakeFS(shim_base)
+    t = pa.table({"k": ["a", "b"], "v": [1, 2]})
+    p = fs.full("data", "t.parquet")
+    fs.write_parquet(t, p)
+    assert fs.read_parquet(p).equals(t)
+    # pruned read through the fsspec handler
+    assert fs.read_parquet(p, columns=["v"]).column_names == ["v"]
+    # ray.data reads ship the filesystem to worker processes
+    out = fs.ray_read_parquet(p).to_pandas().sort_values("k")
+    assert out["v"].tolist() == [1, 2]
+
+
+def test_cross_process_visibility(shim_base):
+    """A write from another OS process is visible here (memory:// would
+    fail this - its store is per-process)."""
+    fs = LakeFS(shim_base)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import LakeFS; "
+        "LakeFS(%r).write_atomic(%r, b'hi')"
+        % ("/root/repo", shim_base, shim_base + "/from-child")
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+    assert fs.read_bytes(fs.full("from-child")) == b"hi"
+
+
+def test_posix_backend_unchanged(tmp_path):
+    fs = LakeFS(str(tmp_path / "lake"))
+    assert not fs.is_object
+    fs.makedirs(fs.full("_manifest"))
+    fs.write_atomic(fs.full("_manifest", "CURRENT"), '{"version": 3}')
+    assert fs.read_text(fs.full("_manifest", "CURRENT")) == '{"version": 3}'
+    fs.create_exclusive(fs.full("_manifest", "m1"), b"x")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(fs.full("_manifest", "m1"), b"y")
+    assert fs.rel(fs.full("data", "f")) == os.path.join("data", "f")
+    t = pa.table({"v": [1]})
+    fs.makedirs(fs.full("data"))
+    fs.write_parquet(t, fs.full("data", "t.parquet"))
+    assert fs.read_parquet(fs.full("data", "t.parquet")).equals(t)
