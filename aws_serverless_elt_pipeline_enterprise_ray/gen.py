@@ -148,7 +148,10 @@ def gen_changes(
         tscol[bad_at[kinds == 2]] = np.datetime64("NaT")
         cols["ts"] = tscol
 
-    os.makedirs(out_dir, exist_ok=True)
+    from .state.lakefs import fs_for
+
+    gfs = fs_for(out_dir)
+    gfs.makedirs(out_dir)
     paths = []
     bounds = np.linspace(0, total, n_files + 1).astype(int)
     for i in range(n_files):
@@ -173,8 +176,12 @@ def gen_changes(
             arrays.append(pa.array((sq % 4096).astype(np.int32), pa.int32()))
             names.append("meta_tokens")
         tbl = pa.table(arrays, names=names)
-        path = os.path.join(out_dir, f"changes-{i:06d}.parquet")
-        pq.write_table(tbl, path, compression="snappy")
+        name = f"changes-{i:06d}.parquet"
+        if gfs.is_object:
+            path = out_dir.rstrip("/") + "/" + name
+        else:
+            path = os.path.join(out_dir, name)
+        gfs.write_parquet(tbl, path)
         paths.append(path)
     return paths
 

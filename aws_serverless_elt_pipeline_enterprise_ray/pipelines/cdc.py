@@ -42,6 +42,7 @@ from ..schema import (
 )
 from ..sources.changelog import discover_pending, group_by_schema, peek_schemas
 from ..stages.merge import PartitionMerger
+from ..state.lakefs import fs_for, lakefs
 from ..state.manifest import (
     Manifest,
     ManifestStore,
@@ -193,7 +194,7 @@ def apply_changes(
         cur: list[str] = []
         cur_b = 0
         for p in pending:
-            sz = os.path.getsize(p)
+            sz = fs_for(p).size(p)
             if cur and cur_b + sz > cap:
                 chunks.append(cur)
                 cur, cur_b = [], 0
@@ -366,7 +367,7 @@ def _build_normalized(
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    est_bytes = sum(os.path.getsize(f) for f in files) * 3  # snappy ~3x
+    est_bytes = sum(fs_for(f).size(f) for f in files) * 3  # snappy ~3x
     target_block = rd.DataContext.get_current().target_max_block_size or (128 << 20)
     # Block count: at least 1/CPU (parallelism), at most 8*ncpu (the
     # sort exchange churns with block count: 140 blocks ran 3x slower
@@ -382,7 +383,10 @@ def _build_normalized(
 
     groups = group_by_schema(files, schemas if schemas is not None else peek_schemas(files))
     per_group = max(1, num_blocks // len(groups))
-    datasets = [rd.read_parquet(g, override_num_blocks=per_group) for g in groups]
+    datasets = [
+        fs_for(g[0]).ray_read_parquet(g, override_num_blocks=per_group)
+        for g in groups
+    ]
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
@@ -623,7 +627,7 @@ def _sample_hot_keys(
     first pending file and flag keys above ``threshold`` frequency
     (SURVEY §4 skew row). At scale this would sample row groups."""
     key = spec.key_cols[0]
-    tbl = pq.read_table(files[0], columns=[key])
+    tbl = fs_for(files[0]).read_parquet(files[0], columns=[key])
     counts = pc.value_counts(tbl[key].combine_chunks())
     n = len(tbl)
     hot = [
@@ -653,14 +657,20 @@ def _compact_checkpoint(
     have vanished from the listing are absorbed (they can never be
     rediscovered). Manifest size stays O(dirs + out-of-order files)
     for an always-on tailer committing a 10^10-event stream."""
-    import glob as _glob
+    def canon(p: str) -> str:
+        return p if "://" in p else os.path.abspath(p)
 
-    pool = {os.path.abspath(p) for p in applied}
-    pool |= {os.path.abspath(p) for p in new_files}
+    def parent(p: str) -> str:
+        return p.rsplit("/", 1)[0] if "://" in p else os.path.dirname(p)
+
+    pool = {canon(p) for p in applied}
+    pool |= {canon(p) for p in new_files}
     wms = dict(watermarks)
-    for d in sorted({os.path.dirname(p) for p in pool}):
+    for d in sorted({parent(p) for p in pool}):
         listing = sorted(
-            os.path.abspath(p) for p in _glob.glob(os.path.join(d, "*.parquet"))
+            canon(d + "/" + name)
+            for name in fs_for(d).listdir(d)
+            if name.endswith(".parquet")
         )
         wm = wms.get(d)
         for p in listing:
@@ -672,7 +682,7 @@ def _compact_checkpoint(
                 break
         if wm is not None:
             wms[d] = wm
-            pool = {p for p in pool if os.path.dirname(p) != d or p > wm}
+            pool = {p for p in pool if parent(p) != d or p > wm}
     return sorted(pool), wms
 
 
@@ -692,7 +702,7 @@ def apply_dataset(
     half of exactly-once for derived change streams."""
     from ..sources.changelog import stage_changes
 
-    files = stage_changes(events, os.path.join(lake_dir, "_ingest", label))
+    files = stage_changes(events, lakefs(lake_dir).full("_ingest", label))
     return apply_changes(files, lake_dir, spec, **apply_kwargs)
 
 
@@ -1115,16 +1125,17 @@ def _read_lake_partitions(
     )
 
     def read_partition(batch: pa.Table) -> pa.Table:
+        fs = lakefs(lake_dir)  # process-local, rebuilt from the URI
         out = []
         for row in batch.to_pylist():
             paths = json.loads(row["files"])
             tbls = []
             for p in paths:
-                fp = os.path.join(lake_dir, p)
-                have = set(pq.read_schema(fp).names)
+                fp = fs.full(p)
+                have = set(fs.read_parquet_schema(fp).names)
                 tbls.append(
                     conform_to_schema(
-                        pq.read_table(
+                        fs.read_parquet(
                             fp,
                             columns=[c for c in internal.names if c in have],
                         ),

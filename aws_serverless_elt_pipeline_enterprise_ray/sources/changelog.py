@@ -16,6 +16,7 @@ unioned; ``normalize_batch`` pads earlier files with nulls.
 
 from __future__ import annotations
 
+import fnmatch
 import glob
 import json
 import os
@@ -25,8 +26,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from ..state.lakefs import fs_for
+
 
 def list_changelog_files(changelog_dir: str, pattern: str = "*.parquet") -> list[str]:
+    fs = fs_for(changelog_dir)
+    if fs.is_object:
+        return sorted(
+            changelog_dir.rstrip("/") + "/" + n
+            for n in fs.listdir(changelog_dir)
+            if fnmatch.fnmatch(n, pattern)
+        )
     return sorted(glob.glob(os.path.join(changelog_dir, pattern)))
 
 
@@ -58,10 +68,13 @@ def peek_schemas(files: list[str]) -> dict[str, pa.Schema]:
     serial time to every apply."""
     from concurrent.futures import ThreadPoolExecutor
 
+    def rs(p: str) -> pa.Schema:
+        return fs_for(p).read_parquet_schema(p)
+
     if len(files) <= 4:
-        return {p: pq.read_schema(p) for p in files}
+        return {p: rs(p) for p in files}
     with ThreadPoolExecutor(max_workers=16) as ex:
-        schemas = list(ex.map(pq.read_schema, files))
+        schemas = list(ex.map(rs, files))
     return dict(zip(files, schemas))
 
 
@@ -76,7 +89,7 @@ def group_by_schema(
     for p in files:
         sch = schemas.get(p)
         if sch is None:
-            sch = pq.read_schema(p)
+            sch = fs_for(p).read_parquet_schema(p)
         key = json.dumps(
             [(f.name, str(f.type)) for f in sch], sort_keys=False
         )
@@ -88,7 +101,7 @@ def read_changelog(files: list[str], columns: list[str] | None = None) -> rd.Dat
     """Ray Dataset over change files, tolerant of additive schema
     drift across files (union of per-schema-group reads)."""
     groups = group_by_schema(files)
-    datasets = [rd.read_parquet(g, columns=columns) for g in groups]
+    datasets = [fs_for(g[0]).ray_read_parquet(g, columns=columns) for g in groups]
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
@@ -156,10 +169,35 @@ def stage_changes(events, stage_dir: str) -> list[str]:
     streams (dedup-index inserts, materialized-view refreshes, redrive
     batches): same label/dir on retry → byte-identical staged files →
     the apply-side checkpoint turns the replay into a no-op.
+
+    On an object-store lake there is no directory rename; the protocol
+    is the standard job-commit shape instead: scrap any partial objects
+    from a dead attempt, PUT the batch's files, then PUT the
+    ``_STAGED`` marker LAST (atomic) - marker presence IS visibility.
     """
     import shutil
 
     import pandas as pd
+
+    fs = fs_for(stage_dir)
+    if fs.is_object:
+        marker = stage_dir.rstrip("/") + "/_STAGED"
+        if not fs.exists(marker):
+            for p in fs.walk_files(stage_dir):  # partial previous attempt
+                fs.remove(p)
+            if isinstance(events, pd.DataFrame):
+                events = pa.Table.from_pandas(events, preserve_index=False)
+            if isinstance(events, pa.Table):
+                fs.write_parquet(
+                    events.replace_schema_metadata(None),
+                    stage_dir.rstrip("/") + "/changes-000000.parquet",
+                )
+            else:  # ray.data.Dataset
+                events.write_parquet(
+                    fs.strip(stage_dir), filesystem=fs.pyarrow_fs()
+                )
+            fs.write_atomic(marker, b"staged")
+        return list_changelog_files(stage_dir)
 
     marker = os.path.join(stage_dir, "_STAGED")
     if not os.path.exists(marker):

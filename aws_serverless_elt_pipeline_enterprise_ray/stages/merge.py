@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import TableSpec, lake_schema, lww_reduce
+from ..state.lakefs import lakefs
 
 #: Schema of the small per-partition result rows returned to the driver.
 MERGE_RESULT_SCHEMA = pa.schema(
@@ -71,10 +72,11 @@ def file_entry(
     Recorded only for string keys (lexicographic compare is then
     byte-identical between writer and reader); older manifests without
     the fields are always read."""
+    fs = lakefs(lake_dir)
     entry = {
-        "path": os.path.relpath(path, lake_dir),
+        "path": fs.rel(path),
         "rows": len(chunk),
-        "bytes": os.path.getsize(path),
+        "bytes": fs.size(path),
     }
     # run membership: all files written by ONE partition rewrite share a
     # run id. A partition whose files all belong to one run provably
@@ -209,9 +211,10 @@ class PartitionMerger:
         files = self._existing(part_id)
         if not files:
             return None
+        fs = lakefs(self.lake_dir)
         tables = [
             conform_to_schema(
-                pq.read_table(os.path.join(self.lake_dir, f["path"])),
+                fs.read_parquet(fs.full(f["path"])),
                 self.lake_schema,
             )
             for f in files
@@ -219,8 +222,9 @@ class PartitionMerger:
         return pa.concat_tables(tables) if tables else None
 
     def _write_partition(self, part_id: int, tbl: pa.Table) -> list[dict]:
-        part_dir = os.path.join(self.lake_dir, "data", f"part={part_id:05d}")
-        os.makedirs(part_dir, exist_ok=True)
+        fs = lakefs(self.lake_dir)
+        part_dir = fs.full("data", f"part={part_id:05d}")
+        fs.makedirs(part_dir)
         files = []
         n = len(tbl)
         step = self.max_rows_per_file
@@ -228,19 +232,20 @@ class PartitionMerger:
         for lo in range(0, n, step):
             chunk = tbl.slice(lo, step)
             name = f"f-{uuid.uuid4().hex}.parquet"
-            path = os.path.join(part_dir, name)
-            pq.write_table(chunk, path, compression="snappy")
+            path = fs.full("data", f"part={part_id:05d}", name)
+            fs.write_parquet(chunk, path)
             files.append(
                 file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid)
             )
         return files
 
     def _write_quarantine(self, part_id: int, tbl: pa.Table) -> list[dict]:
-        qdir = os.path.join(self.lake_dir, "_quarantine", f"part={part_id:05d}")
-        os.makedirs(qdir, exist_ok=True)
-        path = os.path.join(qdir, f"q-{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, path, compression="snappy")
-        return [{"path": os.path.relpath(path, self.lake_dir), "rows": len(tbl)}]
+        fs = lakefs(self.lake_dir)
+        qdir = fs.full("_quarantine", f"part={part_id:05d}")
+        fs.makedirs(qdir)
+        path = fs.full("_quarantine", f"part={part_id:05d}", f"q-{uuid.uuid4().hex}.parquet")
+        fs.write_parquet(tbl, path)
+        return [{"path": fs.rel(path), "rows": len(tbl)}]
 
     # -- the merge -----------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:

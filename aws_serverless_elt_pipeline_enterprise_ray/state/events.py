@@ -20,6 +20,7 @@ import json
 import os
 import time
 
+from .lakefs import lakefs
 from .manifest import ManifestStore
 
 
@@ -27,31 +28,52 @@ def events_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, "_events", "events.jsonl")
 
 
+def _event_records(manifest) -> list[dict]:
+    return [
+        {
+            "event": "partition_ready",
+            "version": manifest.version,
+            "part_id": int(pid),
+            "created_at": manifest.created_at,
+            **{k: v for k, v in lin.items() if k != "src_files"},
+        }
+        for pid, lin in manifest.lineage.items()
+    ]
+
+
 def emit_partition_ready(lake_dir: str, manifest) -> int:
-    """Append one partition_ready record per partition touched by this
-    commit. Returns the number of events written."""
+    """Record one partition_ready event per partition touched by this
+    commit. POSIX: appended to a single JSONL (single writer - the
+    committing driver). Object store: no append exists, so each commit
+    PUTs its own ``events-<version>.jsonl`` object (atomic, and
+    naturally idempotent per version). Returns the events written."""
+    recs = _event_records(manifest)
+    fs = lakefs(lake_dir)
+    if fs.is_object:
+        fs.write_atomic(
+            fs.full("_events", f"events-{manifest.version:06d}.jsonl"),
+            "".join(json.dumps(r) + "\n" for r in recs),
+        )
+        return len(recs)
     path = events_path(lake_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    n = 0
     with open(path, "a") as f:
-        for pid, lin in manifest.lineage.items():
-            f.write(
-                json.dumps(
-                    {
-                        "event": "partition_ready",
-                        "version": manifest.version,
-                        "part_id": int(pid),
-                        "created_at": manifest.created_at,
-                        **{k: v for k, v in lin.items() if k != "src_files"},
-                    }
-                )
-                + "\n"
-            )
-            n += 1
-    return n
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    return len(recs)
 
 
 def read_events(lake_dir: str) -> list[dict]:
+    fs = lakefs(lake_dir)
+    if fs.is_object:
+        out = []
+        for p in fs.walk_files(fs.full("_events")):
+            out.extend(
+                json.loads(line)
+                for line in fs.read_text(p).splitlines()
+                if line.strip()
+            )
+        return out
     path = events_path(lake_dir)
     if not os.path.exists(path):
         return []

@@ -469,6 +469,12 @@ class LakeFS:
             return pq.read_table(self.strip(path), filesystem=self.pyarrow_fs(), **kw)
         return pq.read_table(path, **kw)
 
+    def read_parquet_schema(self, path: str) -> pa.Schema:
+        """Footer-only schema read (no data pages leave storage)."""
+        if self.is_object:
+            return pq.read_schema(self.strip(path), filesystem=self.pyarrow_fs())
+        return pq.read_schema(path)
+
     def write_parquet(self, tbl: pa.Table, path: str, **kw) -> None:
         kw.setdefault("compression", "snappy")
         if self.is_object:
@@ -493,3 +499,11 @@ def lakefs(base: str) -> LakeFS:
     """Process-local LakeFS cache - call sites (including Ray workers)
     resolve their backend from the location string alone."""
     return LakeFS(base)
+
+
+def fs_for(path: str) -> LakeFS:
+    """Backend for ONE absolute path/URI (LakeFS ops other than
+    ``full``/``rel`` never consult the base)."""
+    if "://" in path:
+        return lakefs(path.split("://", 1)[0] + "://x")
+    return lakefs("/")

@@ -9,9 +9,16 @@ with TTL (``lambdas/ingest/app.py:84-126``,
 
 We replace both with ONE atomic visibility point (strictly stronger,
 per SURVEY §4): writers emit uniquely-named files that are invisible
-until a manifest version references them; commit is a JSON temp-write +
-``os.replace`` of the versioned manifest, then of the ``CURRENT``
-pointer. The checkpoint (applied change-log files + watermark),
+until a manifest version references them; commit is an exclusive
+CREATE of the versioned manifest (the commit-race arbiter - O_EXCL on
+POSIX, a conditional put on object stores; see ``state/lakefs.py``)
+followed by an atomic overwrite of the ``CURRENT`` pointer (temp +
+``os.replace`` on POSIX, a plain atomic object PUT elsewhere - no
+rename anywhere on the object path). Two racing committers serialize
+on the version create: the loser errors BEFORE touching CURRENT, and a
+second committer can only have observed the newer parent AFTER the
+winner's CURRENT write, so CURRENT never regresses.
+The checkpoint (applied change-log files + watermark),
 per-partition lineage and metrics are embedded IN the manifest, so
 checkpoint and data commit are a single atomic action. A killed job
 leaves orphan files that no manifest references (collected by ``gc``);
@@ -101,10 +108,15 @@ class Manifest:
 
     def is_applied(self, path: str) -> bool:
         """Checkpoint membership under watermark+exceptions semantics."""
-        ap = os.path.abspath(path)
+        if "://" in path:  # URIs are already canonical
+            ap = path
+            parent = path.rsplit("/", 1)[0]
+        else:
+            ap = os.path.abspath(path)
+            parent = os.path.dirname(ap)
         if ap in self.applied or path in self.applied:
             return True
-        wm = self.applied_watermarks.get(os.path.dirname(ap))
+        wm = self.applied_watermarks.get(parent)
         return wm is not None and ap <= wm
 
 
@@ -168,42 +180,36 @@ def manifest_payload_schema(m: Manifest) -> pa.Schema:
     )
 
 
-def _fsync_dir(path: str) -> None:
-    """fsync a directory so a completed rename survives power loss
-    (process-crash safety never needed this; durability does)."""
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+from .lakefs import fs_for, lakefs
 
 
 def _atomic_write(path: str, data: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-    _fsync_dir(os.path.dirname(os.path.abspath(path)))
+    """All-or-nothing write for ANY path/URI (POSIX temp + replace +
+    dir fsync; atomic object PUT on URI backends)."""
+    fs_for(path).write_atomic(path, data)
 
 
 class ManifestStore:
-    """Versioned manifest log rooted at ``<lake>/_manifest``."""
+    """Versioned manifest log rooted at ``<lake>/_manifest``.
+
+    ``lake_dir`` may be a plain path or an object-store URI - every
+    filesystem touch routes through ``state.lakefs.LakeFS``, and the
+    commit protocol is rename-free on the object path (module
+    docstring)."""
 
     def __init__(self, lake_dir: str):
         self.lake_dir = lake_dir
-        self.dir = os.path.join(lake_dir, "_manifest")
-        os.makedirs(self.dir, exist_ok=True)
-        os.makedirs(os.path.join(lake_dir, "data"), exist_ok=True)
+        self.fs = lakefs(lake_dir)
+        self.dir = self.fs.full("_manifest")
+        self.fs.makedirs(self.dir)
+        self.fs.makedirs(self.fs.full("data"))
 
     # -- read ---------------------------------------------------------
     def current_version(self) -> int | None:
-        p = os.path.join(self.dir, "CURRENT")
-        if not os.path.exists(p):
+        p = self.fs.full("_manifest", "CURRENT")
+        if not self.fs.exists(p):
             return None
-        with open(p) as f:
-            return json.load(f)["version"]
+        return json.loads(self.fs.read_text(p))["version"]
 
     def load(self, version: "int | str | None" = None) -> Manifest | None:
         if isinstance(version, str):
@@ -212,17 +218,18 @@ class ManifestStore:
             version = self.current_version()
         if version is None:
             return None
-        with open(os.path.join(self.dir, f"manifest-{version:06d}.json")) as f:
-            return Manifest.from_json(f.read())
+        return Manifest.from_json(
+            self.fs.read_text(self.fs.full("_manifest", f"manifest-{version:06d}.json"))
+        )
 
     # -- tags (named savepoints) --------------------------------------
     def _tags_path(self) -> str:
-        return os.path.join(self.dir, "TAGS.json")
+        return self.fs.full("_manifest", "TAGS.json")
 
     def tags(self) -> dict[str, int]:
         p = self._tags_path()
-        if os.path.exists(p):
-            return json.load(open(p))
+        if self.fs.exists(p):
+            return json.loads(self.fs.read_text(p))
         return {}
 
     def tag(self, name: str, version: int | None = None) -> int:
@@ -233,9 +240,7 @@ class ManifestStore:
         v = version if version is not None else self.current_version()
         if v is None:
             raise RuntimeError("nothing committed - nothing to tag")
-        if not os.path.exists(
-            os.path.join(self.dir, f"manifest-{v:06d}.json")
-        ):
+        if not self.fs.exists(self.fs.full("_manifest", f"manifest-{v:06d}.json")):
             raise FileNotFoundError(f"version {v} does not exist")
         t = self.tags()
         t[name] = int(v)
@@ -271,25 +276,19 @@ class ManifestStore:
             raise RuntimeError(
                 f"stale commit: parent={manifest.parent_version} current={cur}"
             )
-        vpath = os.path.join(self.dir, f"manifest-{manifest.version:06d}.json")
-        # O_EXCL makes version creation atomic: of two racing committers
-        # with the same parent, exactly one wins (the loser gets a
-        # stale-commit error, not a silently clobbered manifest)
+        vpath = self.fs.full("_manifest", f"manifest-{manifest.version:06d}.json")
+        # Exclusive create makes version creation atomic (O_EXCL /
+        # conditional put): of two racing committers with the same
+        # parent, exactly one wins (the loser gets a stale-commit
+        # error, not a silently clobbered manifest)
         try:
-            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            self.fs.create_exclusive(vpath, manifest.to_json())
         except FileExistsError:
             raise RuntimeError(
                 f"version {manifest.version} already exists (concurrent commit?)"
             ) from None
-        try:
-            data = manifest.to_json().encode()
-            os.write(fd, data)
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        _fsync_dir(self.dir)
-        _atomic_write(
-            os.path.join(self.dir, "CURRENT"),
+        self.fs.write_atomic(
+            self.fs.full("_manifest", "CURRENT"),
             json.dumps({"version": manifest.version}),
         )
         return manifest
@@ -298,11 +297,11 @@ class ManifestStore:
         """Re-point CURRENT at an earlier version (DQ-gate demotion -
         the engine analogue of the reference's quarantine path leaving
         bad partitions unpromoted, ``workflow_ge_gate/main.tf:172-209``)."""
-        vpath = os.path.join(self.dir, f"manifest-{to_version:06d}.json")
-        if not os.path.exists(vpath):
+        vpath = self.fs.full("_manifest", f"manifest-{to_version:06d}.json")
+        if not self.fs.exists(vpath):
             raise FileNotFoundError(vpath)
-        _atomic_write(
-            os.path.join(self.dir, "CURRENT"), json.dumps({"version": to_version})
+        self.fs.write_atomic(
+            self.fs.full("_manifest", "CURRENT"), json.dumps({"version": to_version})
         )
 
     def next_version(self) -> int:
@@ -313,13 +312,11 @@ class ManifestStore:
         """Remove the CURRENT pointer: the lake reads as empty and the
         next apply starts from an empty checkpoint (full-replay entry
         point). Old manifests/files remain until gc."""
-        p = os.path.join(self.dir, "CURRENT")
-        if os.path.exists(p):
-            os.remove(p)
+        self.fs.remove_if_exists(self.fs.full("_manifest", "CURRENT"))
 
     def versions(self) -> list[int]:
         out = []
-        for name in os.listdir(self.dir):
+        for name in self.fs.listdir(self.dir):
             if name.startswith("manifest-") and name.endswith(".json"):
                 out.append(int(name[len("manifest-"):-len(".json")]))
         return sorted(out)
@@ -382,25 +379,25 @@ class ManifestStore:
             live.update(m.all_files())
             live.update(q["path"] for q in m.quarantine)
         removed = []
+        fs = self.fs
         cutoff = time.time() - min_age_seconds
         # _quarantine/dq/ holds DQ demotion markers (diagnostics, not
         # row data) - never swept.
-        roots = [os.path.join(self.lake_dir, "data")]
-        qroot = os.path.join(self.lake_dir, "_quarantine")
-        if os.path.isdir(qroot):
+        roots = [fs.full("data")]
+        qroot = fs.full("_quarantine")
+        if fs.isdir(qroot):
             roots += [
-                os.path.join(qroot, d)
-                for d in os.listdir(qroot)
+                fs.full("_quarantine", d)
+                for d in fs.listdir(qroot)
                 if d.startswith("part=")
             ]
         for top in roots:
-            for root, _dirs, files in os.walk(top):
-                for name in files:
-                    p = os.path.join(root, name)
-                    rel = os.path.relpath(p, self.lake_dir)
-                    if rel not in live and os.path.getmtime(p) <= cutoff:
-                        os.remove(p)
-                        removed.append(rel)
+            for p in fs.walk_files(top):
+                rel = fs.rel(p)
+                if rel not in live and fs.mtime(p) <= cutoff:
+                    fs.remove(p)
+                    removed.append(rel)
+            fs.prune_empty_dirs(top)
         # staged changelogs (_staged/, _ingest/, _refresh/ from
         # apply_dataset, forget/expire, matview/search refreshes) keep
         # their replay role only until the CURRENT manifest covers
@@ -409,24 +406,26 @@ class ManifestStore:
         cur_m = self.load()
         if cur_m is not None:
             for sub in ("_staged", "_ingest", "_refresh"):
-                top = os.path.join(self.lake_dir, sub)
-                if not os.path.isdir(top):
+                top = fs.full(sub)
+                if not fs.isdir(top):
                     continue
-                for root, _dirs, files in os.walk(top, topdown=False):
-                    for name in files:
-                        if name == "_STAGED":
-                            continue
-                        p = os.path.join(root, name)
-                        if (
-                            cur_m.is_applied(p)
-                            and os.path.getmtime(p) <= cutoff
-                        ):
-                            os.remove(p)
-                            removed.append(os.path.relpath(p, self.lake_dir))
-                    left = os.listdir(root)
-                    if left == ["_STAGED"]:
-                        os.remove(os.path.join(root, "_STAGED"))
-                        os.rmdir(root)
-                    elif not left and root != top:
-                        os.rmdir(root)
+                marker_dirs: set[str] = set()
+                for p in fs.walk_files(top):
+                    name = p.rsplit("/", 1)[-1] if "://" in p else os.path.basename(p)
+                    if name == "_STAGED":
+                        marker_dirs.add(p[: -len("/_STAGED")])
+                        continue
+                    if cur_m.is_applied(p) and fs.mtime(p) <= cutoff:
+                        fs.remove(p)
+                        removed.append(fs.rel(p))
+                # a _STAGED marker whose directory holds nothing else is
+                # debris too (object stores have no dirs to rmdir)
+                for d in marker_dirs:
+                    left = [
+                        f for f in fs.walk_files(d)
+                        if not f.endswith("/_STAGED")
+                    ]
+                    if not left:
+                        fs.remove_if_exists(d + "/_STAGED")
+                fs.prune_empty_dirs(top)
         return removed

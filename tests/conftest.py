@@ -26,8 +26,15 @@ def ray_session():
     ray.shutdown()
 
 
-@pytest.fixture()
-def tmp_lake(tmp_path):
+@pytest.fixture(params=["posix", "s3sim"])
+def tmp_lake(tmp_path, request):
+    """The lake under test, on BOTH backends: plain POSIX paths and the
+    rename-free object-store contract (``s3sim://`` routes through
+    fsspec with put/list/delete semantics only - see state/lakefs.py).
+    Every test consuming this fixture proves the engine end-to-end on
+    each."""
+    if request.param == "s3sim":
+        return "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
     return str(tmp_path / "lake")
 
 

@@ -107,11 +107,13 @@ def test_orphan_files_invisible_and_gc(small_stream, tmp_lake):
     spec = engine.default_spec(num_partitions=4)
     engine.apply_changes(small_stream, tmp_lake, spec)
     rows_before = final_table(tmp_lake).num_rows
-    # drop an orphan into a partition dir
-    orphan = os.path.join(tmp_lake, "data", "part=00000", "f-orphan.parquet")
-    import pyarrow.parquet as pq
+    # drop an orphan into a partition dir (backend-agnostic write)
+    from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import lakefs
 
-    pq.write_table(pa.table({"x": [1]}), orphan)
+    fs = lakefs(tmp_lake)
+    orphan = fs.full("data", "part=00000", "f-orphan.parquet")
+    fs.makedirs(fs.full("data", "part=00000"))
+    fs.write_parquet(pa.table({"x": [1]}), orphan)
     assert final_table(tmp_lake).num_rows == rows_before
     removed = ManifestStore(tmp_lake).gc(min_age_seconds=0)
     assert any("f-orphan" in r for r in removed)

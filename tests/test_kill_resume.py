@@ -20,8 +20,14 @@ from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestSt
 from test_cdc_e2e import assert_matches_oracle
 
 
-def test_sigkill_mid_ingest_then_resume(tmp_path):
-    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+@pytest.mark.parametrize("backend", ["posix", "s3sim"])
+def test_sigkill_mid_ingest_then_resume(tmp_path, backend):
+    changes = str(tmp_path / "ch")
+    lake = (
+        str(tmp_path / "lake")
+        if backend == "posix"
+        else "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
+    )
     gen_changes(changes, n_events=20_000, n_convs=100, n_files=10, seed=77)
 
     env = dict(os.environ)
@@ -81,11 +87,17 @@ def test_sigkill_mid_ingest_then_resume(tmp_path):
     assert_matches_oracle(lake, changes)
 
 
-def test_sigkill_mid_pipelined_ingest_then_resume(tmp_path):
+@pytest.mark.parametrize("backend", ["posix", "s3sim"])
+def test_sigkill_mid_pipelined_ingest_then_resume(tmp_path, backend):
     """Same hard-kill contract with the pipelined apply: the prefetch
     thread writes nothing, so a SIGKILL mid-run loses at most the
     uncommitted chunk and a serial resume converges to the oracle."""
-    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    changes = str(tmp_path / "ch")
+    lake = (
+        str(tmp_path / "lake")
+        if backend == "posix"
+        else "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
+    )
     gen_changes(changes, n_events=20_000, n_convs=100, n_files=10, seed=79)
 
     env = dict(os.environ)
