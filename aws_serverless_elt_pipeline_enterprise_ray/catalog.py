@@ -25,7 +25,21 @@ def lake_view_sql(
     m = store.load(version)
     if m is None:
         return None
-    files = [os.path.join(lake_dir, p) for p in m.all_files()]
+    from .state.lakefs import lakefs
+
+    lfs = lakefs(lake_dir)
+    if lfs.is_object:
+        scheme = lake_dir.split("://", 1)[0]
+        if scheme != "s3sim":
+            raise NotImplementedError(
+                f"duckdb_view over {scheme}:// needs a DuckDB httpfs/s3 "
+                "extension; only the local-disk s3sim shim maps directly"
+            )
+        # the shim's key space IS the local path space - hand DuckDB
+        # the underlying files directly (read-only)
+        files = ["/" + lfs.strip(lfs.full(p)) for p in m.all_files()]
+    else:
+        files = [os.path.join(lake_dir, p) for p in m.all_files()]
     pay = manifest_payload_schema(m)
     cols = ", ".join(f'"{n}"' for n in pay.names)
     if not files:

@@ -147,11 +147,14 @@ def follow_changes(
     import os
     import time
 
+    from ..state.lakefs import fs_for, lakefs
+
     store = ManifestStore(lake_dir)
-    ckpt = checkpoint_path or os.path.join(lake_dir, "_cdf_checkpoint.json")
+    ckpt = checkpoint_path or lakefs(lake_dir).full("_cdf_checkpoint.json")
+    cfs = fs_for(ckpt)
     last = None
-    if os.path.exists(ckpt):
-        last = json.load(open(ckpt)).get("version")
+    if cfs.exists(ckpt):
+        last = json.loads(cfs.read_text(ckpt)).get("version")
     if last is None:
         m = store.load()
         last = m.version if m else 0
@@ -178,9 +181,7 @@ def follow_changes(
 
 def _write_ckpt(path: str, version: int) -> None:
     import json
-    import os
 
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(tmp, path)
+    from ..state.lakefs import fs_for
+
+    fs_for(path).write_atomic(path, json.dumps({"version": version}))

@@ -29,9 +29,38 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
+from ..state.lakefs import lakefs
 from ..state.manifest import Manifest, ManifestStore
+
+
+def _canon(path: str) -> str:
+    return path if "://" in path else os.path.abspath(path)
+
+
+def _transfer(src_fs, sp: str, dst_fs, dp: str) -> str:
+    """Move one committed file between lakes: hard link / server-side
+    copy within a backend, byte copy across backends. Returns 'linked'
+    or 'copied' for the metrics."""
+    if src_fs.is_object == dst_fs.is_object and (
+        not src_fs.is_object
+        or src_fs.base.split("://", 1)[0] == dst_fs.base.split("://", 1)[0]
+    ):
+        if not src_fs.is_object:
+            dst_fs.makedirs(dp.rsplit("/", 1)[0])
+            try:
+                os.link(sp, dp)
+                return "linked"
+            except OSError:  # cross-device: degrade to a copy
+                import shutil
+
+                shutil.copy2(sp, dp)
+                return "copied"
+        src_fs.copy_file(sp, dp)  # server-side object copy
+        return "linked"
+    dst_fs.write_atomic(dp, src_fs.read_bytes(sp))
+    return "copied"
+
 
 
 def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> Manifest:
@@ -45,18 +74,15 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> Manife
     if dst.load() is not None:
         raise RuntimeError(f"{dst_dir} already has a committed lake")
 
+    sfs, dfs = lakefs(src_dir), lakefs(dst_dir)
     n_linked = n_copied = 0
     for files in m.partitions.values():
         for f in files:
             rel = f["path"]
-            sp = os.path.join(src_dir, rel)
-            dp = os.path.join(dst_dir, rel)
-            os.makedirs(os.path.dirname(dp), exist_ok=True)
-            try:
-                os.link(sp, dp)
+            how = _transfer(sfs, sfs.full(rel), dfs, dfs.full(rel))
+            if how == "linked":
                 n_linked += 1
-            except OSError:  # cross-device: degrade to a copy
-                shutil.copy2(sp, dp)
+            else:
                 n_copied += 1
 
     from .cdc import _now_iso
@@ -78,17 +104,17 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> Manife
             "files_linked": n_linked,
             "files_copied": n_copied,
         },
-        lineage={"_clone": {"source": os.path.abspath(src_dir), "version": m.version}},
+        lineage={"_clone": {"source": _canon(src_dir), "version": m.version}},
         quarantine=[],
         partitioning=dict(m.partitioning),
     )
     committed = dst.commit(manifest)
     # durable record of provenance for humans (the manifest carries the
     # machine-readable copy)
-    with open(os.path.join(dst_dir, "_manifest", "CLONE.json"), "w") as fh:
-        json.dump(
-            {"source": os.path.abspath(src_dir), "source_version": m.version}, fh
-        )
+    dfs.write_atomic(
+        dfs.full("_manifest", "CLONE.json"),
+        json.dumps({"source": _canon(src_dir), "source_version": m.version}),
+    )
     return committed
 
 
@@ -116,14 +142,12 @@ def publish_branch(branch_dir: str, dst_dir: str) -> Manifest:
         raise FileNotFoundError(f"no committed version in {branch_dir}")
     # the clone provenance lives in the durable CLONE.json (later
     # branch commits rebuild manifest lineage and drop the _clone key)
-    clone_path = os.path.join(branch_dir, "_manifest", "CLONE.json")
+    bfs, dfs = lakefs(branch_dir), lakefs(dst_dir)
+    clone_path = bfs.full("_manifest", "CLONE.json")
     clone_info = None
-    if os.path.exists(clone_path):
-        with open(clone_path) as fh:
-            clone_info = json.load(fh)
-    if not clone_info or os.path.abspath(clone_info.get("source", "")) != (
-        os.path.abspath(dst_dir)
-    ):
+    if bfs.exists(clone_path):
+        clone_info = json.loads(bfs.read_text(clone_path))
+    if not clone_info or _canon(clone_info.get("source", "")) != _canon(dst_dir):
         raise ValueError(
             f"{branch_dir} was not branched from {dst_dir} "
             "(no matching clone provenance); refusing to publish"
@@ -144,17 +168,14 @@ def publish_branch(branch_dir: str, dst_dir: str) -> Manifest:
     for files in bm.partitions.values():
         for f in files:
             rel = f["path"]
-            sp = os.path.join(branch_dir, rel)
-            dp = os.path.join(dst_dir, rel)
-            if os.path.exists(dp):
+            dp = dfs.full(rel)
+            if dfs.exists(dp):
                 n_shared += 1
                 continue
-            os.makedirs(os.path.dirname(dp), exist_ok=True)
-            try:
-                os.link(sp, dp)
+            how = _transfer(bfs, bfs.full(rel), dfs, dp)
+            if how == "linked":
                 n_linked += 1
-            except OSError:
-                shutil.copy2(sp, dp)
+            else:
                 n_copied += 1
 
     from .cdc import _now_iso
@@ -162,7 +183,7 @@ def publish_branch(branch_dir: str, dst_dir: str) -> Manifest:
     lineage = dict(bm.lineage or {})
     lineage.pop("_clone", None)
     lineage["_published_from"] = {
-        "branch": os.path.abspath(branch_dir),
+        "branch": _canon(branch_dir),
         "branch_version": bm.version,
     }
     manifest = Manifest(

@@ -93,10 +93,13 @@ class _Compactor:
         from ..schema import lww_reduce
         from ..stages.merge import conform_to_schema
 
+        from ..state.lakefs import lakefs
+
+        lfs = lakefs(self.lake_dir)
         for row in batch.to_pylist():
             pid = int(row["part_id"])
-            paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
-            tbls = [pq.read_table(p) for p in paths]
+            paths = [lfs.full(p) for p in json.loads(row["files"])]
+            tbls = [lfs.read_parquet(p) for p in paths]
             if len(tbls) > 1:
                 uni = pa.unify_schemas([t.schema for t in tbls], promote_options="permissive")
                 tbls = [conform_to_schema(t, uni) for t in tbls]
@@ -137,16 +140,16 @@ class _Compactor:
                 tbl = tbl.take(
                     pa.array(_zorder_argsort(tbl, self.cluster_by))
                 )
-            part_dir = os.path.join(self.lake_dir, "data", f"part={pid:05d}")
-            os.makedirs(part_dir, exist_ok=True)
+            part_dir = lfs.full("data", f"part={pid:05d}")
+            lfs.makedirs(part_dir)
             files = []
             from ..stages.merge import file_entry
 
             rid = uuid.uuid4().hex
             for lo in range(0, max(len(tbl), 1), self.target):
                 chunk = tbl.slice(lo, self.target)
-                path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
-                pq.write_table(chunk, path, compression="snappy")
+                path = lfs.full("data", f"part={pid:05d}", f"f-{uuid.uuid4().hex}.parquet")
+                lfs.write_parquet(chunk, path)
                 files.append(
                     file_entry(
                         self.lake_dir, path, chunk, self.key_cols[0], run_id=rid

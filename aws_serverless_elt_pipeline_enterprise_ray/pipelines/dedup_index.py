@@ -143,7 +143,9 @@ def ingest_unique(
         batch_format="pandas",
         fn_kwargs={"text_col": text_col, "id_col": id_col},
     )
-    files = stage_changes(events, os.path.join(index_dir, "_ingest", batch_label))
+    from ..state.lakefs import lakefs
+
+    files = stage_changes(events, lakefs(index_dir).full("_ingest", batch_label))
 
     store = ManifestStore(index_dir)
     before = store.load()

@@ -52,9 +52,12 @@ class _PartitionChecker:
         from ..schema import lww_reduce
         from ..stages.merge import conform_to_schema
 
+        from ..state.lakefs import lakefs
+
+        lfs = lakefs(self.lake_dir)
         for row in batch.to_pylist():
-            paths = [os.path.join(self.lake_dir, p) for p in json.loads(row["files"])]
-            tbls = [pq.read_table(p) for p in paths]
+            paths = [lfs.full(p) for p in json.loads(row["files"])]
+            tbls = [lfs.read_parquet(p) for p in paths]
             if len(tbls) > 1:
                 uni = pa.unify_schemas([t.schema for t in tbls], promote_options="permissive")
                 tbls = [conform_to_schema(t, uni) for t in tbls]
@@ -201,11 +204,13 @@ def run_dq(
         "checked_partitions": len(items),
         "checks": checks,
     }
-    dq_dir = os.path.join(lake_dir, "_dq")
-    os.makedirs(dq_dir, exist_ok=True)
+    from ..state.lakefs import lakefs as _lakefs
+
+    lfs = _lakefs(lake_dir)
+    lfs.makedirs(lfs.full("_dq"))
     suffix = "-incr" if only_changed else ""
     _atomic_write(
-        os.path.join(dq_dir, f"report-{m.version:06d}{suffix}.json"),
+        lfs.full("_dq", f"report-{m.version:06d}{suffix}.json"),
         json.dumps(report, indent=1, default=str),
     )
     return report
@@ -233,10 +238,12 @@ def dq_gate(
             store.rollback(m.parent_version)
         else:
             store.reset()
-        marker_dir = os.path.join(lake_dir, "_quarantine", "dq")
-        os.makedirs(marker_dir, exist_ok=True)
+        from ..state.lakefs import lakefs as _lakefs
+
+        lfs = _lakefs(lake_dir)
+        lfs.makedirs(lfs.full("_quarantine", "dq"))
         _atomic_write(
-            os.path.join(marker_dir, f"version-{m.version:06d}.json"),
+            lfs.full("_quarantine", "dq", f"version-{m.version:06d}.json"),
             json.dumps({"demoted_version": m.version, "report": report}, default=str),
         )
         report["demoted_to"] = m.parent_version

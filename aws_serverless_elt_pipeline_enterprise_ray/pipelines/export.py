@@ -72,10 +72,11 @@ class _Exporter:
             list(self.payload)
             + [pa.field("_deleted", pa.bool_()), pa.field("_seq", pa.int64())]
         )
+        from ..state.lakefs import lakefs
+
+        lfs = lakefs(self.lake_dir)
         tbls = [
-            conform_to_schema(
-                pq.read_table(os.path.join(self.lake_dir, p)), internal
-            )
+            conform_to_schema(lfs.read_parquet(lfs.full(p)), internal)
             for p in paths
         ]
         tbl = pa.concat_tables(tbls)
@@ -232,6 +233,12 @@ def export_snapshot(
         raise ValueError(f"unknown export fmt {fmt!r}")
     if fmt == "jsonl" and layout != "partition":
         raise ValueError("fmt='jsonl' supports layout='partition' only")
+    if "://" in out_dir:
+        raise NotImplementedError(
+            "export_snapshot writes a POSIX destination (tmp-dir + rename "
+            "visibility); export to an object store by exporting locally "
+            "and uploading, or extend _Exporter with the marker protocol"
+        )
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:

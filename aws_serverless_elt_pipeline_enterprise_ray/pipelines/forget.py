@@ -81,16 +81,25 @@ def forget_keys(
             "ts": hits["ts"],
         }
     )
-    staging = staging_dir or os.path.join(lake_dir, "_staged", "forget")
-    os.makedirs(staging, exist_ok=True)
-    import pyarrow.parquet as pq
+    from ..state.lakefs import fs_for, lakefs
 
-    path = os.path.join(
-        staging, f"forget-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    staging = staging_dir or lakefs(lake_dir).full("_staged", "forget")
+    sfs = fs_for(staging)
+    sfs.makedirs(staging)
+    name = f"forget-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    path = (
+        staging.rstrip("/") + "/" + name
+        if sfs.is_object
+        else os.path.join(staging, name)
     )
-    tmp = path + ".tmp"
-    pq.write_table(deletes, tmp)
-    os.replace(tmp, path)  # atomic landing, per the tailer contract
+    if sfs.is_object:
+        sfs.write_parquet(deletes, path)  # object PUT is atomic
+    else:
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(deletes, tmp)
+        os.replace(tmp, path)  # atomic landing, per the tailer contract  # atomic landing, per the tailer contract
     return apply_changes([path], lake_dir, spec, **apply_kwargs)
 
 
@@ -145,14 +154,23 @@ def expire_rows(
             "ts": hits["ts"],
         }
     )
-    staging = staging_dir or os.path.join(lake_dir, "_staged", "expire")
-    os.makedirs(staging, exist_ok=True)
-    import pyarrow.parquet as pq
+    from ..state.lakefs import fs_for, lakefs
 
-    path = os.path.join(
-        staging, f"expire-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    staging = staging_dir or lakefs(lake_dir).full("_staged", "expire")
+    sfs = fs_for(staging)
+    sfs.makedirs(staging)
+    name = f"expire-{m.version:06d}-{uuid.uuid4().hex[:8]}.parquet"
+    path = (
+        staging.rstrip("/") + "/" + name
+        if sfs.is_object
+        else os.path.join(staging, name)
     )
-    tmp = path + ".tmp"
-    pq.write_table(deletes, tmp)
-    os.replace(tmp, path)
+    if sfs.is_object:
+        sfs.write_parquet(deletes, path)  # object PUT is atomic
+    else:
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(deletes, tmp)
+        os.replace(tmp, path)  # atomic landing, per the tailer contract
     return apply_changes([path], lake_dir, spec, **apply_kwargs)

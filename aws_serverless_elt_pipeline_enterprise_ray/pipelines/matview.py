@@ -132,14 +132,18 @@ def _combine_partials(parts: pd.DataFrame) -> pd.DataFrame:
 
 
 def _ckpt_path(rollup_dir: str) -> str:
-    return os.path.join(rollup_dir, "_source_version.json")
+    from ..state.lakefs import lakefs
+
+    return lakefs(rollup_dir).full("_source_version.json")
 
 
 def last_folded_version(rollup_dir: str) -> int:
     """Source version the rollup currently reflects (0 = nothing)."""
+    from ..state.lakefs import fs_for
+
     p = _ckpt_path(rollup_dir)
-    if os.path.exists(p):
-        return json.load(open(p))["source_version"]
+    if fs_for(p).exists(p):
+        return json.loads(fs_for(p).read_text(p))["source_version"]
     return 0
 
 
@@ -183,10 +187,12 @@ def refresh_rollup(
     affected = sorted(set(aff_tbl["conv_id"].dropna()))
 
     spec = rollup_spec(num_partitions)
-    stage_dir = os.path.join(rollup_dir, "_refresh", f"v{last:08d}-{cur:08d}")
-    marker = os.path.join(stage_dir, "_STAGED")
+    from ..state.lakefs import fs_for, lakefs
 
-    if affected and not os.path.exists(marker):
+    stage_dir = lakefs(rollup_dir).full("_refresh", f"v{last:08d}-{cur:08d}")
+    marker = stage_dir.rstrip("/") + "/_STAGED"
+
+    if affected and not fs_for(marker).exists(marker):
         # 2. re-aggregate ONLY the affected conversations from the
         # pruned point-read path, at the snapshot being folded in
         src = read_conversations(
@@ -235,7 +241,7 @@ def refresh_rollup(
     # 4. advance the consumer checkpoint only after the apply committed
     # (crash before this line => same range re-derived, staged files
     # reused, apply is a no-op: exactly-once end to end)
-    os.makedirs(rollup_dir, exist_ok=True)
+    lakefs(rollup_dir).makedirs(rollup_dir)
     _atomic_write(_ckpt_path(rollup_dir), json.dumps({"source_version": cur}))
     n_deleted = 0
     if affected and committed:

@@ -58,16 +58,19 @@ class _PartitionWriter:
             tbl, sort_keys=[(c, "ascending") for c in self.key_cols]
         )
         tbl = tbl.take(idx)  # stable turn ordering within the partition (O4)
-        part_dir = os.path.join(self.lake_dir, "data", f"part={part_id:05d}")
-        os.makedirs(part_dir, exist_ok=True)
+        from ..state.lakefs import lakefs
+
+        lfs = lakefs(self.lake_dir)
+        part_dir = lfs.full("data", f"part={part_id:05d}")
+        lfs.makedirs(part_dir)
         files = []
         from ..stages.merge import file_entry
 
         rid = uuid.uuid4().hex
         for lo in range(0, len(tbl), self.max_rows_per_file):
             chunk = tbl.slice(lo, self.max_rows_per_file)
-            path = os.path.join(part_dir, f"f-{uuid.uuid4().hex}.parquet")
-            pq.write_table(chunk, path, compression="snappy")
+            path = lfs.full("data", f"part={part_id:05d}", f"f-{uuid.uuid4().hex}.parquet")
+            lfs.write_parquet(chunk, path)
             files.append(
                 file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid)
             )

@@ -45,12 +45,15 @@ def redrive(
     if parent is None or not parent.quarantine:
         return {"rows": 0, "file": None, "version": None}
 
+    from ..state.lakefs import fs_for, lakefs
+
+    lfs = lakefs(lake_dir)
     tables = []
     src_paths = []
     for q in parent.quarantine:
-        p = os.path.join(lake_dir, q["path"])
-        if os.path.exists(p):
-            t = pq.read_table(p)
+        p = lfs.full(q["path"])
+        if lfs.exists(p):
+            t = lfs.read_parquet(p)
             drop = [c for c in ("_bad", "part_id") if c in t.column_names]
             tables.append(t.drop_columns(drop))
             src_paths.append(p)
@@ -62,16 +65,24 @@ def redrive(
         tables = [t.cast(uni) for t in tables]
         tbl = pa.concat_tables(tables)
         rows = len(tbl)
-        os.makedirs(changelog_dir, exist_ok=True)
+        cfs = fs_for(changelog_dir)
+        cfs.makedirs(changelog_dir)
         # atomic landing, per the tailer's producer contract; the
         # manifest version prefix keeps redrive file names MONOTONE
         # (the checkpoint watermark requires future files to sort
         # above it - a bare uuid name would not)
         name = f"redrive-{store.next_version():06d}-{uuid.uuid4().hex[:12]}.parquet"
-        tmp = os.path.join(changelog_dir, f".{name}.tmp")
-        pq.write_table(tbl, tmp, compression="snappy")
-        out_path = os.path.join(changelog_dir, name)
-        os.replace(tmp, out_path)
+        out_path = (
+            changelog_dir.rstrip("/") + "/" + name
+            if cfs.is_object
+            else os.path.join(changelog_dir, name)
+        )
+        if cfs.is_object:
+            cfs.write_parquet(tbl, out_path)  # object PUT is atomic
+        else:
+            tmp = os.path.join(changelog_dir, f".{name}.tmp")
+            pq.write_table(tbl, tmp, compression="snappy")
+            os.replace(tmp, out_path)
 
     manifest = Manifest(
         version=store.next_version(),
@@ -96,7 +107,7 @@ def redrive(
     # here rather than waiting for a gc that only walks data/
     for p in src_paths:
         try:
-            os.remove(p)
+            lfs.remove(p)
         except OSError:
             pass
     return {"rows": rows, "file": out_path, "version": committed.version}

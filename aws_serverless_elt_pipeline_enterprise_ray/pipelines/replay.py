@@ -52,10 +52,12 @@ def replay(
 
         lo, hi = seq_range
         files = []
+        from ..state.lakefs import fs_for
+
         for p in list_changelog_files(changelog_dir):
-            md = pq.read_metadata(p)
+            md = fs_for(p).read_parquet_metadata(p)
             smin, smax = None, None
-            sch = pq.read_schema(p)
+            sch = fs_for(p).read_parquet_schema(p)
             seq_idx = sch.get_field_index("seq")
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(seq_idx).statistics

@@ -56,12 +56,20 @@ class _StageWriter:
         self.run_prefix = run_prefix
 
     def _write(self, sub: pa.Table, type_name: str) -> None:
-        d = os.path.join(self.staged_root, type_name)
-        os.makedirs(d, exist_ok=True)
+        from ..state.lakefs import fs_for
+
+        fs = fs_for(self.staged_root)
         # run_prefix keeps names monotone ACROSS routing runs (the
         # staged dir is itself a watermarked changelog); within a run
         # order is irrelevant - they are all applied together
         name = f"route-{self.run_prefix:06d}-{uuid.uuid4().hex[:12]}.parquet"
+        if fs.is_object:
+            fs.write_parquet(  # object PUT is atomic
+                sub, self.staged_root.rstrip("/") + "/" + type_name + "/" + name
+            )
+            return
+        d = os.path.join(self.staged_root, type_name)
+        os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".{name}.tmp")
         pq.write_table(sub, tmp, compression="snappy")
         os.replace(tmp, os.path.join(d, name))
@@ -88,9 +96,11 @@ class _StageWriter:
 
 
 def _load_state(path: str) -> dict:
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+    from ..state.lakefs import fs_for
+
+    fs = fs_for(path)
+    if fs.exists(path):
+        return json.loads(fs.read_text(path))
     return {"applied": [], "watermarks": {}, "runs": 0}
 
 
@@ -103,9 +113,11 @@ def route_changes(
 ) -> dict:
     """Split pending mixed change files into per-type staged dirs.
     Returns {"staged": {type: rows}, "pending_files": n}."""
-    staged_root = os.path.join(lake_root, "_staged")
-    os.makedirs(staged_root, exist_ok=True)
-    state_path = os.path.join(staged_root, "ROUTED.json")
+    from ..state.lakefs import lakefs
+
+    staged_root = lakefs(lake_root).full("_staged")
+    lakefs(lake_root).makedirs(staged_root)
+    state_path = staged_root.rstrip("/") + "/ROUTED.json"
     state = _load_state(state_path)
     probe = Manifest(
         version=0, parent_version=None, created_at="", schema=[],
@@ -151,11 +163,14 @@ def route_and_apply(
     {"staged": {...}, "manifests": {name: [Manifest, ...]}}."""
     routed = route_changes(changelog_dir, lake_root, specs, type_col=type_col)
     manifests: dict[str, list] = {}
+    from ..state.lakefs import lakefs
+
+    rfs = lakefs(lake_root)
     for name, spec in specs.items():
-        staged_dir = os.path.join(lake_root, "_staged", name)
-        if os.path.isdir(staged_dir) and list_changelog_files(staged_dir):
+        staged_dir = rfs.full("_staged", name)
+        if rfs.isdir(staged_dir) and list_changelog_files(staged_dir):
             manifests[name] = apply_changes(
-                staged_dir, os.path.join(lake_root, name), spec,
+                staged_dir, rfs.full(name), spec,
                 now=now, **apply_kwargs,
             )
         else:

@@ -120,13 +120,17 @@ def _conv_terms(source_lake: str, conv_ids: list[str], version: int) -> pd.DataF
 
 
 def _ckpt_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_source_version.json")
+    from ..state.lakefs import lakefs
+
+    return lakefs(index_dir).full("_source_version.json")
 
 
 def last_indexed_version(index_dir: str) -> int:
+    from ..state.lakefs import fs_for
+
     p = _ckpt_path(index_dir)
-    if os.path.exists(p):
-        return json.load(open(p))["source_version"]
+    if fs_for(p).exists(p):
+        return json.loads(fs_for(p).read_text(p))["source_version"]
     return 0
 
 
@@ -169,11 +173,13 @@ def refresh_search_index(
     affected = sorted(set(aff_tbl["conv_id"].dropna()))
 
     spec = index_spec(num_partitions)
-    stage_dir = os.path.join(index_dir, "_refresh", f"v{last:08d}-{cur:08d}")
-    marker = os.path.join(stage_dir, "_STAGED")
+    from ..state.lakefs import fs_for, lakefs
+
+    stage_dir = lakefs(index_dir).full("_refresh", f"v{last:08d}-{cur:08d}")
+    marker = stage_dir.rstrip("/") + "/_STAGED"
     n_up = n_del = 0
 
-    if affected and not os.path.exists(marker):
+    if affected and not fs_for(marker).exists(marker):
         new = _conv_terms(source_lake, affected, cur)
         old = _conv_terms(source_lake, affected, last)
         if max_df is not None and len(new):
@@ -214,12 +220,12 @@ def refresh_search_index(
             stage_changes(tbl, stage_dir)
 
     committed = []
-    if os.path.exists(marker):
+    if fs_for(marker).exists(marker):
         committed = apply_changes(
             list_changelog_files(stage_dir), index_dir, spec, **apply_kwargs
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    lakefs(index_dir).makedirs(index_dir)
     _atomic_write(_ckpt_path(index_dir), json.dumps({"source_version": cur}))
     return {
         "from_version": last,

@@ -66,7 +66,9 @@ def tail(
         # doesn't parse yet (still being written/copied) is deferred to
         # the next poll instead of failing the round
         try:
-            pq.read_schema(path)
+            from ..state.lakefs import fs_for
+
+            fs_for(path).read_parquet_schema(path)
             return True
         except Exception:  # noqa: BLE001
             return False

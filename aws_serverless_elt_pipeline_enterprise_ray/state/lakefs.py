@@ -475,6 +475,12 @@ class LakeFS:
             return pq.read_schema(self.strip(path), filesystem=self.pyarrow_fs())
         return pq.read_schema(path)
 
+    def read_parquet_metadata(self, path: str):
+        """Footer-only metadata read (row-group stats for pruning)."""
+        if self.is_object:
+            return pq.read_metadata(self.strip(path), filesystem=self.pyarrow_fs())
+        return pq.read_metadata(path)
+
     def write_parquet(self, tbl: pa.Table, path: str, **kw) -> None:
         kw.setdefault("compression", "snappy")
         if self.is_object:
