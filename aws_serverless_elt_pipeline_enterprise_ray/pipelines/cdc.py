@@ -252,19 +252,21 @@ def apply_changes(
                 prebuilt = fut.result()
                 if i + 1 < len(chunks):
                     fut = pool.submit(build, i + 1)
-                manifests.append(
-                    _apply_chunk(
-                        chunks[i],
-                        store,
-                        spec,
-                        prebuilt=prebuilt,
-                        prebuilt_spec=folded[i],
-                        **chunk_kwargs,
-                    )
+                m = _apply_chunk(
+                    chunks[i],
+                    store,
+                    spec,
+                    prebuilt=prebuilt,
+                    prebuilt_spec=folded[i],
+                    **chunk_kwargs,
                 )
+                if m is not None:
+                    manifests.append(m)
         return manifests
     for files_chunk in chunks:
-        manifests.append(_apply_chunk(files_chunk, store, spec, **chunk_kwargs))
+        m = _apply_chunk(files_chunk, store, spec, **chunk_kwargs)
+        if m is not None:
+            manifests.append(m)
     return manifests
 
 
@@ -441,9 +443,24 @@ def _apply_chunk(
     exchange: str | None = None,
     prebuilt: "rd.Dataset | None" = None,
     prebuilt_spec: TableSpec | None = None,
-) -> Manifest:
+) -> Manifest | None:
     parent = store.load()
     parent_version = parent.version if parent else None
+
+    # Concurrent-writer fence, half 1: a writer that lost a race for an
+    # earlier chunk re-filters against the FRESH parent instead of
+    # re-applying files a faster writer already committed (silent
+    # duplicate application; harmless under LWW but it double-counts
+    # metrics and doubles write volume). Half 2 is store.commit's
+    # stale-parent / exclusive-version-create check, which turns a race
+    # WITHIN a chunk into a clean conflict error.
+    if parent is not None:
+        still_pending = [f for f in files if not parent.is_applied(f)]
+        if not still_pending:
+            return None
+        if len(still_pending) != len(files):
+            files = still_pending
+            prebuilt = None  # prefetched stream covered the full chunk
 
     schemas = peek_schemas(files)
     run_spec = _derive_run_spec(

@@ -9,15 +9,29 @@ with TTL (``lambdas/ingest/app.py:84-126``,
 
 We replace both with ONE atomic visibility point (strictly stronger,
 per SURVEY §4): writers emit uniquely-named files that are invisible
-until a manifest version references them; commit is an exclusive
-CREATE of the versioned manifest (the commit-race arbiter - O_EXCL on
-POSIX, a conditional put on object stores; see ``state/lakefs.py``)
-followed by an atomic overwrite of the ``CURRENT`` pointer (temp +
-``os.replace`` on POSIX, a plain atomic object PUT elsewhere - no
-rename anywhere on the object path). Two racing committers serialize
-on the version create: the loser errors BEFORE touching CURRENT, and a
-second committer can only have observed the newer parent AFTER the
-winner's CURRENT write, so CURRENT never regresses.
+until a manifest version references them.
+
+POSIX backend: commit is an O_EXCL create of the versioned manifest
+(the commit-race arbiter) followed by an atomic ``os.replace`` of the
+``CURRENT`` pointer. The two-step shape leaves a narrow window where a
+crashed committer's version file exists without CURRENT; recovery
+burns that version number, and a freshness guard refuses to commit
+past an orphan younger than a grace period (it may be a concurrent
+committer mid-flight, not a corpse).
+
+Object backend (URI lakes, ``state/lakefs.py``): there is no atomic
+rename, so the protocol is SINGLE-step, Delta-log style: the
+conditional create (``If-None-Match``) of ``manifest-NNNNNN.json`` IS
+the commit - durable and visible the instant it succeeds.
+``current_version()`` derives from the strongly-consistent listing
+(max committed version above the reset floor); there is no CURRENT
+object to race on, no two-step window, and no orphan state at all.
+Version numbers are gapless by construction (commit requires
+``version == max+1`` and ``parent == current``), rollback is a
+RESTORE-commit (a new version whose content is the demoted-to
+snapshot - Delta/Iceberg semantics), and ``reset`` writes a floor
+marker retiring everything at or below it.
+
 The checkpoint (applied change-log files + watermark),
 per-partition lineage and metrics are embedded IN the manifest, so
 checkpoint and data commit are a single atomic action. A killed job
@@ -205,7 +219,28 @@ class ManifestStore:
         self.fs.makedirs(self.fs.full("data"))
 
     # -- read ---------------------------------------------------------
+    def _reset_floor(self) -> int:
+        """Object backend: versions <= the floor are retired by reset
+        markers (there is no CURRENT object to delete)."""
+        floor = 0
+        for name in self.fs.listdir(self.dir):
+            if name.startswith("RESET-"):
+                floor = max(
+                    floor,
+                    json.loads(
+                        self.fs.read_text(self.fs.full("_manifest", name))
+                    )["above"],
+                )
+        return floor
+
     def current_version(self) -> int | None:
+        if self.fs.is_object:
+            # listing IS the truth: the exclusive version create is the
+            # single-step commit point (module docstring)
+            vs = self.versions()
+            floor = self._reset_floor()
+            live = [v for v in vs if v > floor]
+            return max(live) if live else None
         p = self.fs.full("_manifest", "CURRENT")
         if not self.fs.exists(p):
             return None
@@ -276,6 +311,31 @@ class ManifestStore:
             raise RuntimeError(
                 f"stale commit: parent={manifest.parent_version} current={cur}"
             )
+        if self.fs.is_object:
+            # single-step commit: version numbers are gapless, so the
+            # exclusive create fully arbitrates every race
+            expected = self.next_version()
+            if manifest.version != expected:
+                raise RuntimeError(
+                    f"stale commit: version {manifest.version} but the log "
+                    f"is at {expected - 1} (concurrent commit?)"
+                )
+        else:
+            # two-step POSIX commit: a version file newer than CURRENT
+            # is either a corpse (crashed between the two steps - burn
+            # the number) or a concurrent committer mid-flight. Refuse
+            # while it is fresh; a later retry treats it as aborted.
+            vs = self.versions()
+            newest = vs[-1] if vs else 0
+            if newest >= manifest.version:
+                orphan = self.fs.full("_manifest", f"manifest-{newest:06d}.json")
+                if time.time() - self.fs.mtime(orphan) < self._orphan_grace_s:
+                    raise RuntimeError(
+                        f"stale commit: version file {newest} exists above "
+                        f"CURRENT={cur} and is fresh - a concurrent commit "
+                        "may be mid-flight; retry shortly"
+                    )
+                manifest = dataclasses.replace(manifest, version=newest + 1)
         vpath = self.fs.full("_manifest", f"manifest-{manifest.version:06d}.json")
         # Exclusive create makes version creation atomic (O_EXCL /
         # conditional put): of two racing committers with the same
@@ -287,19 +347,40 @@ class ManifestStore:
             raise RuntimeError(
                 f"version {manifest.version} already exists (concurrent commit?)"
             ) from None
-        self.fs.write_atomic(
-            self.fs.full("_manifest", "CURRENT"),
-            json.dumps({"version": manifest.version}),
-        )
+        if not self.fs.is_object:
+            self.fs.write_atomic(
+                self.fs.full("_manifest", "CURRENT"),
+                json.dumps({"version": manifest.version}),
+            )
         return manifest
 
+    #: POSIX only - how long an above-CURRENT version file is presumed
+    #: to be a live concurrent committer rather than a crash corpse
+    _orphan_grace_s: float = 60.0
+
     def rollback(self, to_version: int) -> None:
-        """Re-point CURRENT at an earlier version (DQ-gate demotion -
+        """Demote CURRENT to an earlier version (DQ-gate demotion -
         the engine analogue of the reference's quarantine path leaving
-        bad partitions unpromoted, ``workflow_ge_gate/main.tf:172-209``)."""
+        bad partitions unpromoted, ``workflow_ge_gate/main.tf:172-209``).
+        POSIX: re-point the CURRENT file. Object backend: commit a
+        RESTORE version whose content is the target snapshot (history
+        stays linear; Delta/Iceberg RESTORE semantics)."""
         vpath = self.fs.full("_manifest", f"manifest-{to_version:06d}.json")
         if not self.fs.exists(vpath):
             raise FileNotFoundError(vpath)
+        if self.fs.is_object:
+            target = self.load(to_version)
+            cur = self.current_version()
+            if cur == to_version:
+                return
+            restored = dataclasses.replace(
+                target,
+                version=self.next_version(),
+                parent_version=cur,
+                metrics={**target.metrics, "restored_from": to_version},
+            )
+            self.commit(restored)
+            return
         self.fs.write_atomic(
             self.fs.full("_manifest", "CURRENT"), json.dumps({"version": to_version})
         )
@@ -309,9 +390,19 @@ class ManifestStore:
         return (vs[-1] + 1) if vs else 1
 
     def reset(self) -> None:
-        """Remove the CURRENT pointer: the lake reads as empty and the
-        next apply starts from an empty checkpoint (full-replay entry
-        point). Old manifests/files remain until gc."""
+        """Retire every committed version: the lake reads as empty and
+        the next apply starts from an empty checkpoint (full-replay
+        entry point). Old manifests/files remain until gc. POSIX:
+        remove CURRENT; object backend: write a floor marker (there is
+        no pointer object to delete)."""
+        if self.fs.is_object:
+            vs = self.versions()
+            if vs:
+                self.fs.write_atomic(
+                    self.fs.full("_manifest", f"RESET-{vs[-1]:06d}"),
+                    json.dumps({"above": vs[-1]}),
+                )
+            return
         self.fs.remove_if_exists(self.fs.full("_manifest", "CURRENT"))
 
     def versions(self) -> list[int]:

@@ -18,8 +18,12 @@ from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes, oracle_f
 from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
 
 
-def final_table(lake_dir, columns=("conv_id", "turn_idx", "role", "text", "tool", "ts")):
-    ds = engine.read_table(lake_dir)
+def final_table(
+    lake_dir,
+    columns=("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+    version=None,
+):
+    ds = engine.read_table(lake_dir, version=version)
     tbl = pa.concat_tables(
         [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
         or [ds.schema().base_schema.empty_table()]
@@ -175,10 +179,19 @@ def test_rollback(small_stream, tmp_lake):
     store = ManifestStore(tmp_lake)
     assert store.current_version() == 2
     rows_v2 = final_table(tmp_lake).num_rows
+    want_v1 = final_table(tmp_lake, version=1).num_rows
     store.rollback(1)
-    rows_v1 = final_table(tmp_lake).num_rows
-    assert store.current_version() == 1
-    assert rows_v1 != rows_v2 or rows_v1 > 0
+    rows_now = final_table(tmp_lake).num_rows
+    # POSIX re-points CURRENT at 1; the object backend commits a
+    # RESTORE version 3 whose content IS version 1 (Delta semantics) -
+    # either way readers see the demoted-to snapshot
+    if "://" in tmp_lake:
+        assert store.current_version() == 3
+        assert store.load().metrics["restored_from"] == 1
+    else:
+        assert store.current_version() == 1
+    assert rows_now == want_v1
+    assert rows_now != rows_v2 or rows_now > 0
 
 
 def test_partitioning_is_sticky(tmp_path):
