@@ -139,6 +139,23 @@ def q_cdc_apply_full(sf_dir: str):
     return _final_df(lake)
 
 
+def q_cdc_apply_objstore(sf_dir: str):
+    """The same full e2e on the rename-free OBJECT-STORE backend
+    (``state/lakefs.py``): changelog discovery, footer peeks, the COW
+    merge, the manifest commit (single-step conditional create) and the
+    lake read all go through the s3sim:// put/list/delete contract -
+    the multi-node story where shared storage is S3, not POSIX. Final
+    state is byte-identical to the POSIX path and hash-checked against
+    the same SQL oracle."""
+    from .cdc import apply_changes
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    changes_uri = "s3sim://" + changes.lstrip("/")
+    lake_uri = "s3sim://" + lake.lstrip("/")
+    apply_changes(changes_uri, lake_uri, _spec(sf_dir), commit_every_files=2)
+    return _final_df(lake_uri)
+
+
 def q_cdc_point_lookup(sf_dir: str):
     """Pruned point lookup: hash-partition pruning (conv_partitions)
     plus file-level zone-map pruning inside each partition - the read
@@ -4005,6 +4022,7 @@ def q_value_quantiles_sketch(sf_dir: str):
 
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
+    "cdc_apply_objstore": q_cdc_apply_objstore,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_range_scan": q_cdc_range_scan,
@@ -4170,6 +4188,7 @@ _LANG_SQL_CASES = """
 
 ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_apply_objstore": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_point_lookup": f"""
       SELECT * FROM ({FINAL_SQL})
