@@ -152,6 +152,7 @@ def interval_join(
     suffix: str = "_right",
     disjoint: bool = False,
     num_buckets: int | None = None,
+    hot_key_intervals: int | None = 50_000,
 ) -> rd.Dataset:
     """Point-in-interval join: each ``points`` row matches the
     ``intervals`` rows of the same ``by`` key with
@@ -168,12 +169,29 @@ def interval_join(
     within a key (sessions, validity ranges, SCD-2 dimensions): the
     bucket match is then a single ``merge_asof`` on the interval start
     plus an end-bound mask - O(n log n), each point emits <= 1 row.
+
     With ``disjoint=False`` (default) overlapping intervals are
-    supported via an equi-merge on the key followed by the range mask;
-    per-key cost is points x intervals, so the documented partitioning
-    assumption is that one KEY's interval count stays modest (salt or
-    pre-split hot keys upstream otherwise)."""
+    supported via an equi-merge on the key followed by the range mask -
+    per-key cost is points x intervals IN ONE BUCKET WORKER, so a hot
+    key would blow up its bucket. Keys holding more than
+    ``hot_key_intervals`` intervals therefore take the skew_join-style
+    hot path instead: their intervals are collected once and broadcast
+    (``ray.put``), and their points match MAP-SIDE in bounded tiles
+    (batch x tile booleans, never key x key), streaming with the point
+    scan. Memory contract: the broadcast is bounded by the hot keys'
+    total interval count - the usual small-side contract. Pass
+    ``hot_key_intervals=None`` to disable detection (one extra
+    intervals-side pass)."""
     assert how in ("inner", "left"), how
+    if not disjoint and hot_key_intervals is not None:
+        hot = _interval_hot_keys(intervals, by, hot_key_intervals)
+        if hot:
+            return _interval_join_hot_cold(
+                points, intervals, hot,
+                by=by, on=on, start=start, end=end, how=how,
+                right_cols=right_cols, suffix=suffix,
+                num_buckets=num_buckets,
+            )
     lcols = points.schema().names
     rcols = intervals.schema().names
     allcols = list(dict.fromkeys(lcols + rcols))
@@ -261,6 +279,165 @@ def interval_join(
         return out
 
     return both.groupby("_jb").map_groups(match_bucket, batch_format="pandas")
+
+
+def _interval_hot_keys(intervals: rd.Dataset, by: str, threshold: int) -> set:
+    """Keys whose interval count exceeds ``threshold``. One cheap pass
+    over the (small) intervals side: per-batch count partials, tiny
+    groupby-sum, only above-threshold keys reach the driver."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[by].value_counts()
+        return pd.DataFrame({by: c.index, "_n": c.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        intervals.map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+    hot = counts.filter(
+        lambda r, t=threshold: r["_n"] > t
+    ).to_pandas()
+    return set(hot[by]) if len(hot) else set()
+
+
+def _interval_join_hot_cold(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    hot: set,
+    *,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    how: str,
+    right_cols: list[str] | None,
+    suffix: str,
+    num_buckets: int | None,
+    tile: int = 4096,
+) -> rd.Dataset:
+    """skew_join's hot/cold split for the overlapping-interval path:
+    hot keys' intervals broadcast once, their points matched map-side
+    in bounded (batch x tile) boolean tiles; cold keys take the
+    ordinary one-shuffle bucketed path. Result rows equal the plain
+    path exactly - only the routing differs."""
+    import numpy as np
+    import ray
+
+    lcols = points.schema().names
+    rcols = intervals.schema().names
+    keep = [c for c in (right_cols or rcols) if c != by]
+    out_cols = list(lcols) + [(c + suffix if c in lcols else c) for c in keep]
+    rdtypes = _schema_dtypes(intervals, exclude=[by])
+    casts: dict[str, object] = dict(_schema_dtypes(points, exclude=[]))
+    for c in keep:
+        dt = rdtypes.get(c)
+        if dt is None:
+            continue
+        name = c + suffix if c in lcols else c
+        casts[name] = (_nullable_name(dt) or dt) if how == "left" else dt
+
+    # cold side: the ordinary bucketed exchange, detection disabled
+    cold_pts = points.map_batches(
+        lambda b, h=frozenset(hot): b[~b[by].isin(h)], batch_format="pandas"
+    )
+    cold_ivs = intervals.map_batches(
+        lambda b, h=frozenset(hot): b[~b[by].isin(h)], batch_format="pandas"
+    )
+    cold = interval_join(
+        cold_pts, cold_ivs,
+        by=by, on=on, start=start, end=end, how=how,
+        right_cols=right_cols, suffix=suffix, disjoint=False,
+        num_buckets=num_buckets, hot_key_intervals=None,
+    )
+
+    # hot side: collect ONLY the hot keys' intervals, broadcast once
+    bounds = [c for c in (start, end) if c not in keep]
+    ikeep = [by] + keep + bounds
+
+    def ihot(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[by].isin(hot)][ikeep]
+
+    hot_ivs = (
+        intervals.map_batches(ihot, batch_format="pandas")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    per_key = {
+        k: (
+            g[start].to_numpy(),
+            g[end].to_numpy(),
+            g.reset_index(drop=True),
+        )
+        for k, g in hot_ivs.groupby(by, sort=False)
+    }
+    hot_ref = ray.put((frozenset(hot), per_key))
+
+    class HotMatch:
+        """Actor-pool stage: broadcast intervals fetched once per actor."""
+
+        def __init__(self):
+            self.hot, self.per_key = ray.get(hot_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            lb = b[b[by].isin(self.hot)]
+            outs = []
+            for k, g in lb.groupby(by, sort=False):
+                starts, ends, attrs = self.per_key[k]
+                t = g[on].to_numpy()
+                pidx: list[np.ndarray] = []
+                iidx: list[np.ndarray] = []
+                for lo in range(0, len(starts), tile):
+                    s_t = starts[lo: lo + tile]
+                    e_t = ends[lo: lo + tile]
+                    m = (s_t[None, :] <= t[:, None]) & (t[:, None] <= e_t[None, :])
+                    pi, ii = np.nonzero(m)
+                    if len(pi):
+                        pidx.append(pi)
+                        iidx.append(ii + lo)
+                if pidx:
+                    pi = np.concatenate(pidx)
+                    ii = np.concatenate(iidx)
+                    left_part = g.iloc[pi].reset_index(drop=True)
+                    right_part = attrs.iloc[ii].reset_index(drop=True)
+                    right_part = right_part.rename(
+                        columns={
+                            c: (c + suffix if c in lcols else c)
+                            for c in right_part.columns
+                            if c != by
+                        }
+                    ).drop(columns=[by])
+                    matched = pd.concat([left_part, right_part], axis=1)
+                else:
+                    pi = np.array([], dtype=np.int64)
+                    matched = g.iloc[0:0].reindex(columns=out_cols)
+                if how == "left":
+                    miss = g.iloc[~np.isin(np.arange(len(g)), pi)]
+                    matched = pd.concat(
+                        [matched, miss.reindex(columns=matched.columns)],
+                        ignore_index=True,
+                    )
+                outs.append(matched)
+            out = (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else lb.reindex(columns=out_cols)
+            )
+            out = out.reindex(columns=out_cols)
+            for c, dt in casts.items():
+                if c in out.columns and str(out[c].dtype) != str(dt):
+                    try:
+                        out = out.assign(**{c: out[c].astype(dt)})
+                    except (TypeError, ValueError):  # pragma: no cover
+                        pass
+            return out
+
+    hot_out = points.map_batches(
+        HotMatch, batch_format="pandas", concurrency=(1, 8)
+    )
+    return cold.union(hot_out)
 
 
 def hash_join(

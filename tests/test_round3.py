@@ -115,3 +115,64 @@ def test_interval_join_right_cols_without_bounds(disjoint):
     assert list(out.columns) == ["k", "t", "x", "label"]
     assert out["label"].tolist() == ["first", "second"]
     assert out["t"].tolist() == [5, 7]
+
+
+# ---------------------------------------------------------------------------
+# hot-key-safe overlapping interval join (VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_interval_join_hot_key_path_matches_plain(how):
+    """A planted hot key (many overlapping intervals) must take the
+    broadcast tile path and produce EXACTLY the plain bucketed result -
+    the per-key cross product never lands in one bucket worker."""
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.joins import (
+        _interval_hot_keys,
+        interval_join,
+    )
+
+    rng = np.random.default_rng(11)
+    # hot key: 300 overlapping intervals; cold keys: 3 each
+    ivs = []
+    for i in range(300):
+        lo = int(rng.integers(0, 900))
+        ivs.append(("hot", lo, lo + int(rng.integers(5, 120)), f"h{i}"))
+    for k in ("c1", "c2"):
+        for i in range(3):
+            lo = int(rng.integers(0, 900))
+            ivs.append((k, lo, lo + 50, f"{k}-{i}"))
+    ivs_df = pd.DataFrame(ivs, columns=["k", "lo", "hi", "label"])
+    pts_df = pd.DataFrame(
+        {
+            "k": ["hot"] * 400 + ["c1"] * 30 + ["c2"] * 30 + ["lonely"] * 5,
+            "t": rng.integers(0, 1100, 465),
+            "x": np.arange(465),
+        }
+    )
+
+    def run(threshold):
+        out = interval_join(
+            rd.from_pandas(pts_df),
+            rd.from_pandas(ivs_df),
+            by="k", on="t", start="lo", end="hi", how=how,
+            hot_key_intervals=threshold,
+        ).to_pandas()
+        return (
+            out.sort_values(["k", "t", "x", "label"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    hot = _interval_hot_keys(rd.from_pandas(ivs_df), "k", 100)
+    assert hot == {"hot"}
+
+    got = run(100)       # hot path engaged for "hot"
+    want = run(None)     # plain bucketed path for everything
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert got[c].fillna(-1).tolist() == want[c].fillna(-1).tolist(), c
+    # sanity: the hot key really produced a cross-product-sized result
+    assert (got["k"] == "hot").sum() > 1000
