@@ -28,6 +28,21 @@ import ray.data as rd
 
 from ray.data.aggregate import Sum
 
+#: Above this node count the iterative algorithms keep their node state
+#: (ranks / labels / visited) as keyed DATASETS joined per iteration
+#: instead of driver pandas frames - the swap documented since round 1.
+#: Below it, driver residency is the faster constant (domain graphs:
+#: the state is megabytes; per-iteration Dataset materialization would
+#: dominate). Override per call with ``node_state=``.
+DATASET_STATE_THRESHOLD = 2_000_000
+
+
+def _resolve_state(node_state: str, n: int) -> str:
+    if node_state == "auto":
+        return "dataset" if n > DATASET_STATE_THRESHOLD else "driver"
+    assert node_state in ("driver", "dataset"), node_state
+    return node_state
+
 
 def _degrees(edges: rd.Dataset, src: str) -> rd.Dataset:
     """Out-degree per source: per-block value_counts partials, one
@@ -55,6 +70,7 @@ def pagerank(
     iterations: int = 10,
     num_buckets: int | None = None,
     personalization: list | None = None,
+    node_state: str = "auto",
 ) -> pd.DataFrame:
     """PageRank by power iteration over an (src, dst) edge Dataset.
     Returns a DataFrame (node, rank) over every node that appears as a
@@ -67,34 +83,46 @@ def pagerank(
     TrustRank-style curation prior). Seeds must exist in the graph.
 
     Each iteration costs two bucketed shuffles (rank→edge join, dst
-    partial-sum combine); the driver holds only the node-rank table —
-    at web scale swap the driver-side rank frame for a rank Dataset
-    keyed like the edges (the joins already are Dataset-native). For
-    corpus-curation graph sizes (domains, not pages: 10^7ish) the rank
-    frame is megabytes and driver residency is the faster constant.
+    partial-sum combine). ``node_state``: where the node-sized rank
+    state lives between iterations - ``"driver"`` (pandas frame; the
+    faster constant for domain-scale graphs) or ``"dataset"`` (ranks
+    stay a keyed Dataset joined per iteration; nothing node-sized ever
+    concentrates on the driver until the final collect, the page-scale
+    path). ``"auto"`` switches on ``DATASET_STATE_THRESHOLD`` nodes.
+    For a Dataset result (no final collect at all), use
+    ``pagerank_dataset``.
     """
     from .joins import hash_join
-
-    deg = _degrees(edges, src).to_pandas()
-    deg["node"] = deg["node"].astype(np.int64)
 
     def nodes_of(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
         )
 
-    nodes = (
+    nodes_ds = (
         edges.map_batches(nodes_of, batch_format="pandas")
         .groupby("node")
         .count()
-        .to_pandas()["node"]
-        .astype(np.int64)
-        .sort_values()
-        .to_numpy()
+        .drop_columns(["count()"])
+        .materialize()
     )
-    n = len(nodes)
+    n = nodes_ds.count()
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
+    if _resolve_state(node_state, n) == "dataset":
+        out = pagerank_dataset(
+            edges, src=src, dst=dst, damping=damping,
+            iterations=iterations, num_buckets=num_buckets,
+            personalization=personalization,
+            _nodes_ds=nodes_ds, _n=n,
+        ).to_pandas()
+        return out.sort_values("node").reset_index(drop=True)
+
+    deg = _degrees(edges, src).to_pandas()
+    deg["node"] = deg["node"].astype(np.int64)
+    nodes = (
+        nodes_ds.to_pandas()["node"].astype(np.int64).sort_values().to_numpy()
+    )
 
     if personalization is not None:
         seeds = np.array(sorted(set(int(s) for s in personalization)),
@@ -152,6 +180,143 @@ def pagerank(
             {"node": nr["node"], "rank": base + damping * nr["m"].to_numpy()}
         )
     return ranks.sort_values("node").reset_index(drop=True)
+
+
+def pagerank_dataset(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    num_buckets: int | None = None,
+    personalization: list | None = None,
+    _nodes_ds: rd.Dataset | None = None,
+    _n: int | None = None,
+) -> rd.Dataset:
+    """Page-scale PageRank: the rank state is a keyed Dataset joined
+    per iteration - NOTHING node-sized touches the driver (the only
+    driver scalars are the node count and the per-iteration dangling
+    mass). Returns a (node, rank) Dataset; consume with write_parquet
+    or further joins at 10^10-page scale.
+
+    Per iteration: one bucketed join of (node, deg, rank) state onto
+    the materialized edge projection, per-(block, dst) partial sums,
+    one groupby-sum, one state-rebuild join - the same exchange volume
+    as the driver-state path, plus a node-sized Dataset materialization
+    that replaces the driver frame."""
+    import ray
+
+    from .joins import hash_join
+
+    def nodes_of(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
+        )
+
+    nodes_ds = _nodes_ds
+    if nodes_ds is None:
+        nodes_ds = (
+            edges.map_batches(nodes_of, batch_format="pandas")
+            .groupby("node")
+            .count()
+            .drop_columns(["count()"])
+            .materialize()
+        )
+    n = _n if _n is not None else nodes_ds.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({"node": [], "rank": []}))
+
+    if personalization is not None:
+        seeds = np.array(sorted(set(int(s) for s in personalization)), dtype=np.int64)
+        seeds_ref = ray.put(seeds)
+        n_seeds = len(seeds)
+        in_graph = (
+            nodes_ds.map_batches(
+                lambda b, r=seeds_ref: pd.DataFrame(
+                    {"_hit": [int(b["node"].isin(ray.get(r)).sum())]}
+                ),
+                batch_format="pandas",
+            ).sum("_hit")
+        )
+        if in_graph != n_seeds:
+            raise ValueError("personalization seeds not in graph")
+
+        def tele_of(node_col: pd.Series) -> np.ndarray:
+            return node_col.isin(ray.get(seeds_ref)).to_numpy() / n_seeds
+    else:
+        def tele_of(node_col: pd.Series) -> np.ndarray:
+            return np.full(len(node_col), 1.0 / n)
+
+    # state = (node, deg, rank); deg null/0 marks dangling nodes
+    deg_ds = _degrees(edges, src)
+    state = hash_join(
+        nodes_ds, deg_ds, on="node", how="left", num_buckets=num_buckets
+    ).map_batches(
+        lambda b: b.assign(
+            deg=b["deg"].fillna(0).astype(np.int64),
+            rank=tele_of(b["node"]),
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    ed = edges.map_batches(
+        lambda b: b.rename(columns={src: "node"})[["node", dst]],
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iterations):
+        dangling = state.map_batches(
+            lambda b: pd.DataFrame(
+                {"_d": [float(b.loc[b["deg"] == 0, "rank"].sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("_d")
+
+        contrib = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b.loc[b["deg"] > 0, "node"],
+                    "w": b.loc[b["deg"] > 0, "rank"].to_numpy()
+                    / b.loc[b["deg"] > 0, "deg"].to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        )
+        joined = hash_join(ed, contrib, on="node", num_buckets=num_buckets)
+
+        def dst_partials(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(dst, sort=False)["w"].sum()
+            return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
+
+        sums = (
+            joined.map_batches(dst_partials, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("m", alias_name="m"))
+        )
+
+        def rebuild(b: pd.DataFrame, d=dangling) -> pd.DataFrame:
+            tele = tele_of(b["node"])
+            base = (1.0 - damping) * tele + damping * d * tele
+            m = b["m"].fillna(0.0).to_numpy()
+            return pd.DataFrame(
+                {
+                    "node": b["node"],
+                    "deg": b["deg"],
+                    "rank": base + damping * m,
+                }
+            )
+
+        state = (
+            hash_join(
+                state.drop_columns(["rank"]), sums,
+                on="node", how="left", num_buckets=num_buckets,
+            )
+            .map_batches(rebuild, batch_format="pandas")
+            .materialize()
+        )
+
+    return state.drop_columns(["deg"])
 
 
 def _spread(
@@ -373,6 +538,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 5,
+    node_state: str = "auto",
 ) -> pd.DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) with a deterministic min-label tiebreak: labels start
@@ -387,9 +553,10 @@ def label_propagation(
     label table onto the symmetrized edge list, per-batch partial
     (node, label) counts, one groupby-sum, then the grouped-mode
     argmax (sort + drop_duplicates per bucket) — the exchange carries
-    label-count partials, never raw edges twice. Labels are node-sized
-    driver frames between rounds (the same contract as pagerank's rank
-    vector). Returns (node, label)."""
+    label-count partials, never raw edges twice. ``node_state`` as in
+    ``pagerank``: labels live as driver frames (domain scale) or as a
+    keyed Dataset joined per round (page scale; only the changed-label
+    count reaches the driver). Returns (node, label)."""
     from .joins import hash_join
 
     def sym(b: pd.DataFrame) -> pd.DataFrame:
@@ -413,7 +580,16 @@ def label_propagation(
         .materialize()
     )
 
-    nodes = und.groupby("u").aggregate(Count(alias_name="_d")).to_pandas()
+    nodes_ds = (
+        und.groupby("u").aggregate(Count(alias_name="_d"))
+        .drop_columns(["_d"])
+        .materialize()
+    )
+    n = nodes_ds.count()
+    if _resolve_state(node_state, n) == "dataset":
+        return _label_propagation_ds(und, nodes_ds, rounds, hash_join)
+
+    nodes = nodes_ds.to_pandas()
     labels = pd.DataFrame(
         {"u": nodes["u"], "label": nodes["u"].astype(np.int64)}
     )
@@ -455,6 +631,84 @@ def label_propagation(
     return out.reset_index(drop=True)
 
 
+def _label_propagation_ds(
+    und: rd.Dataset, nodes_ds: rd.Dataset, rounds: int, hash_join
+) -> pd.DataFrame:
+    """Page-scale LPA rounds: the label frame is a keyed Dataset; per
+    round one label→edge join, (node, label) count partials, one
+    groupby-sum, and a bucketed vectorized argmax (sort +
+    drop_duplicates per hash bucket, min-label ties). The driver sees
+    one scalar per round (changed-label count, for early stop)."""
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = _buckets_for_cluster()
+    labels = nodes_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"u": b["u"], "label": b["u"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(rounds):
+        lab_v = labels.map_batches(
+            lambda b: b.rename(columns={"u": "v"}), batch_format="pandas"
+        )
+        contrib = hash_join(und, lab_v, on="v", how="inner")
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return (
+                b.groupby(["u", "label"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+
+        counts = (
+            contrib.map_batches(partial, batch_format="pandas")
+            .groupby(["u", "label"])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+        def argmax_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["u", "n", "label"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            out = g.drop_duplicates("u")[["u", "label"]]
+            return out.assign(label=out["label"].astype(np.int64))
+
+        new_labels = (
+            counts.map_batches(
+                lambda b: b.assign(_lb=_key_buckets(b["u"], nb)),
+                batch_format="pandas",
+            )
+            .groupby("_lb")
+            .map_groups(argmax_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+        changed = hash_join(
+            new_labels.map_batches(
+                lambda b: b.rename(columns={"label": "label_new"}),
+                batch_format="pandas",
+            ),
+            labels,
+            on="u",
+            how="inner",
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"_c": [int((b["label_new"] != b["label"]).sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("_c")
+        labels = new_labels
+        if not changed:
+            break
+
+    out = labels.to_pandas().rename(columns={"u": "node"})
+    out["label"] = out["label"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def bfs_distances(
     edges: rd.Dataset,
     *,
@@ -463,6 +717,7 @@ def bfs_distances(
     dst: str = "dst",
     directed: bool = False,
     max_depth: int = 32,
+    node_state: str = "auto",
 ) -> pd.DataFrame:
     """Single-source BFS hop distances — reachability / radius-from-seed
     curation (e.g. "within 2 clicks of a trusted seed site").
@@ -470,9 +725,11 @@ def bfs_distances(
     Classic frontier iteration: per level ONE bucketed hash_join of the
     node-sized frontier onto the (materialized) edge list, per-batch
     distinct-neighbor partials, a tiny groupby — the exchange carries
-    the frontier's out-neighborhood, never the whole graph; visited
-    state is a node-sized driver set (the pagerank/label-propagation
-    residency contract). Unreached nodes are absent from the result.
+    the frontier's out-neighborhood, never the whole graph.
+    ``node_state`` as in ``pagerank``: the visited set is a driver
+    dict (domain scale) or a keyed Dataset grown by anti-join per
+    level (page scale; the driver sees one frontier-size scalar per
+    level). Unreached nodes are absent from the result.
     Returns (node, dist)."""
     from ray.data.aggregate import Count
 
@@ -499,6 +756,12 @@ def bfs_distances(
         .materialize()
     )
 
+    if node_state != "driver":
+        # size the decision on the graph's node count only when auto
+        n = adj.groupby("u").aggregate(Count(alias_name="_d")).count()
+        if _resolve_state(node_state, n) == "dataset":
+            return _bfs_distances_ds(adj, int(source), max_depth, hash_join)
+
     dist = {int(source): 0}
     frontier = pd.DataFrame({"u": np.array([source], dtype=np.int64)})
     for depth in range(1, max_depth + 1):
@@ -523,6 +786,48 @@ def bfs_distances(
     out = pd.DataFrame(
         {"node": list(dist.keys()), "dist": list(dist.values())}
     ).astype({"node": "int64", "dist": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _bfs_distances_ds(
+    adj: rd.Dataset, source: int, max_depth: int, hash_join
+) -> pd.DataFrame:
+    """Page-scale BFS levels: visited is a keyed Dataset; per level one
+    semi-join (frontier onto edges), one distinct-neighbor groupby, one
+    anti-join against visited, one union. Driver sees one scalar per
+    level (new-frontier size)."""
+    from ray.data.aggregate import Count
+
+    start = pd.DataFrame(
+        {"u": np.array([source], dtype=np.int64),
+         "dist": np.array([0], dtype=np.int64)}
+    )
+    visited = rd.from_pandas(start).materialize()
+    frontier = rd.from_pandas(start[["u"]]).materialize()
+
+    for depth in range(1, max_depth + 1):
+        joined = hash_join(adj, frontier, on="u", how="semi")
+        neigh = (
+            joined.map_batches(
+                lambda b: pd.DataFrame({"u": pd.unique(b["v"].to_numpy())}),
+                batch_format="pandas",
+            )
+            .groupby("u")
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+        new = hash_join(neigh, visited, on="u", how="anti").materialize()
+        if new.count() == 0:
+            break
+        new_d = new.map_batches(
+            lambda b, d=depth: b.assign(dist=np.int64(d)),
+            batch_format="pandas",
+        )
+        visited = visited.union(new_d).materialize()
+        frontier = new
+
+    out = visited.to_pandas().rename(columns={"u": "node"})
+    out = out.astype({"node": "int64", "dist": "int64"})
     return out.sort_values("node").reset_index(drop=True)
 
 

@@ -176,3 +176,64 @@ def test_interval_join_hot_key_path_matches_plain(how):
         assert got[c].fillna(-1).tolist() == want[c].fillna(-1).tolist(), c
     # sanity: the hot key really produced a cross-product-sized result
     assert (got["k"] == "hot").sum() > 1000
+
+
+# ---------------------------------------------------------------------------
+# Dataset-native graph node state (VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def _rand_edges(seed=9, n_nodes=150, n_edges=1200):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": rng.integers(0, n_nodes, n_edges),
+                "dst": rng.integers(0, n_nodes, n_edges),
+            }
+        )
+    )
+
+
+def test_pagerank_dataset_state_matches_driver():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import pagerank
+
+    ds = _rand_edges()
+    a = pagerank(ds, iterations=6, node_state="driver")
+    b = pagerank(ds, iterations=6, node_state="dataset")
+    m = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(m) == len(a)
+    assert float(np.abs(m["rank_d"] - m["rank_s"]).max()) < 1e-12
+    assert abs(b["rank"].sum() - 1.0) < 1e-9
+    # personalized teleport parity too
+    a2 = pagerank(ds, iterations=4, node_state="driver", personalization=[3, 7])
+    b2 = pagerank(ds, iterations=4, node_state="dataset", personalization=[3, 7])
+    m2 = a2.merge(b2, on="node", suffixes=("_d", "_s"))
+    assert float(np.abs(m2["rank_d"] - m2["rank_s"]).max()) < 1e-12
+
+
+def test_label_propagation_dataset_state_matches_driver():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        label_propagation,
+    )
+
+    ds = _rand_edges(seed=11)
+    a = label_propagation(ds, rounds=4, node_state="driver")
+    b = label_propagation(ds, rounds=4, node_state="dataset")
+    assert a.equals(b)
+
+
+def test_bfs_dataset_state_matches_driver():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        bfs_distances,
+    )
+
+    ds = _rand_edges(seed=13)
+    for kw in ({}, {"directed": True, "max_depth": 3}):
+        a = bfs_distances(ds, source=3, node_state="driver", **kw)
+        b = bfs_distances(ds, source=3, node_state="dataset", **kw)
+        assert a.equals(b), kw
