@@ -106,12 +106,192 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
         return None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """REAL PNG decode, library-free: chunk walk → concatenated IDAT
+    zlib inflate → per-row defilter (all five filter types: None / Sub
+    / Up / Average / Paeth) → palette expansion / channel normalize.
+    Supports 8-bit depth, color types 0/2/3/4/6, non-interlaced (the
+    overwhelming majority of real-world PNGs; Adam7 returns None).
+    Returns (h, w, 3) uint8 RGB (gray replicated, alpha dropped) or
+    None if not parseable PNG.
+
+    Vectorization: filters None/Up are whole-row numpy ops; Sub is a
+    per-channel-lane uint8 cumulative sum (mod-256 wraparound is the
+    dtype's native overflow); Average/Paeth carry a left-pixel
+    dependency through a nonlinear predictor, so those rows walk
+    pixel-positions with per-channel vector math (row-width loop, not
+    per-byte)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        return None
+    try:
+        pos = 8
+        ihdr = None
+        plte = None
+        idat = []
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos:pos + 4], "big")
+            ctype = payload[pos + 4:pos + 8]
+            body = payload[pos + 8:pos + 8 + ln]
+            if ctype == b"IHDR":
+                ihdr = body
+            elif ctype == b"PLTE":
+                plte = body
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # length + type + crc
+        if ihdr is None or not idat:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, ct, comp, filt, interlace = ihdr[8:13]
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        if ct not in _PNG_CHANNELS or w <= 0 or h <= 0:
+            return None
+        c = _PNG_CHANNELS[ct]
+        stride = w * c
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != h * (stride + 1):
+            return None
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        ftypes = arr[:, 0]
+        rows = arr[:, 1:]
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        zero_prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f = int(ftypes[y])
+            row = rows[y]
+            prev = recon[y - 1] if y else zero_prev
+            if f == 0:
+                recon[y] = row
+            elif f == 2:  # Up
+                recon[y] = row + prev  # uint8 wraps mod 256
+            elif f == 1:  # Sub: per-lane cumulative sum
+                recon[y] = np.add.accumulate(
+                    row.reshape(w, c), axis=0, dtype=np.uint8
+                ).reshape(stride)
+            elif f == 3:  # Average
+                r = row.reshape(w, c).astype(np.int16)
+                up = prev.reshape(w, c).astype(np.int16)
+                out = np.empty((w, c), dtype=np.int16)
+                left = np.zeros(c, dtype=np.int16)
+                for x in range(w):
+                    left = (r[x] + ((left + up[x]) >> 1)) & 0xFF
+                    out[x] = left
+                recon[y] = out.astype(np.uint8).reshape(stride)
+            elif f == 4:  # Paeth
+                r = row.reshape(w, c).astype(np.int16)
+                up = prev.reshape(w, c).astype(np.int16)
+                out = np.empty((w, c), dtype=np.int16)
+                left = np.zeros(c, dtype=np.int16)
+                ul = np.zeros(c, dtype=np.int16)
+                for x in range(w):
+                    p = left + up[x] - ul
+                    pa_ = np.abs(p - left)
+                    pb = np.abs(p - up[x])
+                    pc_ = np.abs(p - ul)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc_), left,
+                        np.where(pb <= pc_, up[x], ul),
+                    )
+                    left = (r[x] + pred) & 0xFF
+                    ul = up[x]
+                    out[x] = left
+                recon[y] = out.astype(np.uint8).reshape(stride)
+            else:
+                return None
+        px = recon.reshape(h, w, c)
+        if ct == 3:  # palette
+            if plte is None:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            return pal[px[:, :, 0]].copy()
+        if ct == 0:
+            return np.repeat(px, 3, axis=2).copy()
+        if ct == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2).copy()
+        if ct == 6:
+            return px[:, :, :3].copy()
+        return px.copy()
+    except (ValueError, IndexError, zlib.error):
+        return None
+
+
+def encode_png(
+    img: np.ndarray, *, filter_type: int = 0, color_type: int = 2
+) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced) - the test-fixture /
+    export counterpart of ``decode_png``. ``filter_type`` applies ONE
+    filter to every row (0/1/2/3/4), exercising each defilter path."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    if img.ndim == 2:
+        img = img[:, :, None]
+    flat = img.reshape(h, w * c).astype(np.int16)
+    lines = []
+    zero = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else zero
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+            p = left + prev - ul
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            enc = cur - pred
+        else:
+            raise ValueError(filter_type)
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Dispatch on magic bytes: REAL decode for formats needing no
-    codec library (PPM P6, uncompressed BMP); None for compressed
-    formats (JPEG/PNG/...), which need the stub or a real library."""
+    """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
+    BMP and (compressed) 8-bit PNG; None for formats still needing a
+    codec library (JPEG/WebP/...), which keep the stub path."""
     img = decode_ppm(payload)
-    return img if img is not None else decode_bmp(payload)
+    if img is None:
+        img = decode_bmp(payload)
+    return img if img is not None else decode_png(payload)
 
 
 def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:

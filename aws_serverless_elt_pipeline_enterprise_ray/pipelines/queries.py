@@ -2633,6 +2633,54 @@ def q_image_features(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_image_png_decode(sf_dir: str):
+    """REAL compressed-image decode, SQL-exact: per doc a 16x16 RGB
+    image with closed-form pixels (per-channel base + vertical gradient
+    + right-half step) is PNG-ENCODED with filter type doc_id % 5 — so
+    correctness sweeps every PNG defilter path (None/Sub/Up/Average/
+    Paeth) through zlib-compressed payloads — then decoded + resized +
+    summed by the actor-pool ImageFeatures stage. The oracle computes
+    the same sums in closed form from doc_id: any defilter bug breaks
+    the hash."""
+    from ..functions.multimodal import ImageFeatures, encode_png
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_png(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        r = np.arange(16)[:, None, None]
+        x = np.arange(16)[None, :, None]
+        grad = 3 * r + 10 * (x >= 8)
+        payloads = []
+        for i in ids:
+            base = np.array(
+                [int(i) % 150, (int(i) * 7) % 150, (int(i) * 13) % 150]
+            )[None, None, :]
+            img = (base + grad).astype(np.uint8)
+            payloads.append(encode_png(img, filter_type=int(i) % 5))
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_png, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(8, 8)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4130,6 +4178,7 @@ QUERIES = {
     "model_score": q_model_score,
     "compression_score": q_compression_score,
     "image_features": q_image_features,
+    "image_png_decode": q_image_png_decode,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5358,6 +5407,16 @@ ORACLES = {
     "clean_text": r"""
       SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_clean
       FROM documents ORDER BY doc_id
+    """,
+    "image_png_decode": """
+      SELECT doc_id AS media_id,
+             CAST(16 AS BIGINT) AS width,
+             CAST(16 AS BIGINT) AS height,
+             CAST(64 * (doc_id % 150) + 1664 AS BIGINT) AS sum_r,
+             CAST(64 * ((doc_id * 7) % 150) + 1664 AS BIGINT) AS sum_g,
+             CAST(64 * ((doc_id * 13) % 150) + 1664 AS BIGINT) AS sum_b
+      FROM documents
+      ORDER BY media_id
     """,
     "unicode_normalize": """
       SELECT doc_id,

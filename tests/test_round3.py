@@ -237,3 +237,80 @@ def test_bfs_dataset_state_matches_driver():
         a = bfs_distances(ds, source=3, node_state="driver", **kw)
         b = bfs_distances(ds, source=3, node_state="dataset", **kw)
         assert a.equals(b), kw
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode (VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    for f in range(5):
+        out = decode_png(encode_png(img, filter_type=f))
+        assert out is not None and np.array_equal(out, img), f"filter {f}"
+    # grayscale (color type 0) replicates to RGB
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    out = decode_png(encode_png(gray, color_type=0, filter_type=4))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # RGBA (color type 6) drops alpha
+    rgba = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, color_type=6, filter_type=2))
+    assert np.array_equal(out, rgba[:, :, :3])
+    # dispatcher picks PNG up by magic; truncated payloads degrade to None
+    assert decode_image(encode_png(img)) is not None
+    assert decode_png(encode_png(img)[:40]) is None
+    assert decode_png(b"not a png") is None
+
+
+def test_image_stages_on_real_png_payloads():
+    """image features + perceptual dedup over COMPRESSED payloads: the
+    decode is real (zlib inflate + defilter), the undecodable-degrade
+    path is preserved."""
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        ImageFeatures,
+        dhash64,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, (40, 40, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {
+            "id": ["a", "a_bright", "b", "bad"],
+            "payload": [
+                encode_png(base, filter_type=4),
+                encode_png(brighter, filter_type=1),
+                encode_png(other, filter_type=3),
+                b"\x89PNG\r\n\x1a\nbroken",
+            ],
+        }
+    )
+    out = ImageFeatures((8, 8))(tbl).to_pandas().set_index("id")
+    assert out.loc["a", "decoded"] and out.loc["b", "decoded"]
+    assert not out.loc["bad", "decoded"]
+    assert out.loc["a", "width"] == 40
+    # dHash is brightness-shift invariant: same image brightened hashes
+    # identically; a different image does not
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        decode_image,
+    )
+
+    h_a = dhash64(decode_image(encode_png(base, filter_type=4)))
+    h_ab = dhash64(decode_image(encode_png(brighter, filter_type=2)))
+    h_o = dhash64(decode_image(encode_png(other)))
+    assert h_a == h_ab
+    assert h_a != h_o
