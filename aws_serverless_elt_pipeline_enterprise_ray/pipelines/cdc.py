@@ -532,21 +532,31 @@ def _apply_chunk(
             concurrency=merge_concurrency,
             num_cpus=1,
         )
-    elif (exchange or os.environ.get("GRAFT_EXCHANGE", "sort")) == "direct":
+    elif (exchange or os.environ.get("GRAFT_EXCHANGE", "sort")) in (
+        "direct",
+        "inflight",
+    ):
         # Sort-free direct exchange (stages/exchange.py): part_id
         # boundaries are known a priori, so skip Ray's sort-based
         # groupby entirely - split each normalized block into per-
         # partition shards (num_returns=P) and reduce per partition.
-        from ..stages.exchange import direct_exchange_merge
+        # "inflight" additionally folds each partition's shards every
+        # round_blocks map blocks, bounding in-flight shuffle volume by
+        # the round, not the commit (commits larger than memory).
+        from ..stages.exchange import direct_exchange_merge, inflight_exchange_merge
 
         merger = PartitionMerger(**merge_kwargs)
         results = None
-        rows = direct_exchange_merge(
-            ds,
-            run_spec.num_partitions,
-            merger,
-            fan_in=int(os.environ.get("GRAFT_EXCHANGE_FANIN", 64)),
-        )
+        mode = exchange or os.environ.get("GRAFT_EXCHANGE", "sort")
+        fan = int(os.environ.get("GRAFT_EXCHANGE_FANIN", 64))
+        if mode == "inflight":
+            rows = inflight_exchange_merge(
+                ds, run_spec.num_partitions, merger, round_blocks=fan
+            )
+        else:
+            rows = direct_exchange_merge(
+                ds, run_spec.num_partitions, merger, fan_in=fan
+            )
     else:
         # Task-based merge (default): the merger's state rides along as
         # a serialized-once closure, tasks schedule elastically with no

@@ -99,14 +99,26 @@ def _scratch(name: str) -> str:
     return d
 
 
+#: Derived-changelog fixture cache: the changelog for a given
+#: (sf_dir, inject_bad, n_files) is deterministic and READ-ONLY input
+#: (every query applies it into its own fresh lake), so a full-suite
+#: sweep derives each variant once instead of once per cdc_* query.
+_CHANGELOG_CACHE: dict = {}
+
+
 def _write_changelog(
     sf_dir: str, inject_bad: bool = False, n_files: int = 1
 ) -> str:
+    key = (sf_dir, inject_bad, n_files)
+    hit = _CHANGELOG_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
     out = _scratch("changes")
     ds = _changes_ds(sf_dir, inject_bad)
     if n_files > 1:
         ds = ds.repartition(n_files)
     ds.write_parquet(out)
+    _CHANGELOG_CACHE[key] = out
     return out
 
 

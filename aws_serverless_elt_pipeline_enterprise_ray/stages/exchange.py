@@ -153,3 +153,78 @@ def direct_exchange_merge(
     for tbl in ray.get(result_refs):
         rows.extend(tbl.to_pylist())
     return rows
+
+
+def inflight_exchange_merge(
+    ds,
+    num_parts: int,
+    merger,
+    *,
+    reduce_num_cpus: float = 1,
+    round_blocks: int = 64,
+) -> list[dict[str, Any]]:
+    """Multi-ROUND in-flight variant of ``direct_exchange_merge`` for
+    commits larger than aggregate memory: instead of holding every map
+    task's P shards until one end-of-commit reduce wave, each partition
+    FOLDS its pending shards into one accumulated (hash-LWW
+    pre-reduced) object every ``round_blocks`` map blocks, releasing
+    the consumed shard refs so the object store frees them while the
+    NEXT round's map fan-out is still producing - round r+1's maps
+    overlap round r's combines by construction (the self-identified
+    SURVEY follow-up; reference analogue: the unbounded SQS fan-out,
+    ``README.md:189-206``).
+
+    In-flight volume per partition is therefore bounded by
+    ``round_blocks`` raw shards + one accumulated combined shard (whose
+    size is capped by the partition's DISTINCT pending keys + its
+    quarantined rows, i.e. the true reduce input - duplicates collapse
+    every fold), not by the whole commit's map output. Folds of one
+    partition chain serially; partitions fold in parallel, and with
+    P >> CPUs the chain never starves the cluster. Results are
+    identical to the one-shot exchange: same combiner, same final
+    authoritative merge per partition."""
+    split = ray.remote(_split_by_part)
+    combine = ray.remote(_combine_shards)
+    reduce = ray.remote(_reduce_partition)
+
+    merger_ref = ray.put(merger)
+    key_cols = tuple(merger.key_cols)
+    # acc[p]: the partition's folded shard ref (or None); pending[p]:
+    # raw shard refs not yet folded
+    acc: list[Any] = [None] * num_parts
+    pending: list[list[Any]] = [[] for _ in range(num_parts)]
+    seen_blocks = 0
+
+    def fold(p: int) -> None:
+        prior = [acc[p]] if acc[p] is not None else []
+        acc[p] = combine.remote(key_cols, *prior, *pending[p])
+        pending[p].clear()  # release raw shard refs -> store can free
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = split.options(num_returns=num_parts).remote(
+                block_ref, num_parts
+            )
+            if num_parts == 1:
+                refs = [refs]
+            for p in range(num_parts):
+                pending[p].append(refs[p])
+            seen_blocks += 1
+            if seen_blocks % round_blocks == 0:
+                for p in range(num_parts):
+                    fold(p)
+
+    if seen_blocks == 0:
+        return []
+    for p in range(num_parts):
+        if pending[p]:
+            fold(p)
+
+    result_refs = [
+        reduce.options(num_cpus=reduce_num_cpus).remote(merger_ref, acc[p])
+        for p in range(num_parts)
+    ]
+    rows: list[dict[str, Any]] = []
+    for tbl in ray.get(result_refs):
+        rows.extend(tbl.to_pylist())
+    return rows

@@ -314,3 +314,41 @@ def test_image_stages_on_real_png_payloads():
     h_o = dhash64(decode_image(encode_png(other)))
     assert h_a == h_ab
     assert h_a != h_o
+
+
+# ---------------------------------------------------------------------------
+# multi-round in-flight exchange (VERDICT #5)
+# ---------------------------------------------------------------------------
+
+
+def test_inflight_exchange_matches_sort_and_direct(tmp_path, monkeypatch):
+    """Forced multi-round apply: with round_blocks=2 the exchange folds
+    each partition's shards many times within one commit; the final
+    lake state must be byte-identical to the sort-based and one-shot
+    direct exchanges, including quarantine routing."""
+    import aws_serverless_elt_pipeline_enterprise_ray as engine
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+
+    from test_cdc_e2e import assert_matches_oracle, final_table
+
+    changes = str(tmp_path / "ch")
+    gen_changes(changes, n_events=9000, n_convs=80, n_files=8, seed=51,
+                bad_ratio=0.01)
+    spec = engine.default_spec(num_partitions=4)
+    monkeypatch.setenv("GRAFT_EXCHANGE_FANIN", "2")  # force many rounds
+
+    lakes = {}
+    for mode in ("sort", "direct", "inflight"):
+        lake = str(tmp_path / f"lake_{mode}")
+        ms = engine.apply_changes(changes, lake, spec, exchange=mode)
+        lakes[mode] = (lake, ms[-1])
+        assert_matches_oracle(lake, changes)
+
+    base = final_table(lakes["sort"][0])
+    for mode in ("direct", "inflight"):
+        assert final_table(lakes[mode][0]).equals(base), mode
+        # quarantine ledger identical in volume
+        assert (
+            sum(q["rows"] for q in lakes[mode][1].quarantine)
+            == sum(q["rows"] for q in lakes["sort"][1].quarantine)
+        )
