@@ -99,12 +99,46 @@ class _Exporter:
                     None if v is None else base64.b64encode(v).decode("ascii")
                     for v in df[f.name]
                 ]
-        df.to_json(
-            path, orient="records", lines=True,
-            compression="gzip", date_format="iso", date_unit="us",
-        )
+        if "://" in path:
+            import gzip
+
+            from ..state.lakefs import fs_for
+
+            body = df.to_json(
+                None, orient="records", lines=True,
+                date_format="iso", date_unit="us",
+            )
+            fs_for(path).write_atomic(path, gzip.compress(body.encode()))
+        else:
+            df.to_json(
+                path, orient="records", lines=True,
+                compression="gzip", date_format="iso", date_unit="us",
+            )
 
     def _write_partition_dir(self, pid: int, tbl: pa.Table) -> None:
+        from ..state.lakefs import fs_for
+
+        fs = fs_for(self.out_dir)
+        if fs.is_object:
+            # job-commit marker protocol (no directory rename): scrap a
+            # dead attempt's partial objects, PUT chunks, _DONE last
+            part_dir = self.out_dir.rstrip("/") + f"/part={pid:05d}"
+            for p in fs.walk_files(part_dir):
+                fs.remove(p)
+            for lo in range(0, max(len(tbl), 1), self.max_rows):
+                chunk = tbl.slice(lo, self.max_rows)
+                i = lo // self.max_rows
+                if self.fmt == "jsonl":
+                    self._write_jsonl(chunk, part_dir + f"/data-{i:05d}.jsonl.gz")
+                else:
+                    fs.write_parquet(chunk, part_dir + f"/data-{i:05d}.parquet")
+            fs.write_atomic(
+                part_dir + "/_DONE",
+                json.dumps(
+                    {"version": self.version, "rows": len(tbl), "fmt": self.fmt}
+                ),
+            )
+            return
         part_dir = os.path.join(self.out_dir, f"part={pid:05d}")
         tmp = part_dir + f".tmp.{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
@@ -134,18 +168,38 @@ class _Exporter:
         chunk) so a crashed partition's rerun overwrites its own files;
         stale chunks from a previous attempt are swept by prefix glob
         before writing (no uuid orphans)."""
-        import glob as _glob
+        from ..state.lakefs import fs_for
 
-        for stale in _glob.glob(
-            os.path.join(self.out_dir, "dt=*", f"part{pid:05d}-*.parquet")
-        ):
-            os.remove(stale)
+        fs = fs_for(self.out_dir)
+        if fs.is_object:
+            import fnmatch
+
+            for p in fs.walk_files(self.out_dir):
+                rel = p[len(self.out_dir.rstrip("/")) + 1:]
+                if fnmatch.fnmatch(rel, f"dt=*/part{pid:05d}-*.parquet"):
+                    fs.remove(p)
+        else:
+            import glob as _glob
+
+            for stale in _glob.glob(
+                os.path.join(self.out_dir, "dt=*", f"part{pid:05d}-*.parquet")
+            ):
+                os.remove(stale)
         if len(tbl):
             dt = pc.strftime(tbl[self.ts_col], "%Y-%m-%d")
             dt = pc.fill_null(dt, "__null__")
             tbl = tbl.append_column("_dt", dt)
             for v in pc.unique(dt).to_pylist():
                 sub = tbl.filter(pc.equal(tbl["_dt"], v)).drop_columns("_dt")
+                if fs.is_object:
+                    dt_dir = self.out_dir.rstrip("/") + f"/dt={v}"
+                    for lo in range(0, len(sub), self.max_rows):
+                        fs.write_parquet(
+                            sub.slice(lo, self.max_rows),
+                            dt_dir
+                            + f"/part{pid:05d}-{lo // self.max_rows:05d}.parquet",
+                        )
+                    continue
                 dt_dir = os.path.join(self.out_dir, f"dt={v}")
                 os.makedirs(dt_dir, exist_ok=True)
                 for lo in range(0, len(sub), self.max_rows):
@@ -157,14 +211,24 @@ class _Exporter:
                         ),
                         compression="snappy",
                     )
-        marker_dir = os.path.join(self.out_dir, "_markers")
-        os.makedirs(marker_dir, exist_ok=True)
+        if fs.is_object:
+            marker_dir = self.out_dir.rstrip("/") + "/_markers"
+        else:
+            marker_dir = os.path.join(self.out_dir, "_markers")
+            os.makedirs(marker_dir, exist_ok=True)
         _atomic_write(
-            os.path.join(marker_dir, f"part={pid:05d}.json"),
+            marker_dir + f"/part={pid:05d}.json"
+            if fs.is_object
+            else os.path.join(marker_dir, f"part={pid:05d}.json"),
             json.dumps({"version": self.version, "rows": len(tbl)}),
         )
 
     def _marker(self, pid: int) -> str:
+        if "://" in self.out_dir:
+            root = self.out_dir.rstrip("/")
+            if self.layout == "dt":
+                return root + f"/_markers/part={pid:05d}.json"
+            return root + f"/part={pid:05d}/_DONE"
         if self.layout == "dt":
             return os.path.join(self.out_dir, "_markers", f"part={pid:05d}.json")
         return os.path.join(self.out_dir, f"part={pid:05d}", "_DONE")
@@ -173,9 +237,12 @@ class _Exporter:
         out_pid, out_rows, out_skipped = [], [], []
         for row in batch.to_pylist():
             pid = int(row["part_id"])
+            from ..state.lakefs import fs_for as _ffor
+
             marker = self._marker(pid)
-            if os.path.exists(marker):
-                done = json.load(open(marker))
+            mfs = _ffor(marker)
+            if mfs.exists(marker):
+                done = json.loads(mfs.read_text(marker))
                 if done.get("version") == self.version and (
                     self.layout == "dt"
                     or done.get("fmt", "parquet") == self.fmt
@@ -233,12 +300,6 @@ def export_snapshot(
         raise ValueError(f"unknown export fmt {fmt!r}")
     if fmt == "jsonl" and layout != "partition":
         raise ValueError("fmt='jsonl' supports layout='partition' only")
-    if "://" in out_dir:
-        raise NotImplementedError(
-            "export_snapshot writes a POSIX destination (tmp-dir + rename "
-            "visibility); export to an object store by exporting locally "
-            "and uploading, or extend _Exporter with the marker protocol"
-        )
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:
@@ -249,7 +310,9 @@ def export_snapshot(
         for pid, files in m.partitions.items()
         if files
     ]
-    os.makedirs(out_dir, exist_ok=True)
+    from ..state.lakefs import fs_for
+
+    fs_for(out_dir).makedirs(out_dir)
     rows = 0
     resumed = 0
     if todo:
@@ -271,7 +334,9 @@ def export_snapshot(
             rows += int(r["rows"])
             resumed += int(bool(r["resumed"]))
     _atomic_write(
-        os.path.join(out_dir, "_SNAPSHOT.json"),
+        out_dir.rstrip("/") + "/_SNAPSHOT.json"
+        if "://" in out_dir
+        else os.path.join(out_dir, "_SNAPSHOT.json"),
         json.dumps(
             {
                 "version": m.version,

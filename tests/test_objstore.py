@@ -185,3 +185,52 @@ def test_concurrent_tailers_no_duplicate_application(tmp_path):
         dup = commit_files & seen
         assert not dup, f"{dup} applied by two commits"
         seen |= commit_files
+
+
+def test_export_snapshot_to_object_store(tmp_path):
+    """Export of a committed lake version to an object-store
+    destination: marker-commit per partition (no directory rename),
+    resumable, both layouts; jsonl shards gzip through the put path."""
+    import gzip
+    import json
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.export import (
+        export_snapshot,
+    )
+
+    changes, lake = str(tmp_path / "ch"), str(tmp_path / "lake")
+    gen_changes(changes, n_events=3000, n_convs=40, n_files=2, seed=61)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(changes, lake, spec)
+    want = final_table(lake)
+
+    out = uri(tmp_path, "export")
+    res = export_snapshot(lake, out)
+    assert res["rows"] == want.num_rows
+    fs = lakefs(out)
+    assert fs.exists(fs.full("_SNAPSHOT.json"))
+    # read back every partition's parquet chunks -> identical table
+    got = []
+    for p in fs.walk_files(out):
+        if p.endswith(".parquet"):
+            got.append(fs.read_parquet(p))
+    got_tbl = (
+        pa.concat_tables(got)
+        .select(want.column_names)
+        .sort_by([(c, "ascending") for c in ("conv_id", "turn_idx")])
+    )
+    assert got_tbl.equals(want)
+    # resume: re-export skips every finished partition
+    res2 = export_snapshot(lake, out)
+    assert res2["resumed_partitions"] == res2["partitions"]
+
+    # dt layout + jsonl both land on the store
+    out_dt = uri(tmp_path, "export_dt")
+    export_snapshot(lake, out_dt, layout="dt")
+    assert any("/dt=" in p for p in lakefs(out_dt).walk_files(out_dt))
+    out_jl = uri(tmp_path, "export_jl")
+    export_snapshot(lake, out_jl, fmt="jsonl")
+    jfs = lakefs(out_jl)
+    shard = next(p for p in jfs.walk_files(out_jl) if p.endswith(".jsonl.gz"))
+    lines = gzip.decompress(jfs.read_bytes(shard)).decode().strip().splitlines()
+    assert json.loads(lines[0])["conv_id"]
