@@ -168,6 +168,29 @@ def q_cdc_apply_objstore(sf_dir: str):
     return _final_df(lake_uri)
 
 
+def q_cdc_apply_inflight(sf_dir: str):
+    """Full e2e through the multi-round IN-FLIGHT exchange
+    (``stages/exchange.py``): tiny rounds force each partition to fold
+    its map shards many times within the commit (the
+    bigger-than-memory commit shape), and the final state must stay
+    hash-identical to the sort-based path's oracle."""
+    import os as _os
+
+    from .cdc import apply_changes
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    old = _os.environ.get("GRAFT_EXCHANGE_FANIN")
+    _os.environ["GRAFT_EXCHANGE_FANIN"] = "4"
+    try:
+        apply_changes(changes, lake, _spec(sf_dir), exchange="inflight")
+    finally:
+        if old is None:
+            _os.environ.pop("GRAFT_EXCHANGE_FANIN", None)
+        else:
+            _os.environ["GRAFT_EXCHANGE_FANIN"] = old
+    return _final_df(lake)
+
+
 def q_cdc_point_lookup(sf_dir: str):
     """Pruned point lookup: hash-partition pruning (conv_partitions)
     plus file-level zone-map pruning inside each partition - the read
@@ -4083,6 +4106,7 @@ def q_value_quantiles_sketch(sf_dir: str):
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_objstore": q_cdc_apply_objstore,
+    "cdc_apply_inflight": q_cdc_apply_inflight,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_range_scan": q_cdc_range_scan,
@@ -4250,6 +4274,7 @@ _LANG_SQL_CASES = """
 ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_objstore": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_apply_inflight": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_point_lookup": f"""
       SELECT * FROM ({FINAL_SQL})
