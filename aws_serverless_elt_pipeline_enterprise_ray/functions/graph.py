@@ -356,6 +356,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 10,
     num_buckets: int | None = None,
+    node_state: str = "auto",
 ) -> pd.DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) by power iteration
     over an (src, dst) edge Dataset. Returns (node, hub, authority),
@@ -364,9 +365,10 @@ def hits(
     Per iteration: authority(d) = Σ hub(s) over in-edges, then
     hub(s) = Σ authority(d) over out-edges — two bucketed-join +
     partial-sum exchanges; the edge list is materialized once per
-    orientation and re-shuffled from cache. Same driver-residency
-    trade as ``pagerank``: node-sized score frames live on the driver
-    (megabytes at domain-graph scale), the edge list never does.
+    orientation and re-shuffled from cache. ``node_state`` as in
+    ``pagerank``: score frames on the driver (domain scale) or as
+    keyed Datasets joined per iteration with only the L2-norm scalars
+    reaching the driver (page scale).
     """
     def project(a: str, b: str):
         return (
@@ -384,19 +386,23 @@ def hits(
             {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
         )
 
-    nodes = (
+    nodes_ds = (
         edges.map_batches(nodes_of, batch_format="pandas")
         .groupby("node")
         .count()
-        .to_pandas()["node"]
-        .astype(np.int64)
-        .sort_values()
-        .to_numpy()
+        .drop_columns(["count()"])
+        .materialize()
     )
-    n = len(nodes)
+    n = nodes_ds.count()
     if n == 0:
         return pd.DataFrame({"node": [], "hub": [], "authority": []})
+    if _resolve_state(node_state, n) == "dataset":
+        return _hits_ds(nodes_ds, ed_by_src, ed_by_dst, src, dst,
+                        iterations, num_buckets)
 
+    nodes = (
+        nodes_ds.to_pandas()["node"].astype(np.int64).sort_values().to_numpy()
+    )
     base = pd.DataFrame({"node": nodes})
     hub = pd.DataFrame({"node": nodes, "w": np.full(n, 1.0)})
     auth = pd.DataFrame({"node": nodes, "w": np.full(n, 1.0)})
@@ -413,6 +419,80 @@ def hits(
 
     out = pd.DataFrame(
         {"node": base["node"], "hub": hub["w"], "authority": auth["w"]}
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _hits_ds(
+    nodes_ds: rd.Dataset,
+    ed_by_src: rd.Dataset,
+    ed_by_dst: rd.Dataset,
+    src: str,
+    dst: str,
+    iterations: int,
+    num_buckets: int | None,
+) -> pd.DataFrame:
+    """Page-scale HITS: hub/authority live as keyed Datasets; per
+    half-step one bucketed join + per-target partial-sum exchange, one
+    L2-norm scalar, one normalize-and-rebuild join against the node
+    universe. Only the norms reach the driver between iterations."""
+    from .joins import hash_join
+
+    def unit(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"], "w": np.ones(len(b))})
+
+    hub = nodes_ds.map_batches(unit, batch_format="pandas").materialize()
+    auth = hub
+
+    def spread_ds(prepared: rd.Dataset, weights: rd.Dataset, out_key: str):
+        joined = hash_join(prepared, weights, on="node", num_buckets=num_buckets)
+
+        def partials(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(out_key, sort=False)["w"].sum()
+            return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
+
+        return (
+            joined.map_batches(partials, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Sum("m", alias_name="m"))
+            .materialize()
+        )
+
+    def l2_ds(sums: rd.Dataset) -> rd.Dataset:
+        sq = sums.map_batches(
+            lambda b: pd.DataFrame({"_s": [float((b["m"] ** 2).sum())]}),
+            batch_format="pandas",
+        ).sum("_s")
+        norm = float(np.sqrt(sq)) if sq else 0.0
+
+        def rebuild(b: pd.DataFrame) -> pd.DataFrame:
+            v = b["m"].fillna(0.0).to_numpy()
+            return pd.DataFrame(
+                {"node": b["node"], "w": v / norm if norm else v}
+            )
+
+        return (
+            hash_join(nodes_ds, sums, on="node", how="left",
+                      num_buckets=num_buckets)
+            .map_batches(rebuild, batch_format="pandas")
+            .materialize()
+        )
+
+    for _ in range(iterations):
+        auth = l2_ds(spread_ds(ed_by_src, hub, dst))
+        hub = l2_ds(spread_ds(ed_by_dst, auth, src))
+
+    out = (
+        hub.map_batches(
+            lambda b: b.rename(columns={"w": "hub"}), batch_format="pandas"
+        ).to_pandas()
+        .merge(
+            auth.map_batches(
+                lambda b: b.rename(columns={"w": "authority"}),
+                batch_format="pandas",
+            ).to_pandas(),
+            on="node",
+        )
     )
     return out.sort_values("node").reset_index(drop=True)
 
@@ -838,6 +918,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    node_state: str = "auto",
 ) -> pd.DataFrame:
     """The k-core: the maximal subgraph where every node keeps degree
     ≥ k — the dense-community extraction / spam-farm screen beside
@@ -872,6 +953,11 @@ def k_core(
         .materialize()
     )
 
+    if node_state != "driver":
+        deg0 = _degrees(cur, "u").materialize()
+        if _resolve_state(node_state, deg0.count()) == "dataset":
+            return _k_core_ds(cur, k, max_rounds, deg0)
+
     for _ in range(max_rounds):
         deg = (
             cur.map_batches(
@@ -904,3 +990,42 @@ def k_core(
 
         cur = cur.map_batches(prune, batch_format="pandas").materialize()
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def _k_core_ds(
+    cur: rd.Dataset, k: int, max_rounds: int, deg0: rd.Dataset
+) -> pd.DataFrame:
+    """Page-scale k-core peeling: degrees and survivors stay keyed
+    Datasets; edges touching peeled nodes drop via two semi-joins per
+    round. Only the (total, surviving) counts reach the driver."""
+    from .joins import hash_join
+
+    deg = deg0
+    for _ in range(max_rounds):
+        n_total = deg.count()
+        surv = deg.filter(lambda r, kk=k: r["deg"] >= kk).materialize()
+        n_surv = surv.count()
+        if n_surv == 0:
+            return pd.DataFrame({"node": [], "deg": []}).astype(
+                {"node": "int64", "deg": "int64"}
+            )
+        if n_surv == n_total:
+            out = surv.to_pandas().astype({"node": "int64", "deg": "int64"})
+            return out.sort_values("node").reset_index(drop=True)
+        surv_u = surv.map_batches(
+            lambda b: pd.DataFrame({"u": b["node"]}), batch_format="pandas"
+        )
+        surv_v = surv.map_batches(
+            lambda b: pd.DataFrame({"v": b["node"]}), batch_format="pandas"
+        )
+        cur = hash_join(
+            hash_join(cur, surv_u, on="u", how="semi"),
+            surv_v, on="v", how="semi",
+        ).materialize()
+        deg = _degrees(cur, "u").materialize()
+    out = deg.filter(lambda r, kk=k: r["deg"] >= kk).to_pandas()
+    return (
+        out.astype({"node": "int64", "deg": "int64"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )

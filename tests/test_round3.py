@@ -352,3 +352,23 @@ def test_inflight_exchange_matches_sort_and_direct(tmp_path, monkeypatch):
             sum(q["rows"] for q in lakes[mode][1].quarantine)
             == sum(q["rows"] for q in lakes["sort"][1].quarantine)
         )
+
+
+def test_hits_and_kcore_dataset_state_match_driver():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.graph import (
+        hits,
+        k_core,
+    )
+
+    ds = _rand_edges(seed=15, n_nodes=120, n_edges=900)
+    a = hits(ds, iterations=3, node_state="driver")
+    b = hits(ds, iterations=3, node_state="dataset")
+    m = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert float(np.abs(m["hub_d"] - m["hub_s"]).max()) < 1e-12
+    assert float(np.abs(m["authority_d"] - m["authority_s"]).max()) < 1e-12
+    for k in (8, 100):
+        assert k_core(ds, k=k, node_state="driver").equals(
+            k_core(ds, k=k, node_state="dataset")
+        ), k
