@@ -191,6 +191,60 @@ def q_cdc_apply_inflight(sf_dir: str):
     return _final_df(lake)
 
 
+def q_cdc_apply_debezium(sf_dir: str):
+    """Full e2e from the DEBEZIUM wire format (the standard open CDC
+    envelope): the derived change stream is re-serialized as wrapped
+    Debezium JSON events (op c/u/d, before-image deletes, source.lsn
+    as the total-order marker), read back by the compat reader, and
+    applied through the ordinary normalize/merge/commit path - final
+    state hash-matches the same FINAL_SQL oracle as the parquet path.
+    Fixture serialization is driver-side (it IS the fixture); the read
+    + apply are the distributed engine path."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.changelog import read_changelog_debezium
+    from .cdc import apply_dataset
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    tbl = pa.concat_tables(
+        [_pq.read_table(p) for p in sorted(glob.glob(os.path.join(changes, "*.parquet")))]
+    )
+    df = tbl.to_pandas()
+    df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    opmap = {"I": "c", "U": "u", "D": "d"}
+    lines = []
+    fields = [c for c in df.columns if c not in ("op", "seq")]
+    for r in df.itertuples(index=False):
+        d = r._asdict()
+        body = {c: (None if pd.isna(d[c]) else d[c]) for c in fields}
+        op = opmap[d["op"]]
+        lines.append(
+            _json.dumps(
+                {
+                    "payload": {
+                        "op": op,
+                        "before": body if op == "d" else None,
+                        "after": None if op == "d" else body,
+                        "source": {"lsn": int(d["seq"])},
+                        "ts_ms": 0,
+                    }
+                }
+            )
+        )
+    dbz_dir = _scratch("dbz")
+    with open(os.path.join(dbz_dir, "events.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    ds = read_changelog_debezium(
+        sorted(glob.glob(os.path.join(dbz_dir, "*.jsonl")))
+    )
+    apply_dataset(ds, lake, _spec(sf_dir), label="dbz")
+    return _final_df(lake)
+
+
 def q_cdc_point_lookup(sf_dir: str):
     """Pruned point lookup: hash-partition pruning (conv_partitions)
     plus file-level zone-map pruning inside each partition - the read
@@ -4107,6 +4161,7 @@ QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_objstore": q_cdc_apply_objstore,
     "cdc_apply_inflight": q_cdc_apply_inflight,
+    "cdc_apply_debezium": q_cdc_apply_debezium,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_range_scan": q_cdc_range_scan,
@@ -4275,6 +4330,7 @@ ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_objstore": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_inflight": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_apply_debezium": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_point_lookup": f"""
       SELECT * FROM ({FINAL_SQL})

@@ -131,6 +131,63 @@ def read_changelog_jsonl(files: list[str]) -> rd.Dataset:
     return rd.read_text(files).flat_map(parse)
 
 
+def read_changelog_debezium(
+    files: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> rd.Dataset:
+    """Compat reader for the Debezium change-event envelope, THE
+    standard open CDC wire format (newline-delimited JSON of
+    ``{"payload": {"op", "before", "after", "source", "ts_ms"}}``;
+    unwrapped events - SMT ``ExtractNewRecordState`` upstream or
+    ``payload`` hoisted - are accepted too).
+
+    Mapping to the engine's envelope: row fields come from ``after``
+    (``before`` for deletes); ``op`` c/u/r (create/update/snapshot
+    read) → U, d → D; ``seq`` prefers the source's total-order marker
+    (``source.sequence``/``lsn``/``pos``, else ``ts_ms``) - the same
+    LWW tie-break contract the parquet changelog carries. Unparseable
+    lines surface as poisoned rows (op='?') and take the ordinary
+    quarantine path; normalization downstream projects/casts exactly
+    as for Parquet input."""
+    import json as _json
+
+    def parse(row: dict) -> list[dict]:
+        text = row["text"]
+        if not text.strip():
+            return []
+        try:
+            obj = _json.loads(text)
+        except _json.JSONDecodeError:
+            return [{op_col: "?", "_raw": text}]
+        if not isinstance(obj, dict):
+            return []
+        p = obj.get("payload", obj)
+        if not isinstance(p, dict) or "op" not in p:
+            return [{op_col: "?", "_raw": text}]
+        op = p.get("op")
+        fields = p.get("before") if op == "d" else p.get("after")
+        if not isinstance(fields, dict):
+            return [{op_col: "?", "_raw": text}]
+        src = p.get("source") or {}
+        seq = None
+        for k in ("sequence", "lsn", "pos"):
+            v = src.get(k)
+            if isinstance(v, int):
+                seq = v
+                break
+        if seq is None:
+            seq = p.get("ts_ms")
+        out = dict(fields)
+        out[op_col] = "D" if op == "d" else "U"
+        if seq_col not in out:
+            out[seq_col] = seq
+        return [out]
+
+    return rd.read_text(files).flat_map(parse)
+
+
 def read_changelog_csv(files: list[str], *, ts_col: str = "ts") -> rd.Dataset:
     """Compat reader for CSV change exports (the other common bronze
     drop format beside JSONL): header-driven ``ray.data.read_csv``

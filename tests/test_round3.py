@@ -372,3 +372,62 @@ def test_hits_and_kcore_dataset_state_match_driver():
         assert k_core(ds, k=k, node_state="driver").equals(
             k_core(ds, k=k, node_state="dataset")
         ), k
+
+
+# ---------------------------------------------------------------------------
+# Debezium-envelope changelog reader
+# ---------------------------------------------------------------------------
+
+
+def test_debezium_compat_reader_lands_through_normal_apply(tmp_path):
+    """The open CDC wire format: wrapped + unwrapped envelopes, op
+    c/u/r/d mapping, before-image for deletes, LSN-preferred sequence,
+    poisoned lines quarantined - and the rows land via the SAME
+    normalize/apply path as Parquet input."""
+    import json
+
+    import aws_serverless_elt_pipeline_enterprise_ray as engine
+    from aws_serverless_elt_pipeline_enterprise_ray.sources.changelog import (
+        read_changelog_debezium,
+    )
+
+    def ev(op, lsn, fields, wrapped=True, use_before=False):
+        payload = {
+            "op": op,
+            "before": fields if use_before else None,
+            "after": None if use_before else fields,
+            "source": {"lsn": lsn},
+            "ts_ms": 1704067200000 + lsn,
+        }
+        return json.dumps({"payload": payload} if wrapped else payload)
+
+    row = lambda turn, text: {
+        "conv_id": "c1", "turn_idx": turn, "role": "assistant",
+        "text": text, "tool": None, "ts": "2024-01-01T00:00:0%d Z".replace(" ", "") % min(turn, 9),
+    }
+    lines = [
+        ev("c", 1, row(0, "hi")),
+        ev("u", 2, row(0, "hi v2"), wrapped=False),   # unwrapped SMT form
+        ev("r", 3, row(1, "snapshot read")),
+        ev("d", 4, row(1, "snapshot read"), use_before=True),
+        "garbage line",
+        json.dumps({"payload": {"op": "c", "after": "not-a-dict"}}),
+    ]
+    p = tmp_path / "dbz.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    ds = read_changelog_debezium([str(p)])
+    got = ds.take_all()
+    ops = sorted(r.get("op") for r in got)
+    assert ops == ["?", "?", "D", "U", "U", "U"]
+    by_seq = {r["seq"]: r for r in got if r.get("op") in ("U", "D")}
+    assert by_seq[2]["text"] == "hi v2"      # lsn preferred as seq
+    assert by_seq[4]["op"] == "D"            # delete from before-image
+
+    lake = str(tmp_path / "lake")
+    ms = engine.apply_dataset(
+        ds, lake, engine.default_spec(num_partitions=2), label="dbz-1"
+    )
+    assert ms[-1].metrics["quarantined"] == 2
+    final = engine.read_table(lake).to_pandas()
+    assert list(final["text"]) == ["hi v2"]  # turn 1 deleted, turn 0 LWW
