@@ -8,9 +8,12 @@ not yet in the checkpoint - each poll round is exactly one idempotent
 ``apply_changes`` call, so crashes mid-round, duplicate rounds and
 overlapping deliveries are all safe by construction.
 
-Producers must land files atomically (write to a temp name, rename
-into the watched directory) - the tailer assumes a listed file is
-complete, like S3's object-level atomicity in the reference.
+Producers must land files atomically - on POSIX write to a temp name
+and rename into the watched directory; on an object-store changelog
+(any URI location, ``state/lakefs.py``) a PUT is atomic by itself, the
+exact contract the reference's S3 landing zone provides. The tailer
+assumes a listed file is complete either way (a defensive footer probe
+defers files still being copied by non-atomic producers).
 
 Runs until ``max_idle_rounds`` consecutive empty polls (or forever
 with ``max_idle_rounds=None``); returns aggregate stats. Lag metric =

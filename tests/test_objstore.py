@@ -234,3 +234,43 @@ def test_export_snapshot_to_object_store(tmp_path):
     shard = next(p for p in jfs.walk_files(out_jl) if p.endswith(".jsonl.gz"))
     lines = gzip.decompress(jfs.read_bytes(shard)).decode().strip().splitlines()
     assert json.loads(lines[0])["conv_id"]
+
+
+def test_tail_loop_over_object_store(tmp_path):
+    """The always-on tailer against an object-store landing zone: a
+    producer thread PUTs change files while the tailer polls; every
+    file lands exactly once and the final state matches the oracle."""
+    import time
+
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tail import tail
+
+    changes, lake = uri(tmp_path, "landing"), uri(tmp_path, "lake")
+    # pre-generate the full stream POSIX-side for the oracle, then
+    # "land" it file by file onto the object store
+    staging = str(tmp_path / "stage")
+    files = gen_changes(staging, n_events=4000, n_convs=50, n_files=5, seed=71)
+
+    fs = lakefs(changes)
+    import threading
+
+    def produce():
+        for i, f in enumerate(sorted(files)):
+            with open(f, "rb") as fh:
+                fs.write_atomic(
+                    changes.rstrip("/") + "/" + f.rsplit("/", 1)[-1], fh.read()
+                )
+            time.sleep(0.3)
+
+    t = threading.Thread(target=produce)
+    t.start()
+    stats = tail(
+        changes, lake, engine.default_spec(num_partitions=4),
+        poll_seconds=0.2, max_idle_rounds=8,
+    )
+    t.join()
+    assert stats["commits"] >= 1
+    # every landed object is in the committed checkpoint exactly once
+    m = ManifestStore(lake).load()
+    landed = [changes.rstrip("/") + "/" + f.rsplit("/", 1)[-1] for f in files]
+    assert all(m.is_applied(p) for p in landed)
+    assert_matches_oracle(lake, staging)
