@@ -113,3 +113,35 @@ def test_posix_backend_unchanged(tmp_path):
     fs.makedirs(fs.full("data"))
     fs.write_parquet(t, fs.full("data", "t.parquet"))
     assert fs.read_parquet(fs.full("data", "t.parquet")).equals(t)
+
+
+def test_conditional_create_race_across_processes(shim_base, tmp_path):
+    """True atomicity of put-if-absent under PROCESS-level concurrency:
+    N workers race the same key; exactly one wins, the losers all see
+    FileExistsError, and the winner's payload is intact."""
+    import concurrent.futures as cf
+
+    key = shim_base + "/_manifest/manifest-000042.json"
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import LakeFS\n"
+        "fs = LakeFS(%r)\n"
+        "try:\n"
+        "    fs.create_exclusive(%r, ('winner=' + sys.argv[1]).encode())\n"
+        "    print('WON')\n"
+        "except FileExistsError:\n"
+        "    print('LOST')\n"
+    ) % (shim_base, key)
+
+    def race(i):
+        return subprocess.run(
+            [sys.executable, "-c", script, str(i)],
+            capture_output=True, text=True,
+        ).stdout.strip()
+
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        outcomes = list(ex.map(race, range(6)))
+    assert outcomes.count("WON") == 1, outcomes
+    assert outcomes.count("LOST") == 5
+    body = LakeFS(shim_base).read_bytes(key).decode()
+    assert body.startswith("winner=")
