@@ -3232,6 +3232,37 @@ def q_pagerank_links(sf_dir: str):
     return ranks[["node", "rank_ppb"]]
 
 
+def q_pagerank_links_pagescale(sf_dir: str):
+    """The PAGE-SCALE PageRank path under the driver gate: same link
+    graph as pagerank_links but with node_state='dataset' forced - the
+    rank frame stays a keyed Dataset joined per iteration (nothing
+    node-sized on the driver until the final collect). ppb-rounded
+    ranks are identical to the driver-state path at this scale, so a
+    regression in either path breaks the shared pytest parity AND this
+    query's row hash vs its driver-mode twin."""
+    from ..functions.graph import pagerank
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    n_users = 500
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["user_id"].to_numpy().astype(np.int64) % n_users
+        dst = (src * 31 + b["event_id"].to_numpy().astype(np.int64)) % n_users
+        out = pd.DataFrame({"src": src, "dst": dst})
+        return out[out["src"] != out["dst"]]
+
+    ranks = pagerank(
+        ev.map_batches(edges, batch_format="pandas"),
+        iterations=3,  # the path under test is state residency, not depth
+        node_state="dataset",
+    )
+    ranks["rank_ppb"] = (ranks["rank"] * 1e9).round().astype("int64")
+    ranks["node"] = ranks["node"].astype("int64")
+    return ranks[["node", "rank_ppb"]]
+
+
 def q_hits_links(sf_dir: str):
     """Hub/authority scoring of the same deterministic user->user link
     graph as pagerank_links, via distributed HITS (per half-step: one
@@ -4284,6 +4315,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "near_dedup_best": q_near_dedup_best,
     "pagerank_links": q_pagerank_links,
+    "pagerank_links_pagescale": q_pagerank_links_pagescale,
     "ppr_links": q_ppr_links,
     "triangle_count_links": q_triangle_count_links,
     "label_propagation_links": q_label_propagation_links,
