@@ -284,14 +284,285 @@ def encode_png(
     )
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment with
+    0xFF00 byte unstuffing and RSTn awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffing marker is hit
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF literal
+            else:
+                self.marker = nxt  # RSTn / EOI / next segment
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError("entropy segment exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and realign to a byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        self.pos += 2  # the 0xFF D0-D7 pair
+
+
+def _huff_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    """JPEG EXTEND: an n-bit magnitude to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: 8-point DCT-III basis (the IDCT matrix): one batched
+#: ``A.T @ coef @ A`` decodes every block's pixels at once.
+_IDCT_A = np.array([
+    [
+        (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """REAL baseline-JPEG decode, library-free: marker walk (DQT / DHT
+    / SOF0 / DRI / SOS), generic canonical-Huffman entropy decode with
+    restart-marker support, dequantize + dezigzag, ONE batched numpy
+    IDCT over all blocks per component, chroma upsample (nearest) and
+    JFIF YCbCr→RGB. Grayscale and 3-component scans at any sampling
+    (4:4:4 / 4:2:2 / 4:2:0) are supported; progressive (SOF2),
+    arithmetic coding and 12-bit depth return None.
+
+    The Huffman bit loop is per-symbol Python (inherent without a C
+    codec - a real deployment swaps libjpeg into the same actor
+    stage); everything after entropy decode is vectorized, so cost
+    scales with coded symbols, not pixels."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    try:
+        d = payload
+        pos = 2
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        frame = None
+        restart_interval = 0
+        while pos + 4 <= len(d):
+            if d[pos] != 0xFF:
+                return None
+            marker = d[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(d[pos + 2:pos + 4], "big")
+            body = d[pos + 4:pos + 2 + seg_len]
+            nxt = pos + 2 + seg_len
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    prec, tid = body[i] >> 4, body[i] & 0xF
+                    i += 1
+                    if prec:
+                        tbl = np.frombuffer(body[i:i + 128], ">u2").astype(np.int32)
+                        i += 128
+                    else:
+                        tbl = np.frombuffer(body[i:i + 64], np.uint8).astype(np.int32)
+                        i += 64
+                    qt[tid] = tbl
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = body[i + 17:i + 17 + n]
+                    (huff_dc if cls == 0 else huff_ac)[tid] = _huff_table(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                depth = body[0]
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if depth != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = body[0]
+                scan = {}
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    scan[cid] = (tabs >> 4, tabs & 0xF)
+                return _jpeg_scan(
+                    d, nxt, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            pos = nxt
+        return None
+    except (ValueError, IndexError, KeyError, EOFError):
+        return None
+
+
+def _jpeg_scan(
+    d: bytes, pos: int, frame, scan, qt, huff_dc, huff_ac, restart: int
+) -> np.ndarray | None:
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient stores, MCU-padded
+    store = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in comps
+    }
+    r = _JpegBitReader(d, pos)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            # skip to the RSTn marker if not already on it
+            while r.marker is None:
+                try:
+                    r.bit()
+                except EOFError:
+                    break
+            if r.marker is not None and 0xD0 <= r.marker <= 0xD7:
+                r.restart()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dct, act = scan[c["id"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    s = _huff_decode(r, huff_dc[dct])
+                    diff = _extend(r.receive(s), s)
+                    pred[c["id"]] += diff
+                    coef = np.zeros(64, np.int32)
+                    coef[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, huff_ac[act])
+                        rr, ss = rs >> 4, rs & 0xF
+                        if ss == 0:
+                            if rr == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        coef[k] = _extend(r.receive(ss), ss)
+                        k += 1
+                    deq = coef * q
+                    store[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = deq
+    # batched IDCT + plane assembly per component
+    planes = {}
+    for c in comps:
+        blocks = store[c["id"]]
+        by, bx = blocks.shape[0], blocks.shape[1]
+        z = np.zeros((by, bx, 64), np.float64)
+        z[:, :, _ZIGZAG] = blocks  # dezigzag
+        z = z.reshape(by, bx, 8, 8)
+        px = np.einsum("ux,mnuv,vy->mnxy", _IDCT_A, z, _IDCT_A)
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # upsample to full resolution (nearest), crop to (h, w)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(np.round(planes[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y = planes[comps[0]["id"]]
+    cb = planes[comps[1]["id"]] - 128.0
+    cr = planes[comps[2]["id"]] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
-    BMP and (compressed) 8-bit PNG; None for formats still needing a
-    codec library (JPEG/WebP/...), which keep the stub path."""
-    img = decode_ppm(payload)
-    if img is None:
-        img = decode_bmp(payload)
-    return img if img is not None else decode_png(payload)
+    BMP, (compressed) 8-bit PNG and baseline JPEG; None for formats
+    still needing a codec library (WebP/progressive JPEG/...), which
+    keep the stub path."""
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg):
+        img = dec(payload)
+        if img is not None:
+            return img
+    return None
 
 
 def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
@@ -422,12 +693,15 @@ class AudioFeatures:
 
 
 class DecodeStub:
-    """Actor-pool decode/feature-extract stage.
+    """Actor-pool decode/feature-extract stage for formats the engine
+    does NOT decode natively (PPM/BMP/WAV/PNG/baseline JPEG all have
+    real library-free decoders above; this stub covers the rest:
+    WebP, progressive JPEG, MP3/AAC, video codecs).
 
     Real deployments replace ``_decode`` with PIL/torchaudio/ffmpeg
     calls (loaded once per actor here in ``__init__``). In this
-    container the codec is unavailable, so: ``fake=False`` raises
-    ``NotImplementedError``; ``fake=True`` emits deterministic
+    container those codec libraries are unavailable, so: ``fake=False``
+    raises ``NotImplementedError``; ``fake=True`` emits deterministic
     metadata derived from the payload bytes (stable across processes).
 
     Fat-row guidance: pass a small ``batch_size`` (e.g. 32-256) to

@@ -2770,6 +2770,100 @@ def q_image_png_decode(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_image_jpeg_decode(sf_dir: str):
+    """REAL baseline-JPEG decode, SQL-exact: per doc a 16x16 4:2:0
+    DC-only JPEG (custom canonical Huffman tables carried in DHT, hand
+    -coded entropy bits) with closed-form Y/Cb/Cr levels derived from
+    doc_id; decode + resize + sum through the same actor-pool stage as
+    PNG. The oracle recomputes the JFIF YCbCr→RGB conversion in SQL -
+    any Huffman/dequant/IDCT/upsample/color bug breaks the hash."""
+    from ..functions.multimodal import ImageFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def dc_jpeg(y_diff: int, cb_diff: int, cr_diff: int) -> bytes:
+        # categories 0..6 at code length 3 (code == symbol)
+        dc_bits = bytes([0, 0, 7] + [0] * 13)
+        dc_vals = bytes(range(7))
+        ac_bits = bytes([0, 1] + [0] * 14)  # EOB only, 2-bit code 00
+        ac_vals = bytes([0x00])
+        bits: list[int] = []
+
+        def code(length, c):
+            bits.extend((c >> i) & 1 for i in range(length - 1, -1, -1))
+
+        def block(diff):
+            if diff == 0:
+                n, v = 0, 0
+            else:
+                n = abs(diff).bit_length()
+                v = diff if diff > 0 else diff + (1 << n) - 1
+            code(3, n)
+            code(n, v) if n else None
+            code(2, 0)  # EOB
+
+        for d in (y_diff, 0, 0, 0, cb_diff, cr_diff):
+            block(d)
+        pad = bits + [1] * ((-len(bits)) % 8)
+        raw = bytearray()
+        for i in range(0, len(pad), 8):
+            b = 0
+            for j in pad[i:i + 8]:
+                b = (b << 1) | j
+            raw.append(b)
+            if b == 0xFF:
+                raw.append(0x00)
+
+        def seg(marker, body):
+            return (
+                b"\xff" + bytes([marker])
+                + (len(body) + 2).to_bytes(2, "big") + body
+            )
+
+        head = b"\xff\xd8"
+        head += seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        head += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+        head += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+        head += seg(
+            0xC0,
+            bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        head += seg(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0]))
+        return head + bytes(raw) + b"\xff\xd9"
+
+    def make_jpeg(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            y_diff = (i % 30) + 5                 # Y level 138..196 (even)
+            cb_diff = ((i % 5) - 2) * 4           # Cb offset {-16,-8,0,8,16}
+            cr_diff = ((i % 7) - 3) * 4           # Cr offset {-24..24 step 8}
+            payloads.append(dc_jpeg(y_diff, cb_diff, cr_diff))
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_jpeg, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(8, 8)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4301,6 +4395,7 @@ QUERIES = {
     "compression_score": q_compression_score,
     "image_features": q_image_features,
     "image_png_decode": q_image_png_decode,
+    "image_jpeg_decode": q_image_jpeg_decode,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5541,6 +5636,23 @@ ORACLES = {
              CAST(64 * ((doc_id * 7) % 150) + 1664 AS BIGINT) AS sum_g,
              CAST(64 * ((doc_id * 13) % 150) + 1664 AS BIGINT) AS sum_b
       FROM documents
+      ORDER BY media_id
+    """,
+    "image_jpeg_decode": """
+      WITH lv AS (
+        SELECT doc_id,
+               2 * ((doc_id % 30) + 5) + 128 AS y,
+               2 * (((doc_id % 5) - 2) * 4) AS cb,
+               2 * (((doc_id % 7) - 3) * 4) AS cr
+        FROM documents
+      )
+      SELECT doc_id AS media_id,
+             CAST(16 AS BIGINT) AS width,
+             CAST(16 AS BIGINT) AS height,
+             CAST(64 * ROUND(y + 1.402 * cr) AS BIGINT) AS sum_r,
+             CAST(64 * ROUND(y - 0.344136 * cb - 0.714136 * cr) AS BIGINT) AS sum_g,
+             CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
+      FROM lv
       ORDER BY media_id
     """,
     "unicode_normalize": """
