@@ -5,14 +5,15 @@ alongside. The Ray-side plumbing (schemas, small batches for fat rows,
 actor-pool stages, output layout) is real and tested. The codec layer
 is split honestly:
 
-* REAL pure-numpy decoders for formats that need no library -
-  binary PPM (P6), uncompressed 24-bit BMP, and PCM RIFF/WAVE - plus
-  a vectorized nearest-neighbor resize and integer-exact features
-  (``decode_image`` / ``resize_nearest`` / ``ImageFeatures``,
-  ``decode_wav`` / ``AudioFeatures``);
-* ``DecodeStub`` for compressed codecs (JPEG/PNG/MP3/video) that
-  genuinely need libraries absent from this container: it raises
-  ``NotImplementedError`` unless ``fake=True``, which derives
+* REAL pure-numpy decoders - binary PPM (P6), uncompressed 24-bit
+  BMP, PCM RIFF/WAVE, 8-bit PNG (zlib inflate + all five defilters)
+  and baseline JPEG (generic Huffman entropy decode + batched IDCT +
+  JFIF color) - plus a vectorized nearest-neighbor resize and
+  integer-exact features (``decode_image`` / ``resize_nearest`` /
+  ``ImageFeatures``, ``decode_wav`` / ``AudioFeatures``);
+* ``DecodeStub`` for the codecs that genuinely need libraries absent
+  from this container (WebP, progressive JPEG, MP3/AAC, video): it
+  raises ``NotImplementedError`` unless ``fake=True``, which derives
   deterministic pseudo-metadata so pipelines exercise the full path.
 """
 
