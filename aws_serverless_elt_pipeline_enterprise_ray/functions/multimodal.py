@@ -742,6 +742,86 @@ class DecodeStub:
         return out
 
 
+def decode_avi(payload: bytes) -> np.ndarray | None:
+    """REAL video decode for RIFF AVI containers carrying UNCOMPRESSED
+    24-bit DIB frames ('00db' chunks - the raw-video AVI every capture
+    tool can emit), library-free: walk RIFF lists for ``avih`` (dims)
+    and the ``movi`` list, then view each frame chunk as a bottom-up
+    BGR plane exactly like BMP. Returns (n_frames, h, w, 3) uint8 RGB
+    or None (compressed '00dc' codecs stay behind ``DecodeStub``)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    try:
+        w = h = None
+        frames: list[np.ndarray] = []
+
+        def walk(lo: int, hi: int) -> None:
+            nonlocal w, h
+            i = lo
+            while i + 8 <= hi:
+                cid = payload[i:i + 4]
+                size = int.from_bytes(payload[i + 4:i + 8], "little")
+                body_lo = i + 8
+                if cid == b"LIST":
+                    walk(body_lo + 4, body_lo + size)  # skip list type
+                elif cid == b"avih":
+                    w = int.from_bytes(payload[body_lo + 32:body_lo + 36], "little")
+                    h = int.from_bytes(payload[body_lo + 36:body_lo + 40], "little")
+                elif cid == b"00db" and w and h:
+                    stride = (w * 3 + 3) & ~3
+                    if size >= stride * h:
+                        data = np.frombuffer(
+                            payload, np.uint8, count=stride * h, offset=body_lo
+                        )
+                        img = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                        frames.append(img[::-1, :, ::-1])  # bottom-up BGR
+                i = body_lo + size + (size & 1)  # chunks pad to even
+
+        walk(12, 8 + int.from_bytes(payload[4:8], "little"))
+        if not frames:
+            return None
+        return np.stack(frames).copy()
+    except (ValueError, IndexError):
+        return None
+
+
+class VideoFrameFeatures:
+    """Actor-pool REAL video stage: decode an uncompressed AVI, sample
+    every ``every_nth`` frame, and emit one row per sampled frame with
+    its dHash (the video analogue of ``ImageDHash`` - near-duplicate
+    scene detection / frame-level dedup). Undecodable payloads emit a
+    single decoded=False row (quarantine-not-crash)."""
+
+    def __init__(self, every_nth: int = 4):
+        self.n = every_nth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, dec, hashes = [], [], [], []
+        for mid, p in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames = decode_avi(p) if p is not None else None
+            if frames is None:
+                ids.append(mid)
+                fidx.append(None)
+                dec.append(False)
+                hashes.append(None)
+                continue
+            for f in range(0, len(frames), self.n):
+                ids.append(mid)
+                fidx.append(f)
+                dec.append(True)
+                hashes.append(dhash64(frames[f]) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "decoded": pa.array(dec, pa.bool_()),
+                "frame_dhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
 class FrameSampler:
     """Video-style frame sampling stub: emits ``every_nth`` frame index
     rows per media item (flat_map-shaped expansion done batch-wise)."""

@@ -431,3 +431,73 @@ def test_debezium_compat_reader_lands_through_normal_apply(tmp_path):
     assert ms[-1].metrics["quarantined"] == 2
     final = engine.read_table(lake).to_pandas()
     assert list(final["text"]) == ["hi v2"]  # turn 1 deleted, turn 0 LWW
+
+
+# ---------------------------------------------------------------------------
+# real uncompressed-AVI video frames
+# ---------------------------------------------------------------------------
+
+
+def _build_avi(frames):
+    """Hand-assembled RIFF AVI with uncompressed 24-bit '00db' frames."""
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    avih = bytearray(56)
+    avih[32:36] = w.to_bytes(4, "little")
+    avih[36:40] = h.to_bytes(4, "little")
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(avih)))
+    movi_body = b"movi"
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up, BGR
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_body += chunk(b"00db", rows.tobytes())
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_decode_and_frame_features():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        VideoFrameFeatures,
+        decode_avi,
+        dhash64,
+    )
+
+    rng = np.random.default_rng(19)
+    frames = [rng.integers(0, 256, (10, 7, 3), dtype=np.uint8) for _ in range(6)]
+    avi = _build_avi(frames)
+    got = decode_avi(avi)
+    assert got is not None and got.shape == (6, 10, 7, 3)
+    for i, f in enumerate(frames):
+        assert np.array_equal(got[i], f), i
+
+    # the actor stage samples every 2nd frame and hashes each
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([avi, b"RIFF....AVI broken"], pa.binary()),
+        }
+    )
+    out_t = VideoFrameFeatures(every_nth=2)(tbl)  # stay in Arrow:
+    # pandas would widen the nullable int64 hash column to float64
+    rows = out_t.to_pylist()
+    ok = [r for r in rows if r["media_id"] == 1]
+    assert [r["frame_idx"] for r in ok] == [0, 2, 4]
+    assert all(r["decoded"] for r in ok)
+    want = dhash64(frames[0]) & 0x7FFFFFFFFFFFFFFF
+    assert ok[0]["frame_dhash"] == want
+    bad = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 1 and not bad[0]["decoded"]
+    # garbage/truncation degrade to None
+    assert decode_avi(avi[:40]) is None
+    assert decode_avi(b"RIFFxxxxWAVE") is None
