@@ -2864,6 +2864,60 @@ def q_image_jpeg_decode(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video-column plumbing, SQL-exact on the sampling contract:
+    per doc an uncompressed AVI with (doc_id % 5) + 2 frames is
+    assembled, decoded frame-by-frame and sampled every 2nd frame by
+    the actor-pool ``VideoFrameFeatures`` stage; the oracle generates
+    the expected (media_id, frame_idx) grid. Frame-hash math is pinned
+    by pytest (analytic dHash)."""
+    from ..functions.multimodal import VideoFrameFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    H, W = 8, 6
+    stride = (W * 3 + 3) & ~3
+
+    def make_avi(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            n = int(i) % 5 + 2
+            avih = bytearray(56)
+            avih[32:36] = W.to_bytes(4, "little")
+            avih[36:40] = H.to_bytes(4, "little")
+            hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(avih)))
+            movi = b"movi"
+            for f in range(n):
+                px = ((np.arange(H * stride) + int(i) + 31 * f) % 251).astype(np.uint8)
+                movi += chunk(b"00db", px.tobytes())
+            body = b"AVI " + hdrl + chunk(b"LIST", movi)
+            payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_avi, batch_format="pyarrow")
+        .map_batches(VideoFrameFeatures(every_nth=2), batch_format="pyarrow",
+                     batch_size=64)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    out = out[out["decoded"]]
+    out["media_id"] = out["media_id"].astype("int64")
+    out["frame_idx"] = out["frame_idx"].astype("int64")
+    return out[["media_id", "frame_idx"]].reset_index(drop=True)
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4396,6 +4450,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_png_decode": q_image_png_decode,
     "image_jpeg_decode": q_image_jpeg_decode,
+    "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5654,6 +5709,13 @@ ORACLES = {
              CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
       FROM lv
       ORDER BY media_id
+    """,
+    "video_frames": """
+      SELECT d.doc_id AS media_id, CAST(g.f AS BIGINT) AS frame_idx
+      FROM documents d
+      JOIN (SELECT UNNEST(generate_series(0, 6)) AS f) g
+        ON g.f % 2 = 0 AND g.f < (d.doc_id % 5) + 2
+      ORDER BY media_id, frame_idx
     """,
     "unicode_normalize": """
       SELECT doc_id,
