@@ -693,6 +693,61 @@ class AudioFeatures:
         return out
 
 
+class AudioQuality:
+    """Actor-pool audio-CURATION stage with real DSP math (numpy only):
+    the screens an audio training-data pipeline gates on -
+
+    * ``silence_permille``: fraction of frames whose max-channel
+      amplitude is below ``silence_floor`` (dead-air detection);
+    * ``clip_permille``: fraction of frames at full scale (recording
+      clipping);
+    * ``zero_crossings``: total sign changes (mono-mixed) - the cheap
+      voicing/noisiness proxy;
+    * ``spectral_centroid_hz``: magnitude-weighted mean frequency of
+      the mono rfft (floor int) - band balance / bandwidth probe.
+
+    Integer-exact except the centroid (a single floor division of two
+    float sums; pytest pins it against an explicit numpy reference).
+    Undecodable payloads degrade to decoded=False nulls."""
+
+    def __init__(self, silence_floor: int = 327, clip_level: int = 32767):
+        self.floor = silence_floor  # ~1% of int16 full scale
+        self.clip = clip_level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dec, sil, clip, zc, cen = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            res = decode_wav(p) if p is not None else None
+            if res is None or res[0].shape[0] == 0:
+                dec.append(res is not None)
+                for col in (sil, clip, zc, cen):
+                    col.append(None)
+                continue
+            samples, sr = res
+            dec.append(True)
+            amp = np.abs(samples).max(axis=1)
+            n = samples.shape[0]
+            sil.append(int((amp < self.floor).sum() * 1000 // n))
+            clip.append(int((amp >= self.clip).sum() * 1000 // n))
+            mono = samples.sum(axis=1)
+            s = np.sign(mono)
+            s = s[s != 0]
+            zc.append(int((s[1:] != s[:-1]).sum()) if len(s) > 1 else 0)
+            mag = np.abs(np.fft.rfft(mono.astype(np.float64)))
+            freqs = np.fft.rfftfreq(n, d=1.0 / sr) if sr else None
+            tot = float(mag.sum())
+            cen.append(
+                int(float((mag * freqs).sum()) / tot) if freqs is not None and tot > 0 else 0
+            )
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("decoded", pa.array(dec, pa.bool_()))
+        out = out.append_column("silence_permille", pa.array(sil, pa.int64()))
+        out = out.append_column("clip_permille", pa.array(clip, pa.int64()))
+        out = out.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        out = out.append_column("spectral_centroid_hz", pa.array(cen, pa.int64()))
+        return out
+
+
 class DecodeStub:
     """Actor-pool decode/feature-extract stage for formats the engine
     does NOT decode natively (PPM/BMP/WAV/PNG/baseline JPEG all have

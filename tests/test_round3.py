@@ -501,3 +501,58 @@ def test_avi_decode_and_frame_features():
     # garbage/truncation degrade to None
     assert decode_avi(avi[:40]) is None
     assert decode_avi(b"RIFFxxxxWAVE") is None
+
+
+# ---------------------------------------------------------------------------
+# audio-curation features (silence / clipping / ZCR / spectral centroid)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_quality_features():
+    import io
+    import wave
+
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        AudioQuality,
+    )
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    # ~977 Hz tone at half scale (not a divisor of sr, so samples never
+    # land exactly on zero), first 10% silenced, last 5% hard-clipped
+    tone = (16384 * np.sin(2 * np.pi * 977 * t / sr)).astype(np.int16)
+    tone[: sr // 10] = 0
+    tone[-sr // 20:] = 32767
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([wav(tone), b"not audio"], pa.binary()),
+        }
+    )
+    rows = AudioQuality()(tbl).to_pylist()
+    ok = rows[0]
+    assert ok["decoded"]
+    assert 90 <= ok["silence_permille"] <= 140     # 10% + near-crossing dips
+    assert 45 <= ok["clip_permille"] <= 55         # ~5% clipped
+    # centroid sits between the clip segment's DC mass and the tone
+    assert 400 <= ok["spectral_centroid_hz"] <= 1800
+    # explicit numpy reference for the centroid
+    mono = tone.astype(np.int32)[:, None].sum(axis=1).astype(np.float64)
+    mag = np.abs(np.fft.rfft(mono))
+    want = int((mag * np.fft.rfftfreq(len(mono), 1 / sr)).sum() / mag.sum())
+    assert ok["spectral_centroid_hz"] == want
+    # ZCR ~ 2 crossings/cycle over the 90% non-silent, non-clipped span
+    assert 1500 <= ok["zero_crossings"] <= 2000
+    assert not rows[1]["decoded"]
