@@ -2918,6 +2918,61 @@ def q_video_frames(sf_dir: str):
     return out[["media_id", "frame_idx"]].reset_index(drop=True)
 
 
+def q_audio_quality(sf_dir: str):
+    """Audio-curation gates, SQL-exact: per doc a 1000-frame PCM WAV
+    with (doc_id%10)*10 leading silent frames, (doc_id%7)*5 trailing
+    full-scale (clipped) frames and an alternating ±16384 square wave
+    between; the oracle computes silence/clip permille and the exact
+    zero-crossing count in closed form. Exercises the real WAV decode
+    + AudioQuality DSP stage end to end (centroid is pytest-pinned,
+    not SQL-expressible)."""
+    from ..functions.multimodal import AudioQuality
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_wav(b: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            z, c = (i % 10) * 10, (i % 7) * 5
+            m = 1000 - z - c
+            mid = np.where(np.arange(m) % 2 == 0, 16384, -16384)
+            samples = np.concatenate(
+                [np.zeros(z, np.int16), mid.astype(np.int16),
+                 np.full(c, 32767, np.int16)]
+            )
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(samples.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_wav, batch_format="pyarrow")
+        .map_batches(AudioQuality(), batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "silence_permille", "clip_permille", "zero_crossings"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["media_id", "silence_permille", "clip_permille", "zero_crossings"]
+    ]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4451,6 +4506,7 @@ QUERIES = {
     "image_png_decode": q_image_png_decode,
     "image_jpeg_decode": q_image_jpeg_decode,
     "video_frames": q_video_frames,
+    "audio_quality": q_audio_quality,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5708,6 +5764,25 @@ ORACLES = {
              CAST(64 * ROUND(y - 0.344136 * cb - 0.714136 * cr) AS BIGINT) AS sum_g,
              CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
       FROM lv
+      ORDER BY media_id
+    """,
+    "audio_quality": """
+      WITH p AS (
+        SELECT doc_id,
+               (doc_id % 10) * 10 AS z,
+               (doc_id % 7) * 5 AS c,
+               1000 - (doc_id % 10) * 10 - (doc_id % 7) * 5 AS m
+        FROM documents
+      )
+      SELECT doc_id AS media_id,
+             CAST(z AS BIGINT) AS silence_permille,
+             CAST(c AS BIGINT) AS clip_permille,
+             CAST(
+               m - 1
+               + CASE WHEN c > 0 AND m % 2 = 0 THEN 1 ELSE 0 END
+               AS BIGINT
+             ) AS zero_crossings
+      FROM p
       ORDER BY media_id
     """,
     "video_frames": """
