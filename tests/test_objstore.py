@@ -274,3 +274,73 @@ def test_tail_loop_over_object_store(tmp_path):
     landed = [changes.rstrip("/") + "/" + f.rsplit("/", 1)[-1] for f in files]
     assert all(m.is_applied(p) for p in landed)
     assert_matches_oracle(lake, staging)
+
+
+def test_schema_evolution_on_object_lake(tmp_path):
+    """Additive evolution with the lake on the object store: files
+    written before the new columns existed are null-padded on read,
+    and the evolved schema round-trips through the manifest."""
+    changes, lake = str(tmp_path / "ch"), uri(tmp_path, "lake")
+    gen_changes(changes, n_events=3000, n_convs=50, n_files=4, seed=81,
+                evolve_after_file=2, duplicate_ratio=0.0)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(changes, lake, spec)
+    got = final_table(
+        lake, ("conv_id", "turn_idx", "text", "tool_call_id", "meta_tokens")
+    )
+    nulls = got["tool_call_id"].null_count
+    assert 0 < nulls < got.num_rows
+    assert_matches_oracle(lake, changes,
+                          extra_cols=("tool_call_id", "meta_tokens"))
+
+
+def test_sigkill_inflight_exchange_resume(tmp_path):
+    """Hard kill mid-run with the multi-round in-flight exchange on an
+    object lake: the COW + single-step-commit story is exchange-
+    independent, so the resume converges to the oracle."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    changes, lake = str(tmp_path / "ch"), uri(tmp_path, "lake")
+    gen_changes(changes, n_events=16_000, n_convs=80, n_files=8, seed=83)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["GRAFT_EXCHANGE"] = "inflight"
+    env["GRAFT_EXCHANGE_FANIN"] = "2"
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m",
+            "aws_serverless_elt_pipeline_enterprise_ray.cli",
+            "--num-cpus", "2", "ingest", "--changelog", changes,
+            "--lake", lake, "--partitions", "4", "--commit-every", "1",
+        ],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        preexec_fn=os.setsid,
+    )
+    store = ManifestStore(lake)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        v = store.current_version()
+        if v is not None and v >= 1:
+            break
+        if proc.poll() is not None:
+            pytest.fail("ingest finished before we could kill it")
+        time.sleep(0.05)
+    else:
+        proc.kill()
+        pytest.fail("no commit observed within 120s")
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait()
+
+    ms = engine.apply_changes(
+        changes, lake, engine.default_spec(num_partitions=4),
+        exchange="inflight",
+    )
+    assert ms
+    assert_matches_oracle(lake, changes)
