@@ -185,6 +185,12 @@ def run_bench() -> dict:
     import glob
 
     lake = os.path.join(SCRATCH, f"lake-{NUM_CPUS}-{time.time_ns()}")
+    if os.environ.get("BENCH_LAKE_SCHEME") == "s3sim":
+        # object-store-backend comparison: same apply through the
+        # rename-free protocol (state/lakefs.py); the shim's extra cost
+        # is one local link/replace per put, so the delta vs POSIX is
+        # the engine-side protocol overhead
+        lake = "s3sim://" + lake.lstrip("/")
     spec = engine.default_spec(num_partitions=max(64, 2 * NUM_CPUS))
     files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
     n_tail = max(1, len(files) // 10)
