@@ -316,7 +316,9 @@ def pagerank_dataset(
             .materialize()
         )
 
-    return state.drop_columns(["deg"])
+    return state.map_batches(
+        lambda b: b[["node", "rank"]], batch_format="pandas"
+    )
 
 
 def _spread(
