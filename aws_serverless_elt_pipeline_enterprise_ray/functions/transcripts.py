@@ -91,6 +91,70 @@ def conversation_examples(
     )
 
 
+def conversation_windows(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    window: int = 4,
+    stride: int = 2,
+    sep: str = " ",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Sliding TURN windows per conversation - the context-window
+    packing step that turns long transcripts into fixed-span training
+    examples (window ``window`` turns, hop ``stride``). Rows are
+    rank-ordered per conversation by ``order_col`` (0-based dense
+    rank, so gaps in turn numbering don't skew spans); each turn
+    replicates map-side to its <= ceil(window/stride) covering windows
+    (numpy repeat, no per-row Python) and ONE conv-bucketed shuffle
+    assembles each (conv, window_start) group's joined text.
+    Returns (conv, window_start, n_turns, text)."""
+    import numpy as np
+
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+    k = -(-window // stride)  # max covering windows per turn
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # null-text turns are skipped (SQL string_agg semantics)
+        b = b[[conv_col, order_col, text_col]].dropna(subset=[text_col])
+        b = b.copy()
+        b["_wb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        rn = g.groupby(conv_col, sort=False).cumcount().to_numpy()
+        n = len(g)
+        # candidate window starts: (rn//stride - j) * stride, j < k
+        base = (rn // stride)[:, None] - np.arange(k)[None, :]
+        starts = base * stride
+        valid = (starts >= 0) & (rn[:, None] < starts + window)
+        rows = np.repeat(np.arange(n), k)[valid.ravel()]
+        s = starts.ravel()[valid.ravel()]
+        ex = pd.DataFrame(
+            {
+                conv_col: g[conv_col].to_numpy()[rows],
+                "window_start": s,
+                "_rn": rn[rows],
+                text_col: g[text_col].to_numpy()[rows],
+            }
+        ).sort_values([conv_col, "window_start", "_rn"], kind="mergesort")
+        agg = ex.groupby([conv_col, "window_start"], sort=False).agg(
+            n_turns=(text_col, "size"), text=(text_col, sep.join)
+        )
+        return agg.reset_index()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 def assign_split(
     ds: rd.Dataset,
     *,

@@ -2973,6 +2973,45 @@ def q_audio_quality(sf_dir: str):
     ]
 
 
+def q_conversation_windows(sf_dir: str):
+    """Sliding turn-window packing over per-user event sequences
+    (conv=user, turn order=event_id, text=event_type): window 4,
+    stride 2 - the transcript→training-context windowing step. One
+    conv-bucketed shuffle; each turn replicates to its ≤2 covering
+    windows map-side. SQL mirror joins a generated stride grid on the
+    0-based dense rank and string_aggs in rank order."""
+    from ..functions.transcripts import conversation_windows
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),  # emission order
+                "text": b["event_type"],
+            }
+        )
+
+    out = (
+        conversation_windows(
+            ev.map_batches(prep, batch_format="pandas"),
+            conv_col="conv", order_col="ord", text_col="text",
+            window=4, stride=2,
+        )
+        .to_pandas()
+        .sort_values(["conv", "window_start"])
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["window_start"] = out["window_start"].astype("int64")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out[["conv", "window_start", "n_turns", "text"]]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4507,6 +4546,7 @@ QUERIES = {
     "image_jpeg_decode": q_image_jpeg_decode,
     "video_frames": q_video_frames,
     "audio_quality": q_audio_quality,
+    "conversation_windows": q_conversation_windows,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5765,6 +5805,28 @@ ORACLES = {
              CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
       FROM lv
       ORDER BY media_id
+    """,
+    "conversation_windows": """
+      WITH t AS (
+        SELECT user_id AS conv,
+               event_type AS text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id
+               ) - 1 AS rn
+        FROM events
+      ),
+      starts AS (
+        SELECT conv, UNNEST(generate_series(0, CAST(MAX(rn) AS BIGINT), 2)) AS s
+        FROM t GROUP BY conv
+      )
+      SELECT t.conv AS conv,
+             CAST(s.s AS BIGINT) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             STRING_AGG(t.text, ' ' ORDER BY t.rn) AS text
+      FROM starts s
+      JOIN t ON t.conv = s.conv AND t.rn >= s.s AND t.rn < s.s + 4
+      GROUP BY t.conv, s.s
+      ORDER BY conv, window_start
     """,
     "audio_quality": """
       WITH p AS (

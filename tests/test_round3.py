@@ -556,3 +556,34 @@ def test_audio_quality_features():
     # ZCR ~ 2 crossings/cycle over the 90% non-silent, non-clipped span
     assert 1500 <= ok["zero_crossings"] <= 2000
     assert not rows[1]["decoded"]
+
+
+def test_conversation_windows_cover_and_order():
+    """Window/stride coverage: every turn appears in its covering
+    windows only, text joins in turn order, null-text turns skipped."""
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        conversation_windows,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + ["b"] * 2,
+            "turn_idx": [10, 20, 30, 40, 50, 1, 2],  # gappy numbering
+            "text": ["t0", "t1", None, "t3", "t4", "x0", "x1"],
+        }
+    )
+    out = (
+        conversation_windows(
+            rd.from_pandas(df), window=3, stride=2
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # conv a has 4 non-null turns -> dense ranks 0..3 over t0,t1,t3,t4
+    a = out[out["conv_id"] == "a"]
+    assert list(a["window_start"]) == [0, 2]
+    assert list(a["text"]) == ["t0 t1 t3", "t3 t4"]
+    assert list(a["n_turns"]) == [3, 2]
+    b = out[out["conv_id"] == "b"]
+    assert list(b["text"]) == ["x0 x1"]
