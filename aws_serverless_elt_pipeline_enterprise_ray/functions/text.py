@@ -1073,6 +1073,74 @@ def chunk_by_chars(
     return ds.map_batches(chunk, batch_format="pandas")
 
 
+#: RE2-compatible sentence pattern (no lookbehind): a run of
+#: non-terminators followed by terminator punctuation. A trailing
+#: fragment without terminal punctuation is dropped - identically in
+#: Python and DuckDB, so the oracle mirrors exactly.
+SENTENCE_RE = r"[^.!?]+[.!?]+"
+
+
+def chunk_by_sentences(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_sentences: int = 3,
+    overlap: int = 0,
+):
+    """Sentence-boundary chunking - the third chunking mode beside the
+    token-window (``chunk_documents``) and char-window
+    (``chunk_by_chars``) splitters: sentences are extracted with ONE
+    vectorized ``str.findall`` of ``SENTENCE_RE`` per batch, then
+    grouped into windows of ``max_sentences`` with ``overlap``
+    sentences of context carried between consecutive chunks: window
+    membership is repeat/arange bookkeeping, and each window joins its
+    ≤ ``max_sentences`` strings with one C-level ``str.join``
+    (per-window, bounded - never per character). Documents with no
+    complete sentence yield no chunks. Returns (id, chunk_idx,
+    n_sentences, chunk_text)."""
+    assert 0 <= overlap < max_sentences, (overlap, max_sentences)
+    step = max_sentences - overlap
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        sents = t.str.findall(SENTENCE_RE)
+        counts = sents.str.len().to_numpy(dtype=np.int64)
+        flat = [s for row in sents for s in row]
+        if not flat:
+            return pd.DataFrame(
+                {id_col: b[id_col].iloc[0:0], "chunk_idx": [],
+                 "n_sentences": [], "chunk_text": []}
+            )
+        # windows per doc: ceil(max(c - overlap, 0) / step), min 1 when
+        # the doc has any sentence
+        k = np.where(counts > 0, (np.maximum(counts - overlap, 1) - 1) // step + 1, 0)
+        rows = np.repeat(np.arange(len(b)), k)
+        total = int(k.sum())
+        j = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+        starts = j * step
+        # gather each window's sentences from the flat list
+        offsets = np.cumsum(counts) - counts
+        texts = []
+        nsent = []
+        for r, s in zip(rows, starts):
+            lo = offsets[r] + s
+            hi = min(offsets[r] + counts[r], lo + max_sentences)
+            seg = flat[lo:hi]
+            texts.append("".join(seg))
+            nsent.append(len(seg))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[rows],
+                "chunk_idx": j,
+                "n_sentences": np.array(nsent, np.int64),
+                "chunk_text": texts,
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
 class HtmlStripper:
     """C4-style HTML boilerplate removal as an actor-pool stage:
     drop <script>/<style> blocks and comments, strip all tags, decode

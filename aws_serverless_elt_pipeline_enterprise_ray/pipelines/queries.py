@@ -3012,6 +3012,42 @@ def q_conversation_windows(sf_dir: str):
     return out[["conv", "window_start", "n_turns", "text"]]
 
 
+def q_chunk_sentences(sf_dir: str):
+    """Sentence-boundary chunking (the third chunking mode): terminal
+    punctuation is first injected after every 3 words with a regex both
+    engines run identically, then ONE vectorized findall extracts
+    sentences and windows of 3 assemble per chunk. SQL mirror:
+    regexp_replace + regexp_extract_all + list slicing."""
+    import re as _re
+
+    from ..functions.text import chunk_by_sentences
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    pat = _re.compile(r"([a-z]+ [a-z]+ [a-z]+) ")
+
+    def punct(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"].str.replace(pat, r"\1. ", regex=True),
+            }
+        )
+
+    out = (
+        chunk_by_sentences(
+            docs.map_batches(punct, batch_format="pandas"),
+            max_sentences=3, overlap=0,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["chunk_idx"] = out["chunk_idx"].astype("int64")
+    out["n_sentences"] = out["n_sentences"].astype("int64")
+    return out[["doc_id", "chunk_idx", "n_sentences", "chunk_text"]]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4547,6 +4583,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "audio_quality": q_audio_quality,
     "conversation_windows": q_conversation_windows,
+    "chunk_sentences": q_chunk_sentences,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5805,6 +5842,27 @@ ORACLES = {
              CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
       FROM lv
       ORDER BY media_id
+    """,
+    "chunk_sentences": """
+      WITH p AS (
+        SELECT doc_id,
+               regexp_extract_all(
+                 regexp_replace(text, '([a-z]+ [a-z]+ [a-z]+) ', '\\1. ', 'g'),
+                 '[^.!?]+[.!?]+'
+               ) AS sents
+        FROM documents
+      ),
+      e AS (SELECT doc_id, sents, len(sents) AS n FROM p WHERE len(sents) > 0)
+      SELECT e.doc_id AS doc_id,
+             CAST(g.j AS BIGINT) AS chunk_idx,
+             CAST(len(e.sents[g.j * 3 + 1 : LEAST(g.j * 3 + 3, e.n)]) AS BIGINT)
+               AS n_sentences,
+             array_to_string(
+               e.sents[g.j * 3 + 1 : LEAST(g.j * 3 + 3, e.n)], ''
+             ) AS chunk_text
+      FROM e
+      JOIN (SELECT UNNEST(generate_series(0, 999)) AS j) g ON g.j * 3 < e.n
+      ORDER BY doc_id, chunk_idx
     """,
     "conversation_windows": """
       WITH t AS (

@@ -587,3 +587,34 @@ def test_conversation_windows_cover_and_order():
     assert list(a["n_turns"]) == [3, 2]
     b = out[out["conv_id"] == "b"]
     assert list(b["text"]) == ["x0 x1"]
+
+
+def test_chunk_by_sentences_overlap_and_edges():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        chunk_by_sentences,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "A one. B two! C three? D four. E five.",
+                "no terminal punctuation here",
+                None,
+            ],
+        }
+    )
+    out = (
+        chunk_by_sentences(rd.from_pandas(df), max_sentences=2, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: 5 sentences, window 2 stride 1 -> 4 windows
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_idx"]) == [0, 1, 2, 3]
+    assert d1["n_sentences"].tolist() == [2, 2, 2, 2]
+    assert d1["chunk_text"].iloc[0] == "A one. B two!"
+    assert d1["chunk_text"].iloc[3] == " D four. E five."
+    # docs without a complete sentence yield nothing
+    assert set(out["doc_id"]) == {1}
