@@ -155,6 +155,59 @@ def conversation_windows(
     )
 
 
+def collapse_consecutive_turns(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Merge CONSECUTIVE same-role turns into one (the transcript
+    cleaning step before training: double assistant messages, split
+    user messages, tool-call bursts collapse to a single turn). The
+    classic gaps-and-islands shape: per conversation, island id =
+    row_number − row_number-within-(conv, role), then one ordered
+    string_agg per island. One conv-bucketed shuffle; islands are
+    vectorized (cumcount arithmetic), joins are per-island C-level.
+    Returns (conv, turn_seq, role, n_merged, text) with ``turn_seq``
+    the dense 0-based index of the merged turn."""
+    from .windows import _buckets_for_cluster, _key_buckets
+
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_cb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        rn = g.groupby(conv_col, sort=False).cumcount()
+        rn_role = g.groupby([conv_col, role_col], sort=False).cumcount()
+        g = g.assign(_island=rn - rn_role)
+        agg = (
+            g.groupby([conv_col, role_col, "_island"], sort=False)
+            .agg(
+                n_merged=(text_col, "size"),
+                text=(text_col, lambda s: sep.join(x for x in s if x is not None)),
+                _first=(order_col, "min"),
+            )
+            .reset_index()
+            .sort_values([conv_col, "_first"], kind="mergesort")
+        )
+        agg["turn_seq"] = agg.groupby(conv_col, sort=False).cumcount()
+        return agg[[conv_col, "turn_seq", role_col, "n_merged", "text"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 def assign_split(
     ds: rd.Dataset,
     *,

@@ -3048,6 +3048,45 @@ def q_chunk_sentences(sf_dir: str):
     return out[["doc_id", "chunk_idx", "n_sentences", "chunk_text"]]
 
 
+def q_collapse_turns(sf_dir: str):
+    """Consecutive same-role turn collapse (gaps-and-islands) over
+    per-user event sequences: conv=user, order=event_id,
+    role=event_type, text=props. One conv-bucketed shuffle; islands
+    are cumcount arithmetic. SQL mirror: the classic
+    rn − rn-per-(conv,role) island id + ordered string_agg."""
+    from ..functions.transcripts import collapse_consecutive_turns
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "props"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "role": b["event_type"],
+                "text": b["props"],
+            }
+        )
+
+    out = (
+        collapse_consecutive_turns(
+            ev.map_batches(prep, batch_format="pandas"),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text",
+        )
+        .to_pandas()
+        .sort_values(["conv", "turn_seq"])
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["turn_seq"] = out["turn_seq"].astype("int64")
+    out["n_merged"] = out["n_merged"].astype("int64")
+    return out[["conv", "turn_seq", "role", "n_merged", "text"]]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4584,6 +4623,7 @@ QUERIES = {
     "audio_quality": q_audio_quality,
     "conversation_windows": q_conversation_windows,
     "chunk_sentences": q_chunk_sentences,
+    "collapse_turns": q_collapse_turns,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5842,6 +5882,31 @@ ORACLES = {
              CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
       FROM lv
       ORDER BY media_id
+    """,
+    "collapse_turns": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id, event_type AS role, props AS text,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type ORDER BY event_id
+               ) AS rnr
+        FROM events
+      ),
+      i AS (
+        SELECT conv, role, rn - rnr AS island,
+               COUNT(*) AS n_merged,
+               STRING_AGG(text, chr(10) ORDER BY event_id) AS text,
+               MIN(event_id) AS first_id
+        FROM t GROUP BY conv, role, rn - rnr
+      )
+      SELECT conv,
+             CAST(ROW_NUMBER() OVER (PARTITION BY conv ORDER BY first_id) - 1
+                  AS BIGINT) AS turn_seq,
+             role,
+             CAST(n_merged AS BIGINT) AS n_merged,
+             text
+      FROM i
+      ORDER BY conv, turn_seq
     """,
     "chunk_sentences": """
       WITH p AS (

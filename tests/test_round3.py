@@ -618,3 +618,28 @@ def test_chunk_by_sentences_overlap_and_edges():
     assert d1["chunk_text"].iloc[3] == " D four. E five."
     # docs without a complete sentence yield nothing
     assert set(out["doc_id"]) == {1}
+
+
+def test_collapse_consecutive_turns_islands():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        collapse_consecutive_turns,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": [0, 1, 2, 3, 4, 5],
+            "role": ["user", "assistant", "assistant", "user", "user", "assistant"],
+            "text": ["q1", "a1", "a2", "q2a", "q2b", "a3"],
+        }
+    )
+    out = (
+        collapse_consecutive_turns(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("turn_seq")
+        .reset_index(drop=True)
+    )
+    assert list(out["role"]) == ["user", "assistant", "user", "assistant"]
+    assert list(out["n_merged"]) == [1, 2, 2, 1]
+    assert out["text"].tolist() == ["q1", "a1\na2", "q2a\nq2b", "a3"]
+    assert list(out["turn_seq"]) == [0, 1, 2, 3]
