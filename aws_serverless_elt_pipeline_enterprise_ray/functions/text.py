@@ -1141,6 +1141,52 @@ def chunk_by_sentences(
     return ds.map_batches(chunk, batch_format="pandas")
 
 
+def fix_mojibake(
+    ds,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    flag_col: str = "had_mojibake",
+):
+    """Repair the dominant real-world mojibake class: UTF-8 bytes that
+    were decoded as Latin-1/cp1252 ("Ã©" for "é", "â€™" for "'") -
+    the ftfy-style web-corpus cleanup, library-free. Detection is ONE
+    vectorized regex over the Latin-1-range lead bytes (Â/Ã/â/å...);
+    only flagged rows (rare in practice) take the per-row
+    re-encode/decode repair, applied repeatedly for doubly-encoded
+    text and rolled back unless it strictly removes mojibake markers.
+    Adds ``flag_col``; rewrites ``text_col`` (or ``out_col``)."""
+    import re
+
+    marker = re.compile("[ÂÃâÅå][-ÿ]")
+    dst = out_col or text_col
+
+    def fix_one(s: str) -> str:
+        for _ in range(3):  # handles double/triple encoding
+            try:
+                cand = s.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s
+            if len(marker.findall(cand)) < len(marker.findall(s)):
+                s = cand
+            else:
+                return s
+        return s
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        flagged = t.str.contains(marker, na=False)
+        out = t.copy()
+        if flagged.any():
+            out.loc[flagged] = [fix_one(s) for s in t[flagged]]
+        b = b.copy()
+        b[dst] = out
+        b[flag_col] = flagged.to_numpy()
+        return b
+
+    return ds.map_batches(run, batch_format="pandas")
+
+
 class HtmlStripper:
     """C4-style HTML boilerplate removal as an actor-pool stage:
     drop <script>/<style> blocks and comments, strip all tags, decode

@@ -3087,6 +3087,35 @@ def q_collapse_turns(sf_dir: str):
     return out[["conv", "turn_seq", "role", "n_merged", "text"]]
 
 
+def q_fix_mojibake(sf_dir: str):
+    """Mojibake repair, SQL-exact: every doc gets a deterministic
+    accented suffix CORRUPTED the way real web text is (UTF-8 bytes
+    re-decoded as Latin-1; every third doc doubly so); the repair must
+    reproduce the clean literal the oracle concatenates directly."""
+    from ..functions.text import fix_mojibake
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    clean = " déjà — naïve"
+    single = clean.encode("utf-8").decode("latin-1")
+    double = single.encode("utf-8").decode("latin-1")
+
+    def corrupt(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        suffix = np.where(ids % 3 == 0, double, single)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "text": b["text"].to_numpy() + suffix}
+        )
+
+    out = (
+        fix_mojibake(docs.map_batches(corrupt, batch_format="pandas"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "text", "had_mojibake"]]
+
+
 def q_unicode_normalize(sf_dir: str):
     """Unicode canonicalization (NFD -> strip combining diacritics ->
     lowercase) with deterministic accented suffixes injected (the
@@ -4624,6 +4653,7 @@ QUERIES = {
     "conversation_windows": q_conversation_windows,
     "chunk_sentences": q_chunk_sentences,
     "collapse_turns": q_collapse_turns,
+    "fix_mojibake": q_fix_mojibake,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
     "quantile_band_filter": q_quantile_band_filter,
@@ -5882,6 +5912,13 @@ ORACLES = {
              CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
       FROM lv
       ORDER BY media_id
+    """,
+    "fix_mojibake": """
+      SELECT doc_id,
+             text || ' déjà — naïve' AS text,
+             TRUE AS had_mojibake
+      FROM documents
+      ORDER BY doc_id
     """,
     "collapse_turns": """
       WITH t AS (

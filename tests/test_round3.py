@@ -643,3 +643,27 @@ def test_collapse_consecutive_turns_islands():
     assert list(out["n_merged"]) == [1, 2, 2, 1]
     assert out["text"].tolist() == ["q1", "a1\na2", "q2a\nq2b", "a3"]
     assert list(out["turn_seq"]) == [0, 1, 2, 3]
+
+
+def test_fix_mojibake_repairs_single_and_double_encoding():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        fix_mojibake,
+    )
+
+    clean = "déjà vu — it's naïve"
+    single = clean.encode("utf-8").decode("latin-1")
+    double = single.encode("utf-8").decode("latin-1")
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [single, double, clean, "plain ascii"],
+        }
+    )
+    out = (
+        fix_mojibake(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [clean, clean, clean, "plain ascii"]
+    assert out["had_mojibake"].tolist() == [True, True, False, False]
