@@ -344,3 +344,34 @@ def test_sigkill_inflight_exchange_resume(tmp_path):
     )
     assert ms
     assert_matches_oracle(lake, changes)
+
+
+def test_snapshot_isolation_under_compaction_and_gc(tmp_path):
+    """Time travel + maintenance on the object lake: a pinned version
+    keeps reading correctly across compact + gc (age-gated, version-
+    retained), and gc after retention expiry removes the superseded
+    files while CURRENT stays intact."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+
+    changes, lake = str(tmp_path / "ch"), uri(tmp_path, "lake")
+    gen_changes(changes, n_events=4000, n_convs=40, n_files=4, seed=91)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(changes, lake, spec, commit_every_files=2)
+    store = ManifestStore(lake)
+    v1 = 1
+    pinned_before = final_table(lake, version=v1)
+
+    ch2 = str(tmp_path / "ch2")
+    gen_changes(ch2, n_events=400, n_convs=40, n_files=1, seed=92)
+    engine.apply_changes(ch2, lake, spec)
+    compact(lake, spec)
+    # retention window covers v1 (4 versions exist); pinned read holds
+    store.gc(min_age_seconds=0, keep_versions=4)
+    assert final_table(lake, version=v1).equals(pinned_before)
+    cur = final_table(lake)
+
+    # retention expiry: drop to keep_versions=1 - old snapshot files go,
+    # CURRENT still reads the same rows
+    removed = store.gc(min_age_seconds=0, keep_versions=1)
+    assert removed
+    assert final_table(lake).equals(cur)
