@@ -13,6 +13,34 @@ additive schema evolution, DQ gates, quarantine, and compaction.
 Import as ``import aws_serverless_elt_pipeline_enterprise_ray as engine``.
 """
 
+import logging as _logging
+
+
+class _EmptyBlockSchemaNoise(_logging.Filter):
+    """Drop ONLY the empty-block variant of Ray's schema-mismatch
+    warning. Ray's sort exchange emits zero-row, zero-column blocks
+    whenever output partitions outnumber distinct sort keys (small
+    inputs / many CPUs), and the streaming executor then warns
+    ``new schema: ...(names=[], types=[])`` once per empty partition —
+    pure spam that buries real schema divergence. Genuine mismatches
+    (two non-empty schemas) still pass through."""
+
+    _NOISE = (
+        "new schema: PandasBlockSchema(names=[], types=[])",
+        "new schema: Schema([])",
+    )
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if "different schema" not in msg:
+            return True
+        return not any(s in msg for s in self._NOISE)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBlockSchemaNoise())
+
 from .schema import (
     CHANGELOG_SCHEMA,
     TRANSCRIPT_SCHEMA,

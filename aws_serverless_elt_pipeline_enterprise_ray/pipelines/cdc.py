@@ -770,14 +770,17 @@ def conv_partitions(m, conv_ids: list[str]) -> set[int]:
     salt_k = pp.get("hot_key_salt", 8)
     h = hash_strings(np.array(conv_ids, dtype=object)).astype(np.uint64)
     parts: set[int] = set()
-    for cid, hv in zip(conv_ids, h):
-        if cid in hot:
-            for s in range(salt_k):
-                parts.add(
-                    int((hv + np.uint64(s) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P))
-                )
-        else:
-            parts.add(int(hv % np.uint64(P)))
+    # the Knuth-hash salt add wraps mod 2^64 BY DESIGN; errstate keeps
+    # numpy's scalar-overflow warning from masking real ones elsewhere
+    with np.errstate(over="ignore"):
+        for cid, hv in zip(conv_ids, h):
+            if cid in hot:
+                for s in range(salt_k):
+                    parts.add(
+                        int((hv + np.uint64(s) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P))
+                    )
+            else:
+                parts.add(int(hv % np.uint64(P)))
     return parts
 
 

@@ -258,21 +258,37 @@ def run_bench() -> dict:
         **health,
     }
     ray.shutdown()
+    if os.environ.get("BENCH_CONTROL"):
+        # Pre-registered control-normalized protocol (BASELINE.md): the
+        # no-Ray multiprocessing control runs the same read+normalize+
+        # combine work over the SAME head files IN THE SAME WINDOW,
+        # immediately after the engine. Both sides are reported raw;
+        # the ratio (engine events/s ÷ control events/s) factors the
+        # hypervisor window out of the headline number.
+        ctl = _control_curve(head, (NUM_CPUS,))[NUM_CPUS]
+        result["control_mp_sec"] = round(ctl, 3)
+        result["control_mp_events_per_sec"] = round(head_events / ctl)
+        result["engine_vs_control"] = round(ctl / cdc_sec, 3)
+        result["host_probe_after_control"] = host_probe()
     return result
 
 
-def _control_curve(changes: str, pairs: tuple[int, ...]) -> dict[int, float]:
+def _control_curve(changes: str | list, pairs: tuple[int, ...]) -> dict[int, float]:
     """Hardware-ceiling control: the same read+normalize+combine work
     under plain multiprocessing (no Ray, no shuffle). On a single box
     this saturates shared DRAM bandwidth at ~6 effective cores; the
     control separates that machine property from engine scaling (on a
-    real N->4N-node cluster every node brings its own memory bus)."""
+    real N->4N-node cluster every node brings its own memory bus).
+    `changes` is a changelog dir or an explicit file list."""
     import glob
     import multiprocessing as mp
 
     import numpy as np
 
-    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    if isinstance(changes, list):
+        files = list(changes)
+    else:
+        files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
     out: dict[int, float] = {}
     for n in pairs:
         shards = [list(s) for s in np.array_split(files, n)]

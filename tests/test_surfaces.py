@@ -267,3 +267,33 @@ def test_lake_stats_report(tmp_path):
     apply_dataset(batch2, lake, label="b2")
     s2 = lake_stats(lake)
     assert s2["version"] == 2
+
+
+def test_empty_block_warning_filter():
+    """The package-level logging filter drops ONLY Ray's empty-block
+    (names=[]) schema-mismatch warning; genuine mismatches between two
+    non-empty schemas still pass."""
+    import logging
+
+    from aws_serverless_elt_pipeline_enterprise_ray import _EmptyBlockSchemaNoise
+
+    f = _EmptyBlockSchemaNoise()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "p", 1, msg, (), None)
+
+    noise = (
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: PandasBlockSchema(names=['k'], "
+        "types=[dtype('int64')]), new schema: PandasBlockSchema(names=[], "
+        "types=[]). This may lead to unexpected behavior."
+    )
+    real = noise.replace("names=[], types=[]", "names=['x'], types=[dtype('O')]")
+    assert f.filter(rec(noise)) is False
+    assert f.filter(rec(real)) is True
+    assert f.filter(rec("unrelated warning")) is True
+    # the filter is actually installed on the executor logger
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    assert any(isinstance(x, _EmptyBlockSchemaNoise) for x in lg.filters)
