@@ -239,8 +239,131 @@ if _HAVE_FSSPEC:
 
 
 # ---------------------------------------------------------------------------
+# real-object-store conditional create (the commit arbiter off-sandbox)
+# ---------------------------------------------------------------------------
+#
+# The commit protocol needs exactly one primitive from the store:
+# create-if-absent with full content. Real stores expose it natively:
+#
+# * S3: ``PutObject`` with ``If-None-Match: *`` (conditional writes,
+#   GA since 2024-08) -> HTTP 412 ``PreconditionFailed`` (or 409
+#   ``ConditionalRequestConflict`` while a concurrent conditional PUT
+#   is in flight) when the key exists.
+# * GCS: upload with ``ifGenerationMatch=0`` -> HTTP 412.
+#
+# fsspec's s3fs/gcsfs do not surface these preconditions, so the
+# adapter below goes straight to the provider SDK for this ONE call;
+# every other operation (put/get/list/delete/copy) stays on fsspec.
+# The SDK client is resolved from the filesystem when it carries one
+# (``_sync_s3_client`` / ``_sync_gcs_client`` - also the offline-test
+# seam) else constructed from the filesystem's own storage options, so
+# credentials/endpoint configuration is shared, not duplicated.
+
+
+def _s3_error_conflict(exc) -> bool:
+    """True when a botocore-style error means 'key already exists'."""
+    r = getattr(exc, "response", None)
+    if not isinstance(r, dict):
+        return False
+    code = r.get("Error", {}).get("Code")
+    if code in ("PreconditionFailed", "ConditionalRequestConflict"):
+        return True
+    return r.get("ResponseMetadata", {}).get("HTTPStatusCode") in (409, 412)
+
+
+def _s3_conditional_put(fs):
+    """put-if-absent over real S3: conditional ``PutObject``."""
+    client = getattr(fs, "_sync_s3_client", None)
+    if client is None:  # pragma: no cover - needs boto3 + network
+        import boto3
+
+        kw = {}
+        ck = (getattr(fs, "storage_options", {}) or {}).get("client_kwargs", {}) or {}
+        if ck.get("endpoint_url"):
+            kw["endpoint_url"] = ck["endpoint_url"]
+        client = boto3.client("s3", **kw)
+
+    def cond_put(key: str, data: bytes) -> None:
+        bucket, _, k = key.lstrip("/").partition("/")
+        try:
+            client.put_object(Bucket=bucket, Key=k, Body=data, IfNoneMatch="*")
+        except Exception as e:
+            if _s3_error_conflict(e):
+                raise FileExistsError(key) from None
+            raise
+        inv = getattr(fs, "invalidate_cache", None)
+        if inv is not None:  # listings may be dircached by fsspec
+            inv()
+
+    return cond_put
+
+
+def _gcs_conditional_put(fs):
+    """put-if-absent over real GCS: upload with ``ifGenerationMatch=0``."""
+    client = getattr(fs, "_sync_gcs_client", None)
+    if client is None:  # pragma: no cover - needs google-cloud-storage
+        from google.cloud import storage
+
+        client = storage.Client()
+
+    def cond_put(key: str, data: bytes) -> None:
+        bucket, _, k = key.lstrip("/").partition("/")
+        try:
+            client.bucket(bucket).blob(k).upload_from_string(
+                data, if_generation_match=0
+            )
+        except Exception as e:
+            if getattr(e, "code", None) == 412 or "412" in type(e).__name__:
+                raise FileExistsError(key) from None
+            if "PreconditionFailed" in type(e).__name__:
+                raise FileExistsError(key) from None
+            raise
+        inv = getattr(fs, "invalidate_cache", None)
+        if inv is not None:
+            inv()
+
+    return cond_put
+
+
+#: scheme -> conditional-put adapter factory. Backends whose scheme is
+#: absent here AND whose filesystem lacks a native ``put_if_absent``
+#: are REFUSED by ``create_exclusive`` - a lake whose commit arbiter
+#: silently degraded to exists+put would corrupt under concurrency.
+_COND_PUT_SCHEMES = {
+    "s3": _s3_conditional_put,
+    "s3a": _s3_conditional_put,
+    "gs": _gcs_conditional_put,
+    "gcs": _gcs_conditional_put,
+}
+
+
+# ---------------------------------------------------------------------------
 # LakeFS: the engine-facing wrapper
 # ---------------------------------------------------------------------------
+
+
+_FS_PLUGINS_LOADED = False
+
+
+def _load_fs_plugins() -> None:
+    """Import the modules named in ``GRAFT_FS_MODULES`` (comma-separated)
+    before resolving an fsspec scheme. Custom filesystem classes must be
+    registered in EVERY process that touches the lake - Ray workers
+    reconstruct a LakeFS from its URI string alone - and an env var is
+    the one channel that reaches workers (they inherit the driver's
+    environment at cluster start, or get it via runtime_env). Built-in
+    schemes (s3fs/gcsfs entry points, the s3sim shim) need no plugin."""
+    global _FS_PLUGINS_LOADED
+    if _FS_PLUGINS_LOADED:
+        return
+    _FS_PLUGINS_LOADED = True
+    import importlib
+
+    for mod in filter(None, os.environ.get("GRAFT_FS_MODULES", "").split(",")):
+        try:
+            importlib.import_module(mod.strip())
+        except ImportError:  # pragma: no cover - plugin absent here
+            pass
 
 
 def _fsync_dir(path: str) -> None:
@@ -283,6 +406,7 @@ class LakeFS:
         if f is None:
             import fsspec
 
+            _load_fs_plugins()
             f = fsspec.filesystem(self.base.split("://", 1)[0])
             self._fs = f
         return f
@@ -405,19 +529,35 @@ class LakeFS:
 
     def create_exclusive(self, path: str, data: "bytes | str") -> None:
         """Create-if-absent with full content, raising FileExistsError
-        on conflict - the commit-race arbiter. Atomic on POSIX (O_EXCL)
-        and on conditional-put backends; generic fsspec backends get a
-        best-effort exists+put (document per-backend)."""
+        on conflict - the commit-race arbiter. Atomic everywhere it is
+        allowed to run: POSIX ``O_EXCL``, a native ``put_if_absent``
+        (the shim), or a real store's conditional PUT (S3
+        ``If-None-Match: *`` / GCS ``ifGenerationMatch=0`` via
+        ``_COND_PUT_SCHEMES``). Backends with NO conditional-create
+        primitive are refused outright - a lake whose commit arbiter
+        degrades to exists-then-put corrupts under concurrent writers."""
         if isinstance(data, str):
             data = data.encode()
         if self.is_object:
-            sp = self.strip(path)
-            if hasattr(self.fs, "put_if_absent"):
-                self.fs.put_if_absent(sp, data)
-            else:  # pragma: no cover - non-shim backends
-                if self.fs.exists(sp):
-                    raise FileExistsError(path)
-                self.fs.pipe_file(sp, data)
+            cp = getattr(self, "_cond_put", None)
+            if cp is None:
+                fs = self.fs
+                native = getattr(fs, "put_if_absent", None)
+                if callable(native):
+                    cp = native
+                else:
+                    scheme = self.base.split("://", 1)[0]
+                    factory = _COND_PUT_SCHEMES.get(scheme)
+                    if factory is None:
+                        raise NotImplementedError(
+                            f"backend {scheme!r} has no conditional-create "
+                            "primitive; refusing to run the commit arbiter "
+                            "on exists-then-put (register one in "
+                            "_COND_PUT_SCHEMES or use s3://, gs://, s3sim://)"
+                        )
+                    cp = factory(fs)
+                self._cond_put = cp
+            cp(self.strip(path), data)
             return
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:

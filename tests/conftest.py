@@ -3,7 +3,18 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_TESTS)
+sys.path.insert(0, _REPO)
+
+# The mocked real-object-store schemes (s3://, gs://) must be
+# registered in EVERY Ray worker, not just the pytest process; both
+# variables are inherited by workers because they are set before
+# ray.init (see state/lakefs._load_fs_plugins).
+os.environ["GRAFT_FS_MODULES"] = "mocks3"
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_TESTS, _REPO, os.environ.get("PYTHONPATH", "")]
+).rstrip(os.pathsep)
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -22,9 +22,15 @@ def shim_uri(tmp_path) -> str:
     return "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
 
 
-@pytest.fixture()
-def shim_base(tmp_path):
-    return shim_uri(tmp_path)
+# The full object-store contract runs over THREE backends: the native
+# shim (s3sim) and the mocked real schemes (s3, gs), whose conditional
+# create goes through the production SDK-client adapters in
+# lakefs._COND_PUT_SCHEMES rather than the shim's put_if_absent.
+@pytest.fixture(params=["s3sim", "s3", "gs"])
+def shim_base(request, tmp_path):
+    import mocks3  # noqa: F401  - registers the s3/gs mock schemes
+
+    return f"{request.param}://" + str(tmp_path).lstrip("/") + "/lake"
 
 
 def test_put_get_list_delete(shim_base):
@@ -80,7 +86,8 @@ def test_parquet_roundtrip_and_ray_read(shim_base):
     assert fs.read_parquet(p).equals(t)
     # pruned read through the fsspec handler
     assert fs.read_parquet(p, columns=["v"]).column_names == ["v"]
-    # ray.data reads ship the filesystem to worker processes
+    # ray.data reads ship the filesystem to worker processes (the mock
+    # classes reach workers via conftest's PYTHONPATH + GRAFT_FS_MODULES)
     out = fs.ray_read_parquet(p).to_pandas().sort_values("k")
     assert out["v"].tolist() == [1, 2]
 
@@ -90,10 +97,11 @@ def test_cross_process_visibility(shim_base):
     fail this - its store is per-process)."""
     fs = LakeFS(shim_base)
     code = (
-        "import sys; sys.path.insert(0, %r); "
+        "import sys; sys.path.insert(0, %r); sys.path.insert(0, %r); "
+        "import mocks3; "
         "from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import LakeFS; "
         "LakeFS(%r).write_atomic(%r, b'hi')"
-        % ("/root/repo", shim_base, shim_base + "/from-child")
+        % ("/root/repo", "/root/repo/tests", shim_base, shim_base + "/from-child")
     )
     subprocess.run([sys.executable, "-c", code], check=True)
     assert fs.read_bytes(fs.full("from-child")) == b"hi"
@@ -124,6 +132,7 @@ def test_conditional_create_race_across_processes(shim_base, tmp_path):
     key = shim_base + "/_manifest/manifest-000042.json"
     script = (
         "import sys; sys.path.insert(0, '/root/repo')\n"
+        "sys.path.insert(0, '/root/repo/tests'); import mocks3\n"
         "from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import LakeFS\n"
         "fs = LakeFS(%r)\n"
         "try:\n"
@@ -145,3 +154,54 @@ def test_conditional_create_race_across_processes(shim_base, tmp_path):
     assert outcomes.count("LOST") == 5
     body = LakeFS(shim_base).read_bytes(key).decode()
     assert body.startswith("winner=")
+
+
+def test_s3_adapter_uses_conditional_put(tmp_path):
+    """The s3:// scheme routes create_exclusive through the boto3-shaped
+    PutObject(IfNoneMatch='*') call, and a 412 maps to FileExistsError."""
+    import mocks3
+
+    base = "s3://" + str(tmp_path).lstrip("/") + "/lake"
+    fs = LakeFS(base)
+    p = fs.full("_manifest", "manifest-000001.json")
+    fs.create_exclusive(p, b"v1")
+    calls = fs.fs._sync_s3_client.calls
+    assert calls and calls[-1]["IfNoneMatch"] == "*"
+    assert calls[-1]["Bucket"] == str(tmp_path).lstrip("/").split("/", 1)[0]
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, b"loser")
+    assert fs.read_bytes(p) == b"v1"
+
+
+def test_gcs_adapter_uses_generation_match(tmp_path):
+    import mocks3
+
+    base = "gs://" + str(tmp_path).lstrip("/") + "/lake"
+    fs = LakeFS(base)
+    p = fs.full("_manifest", "manifest-000001.json")
+    fs.create_exclusive(p, b"g1")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, b"loser")
+    assert fs.read_bytes(p) == b"g1"
+
+
+def test_backend_without_conditional_create_is_refused():
+    """A generic fsspec backend (memory://) has no conditional-create
+    primitive: the commit arbiter refuses instead of degrading to
+    exists-then-put."""
+    fs = LakeFS("memory://lake")
+    with pytest.raises(NotImplementedError, match="conditional-create"):
+        fs.create_exclusive("memory://lake/_manifest/m1", b"x")
+
+
+def test_s3_error_conflict_shapes():
+    from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import (
+        _s3_error_conflict,
+    )
+    from mocks3 import FakeClientError
+
+    assert _s3_error_conflict(FakeClientError("PreconditionFailed", 412))
+    assert _s3_error_conflict(FakeClientError("ConditionalRequestConflict", 409))
+    assert _s3_error_conflict(FakeClientError("SlowDown", 412))  # status wins
+    assert not _s3_error_conflict(FakeClientError("AccessDenied", 403))
+    assert not _s3_error_conflict(ValueError("no response attr"))
