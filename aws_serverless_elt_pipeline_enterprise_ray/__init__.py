@@ -41,6 +41,37 @@ _logging.getLogger(
     "ray.data._internal.execution.streaming_executor_state"
 ).addFilter(_EmptyBlockSchemaNoise())
 
+
+def _prewarm_fragile_imports() -> None:
+    """Ray's path resolution runs ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every ``read_parquet``. When aiohttp is
+    absent that module import FAILS, and a failed import is removed
+    from ``sys.modules`` each time - so two threads resolving paths
+    concurrently (e.g. pipelined commits: chunk k+1's build thread vs
+    chunk k's merge) can observe a partially-initialized module and die
+    with a plain ImportError that Ray's ``except ModuleNotFoundError``
+    does not handle. Resolve once at import: if the real module cannot
+    load, install a minimal stub whose ``HTTPFileSystem`` is a class no
+    filesystem is an instance of - Ray's isinstance check then returns
+    False deterministically, which is exactly the no-aiohttp semantics."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: isinstance() is always False
+            def __init__(self, *a, **k):
+                raise ModuleNotFoundError("aiohttp is not installed")
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_prewarm_fragile_imports()
+
 from .schema import (
     CHANGELOG_SCHEMA,
     TRANSCRIPT_SCHEMA,

@@ -252,7 +252,7 @@ def apply_changes(
                 prebuilt = fut.result()
                 if i + 1 < len(chunks):
                     fut = pool.submit(build, i + 1)
-                m = _apply_chunk(
+                m = _apply_chunk_with_retry(
                     chunks[i],
                     store,
                     spec,
@@ -264,10 +264,44 @@ def apply_changes(
                     manifests.append(m)
         return manifests
     for files_chunk in chunks:
-        m = _apply_chunk(files_chunk, store, spec, **chunk_kwargs)
+        m = _apply_chunk_with_retry(files_chunk, store, spec, **chunk_kwargs)
         if m is not None:
             manifests.append(m)
     return manifests
+
+
+def _apply_chunk_with_retry(
+    files: list[str], store: ManifestStore, spec: TableSpec, **kw
+) -> Manifest | None:
+    """One chunk's apply with bounded commit-race auto-retry. Losing a
+    ``CommitConflict`` means a concurrent writer published first: the
+    loser's data files are orphans (invisible; ``gc`` sweeps them), and
+    re-running ``_apply_chunk`` is safe by construction - it re-loads
+    the FRESH parent, the fence re-filters the chunk against the
+    winner's checkpoint (skipping files the winner applied), and the
+    merge re-reads current state. Retries are the engine analogue of
+    the reference's SQS redelivery (visibility-timeout requeue,
+    ``infra/terraform/modules/sqs_queue/main.tf:43-46``); bounded so a
+    genuinely wedged lake (e.g. a livelocked committer storm) still
+    surfaces instead of spinning forever."""
+    import random
+    import time as _time
+
+    from ..state.manifest import CommitConflict
+
+    retries = int(os.environ.get("GRAFT_COMMIT_RETRIES", 5))
+    for attempt in range(retries + 1):
+        try:
+            return _apply_chunk(files, store, spec, **kw)
+        except CommitConflict:
+            if attempt == retries:
+                raise
+            # jittered backoff: racing writers must desynchronize, and
+            # a fresh POSIX orphan (grace 60s) needs real time to age
+            _time.sleep(min(2.0, 0.05 * (2 ** attempt)) * (0.5 + random.random()))
+            # a prefetched stream belongs to the pre-race world; rebuild
+            kw["prebuilt"] = None
+            kw["prebuilt_spec"] = None
 
 
 def _derive_run_spec(

@@ -62,6 +62,16 @@ from typing import Any
 import pyarrow as pa
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer won the commit race (stale parent or the
+    exclusive version create lost). The attempted manifest was NOT
+    published; the apply is safe to retry against the fresh parent -
+    ``apply_changes`` does so automatically (bounded), re-filtering its
+    chunk against the winner's checkpoint first. The reference gets the
+    same retry for free from SQS redelivery
+    (``infra/terraform/modules/sqs_queue/main.tf:43-46``)."""
+
+
 @dataclasses.dataclass
 class Manifest:
     version: int
@@ -308,7 +318,7 @@ class ManifestStore:
         visibility point (exactly-once sink semantics)."""
         cur = self.current_version()
         if manifest.parent_version != cur:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"stale commit: parent={manifest.parent_version} current={cur}"
             )
         if self.fs.is_object:
@@ -316,7 +326,7 @@ class ManifestStore:
             # exclusive create fully arbitrates every race
             expected = self.next_version()
             if manifest.version != expected:
-                raise RuntimeError(
+                raise CommitConflict(
                     f"stale commit: version {manifest.version} but the log "
                     f"is at {expected - 1} (concurrent commit?)"
                 )
@@ -330,7 +340,7 @@ class ManifestStore:
             if newest >= manifest.version:
                 orphan = self.fs.full("_manifest", f"manifest-{newest:06d}.json")
                 if time.time() - self.fs.mtime(orphan) < self._orphan_grace_s:
-                    raise RuntimeError(
+                    raise CommitConflict(
                         f"stale commit: version file {newest} exists above "
                         f"CURRENT={cur} and is fresh - a concurrent commit "
                         "may be mid-flight; retry shortly"
@@ -344,7 +354,7 @@ class ManifestStore:
         try:
             self.fs.create_exclusive(vpath, manifest.to_json())
         except FileExistsError:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"version {manifest.version} already exists (concurrent commit?)"
             ) from None
         if not self.fs.is_object:

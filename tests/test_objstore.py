@@ -149,9 +149,11 @@ def test_concurrent_writer_conflict_is_clean(tmp_path):
 
 def test_concurrent_tailers_no_duplicate_application(tmp_path):
     """Two tailers over the same changelog+lake: whoever loses a chunk
-    race re-filters against the fresh checkpoint and skips files the
-    winner applied - the final state matches the oracle and each change
-    file lands in exactly one commit's lineage."""
+    race auto-retries against the fresh checkpoint (bounded
+    CommitConflict retry) and skips files the winner applied - BOTH
+    appliers finish without manual intervention, the final state
+    matches the oracle and each change file lands in exactly one
+    commit's lineage."""
     changes, lake = str(tmp_path / "ch"), uri(tmp_path, "lake")
     gen_changes(changes, n_events=6000, n_convs=60, n_files=6, seed=43)
     spec = engine.default_spec(num_partitions=4)
@@ -159,17 +161,16 @@ def test_concurrent_tailers_no_duplicate_application(tmp_path):
     results: dict[str, object] = {}
 
     def run(name: str):
-        try:
-            results[name] = engine.apply_changes(
-                changes, lake, spec, commit_every_files=1
-            )
-        except RuntimeError as e:  # clean conflict is an accepted outcome
-            assert "stale commit" in str(e) or "already exists" in str(e)
-            results[name] = e
+        results[name] = engine.apply_changes(
+            changes, lake, spec, commit_every_files=1
+        )
 
     t1 = threading.Thread(target=run, args=("a",))
     t2 = threading.Thread(target=run, args=("b",))
     t1.start(); t2.start(); t1.join(); t2.join()
+    # both finished; between them every file was applied exactly once
+    assert isinstance(results["a"], list) and isinstance(results["b"], list)
+    assert len(results["a"]) + len(results["b"]) >= 1
 
     # whatever the interleaving, a final serial pass converges...
     engine.apply_changes(changes, lake, spec)
