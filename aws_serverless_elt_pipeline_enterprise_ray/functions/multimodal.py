@@ -7,12 +7,14 @@ is split honestly:
 
 * REAL pure-numpy decoders - binary PPM (P6), uncompressed 24-bit
   BMP, PCM RIFF/WAVE, 8-bit PNG (zlib inflate + all five defilters)
-  and baseline JPEG (generic Huffman entropy decode + batched IDCT +
-  JFIF color) - plus a vectorized nearest-neighbor resize and
-  integer-exact features (``decode_image`` / ``resize_nearest`` /
-  ``ImageFeatures``, ``decode_wav`` / ``AudioFeatures``);
+  and JPEG, baseline SOF0 AND progressive SOF2 (generic Huffman
+  entropy decode, spectral-selection / successive-approximation scans,
+  batched IDCT + JFIF color) - plus a vectorized nearest-neighbor
+  resize and integer-exact features (``decode_image`` /
+  ``resize_nearest`` / ``ImageFeatures``, ``decode_wav`` /
+  ``AudioFeatures``);
 * ``DecodeStub`` for the codecs that genuinely need libraries absent
-  from this container (WebP, progressive JPEG, MP3/AAC, video): it
+  from this container (WebP, MP3/AAC, video codecs): it
   raises ``NotImplementedError`` unless ``fake=True``, which derives
   deterministic pseudo-metadata so pipelines exercise the full path.
 """
@@ -385,13 +387,17 @@ _IDCT_A = np.array([
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """REAL baseline-JPEG decode, library-free: marker walk (DQT / DHT
-    / SOF0 / DRI / SOS), generic canonical-Huffman entropy decode with
+    """REAL JPEG decode, library-free: marker walk (DQT / DHT / SOF0 /
+    SOF2 / DRI / SOS), generic canonical-Huffman entropy decode with
     restart-marker support, dequantize + dezigzag, ONE batched numpy
     IDCT over all blocks per component, chroma upsample (nearest) and
-    JFIF YCbCr→RGB. Grayscale and 3-component scans at any sampling
-    (4:4:4 / 4:2:2 / 4:2:0) are supported; progressive (SOF2),
-    arithmetic coding and 12-bit depth return None.
+    JFIF YCbCr→RGB. Grayscale and 3-component frames at any sampling
+    (4:4:4 / 4:2:2 / 4:2:0) are supported, both BASELINE (SOF0, one
+    interleaved scan) and PROGRESSIVE (SOF2: spectral selection +
+    successive approximation - DC-first/DC-refine, per-component AC
+    scans with EOB-run coding, AC refinement correction bits, per the
+    T.81 annex G / libjpeg jdphuff algorithm). Arithmetic coding,
+    hierarchical frames and 12-bit depth return None.
 
     The Huffman bit loop is per-symbol Python (inherent without a C
     codec - a real deployment swaps libjpeg into the same actor
@@ -406,6 +412,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         huff_dc: dict[int, dict] = {}
         huff_ac: dict[int, dict] = {}
         frame = None
+        progressive = False
+        store = None  # progressive: raw (pre-quant) coefficient grids
+        any_scan = False
         restart_interval = 0
         while pos + 4 <= len(d):
             if d[pos] != 0xFF:
@@ -437,7 +446,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                     vals = body[i + 17:i + 17 + n]
                     (huff_dc if cls == 0 else huff_ac)[tid] = _huff_table(bits, vals)
                     i += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = marker == 0xC2
                 depth = body[0]
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
@@ -449,9 +459,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                     cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
                 frame = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types
+                return None  # non-baseline/progressive frame types
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:  # SOS
@@ -459,17 +469,210 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                     return None
                 ns = body[0]
                 scan = {}
+                scan_order = []
                 for c in range(ns):
                     cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                     scan[cid] = (tabs >> 4, tabs & 0xF)
-                return _jpeg_scan(
-                    d, nxt, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
+                    scan_order.append(cid)
+                if not progressive:
+                    return _jpeg_scan(
+                        d, nxt, frame, scan, qt, huff_dc, huff_ac,
+                        restart_interval,
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if store is None:
+                    h, w, comps = frame
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    store = {
+                        c["id"]: np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), np.int32
+                        )
+                        for c in comps
+                    }
+                pos = _jpeg_progressive_scan(
+                    d, nxt, frame, scan_order, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval, store,
                 )
+                any_scan = True
+                continue
             pos = nxt
+        if progressive and any_scan:
+            h, w, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            deq = {c["id"]: store[c["id"]] * qt[c["tq"]] for c in comps}
+            return _jpeg_reconstruct(frame, deq, hmax, vmax)
         return None
     except (ValueError, IndexError, KeyError, EOFError):
         return None
+
+
+def _jpeg_progressive_scan(
+    d: bytes,
+    pos: int,
+    frame,
+    scan_order: list[int],
+    scan: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc,
+    huff_ac,
+    restart: int,
+    store,
+) -> int:
+    """One progressive SOS scan applied to the raw coefficient grids
+    (zigzag order), returning the stream position of the next marker.
+
+    Geometry per T.81 §A.2: a scan with >1 component is interleaved in
+    MCU order over the frame's MCU grid; a single-component scan walks
+    that component's OWN block grid (ceil of its scaled sample dims),
+    NOT the MCU-padded grid. DC scans (ss==0, se==0) may be interleaved;
+    AC scans carry exactly one component. Successive approximation:
+    first pass (ah==0) stores values << al; refinement (ah>0) appends
+    one correction bit per coefficient (libjpeg jdphuff semantics,
+    including EOB-run refinement of the tail)."""
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan: DC and AC share a scan")
+    if ss != 0 and len(scan_order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    r = _JpegBitReader(d, pos)
+    pred = {cid: 0 for cid in scan_order}
+    eobrun = 0
+
+    # the per-unit walk: interleaved MCUs, or the lone component's grid
+    if len(scan_order) > 1:
+        units = mcux * mcuy
+    else:
+        c = by_id[scan_order[0]]
+        csw = -(-(w * c["h"]) // hmax)  # ceil: component samples wide
+        csh = -(-(h * c["v"]) // vmax)
+        cbw = -(-csw // 8)  # ceil: component blocks wide/high
+        cbh = -(-csh // 8)
+        units = cbw * cbh
+
+    def refine_nonzero(coef, k):
+        """Append this pass's correction bit to an already-nonzero
+        coefficient (at zigzag index k)."""
+        if r.bit():
+            p1 = 1 << al
+            if (coef[k] & p1) == 0:
+                coef[k] += p1 if coef[k] >= 0 else -p1
+
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            while r.marker is None:
+                try:
+                    r.bit()
+                except EOFError:
+                    break
+            if r.marker is not None and 0xD0 <= r.marker <= 0xD7:
+                r.restart()
+            pred = {cid: 0 for cid in scan_order}
+            eobrun = 0
+        if len(scan_order) > 1:
+            my, mx = divmod(u, mcux)
+            blocks = [
+                (cid, my * by_id[cid]["v"] + by, mx * by_id[cid]["h"] + bx)
+                for cid in scan_order
+                for by in range(by_id[cid]["v"])
+                for bx in range(by_id[cid]["h"])
+            ]
+        else:
+            cid = scan_order[0]
+            blocks = [(cid, u // cbw, u % cbw)]
+        for cid, gy, gx in blocks:
+            coef = store[cid][gy, gx]
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    s = _huff_decode(r, huff_dc[scan[cid][0]])
+                    pred[cid] += _extend(r.receive(s), s)
+                    coef[0] = pred[cid] << al
+                else:  # DC refinement: one bit per block
+                    if r.bit():
+                        coef[0] |= 1 << al
+                continue
+            # AC scan, single component
+            if ah == 0:  # first pass over this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(r, huff_ac[scan[cid][1]])
+                    rr, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.receive(rr)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        coef[k] = _extend(r.receive(sz), sz) << al
+                        k += 1
+            else:  # AC refinement (correction-bit pass)
+                p1 = 1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(r, huff_ac[scan[cid][1]])
+                        rr, sz = rs >> 4, rs & 0xF
+                        newval = 0
+                        if sz == 0:
+                            if rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.receive(rr)
+                                break
+                            # ZRL: rr==15 -> pass over 16 zero-history
+                        else:
+                            if sz != 1:
+                                raise ValueError("refinement size != 1")
+                            newval = p1 if r.bit() else -p1
+                        # advance over the history: correction bits for
+                        # nonzero coefs, count down rr zero-history ones
+                        while k <= se:
+                            if coef[k] != 0:
+                                refine_nonzero(coef, k)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # end-of-band: refine the remaining nonzero tail
+                    while k <= se:
+                        if coef[k] != 0:
+                            refine_nonzero(coef, k)
+                        k += 1
+                    eobrun -= 1
+    # realign to the next marker for the caller's walk
+    p = r.pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
 
 
 def _jpeg_scan(
@@ -526,7 +729,15 @@ def _jpeg_scan(
                         k += 1
                     deq = coef * q
                     store[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = deq
-    # batched IDCT + plane assembly per component
+    return _jpeg_reconstruct(frame, store, hmax, vmax)
+
+
+def _jpeg_reconstruct(frame, store, hmax, vmax) -> np.ndarray:
+    """Batched IDCT + plane assembly over per-component DEQUANTIZED
+    coefficient grids (zigzag order): dezigzag, one einsum IDCT per
+    component, nearest chroma upsample, JFIF YCbCr->RGB. Shared by the
+    baseline and progressive paths."""
+    h, w, comps = frame
     planes = {}
     for c in comps:
         blocks = store[c["id"]]
@@ -556,9 +767,9 @@ def _jpeg_scan(
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
-    BMP, (compressed) 8-bit PNG and baseline JPEG; None for formats
-    still needing a codec library (WebP/progressive JPEG/...), which
-    keep the stub path."""
+    BMP, (compressed) 8-bit PNG and JPEG (baseline SOF0 + progressive
+    SOF2); None for formats still needing a codec library
+    (WebP/AVIF/...), which keep the stub path."""
     for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg):
         img = dec(payload)
         if img is not None:

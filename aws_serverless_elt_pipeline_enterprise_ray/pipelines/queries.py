@@ -2864,6 +2864,114 @@ def q_image_jpeg_decode(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_image_jpeg_progressive(sf_dir: str):
+    """REAL progressive-JPEG decode, SQL-exact: the same closed-form
+    16x16 4:2:0 DC-only image family as ``image_jpeg_decode``, but
+    encoded as SOF2 with FOUR scans - a coarse interleaved DC scan at
+    Al=1, a DC successive-approximation refinement (Ah=1, one raw low
+    bit per block), and per-component AC scans whose Y scan covers its
+    4 blocks with a single EOB4 run - so the oracle hash pins spectral
+    selection, successive approximation AND EOB-run decoding. Oracle =
+    the identical JFIF conversion SQL as the baseline query."""
+    from ..functions.multimodal import ImageFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def prog_jpeg(y_val: int, cb_val: int, cr_val: int) -> bytes:
+        dc_bits = bytes([0, 0, 7] + [0] * 13)  # categories 0..6, len 3
+        dc_vals = bytes(range(7))
+        # AC table: EOB1 (len-2 code 0) + EOB4 symbol 0x20 (len-3 code 4)
+        ac_bits = bytes([0, 1, 1] + [0] * 13)
+        ac_vals = bytes([0x00, 0x20])
+
+        def seg(marker, body):
+            return (
+                b"\xff" + bytes([marker])
+                + (len(body) + 2).to_bytes(2, "big") + body
+            )
+
+        def pack(bits):
+            pad = bits + [1] * ((-len(bits)) % 8)
+            raw = bytearray()
+            for i in range(0, len(pad), 8):
+                b = 0
+                for j in pad[i:i + 8]:
+                    b = (b << 1) | j
+                raw.append(b)
+                if b == 0xFF:
+                    raw.append(0x00)
+            return bytes(raw)
+
+        def dc_diff_bits(bits, diff):
+            if diff == 0:
+                n, v = 0, 0
+            else:
+                n = abs(diff).bit_length()
+                v = diff if diff > 0 else diff + (1 << n) - 1
+            bits.extend((n >> i) & 1 for i in range(2, -1, -1))
+            bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+        # scan 1: interleaved DC, Al=1 - diffs in the SHIFTED domain
+        # (all four Y blocks share the value, so diffs are v>>1,0,0,0)
+        b1: list[int] = []
+        for d in (y_val >> 1, 0, 0, 0, cb_val >> 1, cr_val >> 1):
+            dc_diff_bits(b1, d)
+        # scan 2: DC refinement, Ah=1 Al=0 - one raw low bit per block
+        b2 = [y_val & 1] * 4 + [cb_val & 1, cr_val & 1]
+        # scans 3-5: AC bands, all zero - Y: EOB4 (r=2 + 2 bits), C: EOB1
+        b3 = [0, 1, 0, 0, 0]  # len-3 canonical code 2 = 0b010, + 2 bits
+        b4 = [0, 0]           # len-2 code 0 = EOB1
+        b5 = [0, 0]
+
+        head = b"\xff\xd8"
+        head += seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        head += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+        head += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+        head += seg(
+            0xC2,
+            bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        out = head
+        out += seg(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 0, 0x01])) + pack(b1)
+        out += seg(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 0, 0x10])) + pack(b2)
+        out += seg(0xDA, bytes([1, 1, 0, 1, 63, 0x00])) + pack(b3)
+        out += seg(0xDA, bytes([1, 2, 0, 1, 63, 0x00])) + pack(b4)
+        out += seg(0xDA, bytes([1, 3, 0, 1, 63, 0x00])) + pack(b5)
+        return out + b"\xff\xd9"
+
+    def make_jpeg(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            y_val = (i % 30) + 5                  # both parities: exercises
+            cb_val = ((i % 5) - 2) * 4            # the refinement bit
+            cr_val = ((i % 7) - 3) * 4
+            payloads.append(prog_jpeg(y_val, cb_val, cr_val))
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_jpeg, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(8, 8)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_video_frames(sf_dir: str):
     """REAL video-column plumbing, SQL-exact on the sampling contract:
     per doc an uncompressed AVI with (doc_id % 5) + 2 frames is
@@ -4648,6 +4756,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_png_decode": q_image_png_decode,
     "image_jpeg_decode": q_image_jpeg_decode,
+    "image_jpeg_progressive": q_image_jpeg_progressive,
     "video_frames": q_video_frames,
     "audio_quality": q_audio_quality,
     "conversation_windows": q_conversation_windows,
@@ -5897,6 +6006,23 @@ ORACLES = {
       ORDER BY media_id
     """,
     "image_jpeg_decode": """
+      WITH lv AS (
+        SELECT doc_id,
+               2 * ((doc_id % 30) + 5) + 128 AS y,
+               2 * (((doc_id % 5) - 2) * 4) AS cb,
+               2 * (((doc_id % 7) - 3) * 4) AS cr
+        FROM documents
+      )
+      SELECT doc_id AS media_id,
+             CAST(16 AS BIGINT) AS width,
+             CAST(16 AS BIGINT) AS height,
+             CAST(64 * ROUND(y + 1.402 * cr) AS BIGINT) AS sum_r,
+             CAST(64 * ROUND(y - 0.344136 * cb - 0.714136 * cr) AS BIGINT) AS sum_g,
+             CAST(64 * ROUND(y + 1.772 * cb) AS BIGINT) AS sum_b
+      FROM lv
+      ORDER BY media_id
+    """,
+    "image_jpeg_progressive": """
       WITH lv AS (
         SELECT doc_id,
                2 * ((doc_id % 30) + 5) + 128 AS y,
