@@ -667,3 +667,42 @@ def test_fix_mojibake_repairs_single_and_double_encoding():
     )
     assert out["text"].tolist() == [clean, clean, clean, "plain ascii"]
     assert out["had_mojibake"].tolist() == [True, True, False, False]
+
+
+def test_sniff_audio_format_and_coverage():
+    """Magic-byte classification + the corpus decode-coverage metric
+    (round-3 verdict item 5: measure what the WAV-only path skips)."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        audio_decode_coverage,
+        sniff_audio_format,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(np.zeros(4, np.int16).tobytes())
+    wav = buf.getvalue()
+    assert sniff_audio_format(wav) == "wav"
+    assert sniff_audio_format(b"ID3\x04" + bytes(12)) == "mp3"
+    assert sniff_audio_format(b"\xff\xfb\x90\x00") == "mp3"  # MPEG1 L3 sync
+    assert sniff_audio_format(b"\xff\xf1\x50\x80") == "aac"  # ADTS
+    assert sniff_audio_format(b"OggS" + bytes(8)) == "ogg"
+    assert sniff_audio_format(b"fLaC" + bytes(8)) == "flac"
+    assert sniff_audio_format(b"\x00\x01\x02\x03") == "unknown"
+    assert sniff_audio_format(None) == "unknown"
+    assert sniff_audio_format(b"") == "unknown"
+
+    ds = rd.from_items(
+        [{"payload": wav}] * 3
+        + [{"payload": b"\xff\xfb\x90\x00" + bytes(8)}] * 2
+        + [{"payload": b"\xff\xf1\x50\x80" + bytes(8)}]
+    )
+    cov = audio_decode_coverage(ds)
+    got = {r["format"]: (r["n"], r["n_decoded"], r["decode_permille"])
+           for _, r in cov.iterrows()}
+    assert got == {"wav": (3, 3, 1000), "mp3": (2, 0, 0), "aac": (1, 0, 0)}
