@@ -44,6 +44,7 @@ import ray
 import ray.data as rd
 
 from .text import content_hash_batch
+from .windows import bucketed_agg
 
 
 def _n_shuffle_groups() -> int:
@@ -919,7 +920,6 @@ def dedup_clusters(
     candidate-pair scale, never corpus scale; no driver-side
     materialization. Each round is 2 shuffles of the edge list.
     """
-    from ray.data.aggregate import Min
 
     def sym(b: pd.DataFrame) -> pd.DataFrame:
         u = b[a_col].to_numpy(dtype=np.int64)
@@ -943,15 +943,14 @@ def dedup_clusters(
 
     # round 1 fused into initialization: label = min(self, min neighbor)
     labels = (
-        edges.groupby("src")
-        .aggregate(Min("dst", alias_name="label"))
+        bucketed_agg(edges, "src", {"dst": "min"})
         .map_batches(
             lambda b: pd.DataFrame(
                 {
                     "src": b["src"].astype("int64"),
                     "label": np.minimum(
                         b["src"].to_numpy(dtype=np.int64),
-                        b["label"].to_numpy(dtype=np.int64),
+                        b["dst"].to_numpy(dtype=np.int64),
                     ),
                 }
             ),
@@ -977,10 +976,8 @@ def dedup_clusters(
             batch_format="pandas",
         )
         labels = (
-            prop.union(labels)
-            .repartition(rp)
-            .groupby("src")
-            .aggregate(Min("label", alias_name="label"))
+            bucketed_agg(prop.union(labels).repartition(rp),
+                         "src", {"label": "min"})
             .map_batches(
                 lambda b: pd.DataFrame(
                     {"src": b["src"].astype("int64"),
@@ -1108,7 +1105,6 @@ def paragraph_dedup(
 
     Returns ``(id_col, text_dedup)``.
     """
-    from ray.data.aggregate import Min
 
     from .joins import hash_join
     from .windows import _buckets_for_cluster, _key_buckets
@@ -1130,7 +1126,7 @@ def paragraph_dedup(
 
     occ = ds.map_batches(explode, batch_format="pandas").materialize()
 
-    winners = (
+    winners = bucketed_agg(
         occ.map_batches(
             lambda b: pd.DataFrame(
                 {
@@ -1140,9 +1136,10 @@ def paragraph_dedup(
                 }
             ),
             batch_format="pandas",
-        )
-        .groupby("para")
-        .aggregate(Min("rank", alias_name="keep"))
+        ),
+        "para", {"rank": "min"},
+    ).map_batches(
+        lambda b: b.rename(columns={"rank": "keep"}), batch_format="pandas"
     )
 
     kept = hash_join(occ, winners, on="para", num_buckets=nb).map_batches(

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ray.data.aggregate import Sum
+from .windows import bucketed_agg, bucketed_distinct
 
 #: Above this node count the iterative algorithms keep their node state
 #: (ranks / labels / visited) as keyed DATASETS joined per iteration
@@ -54,10 +54,9 @@ def _degrees(edges: rd.Dataset, src: str) -> rd.Dataset:
             {"node": vc.index.to_numpy(), "deg": vc.to_numpy(np.int64)}
         )
 
-    return (
-        edges.map_batches(partial, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Sum("deg", alias_name="deg"))
+    return bucketed_agg(
+        edges.map_batches(partial, batch_format="pandas"),
+        "node", {"deg": "sum"},
     )
 
 
@@ -99,13 +98,9 @@ def pagerank(
             {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
         )
 
-    nodes_ds = (
-        edges.map_batches(nodes_of, batch_format="pandas")
-        .groupby("node")
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    nodes_ds = bucketed_distinct(
+        edges.map_batches(nodes_of, batch_format="pandas"), "node"
+    ).materialize()
     n = nodes_ds.count()
     if n == 0:
         return pd.DataFrame({"node": [], "rank": []})
@@ -163,12 +158,10 @@ def pagerank(
             g = b.groupby(dst, sort=False)["w"].sum()
             return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
 
-        sums = (
-            joined.map_batches(dst_partials, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Sum("m", alias_name="m"))
-            .to_pandas()
-        )
+        sums = bucketed_agg(
+            joined.map_batches(dst_partials, batch_format="pandas"),
+            "node", {"m": "sum"},
+        ).to_pandas()
         sums["node"] = sums["node"].astype(np.int64)
 
         dangling = float(
@@ -216,13 +209,9 @@ def pagerank_dataset(
 
     nodes_ds = _nodes_ds
     if nodes_ds is None:
-        nodes_ds = (
-            edges.map_batches(nodes_of, batch_format="pandas")
-            .groupby("node")
-            .count()
-            .drop_columns(["count()"])
-            .materialize()
-        )
+        nodes_ds = bucketed_distinct(
+            edges.map_batches(nodes_of, batch_format="pandas"), "node"
+        ).materialize()
     n = _n if _n is not None else nodes_ds.count()
     if n == 0:
         return rd.from_pandas(pd.DataFrame({"node": [], "rank": []}))
@@ -289,10 +278,9 @@ def pagerank_dataset(
             g = b.groupby(dst, sort=False)["w"].sum()
             return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
 
-        sums = (
-            joined.map_batches(dst_partials, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Sum("m", alias_name="m"))
+        sums = bucketed_agg(
+            joined.map_batches(dst_partials, batch_format="pandas"),
+            "node", {"m": "sum"},
         )
 
         def rebuild(b: pd.DataFrame, d=dangling) -> pd.DataFrame:
@@ -341,12 +329,10 @@ def _spread(
         g = b.groupby(out_key, sort=False)["w"].sum()
         return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
 
-    out = (
-        joined.map_batches(partials, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Sum("m", alias_name="m"))
-        .to_pandas()
-    )
+    out = bucketed_agg(
+        joined.map_batches(partials, batch_format="pandas"),
+        "node", {"m": "sum"},
+    ).to_pandas()
     out["node"] = out["node"].astype(np.int64)
     return out
 
@@ -388,13 +374,9 @@ def hits(
             {"node": pd.unique(np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]))}
         )
 
-    nodes_ds = (
-        edges.map_batches(nodes_of, batch_format="pandas")
-        .groupby("node")
-        .count()
-        .drop_columns(["count()"])
-        .materialize()
-    )
+    nodes_ds = bucketed_distinct(
+        edges.map_batches(nodes_of, batch_format="pandas"), "node"
+    ).materialize()
     n = nodes_ds.count()
     if n == 0:
         return pd.DataFrame({"node": [], "hub": [], "authority": []})
@@ -453,12 +435,10 @@ def _hits_ds(
             g = b.groupby(out_key, sort=False)["w"].sum()
             return pd.DataFrame({"node": g.index.to_numpy(), "m": g.to_numpy()})
 
-        return (
-            joined.map_batches(partials, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Sum("m", alias_name="m"))
-            .materialize()
-        )
+        return bucketed_agg(
+            joined.map_batches(partials, batch_format="pandas"),
+            "node", {"m": "sum"},
+        ).materialize()
 
     def l2_ds(sums: rd.Dataset) -> rd.Dataset:
         sq = sums.map_batches(
@@ -526,7 +506,6 @@ def triangle_count(
     (swap for a hash_join at >10^8 nodes); exchanges carry distinct
     edges, then wedges — never raw duplicate edges."""
     import ray
-    from ray.data.aggregate import Count
 
     from .joins import hash_join
     from .windows import _buckets_for_cluster, _key_buckets
@@ -540,13 +519,9 @@ def triangle_count(
         out = pd.DataFrame({"a": lo, "b": hi})
         return out[out["a"] != out["b"]].drop_duplicates()
 
-    und = (
-        edges.map_batches(normalize, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()  # reused: degrees, orientation, closing join
-    )
+    und = bucketed_distinct(
+        edges.map_batches(normalize, batch_format="pandas"), ["a", "b"]
+    ).materialize()  # reused: degrees, orientation, closing join
 
     def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = pd.concat([b["a"], b["b"]]).value_counts()
@@ -554,12 +529,10 @@ def triangle_count(
             {"node": vc.index.to_numpy(), "deg": vc.to_numpy(np.int64)}
         )
 
-    deg = (
-        und.map_batches(deg_partial, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Sum("deg", alias_name="deg"))
-        .to_pandas()
-    )
+    deg = bucketed_agg(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        "node", {"deg": "sum"},
+    ).to_pandas()
     deg_ref = ray.put(dict(zip(deg["node"], deg["deg"].astype(np.int64))))
 
     class Orient:
@@ -652,21 +625,12 @@ def label_propagation(
             }
         ).drop_duplicates()
 
-    from ray.data.aggregate import Count
 
-    und = (
-        edges.map_batches(sym, batch_format="pandas")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()
-    )
+    und = bucketed_distinct(
+        edges.map_batches(sym, batch_format="pandas"), ["u", "v"]
+    ).materialize()
 
-    nodes_ds = (
-        und.groupby("u").aggregate(Count(alias_name="_d"))
-        .drop_columns(["_d"])
-        .materialize()
-    )
+    nodes_ds = bucketed_distinct(und, "u").materialize()
     n = nodes_ds.count()
     if _resolve_state(node_state, n) == "dataset":
         return _label_propagation_ds(und, nodes_ds, rounds, hash_join)
@@ -688,12 +652,10 @@ def label_propagation(
                 .reset_index(name="n")
             )
 
-        counts = (
-            contrib.map_batches(partial, batch_format="pandas")
-            .groupby(["u", "label"])
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas()
-        )
+        counts = bucketed_agg(
+            contrib.map_batches(partial, batch_format="pandas"),
+            ["u", "label"], {"n": "sum"},
+        ).to_pandas()
         counts = counts.sort_values(
             ["u", "n", "label"], ascending=[True, False, True],
             kind="mergesort",
@@ -744,10 +706,9 @@ def _label_propagation_ds(
                 .reset_index(name="n")
             )
 
-        counts = (
-            contrib.map_batches(partial, batch_format="pandas")
-            .groupby(["u", "label"])
-            .aggregate(Sum("n", alias_name="n"))
+        counts = bucketed_agg(
+            contrib.map_batches(partial, batch_format="pandas"),
+            ["u", "label"], {"n": "sum"},
         )
 
         def argmax_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -813,7 +774,6 @@ def bfs_distances(
     level (page scale; the driver sees one frontier-size scalar per
     level). Unreached nodes are absent from the result.
     Returns (node, dist)."""
-    from ray.data.aggregate import Count
 
     from .joins import hash_join
 
@@ -830,17 +790,13 @@ def bfs_distances(
             }
         ).drop_duplicates()
 
-    adj = (
-        edges.map_batches(prep, batch_format="pandas")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()
-    )
+    adj = bucketed_distinct(
+        edges.map_batches(prep, batch_format="pandas"), ["u", "v"]
+    ).materialize()
 
     if node_state != "driver":
         # size the decision on the graph's node count only when auto
-        n = adj.groupby("u").aggregate(Count(alias_name="_d")).count()
+        n = bucketed_distinct(adj, "u").count()
         if _resolve_state(node_state, n) == "dataset":
             return _bfs_distances_ds(adj, int(source), max_depth, hash_join)
 
@@ -854,12 +810,9 @@ def bfs_distances(
         def nbr_partial(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"v": pd.unique(b["v"].to_numpy())})
 
-        neigh = (
-            joined.map_batches(nbr_partial, batch_format="pandas")
-            .groupby("v")
-            .aggregate(Count(alias_name="_n"))
-            .to_pandas()
-        )
+        neigh = bucketed_distinct(
+            joined.map_batches(nbr_partial, batch_format="pandas"), "v"
+        ).to_pandas()
         new = [int(v) for v in neigh["v"] if int(v) not in dist]
         for v in new:
             dist[v] = depth
@@ -878,7 +831,6 @@ def _bfs_distances_ds(
     semi-join (frontier onto edges), one distinct-neighbor groupby, one
     anti-join against visited, one union. Driver sees one scalar per
     level (new-frontier size)."""
-    from ray.data.aggregate import Count
 
     start = pd.DataFrame(
         {"u": np.array([source], dtype=np.int64),
@@ -889,14 +841,12 @@ def _bfs_distances_ds(
 
     for depth in range(1, max_depth + 1):
         joined = hash_join(adj, frontier, on="u", how="semi")
-        neigh = (
+        neigh = bucketed_distinct(
             joined.map_batches(
                 lambda b: pd.DataFrame({"u": pd.unique(b["v"].to_numpy())}),
                 batch_format="pandas",
-            )
-            .groupby("u")
-            .aggregate(Count(alias_name="_n"))
-            .drop_columns(["_n"])
+            ),
+            "u",
         )
         new = hash_join(neigh, visited, on="u", how="anti").materialize()
         if new.count() == 0:
@@ -945,15 +895,10 @@ def k_core(
             }
         ).drop_duplicates()
 
-    from ray.data.aggregate import Count
 
-    cur = (
-        edges.map_batches(sym, batch_format="pandas")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()
-    )
+    cur = bucketed_distinct(
+        edges.map_batches(sym, batch_format="pandas"), ["u", "v"]
+    ).materialize()
 
     if node_state != "driver":
         deg0 = _degrees(cur, "u").materialize()
@@ -961,18 +906,16 @@ def k_core(
             return _k_core_ds(cur, k, max_rounds, deg0)
 
     for _ in range(max_rounds):
-        deg = (
+        deg = bucketed_agg(
             cur.map_batches(
                 lambda b: pd.DataFrame(
                     {"node": b["u"].value_counts().index.to_numpy(),
                      "deg": b["u"].value_counts().to_numpy(np.int64)}
                 ),
                 batch_format="pandas",
-            )
-            .groupby("node")
-            .aggregate(Sum("deg", alias_name="deg"))
-            .to_pandas()
-        )
+            ),
+            "node", {"deg": "sum"},
+        ).to_pandas()
         survivors = deg[deg["deg"] >= k]
         if len(survivors) == len(deg):
             return (

@@ -50,6 +50,99 @@ def _buckets_for_cluster() -> int:
         return 32
 
 
+def bucketed_agg(
+    ds: rd.Dataset,
+    key: str | list[str],
+    aggs: dict[str, str],
+    *,
+    nb: int | None = None,
+) -> rd.Dataset:
+    """High-cardinality group reduction: sum/min/max/count ``aggs``
+    value columns per ``key`` with ONE bounded-fanout shuffle.
+
+    Ray 2.49's built-in ``groupby(key).aggregate(...)`` pays per-
+    DISTINCT-KEY Python in its combine step (``table_block.iter_groups``
+    + a pandas ``take`` per group): measured 40s for 200k rows / 50k
+    keys at 16 CPUs where this shape takes ~1s, and it gets linearly
+    worse with key cardinality — unusable for node-keyed graph state.
+    Here each block first combines locally (C-level pandas groupby),
+    rows are hash-bucketed into ``nb`` (~2/CPU) partitions on the FIRST
+    key, and each bucket reduces all its keys with one vectorized
+    groupby — per-group Python cost is ~2 calls per CPU total,
+    independent of key cardinality.
+
+    ``aggs``: {value_col: 'sum' | 'min' | 'max' | 'count'}; 'count'
+    counts rows per key into a NEW column of that name (the value_col
+    need not pre-exist). Output columns: keys + list(aggs), int/float
+    dtypes preserved (counts are int64)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    P = nb or _buckets_for_cluster()
+    count_cols = [c for c, op in aggs.items() if op == "count"]
+    other = {c: op for c, op in aggs.items() if op != "count"}
+    bad = set(other.values()) - {"sum", "min", "max"}
+    assert not bad, f"unsupported agg ops: {bad}"
+
+    def _combine(b: pd.DataFrame, counts_are_sums: bool) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False)
+        parts = []
+        if other:
+            parts.append(g.agg(other))
+        if count_cols:
+            if counts_are_sums:
+                parts.append(g[count_cols].sum())
+            else:
+                s = g.size()
+                parts.append(
+                    pd.DataFrame({c: s for c in count_cols}, index=s.index)
+                )
+        out = pd.concat(parts, axis=1).reset_index()
+        return out[keys + list(aggs)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = _combine(b, counts_are_sums=False)
+        out["_gb"] = _key_buckets(out[keys[0]], P)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _combine(g, counts_are_sums=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def bucketed_distinct(
+    ds: rd.Dataset,
+    keys: str | list[str],
+    *,
+    nb: int | None = None,
+) -> rd.Dataset:
+    """DISTINCT over ``keys`` with one bounded-fanout shuffle (the
+    high-cardinality-safe replacement for ``groupby(keys).count()``;
+    see ``bucketed_agg`` for why the built-in path is unusable at node
+    cardinality). Rows dedupe per block first, bucket on the first key
+    (a key tuple always lands in its first component's bucket), then
+    dedupe once per bucket — the shuffle carries per-block distincts."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    P = nb or _buckets_for_cluster()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[ks].drop_duplicates().copy()
+        out["_gb"] = _key_buckets(out[ks[0]], P)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[ks].drop_duplicates()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def sessionize(
     ds: rd.Dataset,
     *,
