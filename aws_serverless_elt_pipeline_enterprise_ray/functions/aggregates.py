@@ -39,6 +39,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from .windows import bucketed_agg
+
 
 def distinct_count(
     ds: rd.Dataset,
@@ -267,10 +269,9 @@ def grouped_quantiles(
             row[name] = vals[idx]
         return pd.DataFrame(row)
 
-    hist = (
-        ds.map_batches(partial_hist, batch_format="pyarrow")
-        .groupby([group_col, "cents"])
-        .aggregate(Sum("n", alias_name="n"))
+    hist = bucketed_agg(
+        ds.map_batches(partial_hist, batch_format="pyarrow"),
+        [group_col, "cents"], {"n": "sum"},
     )
     out = (
         hist.map_batches(add_bucket, batch_format="pandas")
@@ -383,10 +384,9 @@ def grouped_gini(
             }
         )
 
-    hist = (
-        ds.map_batches(partial_hist, batch_format="pyarrow")
-        .groupby([group_col, "v"])
-        .aggregate(Sum("c", alias_name="c"))
+    hist = bucketed_agg(
+        ds.map_batches(partial_hist, batch_format="pyarrow"),
+        [group_col, "v"], {"c": "sum"},
     )
     out = (
         hist.map_batches(add_bucket, batch_format="pandas")
@@ -508,12 +508,10 @@ def pivot_counts(
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([row_col, col_col])
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()  # consumed twice: column domain + widen
-    )
+    agg = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [row_col, col_col], {"n": "sum"},
+    ).materialize()  # consumed twice: column domain + widen
     # the wide schema = sorted distinct col values (small by contract);
     # every bucket emits exactly these columns so blocks stay uniform
     domain = sorted(agg.unique(col_col))
@@ -562,12 +560,10 @@ def quantile_thresholds(
             .rename_columns(["v", "n"])
         )
 
-    hist = (
-        ds.map_batches(partial_hist, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    hist = bucketed_agg(
+        ds.map_batches(partial_hist, batch_format="pyarrow"),
+        "v", {"n": "sum"},
+    ).to_pandas()
     if len(hist) == 0 or "v" not in hist.columns:
         # Empty input: no ranks exist (an empty Dataset's to_pandas also
         # drops the schema entirely); callers (filter/winsorize) treat
@@ -664,15 +660,16 @@ def global_percentile(
     (exactly SQL's definition) — a straight-line double division of
     exact ints, so the SQL mirror hash-matches."""
     th = (
-        ds.map_batches(
-            lambda b: pa.table(
-                {"v": pc.cast(b[col], pa.int64())}
-            ).group_by(["v"]).aggregate([("v", "count")])
-            .rename_columns(["v", "n"]),
-            batch_format="pyarrow",
+        bucketed_agg(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"v": pc.cast(b[col], pa.int64())}
+                ).group_by(["v"]).aggregate([("v", "count")])
+                .rename_columns(["v", "n"]),
+                batch_format="pyarrow",
+            ),
+            "v", {"n": "sum"},
         )
-        .groupby("v")
-        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
         .sort_values("v")
     )
@@ -929,10 +926,9 @@ def grouped_mode(
             .reset_index(name="n")
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([key, value_col])
-        .aggregate(Sum("n", alias_name="n"))
+    counts = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [key, value_col], {"n": "sum"},
     )
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -990,10 +986,9 @@ def grouped_entropy(
             .reset_index(name="c")
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([key, value_col])
-        .aggregate(Sum("c", alias_name="c"))
+    counts = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [key, value_col], {"c": "sum"},
     )
 
     def quantize(b: pd.DataFrame) -> pd.DataFrame:
@@ -1004,10 +999,9 @@ def grouped_entropy(
         )
         return d.groupby(key, sort=False).sum().reset_index()
 
-    sums = (
-        counts.map_batches(quantize, batch_format="pandas")
-        .groupby(key)
-        .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t"))
+    sums = bucketed_agg(
+        counts.map_batches(quantize, batch_format="pandas"),
+        key, {"n": "sum", "t": "sum"},
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -1091,12 +1085,10 @@ def cohort_retention(
         d = pd.DataFrame({key: b[key], "bs": (t // bucket_us) * bucket_us})
         return d.groupby(key, sort=False)["bs"].min().reset_index()
 
-    first = (
-        ds.map_batches(first_partial, batch_format="pandas")
-        .groupby(key)
-        .aggregate(Min("bs", alias_name="bs"))
-        .to_pandas()
-    )
+    first = bucketed_agg(
+        ds.map_batches(first_partial, batch_format="pandas"),
+        key, {"bs": "min"},
+    ).to_pandas()
     cohort_map = dict(zip(first[key], first["bs"].astype(np.int64)))
     sizes = first.groupby("bs").size()
     cohort_ref = ray.put(cohort_map)

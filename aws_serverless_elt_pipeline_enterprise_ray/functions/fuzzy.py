@@ -171,12 +171,13 @@ def fuzzy_pairs_ed1(
         m = m[m["dist"] <= 1]
         return m[["id_a", "id_b", "dist"]].reset_index(drop=True)
 
-    return (
+    from .windows import bucketed_agg
+
+    return bucketed_agg(
         ds.map_batches(variants, batch_format="pandas")
         .groupby("_fb")
-        .map_groups(pairs_bucket, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("dist", alias_name="dist"))
+        .map_groups(pairs_bucket, batch_format="pandas"),
+        ["id_a", "id_b"], {"dist": "min"},
     )
 
 

@@ -238,12 +238,12 @@ def hll_distinct_by_group(
             .reset_index()
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([group_col, "reg"])
-        .aggregate(Max("rho", alias_name="rho"))
-        .to_pandas()
-    )
+    from .windows import bucketed_agg
+
+    merged = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "reg"], {"rho": "max"}, bucket_key="reg",
+    ).to_pandas()
     rows = []
     for g, sub in merged.groupby(group_col):
         regs = np.zeros(1 << p, dtype=np.uint8)

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .windows import bucketed_agg, bucketed_distinct
+
 TOKEN_RE = r"[A-Za-z0-9]+"
 ALPHA_RE = r"[^A-Za-z]"
 
@@ -226,10 +228,9 @@ def term_frequencies(
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n"))
+    out = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "term", {"n": "sum"},
     )
     if top_n is not None:
         out = out.sort(["n", "term"], descending=[True, False]).limit(top_n)
@@ -352,12 +353,10 @@ def bigram_model(
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["kind", "key"])
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()  # consumed twice below; distinct-gram-sized
-    )
+    agg = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["kind", "key"], {"n": "sum"}, bucket_key="key",
+    ).materialize()  # consumed twice below; distinct-gram-sized
 
     def only(kind: str):
         import pyarrow.compute as pc
@@ -653,10 +652,9 @@ def tfidf_topk_terms(
             }
         )
 
-    df_ds = (
-        ds.map_batches(df_partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
+    df_ds = bucketed_agg(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        "term", {"df": "sum"},
     )
     if max_vocab is not None:
         df_ds = df_ds.sort("df", descending=True).limit(max_vocab)
@@ -1278,23 +1276,16 @@ def novelty_scores(
 
     pair_ds = ds.map_batches(pairs, batch_format="pandas")
     # global dedup across batches, then df per gram
-    from ray.data.aggregate import Count
-
-    deduped = (
-        pair_ds.groupby(["gh", id_col]).aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()
-    )
+    deduped = bucketed_distinct(pair_ds, ["gh", id_col]).materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = b["gh"].value_counts()
         return pd.DataFrame({"gh": vc.index.to_numpy(),
                              "df": vc.to_numpy(np.int64)})
 
-    dfreq = (
-        deduped.map_batches(df_partial, batch_format="pandas")
-        .groupby("gh")
-        .aggregate(_Sum("df", alias_name="df"))
+    dfreq = bucketed_agg(
+        deduped.map_batches(df_partial, batch_format="pandas"),
+        "gh", {"df": "sum"},
     )
     joined = hash_join(deduped, dfreq, on="gh")
 
@@ -1313,10 +1304,7 @@ def novelty_scores(
             {id_col: b[id_col], "n_grams": ng, "novelty_pm": pm}
         )
 
-    return (
-        joined.map_batches(doc_partial, batch_format="pandas")
-        .groupby(id_col)
-        .aggregate(_Sum("n_grams", alias_name="n_grams"),
-                   _Sum("uniq", alias_name="uniq"))
-        .map_batches(finish, batch_format="pandas")
-    )
+    return bucketed_agg(
+        joined.map_batches(doc_partial, batch_format="pandas"),
+        id_col, {"n_grams": "sum", "uniq": "sum"},
+    ).map_batches(finish, batch_format="pandas")

@@ -56,6 +56,7 @@ def bucketed_agg(
     aggs: dict[str, str],
     *,
     nb: int | None = None,
+    bucket_key: str | None = None,
 ) -> rd.Dataset:
     """High-cardinality group reduction: sum/min/max/count ``aggs``
     value columns per ``key`` with ONE bounded-fanout shuffle.
@@ -74,8 +75,12 @@ def bucketed_agg(
     ``aggs``: {value_col: 'sum' | 'min' | 'max' | 'count'}; 'count'
     counts rows per key into a NEW column of that name (the value_col
     need not pre-exist). Output columns: keys + list(aggs), int/float
-    dtypes preserved (counts are int64)."""
+    dtypes preserved (counts are int64). ``bucket_key``: which key
+    column to hash-bucket on (default the first) — pick a HIGH-
+    cardinality one, or every row lands in a handful of buckets."""
     keys = [key] if isinstance(key, str) else list(key)
+    bucket_key = bucket_key or keys[0]
+    assert bucket_key in keys, (bucket_key, keys)
     P = nb or _buckets_for_cluster()
     count_cols = [c for c, op in aggs.items() if op == "count"]
     other = {c: op for c, op in aggs.items() if op != "count"}
@@ -100,7 +105,7 @@ def bucketed_agg(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         out = _combine(b, counts_are_sums=False)
-        out["_gb"] = _key_buckets(out[keys[0]], P)
+        out["_gb"] = _key_buckets(out[bucket_key], P)
         return out
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -108,6 +113,12 @@ def bucketed_agg(
 
     return (
         ds.map_batches(partial, batch_format="pandas")
+        # Coalesce partials to P blocks BEFORE the sort-shuffle: the
+        # sort emits input-blocks x output-blocks split objects whose
+        # driver-side metadata dominates at high block counts (a
+        # 256-block input cost ~1.4GB of driver heap in refs alone);
+        # P blocks in -> P^2 splits, bounded by cluster size.
+        .repartition(P, shuffle=False)
         .groupby("_gb")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
@@ -118,19 +129,23 @@ def bucketed_distinct(
     keys: str | list[str],
     *,
     nb: int | None = None,
+    bucket_key: str | None = None,
 ) -> rd.Dataset:
     """DISTINCT over ``keys`` with one bounded-fanout shuffle (the
     high-cardinality-safe replacement for ``groupby(keys).count()``;
     see ``bucketed_agg`` for why the built-in path is unusable at node
-    cardinality). Rows dedupe per block first, bucket on the first key
-    (a key tuple always lands in its first component's bucket), then
-    dedupe once per bucket — the shuffle carries per-block distincts."""
+    cardinality). Rows dedupe per block first, bucket on ``bucket_key``
+    (default the first key; a key tuple always lands in its bucket
+    column's bucket — pick a high-cardinality one), then dedupe once
+    per bucket — the shuffle carries per-block distincts."""
     ks = [keys] if isinstance(keys, str) else list(keys)
+    bucket_key = bucket_key or ks[0]
+    assert bucket_key in ks, (bucket_key, ks)
     P = nb or _buckets_for_cluster()
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         out = b[ks].drop_duplicates().copy()
-        out["_gb"] = _key_buckets(out[ks[0]], P)
+        out["_gb"] = _key_buckets(out[bucket_key], P)
         return out
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,6 +153,7 @@ def bucketed_distinct(
 
     return (
         ds.map_batches(partial, batch_format="pandas")
+        .repartition(P, shuffle=False)  # see bucketed_agg: P^2 splits
         .groupby("_gb")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
