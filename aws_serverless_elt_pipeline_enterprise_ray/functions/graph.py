@@ -258,7 +258,8 @@ def pagerank_dataset(
     # state = (node, deg, rank); deg null/0 marks dangling nodes
     deg_ds = _degrees(edges, src)
     state = _clamp_blocks(hash_join(
-        nodes_ds, deg_ds, on="node", how="left", num_buckets=num_buckets
+        nodes_ds, deg_ds, on="node", how="left", num_buckets=num_buckets,
+        coalesce=True,
     ).map_batches(
         lambda b: b.assign(
             deg=b["deg"].fillna(0).astype(np.int64),
@@ -271,6 +272,12 @@ def pagerank_dataset(
         lambda b: b.rename(columns={src: "node"})[["node", dst]],
         batch_format="pandas",
     ))
+    # size-aware pre-sort coalesce target for the edge join (ed bytes
+    # dominate; contrib is node-sized)
+    ed_co = max(
+        2 * _buckets_for_cluster(),
+        (ed.size_bytes() + state.size_bytes()) // (128 << 20),
+    )
 
     for _ in range(iterations):
         dangling = state.map_batches(
@@ -290,7 +297,9 @@ def pagerank_dataset(
             ),
             batch_format="pandas",
         )
-        joined = hash_join(ed, contrib, on="node", num_buckets=num_buckets)
+        joined = hash_join(
+            ed, contrib, on="node", num_buckets=num_buckets, coalesce=ed_co
+        )
 
         def dst_partials(b: pd.DataFrame) -> pd.DataFrame:
             g = b.groupby(dst, sort=False)["w"].sum()
@@ -317,6 +326,7 @@ def pagerank_dataset(
             hash_join(
                 state.drop_columns(["rank"]), sums,
                 on="node", how="left", num_buckets=num_buckets,
+                coalesce=True,
             )
             .map_batches(rebuild, batch_format="pandas")
         )
@@ -442,11 +452,17 @@ def _hits_ds(
     def unit(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": b["node"], "w": np.ones(len(b))})
 
-    hub = nodes_ds.map_batches(unit, batch_format="pandas").materialize()
+    nodes_ds = _clamp_blocks(nodes_ds)
+    ed_by_src = _clamp_blocks(ed_by_src)
+    ed_by_dst = _clamp_blocks(ed_by_dst)
+    ed_co = max(2 * _buckets_for_cluster(),
+                ed_by_src.size_bytes() // (128 << 20))
+    hub = _clamp_blocks(nodes_ds.map_batches(unit, batch_format="pandas"))
     auth = hub
 
     def spread_ds(prepared: rd.Dataset, weights: rd.Dataset, out_key: str):
-        joined = hash_join(prepared, weights, on="node", num_buckets=num_buckets)
+        joined = hash_join(prepared, weights, on="node",
+                           num_buckets=num_buckets, coalesce=ed_co)
 
         def partials(b: pd.DataFrame) -> pd.DataFrame:
             g = b.groupby(out_key, sort=False)["w"].sum()
@@ -470,11 +486,10 @@ def _hits_ds(
                 {"node": b["node"], "w": v / norm if norm else v}
             )
 
-        return (
+        return _clamp_blocks(
             hash_join(nodes_ds, sums, on="node", how="left",
-                      num_buckets=num_buckets)
+                      num_buckets=num_buckets, coalesce=True)
             .map_batches(rebuild, batch_format="pandas")
-            .materialize()
         )
 
     for _ in range(iterations):
@@ -703,18 +718,20 @@ def _label_propagation_ds(
     from .windows import _buckets_for_cluster, _key_buckets
 
     nb = _buckets_for_cluster()
-    labels = nodes_ds.map_batches(
+    und = _clamp_blocks(und)
+    ed_co = max(2 * nb, und.size_bytes() // (128 << 20))
+    labels = _clamp_blocks(nodes_ds.map_batches(
         lambda b: pd.DataFrame(
             {"u": b["u"], "label": b["u"].astype(np.int64)}
         ),
         batch_format="pandas",
-    ).materialize()
+    ))
 
     for _ in range(rounds):
         lab_v = labels.map_batches(
             lambda b: b.rename(columns={"u": "v"}), batch_format="pandas"
         )
-        contrib = hash_join(und, lab_v, on="v", how="inner")
+        contrib = hash_join(und, lab_v, on="v", how="inner", coalesce=ed_co)
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             return (
@@ -736,14 +753,14 @@ def _label_propagation_ds(
             out = g.drop_duplicates("u")[["u", "label"]]
             return out.assign(label=out["label"].astype(np.int64))
 
-        new_labels = (
+        new_labels = _clamp_blocks(
             counts.map_batches(
                 lambda b: b.assign(_lb=_key_buckets(b["u"], nb)),
                 batch_format="pandas",
             )
+            .repartition(nb, shuffle=False)  # bound the argmax sort
             .groupby("_lb")
             .map_groups(argmax_bucket, batch_format="pandas")
-            .materialize()
         )
 
         changed = hash_join(
@@ -754,6 +771,7 @@ def _label_propagation_ds(
             labels,
             on="u",
             how="inner",
+            coalesce=True,
         ).map_batches(
             lambda b: pd.DataFrame(
                 {"_c": [int((b["label_new"] != b["label"]).sum())]}
@@ -855,9 +873,11 @@ def _bfs_distances_ds(
     )
     visited = rd.from_pandas(start).materialize()
     frontier = rd.from_pandas(start[["u"]]).materialize()
+    adj = _clamp_blocks(adj)
+    ed_co = max(2 * _buckets_for_cluster(), adj.size_bytes() // (128 << 20))
 
     for depth in range(1, max_depth + 1):
-        joined = hash_join(adj, frontier, on="u", how="semi")
+        joined = hash_join(adj, frontier, on="u", how="semi", coalesce=ed_co)
         neigh = bucketed_distinct(
             joined.map_batches(
                 lambda b: pd.DataFrame({"u": pd.unique(b["v"].to_numpy())}),
@@ -865,14 +885,15 @@ def _bfs_distances_ds(
             ),
             "u",
         )
-        new = hash_join(neigh, visited, on="u", how="anti").materialize()
+        new = hash_join(neigh, visited, on="u", how="anti",
+                        coalesce=True).materialize()
         if new.count() == 0:
             break
         new_d = new.map_batches(
             lambda b, d=depth: b.assign(dist=np.int64(d)),
             batch_format="pandas",
         )
-        visited = visited.union(new_d).materialize()
+        visited = _clamp_blocks(visited.union(new_d))
         frontier = new
 
     out = visited.to_pandas().rename(columns={"u": "node"})
@@ -963,9 +984,11 @@ def _k_core_ds(
     from .joins import hash_join
 
     deg = deg0
+    cur = _clamp_blocks(cur)
+    ed_co = max(2 * _buckets_for_cluster(), cur.size_bytes() // (128 << 20))
     for _ in range(max_rounds):
         n_total = deg.count()
-        surv = deg.filter(lambda r, kk=k: r["deg"] >= kk).materialize()
+        surv = _clamp_blocks(deg.filter(lambda r, kk=k: r["deg"] >= kk))
         n_surv = surv.count()
         if n_surv == 0:
             return pd.DataFrame({"node": [], "deg": []}).astype(
@@ -980,11 +1003,11 @@ def _k_core_ds(
         surv_v = surv.map_batches(
             lambda b: pd.DataFrame({"v": b["node"]}), batch_format="pandas"
         )
-        cur = hash_join(
-            hash_join(cur, surv_u, on="u", how="semi"),
-            surv_v, on="v", how="semi",
-        ).materialize()
-        deg = _degrees(cur, "u").materialize()
+        cur = _clamp_blocks(hash_join(
+            hash_join(cur, surv_u, on="u", how="semi", coalesce=ed_co),
+            surv_v, on="v", how="semi", coalesce=ed_co,
+        ))
+        deg = _clamp_blocks(_degrees(cur, "u"))
     out = deg.filter(lambda r, kk=k: r["deg"] >= kk).to_pandas()
     return (
         out.astype({"node": "int64", "deg": "int64"})

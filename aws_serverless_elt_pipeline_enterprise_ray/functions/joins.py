@@ -449,6 +449,7 @@ def hash_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     num_buckets: int | None = None,
+    coalesce: bool | int = False,
 ) -> rd.Dataset:
     """Distributed hash equi-join: both sides tagged and unioned so
     co-partitioning costs ONE shuffle, keys hash-bucketed (~2
@@ -489,6 +490,17 @@ def hash_join(
     both = left.map_batches(tag("l"), batch_format="pandas").union(
         right.map_batches(tag("r"), batch_format="pandas")
     )
+    if coalesce:
+        # Pre-sort coalesce for BOUNDED-size inputs: the sort-shuffle
+        # emits in-blocks x out-blocks split objects whose driver-side
+        # metadata dominates iterative algorithms (graph state). True
+        # coalesces to nb blocks; an int gives the block target (use
+        # a size-aware value for mixed-size joins). Opt-in because it
+        # caps total block count — never set it blind on corpus-scale
+        # joins.
+        both = both.repartition(
+            nb if coalesce is True else int(coalesce), shuffle=False
+        )
 
     # BOTH sides' payload dtypes degrade to float64 through the
     # null-padded tagged union; restore them after the merge. The cast

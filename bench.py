@@ -27,6 +27,14 @@ import shutil
 import subprocess
 import sys
 import time
+import warnings
+
+# Ray Data's own deprecated-internal-free call fires once per dropped
+# MaterializedDataset; iterative pipelines materialize per round.
+warnings.filterwarnings(
+    "ignore", message=".*`free` is a deprecated API.*",
+    category=DeprecationWarning,
+)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

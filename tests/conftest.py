@@ -1,7 +1,27 @@
 import os
 import sys
+import warnings
 
 import pytest
+
+# Ray Data itself calls its deprecated internal free() when dropping
+# superseded MaterializedDatasets (one warning per freed block set);
+# iterative algorithms materialize per round, so this Ray-internal
+# deprecation would otherwise spam hundreds of lines per run.
+warnings.filterwarnings(
+    "ignore",
+    message=".*`free` is a deprecated API.*",
+    category=DeprecationWarning,
+)
+
+
+def pytest_configure(config):
+    # pytest re-arms warnings per test; the ini-style filter is the
+    # one that actually sticks
+    config.addinivalue_line(
+        "filterwarnings",
+        "ignore:.*`free` is a deprecated API.*:DeprecationWarning",
+    )
 
 _TESTS = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_TESTS)
