@@ -208,6 +208,395 @@ def collapse_consecutive_turns(
     )
 
 
+def conversation_lint(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    opener_role: str = "user",
+    closer_role: str = "assistant",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Structural transcript validation — the pre-training lint pass
+    that catches malformed conversations before they poison a corpus:
+    per conversation, the first/last speaking role, turn-numbering
+    gaps (a dropped turn mid-dialogue usually means truncation or a
+    lost message), consecutive same-role turns (double-sends that
+    should have been collapsed), and null-text turns. ``ok`` is the
+    conjunction: opens with ``opener_role``, closes with
+    ``closer_role``, no gaps, no repeats, no null text.
+
+    One conv-bucketed shuffle; every per-conversation statistic is
+    sort + shift arithmetic (C-level) inside the bucket. Returns
+    (conv, n_turns, first_role, last_role, n_order_gaps,
+    n_role_repeats, n_null_text, ok)."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_lb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    conv_col: pd.Series(dtype=g[conv_col].dtype),
+                    "n_turns": pd.Series(dtype="int64"),
+                    "first_role": pd.Series(dtype=g[role_col].dtype),
+                    "last_role": pd.Series(dtype=g[role_col].dtype),
+                    "n_order_gaps": pd.Series(dtype="int64"),
+                    "n_role_repeats": pd.Series(dtype="int64"),
+                    "n_null_text": pd.Series(dtype="int64"),
+                    "ok": pd.Series(dtype=bool),
+                }
+            )
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        conv = g[conv_col].to_numpy()
+        ord_ = g[order_col].to_numpy()
+        role = g[role_col].to_numpy(dtype=object)
+        same_conv = np.empty(len(g), dtype=bool)
+        same_conv[0] = False
+        if len(g) > 1:
+            same_conv[1:] = conv[1:] == conv[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        rep = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            gap[1:] = same_conv[1:] & (ord_[1:] != ord_[:-1] + 1)
+            rep[1:] = same_conv[1:] & (role[1:] == role[:-1])
+        gg = g.assign(_gap=gap, _rep=rep, _nul=g[text_col].isna())
+        agg = (
+            gg.groupby(conv_col, sort=False)
+            .agg(
+                n_turns=(order_col, "size"),
+                first_role=(role_col, "first"),
+                last_role=(role_col, "last"),
+                n_order_gaps=("_gap", "sum"),
+                n_role_repeats=("_rep", "sum"),
+                n_null_text=("_nul", "sum"),
+            )
+            .reset_index()
+        )
+        agg["ok"] = (
+            (agg["first_role"] == opener_role)
+            & (agg["last_role"] == closer_role)
+            & (agg["n_order_gaps"] == 0)
+            & (agg["n_role_repeats"] == 0)
+            & (agg["n_null_text"] == 0)
+        )
+        return agg
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_lb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def boilerplate_turns(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    min_convs: int = 2,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Cross-conversation boilerplate detection: turn texts that
+    appear in at least ``min_convs`` DISTINCT conversations (greeting
+    templates, canned refusals, scripted tool banners) — the usual
+    first cut before turn-level dedup decides what to drop. Map-side
+    each block collapses to per-(text, conv) partial counts, so the
+    single text-bucketed shuffle carries one row per distinct
+    (text, conv) pair per block — never the raw turns; the bucket
+    reduce then counts distinct conversations and total occurrences
+    per text. Returns (text, n_convs, n_occurrences); null texts are
+    excluded. At 100 TB you would bucket on a 128-bit text digest and
+    carry the digest, not the string — the shape is identical."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[text_col, conv_col]].dropna(subset=[text_col])
+        p = (
+            b.groupby([text_col, conv_col], sort=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+        p["_bb"] = _key_buckets(p[text_col], nb)
+        return p
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            g.groupby([text_col, conv_col], sort=False)["_n"].sum().reset_index()
+        )
+        agg = (
+            pairs.groupby(text_col, sort=False)
+            .agg(n_convs=(conv_col, "size"), n_occurrences=("_n", "sum"))
+            .reset_index()
+        )
+        return agg[agg["n_convs"] >= min_convs]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bb")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def repeated_turn_runs(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_run: int = 2,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Retry-loop detection: maximal runs of CONSECUTIVE turns within
+    a conversation repeating the same (role, text) — the
+    user-hammering-resend / assistant-stuck-in-a-loop artifact that
+    inflates token counts and teaches models to repeat themselves.
+    Gaps-and-islands on (conv, role, text); one conv-bucketed shuffle,
+    island ids are cumcount arithmetic. Null-text turns are excluded
+    (they cannot form a run). Returns (conv, role, text, run_len,
+    first_ord) for runs of length >= ``min_run``."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].dropna(
+            subset=[text_col]
+        )
+        b = b.copy()
+        b["_rb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        rn = g.groupby(conv_col, sort=False).cumcount()
+        rn_rt = g.groupby([conv_col, role_col, text_col], sort=False).cumcount()
+        g = g.assign(_island=rn - rn_rt)
+        agg = (
+            g.groupby([conv_col, role_col, text_col, "_island"], sort=False)
+            .agg(run_len=(order_col, "size"), first_ord=(order_col, "min"))
+            .reset_index()
+        )
+        agg = agg[agg["run_len"] >= min_run]
+        return agg[[conv_col, role_col, text_col, "run_len", "first_ord"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_rb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def instruction_pairs(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Instruction->response pair extraction: every ``user_role`` turn
+    immediately followed (in turn order) by an ``assistant_role`` turn
+    becomes one SFT example (conv, ord, prompt, response) — the
+    adjacency-pair miner that turns raw transcripts into
+    prompt/completion rows. One conv-bucketed shuffle; the follower is
+    a per-conversation shift(-1) (SQL ``lead()``), so a user turn
+    followed by a tool turn or another user turn is correctly
+    skipped."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_pb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        grp = g.groupby(conv_col, sort=False)
+        next_role = grp[role_col].shift(-1)
+        next_text = grp[text_col].shift(-1)
+        keep = (g[role_col] == user_role) & (next_role == assistant_role)
+        out = pd.DataFrame(
+            {
+                conv_col: g[conv_col],
+                order_col: g[order_col],
+                "prompt": g[text_col],
+                "response": next_text,
+            }
+        )
+        return out[keep.to_numpy()]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def prefix_fork_groups(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    prefix_turns: int = 2,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Shared-prefix (fork / regeneration) grouping: conversations
+    whose first ``prefix_turns`` turns are textually identical are the
+    same dialogue forked — regenerated answers, A/B'd system prompts,
+    resumed sessions — and training on every fork overweights the
+    shared stem. Stage 1 (conv-bucketed shuffle) assembles each
+    conversation's prefix string (rank-ordered, null texts skipped per
+    SQL ``string_agg``); stage 2 (prefix-bucketed shuffle over ONE ROW
+    PER CONVERSATION) counts the fork group and annotates every
+    member. Returns (conv, prefix, n_convs_sharing). At 100 TB the
+    second shuffle carries a prefix digest instead of the string —
+    same shape."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, text_col]].copy()
+        b["_fb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        rn = g.groupby(conv_col, sort=False).cumcount()
+        head = g[rn.to_numpy() < prefix_turns]
+        agg = (
+            head.groupby(conv_col, sort=False)[text_col]
+            .agg(lambda s: sep.join(x for x in s if x is not None))
+            .rename("prefix")
+            .reset_index()
+        )
+        agg["_gb"] = _key_buckets(agg["prefix"], nb)
+        return agg
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("prefix", sort=False)[conv_col].transform("size")
+        return pd.DataFrame(
+            {
+                conv_col: g[conv_col],
+                "prefix": g["prefix"],
+                "n_convs_sharing": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(build_prefix, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(count_group, batch_format="pandas")
+    )
+
+
+def echo_pairs(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Assistant-echo measurement: for every adjacent
+    (``user_role`` -> ``assistant_role``) turn pair, the DISTINCT
+    whitespace-token overlap between the two texts — the verbatim-echo
+    signal (assistant parroting the user) that quality filters
+    threshold on. Integer counts only (n_user_tokens,
+    n_assistant_tokens, n_shared) so the Jaccard the caller derives is
+    float-free here and the SQL mirror is exact. Tokenization is
+    lowercase + single-space split, identical to DuckDB
+    ``string_split(lower(x), ' ')``.
+
+    One conv-bucketed shuffle builds the pairs; the overlap is
+    computed by EXPLODING each side's distinct tokens and merging on
+    (pair, token) — C-level joins, no per-row Python set work."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_eb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        grp = g.groupby(conv_col, sort=False)
+        next_role = grp[role_col].shift(-1)
+        next_text = grp[text_col].shift(-1)
+        keep = (
+            (g[role_col] == user_role)
+            & (next_role == assistant_role)
+            & g[text_col].notna()
+            & next_text.notna()
+        ).to_numpy()
+        pairs = pd.DataFrame(
+            {
+                conv_col: g[conv_col].to_numpy()[keep],
+                order_col: g[order_col].to_numpy()[keep],
+                "_u": g[text_col].str.lower().to_numpy()[keep],
+                "_a": next_text.str.lower().to_numpy()[keep],
+            }
+        )
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {
+                    conv_col: pd.Series(dtype=g[conv_col].dtype),
+                    order_col: pd.Series(dtype=g[order_col].dtype),
+                    "n_user_tokens": pd.Series(dtype="int64"),
+                    "n_assistant_tokens": pd.Series(dtype="int64"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        pid = np.arange(len(pairs))
+
+        def side_tokens(texts: pd.Series) -> pd.DataFrame:
+            t = texts.str.split(" ")
+            lens = t.str.len().to_numpy()
+            return pd.DataFrame(
+                {
+                    "_pid": np.repeat(pid, lens),
+                    "_tok": np.concatenate(t.to_numpy()),
+                }
+            ).drop_duplicates()
+
+        ut = side_tokens(pairs["_u"])
+        at = side_tokens(pairs["_a"])
+        shared = ut.merge(at, on=["_pid", "_tok"])
+        n_u = ut.groupby("_pid").size().reindex(pid, fill_value=0)
+        n_a = at.groupby("_pid").size().reindex(pid, fill_value=0)
+        n_s = shared.groupby("_pid").size().reindex(pid, fill_value=0)
+        return pd.DataFrame(
+            {
+                conv_col: pairs[conv_col],
+                order_col: pairs[order_col],
+                "n_user_tokens": n_u.to_numpy().astype(np.int64),
+                "n_assistant_tokens": n_a.to_numpy().astype(np.int64),
+                "n_shared": n_s.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_eb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 def assign_split(
     ds: rd.Dataset,
     *,

@@ -3195,6 +3195,177 @@ def q_collapse_turns(sf_dir: str):
     return out[["conv", "turn_seq", "role", "n_merged", "text"]]
 
 
+def _conv_stream(sf_dir: str, with_text: bool = True) -> rd.Dataset:
+    """Per-user event sequence viewed as a transcript: conv=user_id,
+    ord=event_id, role=event_type, text=props — the shared input of
+    the transcript-curation query family."""
+    cols = ["event_id", "user_id", "event_type"] + (["props"] if with_text else [])
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "role": b["event_type"],
+            }
+        )
+        if with_text:
+            out["text"] = b["props"]
+        return out
+
+    return ev.map_batches(prep, batch_format="pandas")
+
+
+def q_conversation_lint(sf_dir: str):
+    """Structural transcript lint (truncation / role-alternation /
+    numbering-gap / null-text validation) over per-user event
+    sequences: opener must be 'view', closer 'click'. One
+    conv-bucketed shuffle; stats are shift arithmetic. SQL mirror:
+    lead() + arg_min/arg_max conditional aggregation."""
+    from ..functions.transcripts import conversation_lint
+
+    out = (
+        conversation_lint(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text", opener_role="view", closer_role="click",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "n_turns", "n_order_gaps", "n_role_repeats", "n_null_text"):
+        out[c] = out[c].astype("int64")
+    out["ok"] = out["ok"].astype(bool)
+    return out[
+        ["conv", "n_turns", "first_role", "last_role",
+         "n_order_gaps", "n_role_repeats", "n_null_text", "ok"]
+    ]
+
+
+def q_boilerplate_turns(sf_dir: str):
+    """Cross-conversation boilerplate-turn detection: texts used in
+    >= 3 distinct conversations with distinct-conv and occurrence
+    counts. Map-side (text, conv) partials; ONE text-bucketed shuffle
+    of deduped pairs. SQL mirror: GROUP BY text HAVING
+    COUNT(DISTINCT conv)."""
+    from ..functions.transcripts import boilerplate_turns
+
+    out = (
+        boilerplate_turns(
+            _conv_stream(sf_dir), conv_col="conv", text_col="text",
+            min_convs=3,
+        )
+        .to_pandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    out["n_convs"] = out["n_convs"].astype("int64")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return out[["text", "n_convs", "n_occurrences"]]
+
+
+def q_repeated_turn_runs(sf_dir: str):
+    """Retry-loop detection (gaps-and-islands on (conv, role, text)):
+    runs of >= 2 consecutive identical turns per conversation. Text is
+    coarsened to the props length so real runs exist at toy scale; the
+    operator itself is cardinality-agnostic. SQL mirror: the double
+    row_number island id."""
+    from ..functions.transcripts import repeated_turn_runs
+
+    src = _conv_stream(sf_dir)
+
+    def coarsen(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text"] = b["text"].str.len().astype("int64").astype(str)
+        return b
+
+    out = (
+        repeated_turn_runs(
+            src.map_batches(coarsen, batch_format="pandas"),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text", min_run=2,
+        )
+        .to_pandas()
+        .sort_values(["conv", "first_ord"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "run_len", "first_ord"):
+        out[c] = out[c].astype("int64")
+    return out[["conv", "role", "text", "run_len", "first_ord"]]
+
+
+def q_instruction_pairs(sf_dir: str):
+    """Instruction->response adjacency-pair extraction: every 'view'
+    turn immediately followed by a 'click' turn becomes (conv, ord,
+    prompt, response). One conv-bucketed shuffle; follower via
+    per-conv shift(-1). SQL mirror: lead() over (conv ORDER BY ord)."""
+    from ..functions.transcripts import instruction_pairs
+
+    out = (
+        instruction_pairs(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text", user_role="view", assistant_role="click",
+        )
+        .to_pandas()
+        .sort_values(["conv", "ord"])
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["ord"] = out["ord"].astype("int64")
+    return out[["conv", "ord", "prompt", "response"]]
+
+
+def q_prefix_fork_groups(sf_dir: str):
+    """Shared-prefix (fork/regeneration) grouping: conversations whose
+    first 2 turns are textually identical are annotated with the fork
+    group size. Two bounded shuffles, the second over ONE row per
+    conversation. SQL mirror: ranked string_agg prefix + self-join on
+    the prefix."""
+    from ..functions.transcripts import prefix_fork_groups
+
+    out = (
+        prefix_fork_groups(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            prefix_turns=2,
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["n_convs_sharing"] = out["n_convs_sharing"].astype("int64")
+    return out[["conv", "prefix", "n_convs_sharing"]]
+
+
+def q_echo_pairs(sf_dir: str):
+    """Assistant-echo token overlap on adjacent 'view'->'click' pairs:
+    distinct lowercase whitespace tokens shared between the two turn
+    texts, integer counts only. Vectorized explode+merge inside each
+    conv bucket. SQL mirror: list_distinct(string_split(...)) +
+    list_intersect."""
+    from ..functions.transcripts import echo_pairs
+
+    out = (
+        echo_pairs(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text", user_role="view", assistant_role="click",
+        )
+        .to_pandas()
+        .sort_values(["conv", "ord"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "ord", "n_user_tokens", "n_assistant_tokens", "n_shared"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["conv", "ord", "n_user_tokens", "n_assistant_tokens", "n_shared"]
+    ]
+
+
 def q_fix_mojibake(sf_dir: str):
     """Mojibake repair, SQL-exact: every doc gets a deterministic
     accented suffix CORRUPTED the way real web text is (UTF-8 bytes
@@ -4810,6 +4981,12 @@ QUERIES = {
     "conversation_windows": q_conversation_windows,
     "chunk_sentences": q_chunk_sentences,
     "collapse_turns": q_collapse_turns,
+    "conversation_lint": q_conversation_lint,
+    "boilerplate_turns": q_boilerplate_turns,
+    "repeated_turn_runs": q_repeated_turn_runs,
+    "instruction_pairs": q_instruction_pairs,
+    "prefix_fork_groups": q_prefix_fork_groups,
+    "echo_pairs": q_echo_pairs,
     "fix_mojibake": q_fix_mojibake,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
@@ -6093,6 +6270,123 @@ ORACLES = {
              TRUE AS had_mojibake
       FROM documents
       ORDER BY doc_id
+    """,
+    "conversation_lint": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, event_type AS role,
+               props AS text
+        FROM events
+      ),
+      s AS (
+        SELECT conv, ord, role, text,
+               lead(ord)  OVER (PARTITION BY conv ORDER BY ord) AS next_ord,
+               lead(role) OVER (PARTITION BY conv ORDER BY ord) AS next_role
+        FROM t
+      )
+      SELECT conv,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             arg_min(role, ord) AS first_role,
+             arg_max(role, ord) AS last_role,
+             CAST(SUM(CASE WHEN next_ord IS NOT NULL AND next_ord <> ord + 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_order_gaps,
+             CAST(SUM(CASE WHEN next_role = role THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_role_repeats,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_text,
+             (arg_min(role, ord) = 'view' AND arg_max(role, ord) = 'click'
+              AND SUM(CASE WHEN next_ord IS NOT NULL AND next_ord <> ord + 1
+                           THEN 1 ELSE 0 END) = 0
+              AND SUM(CASE WHEN next_role = role THEN 1 ELSE 0 END) = 0
+              AND SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0) AS ok
+      FROM s GROUP BY conv ORDER BY conv
+    """,
+    "boilerplate_turns": """
+      SELECT props AS text,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM events
+      WHERE props IS NOT NULL
+      GROUP BY props
+      HAVING COUNT(DISTINCT user_id) >= 3
+      ORDER BY text
+    """,
+    "repeated_turn_runs": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, event_type AS role,
+               CAST(LENGTH(props) AS VARCHAR) AS text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type, LENGTH(props)
+                 ORDER BY event_id) AS rnrt
+        FROM events WHERE props IS NOT NULL
+      )
+      SELECT conv, role, text,
+             CAST(COUNT(*) AS BIGINT) AS run_len,
+             CAST(MIN(ord) AS BIGINT) AS first_ord
+      FROM t
+      GROUP BY conv, role, text, rn - rnrt
+      HAVING COUNT(*) >= 2
+      ORDER BY conv, first_ord
+    """,
+    "instruction_pairs": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, event_type AS role,
+               props AS text
+        FROM events
+      ),
+      s AS (
+        SELECT conv, ord, role, text,
+               lead(role) OVER (PARTITION BY conv ORDER BY ord) AS next_role,
+               lead(text) OVER (PARTITION BY conv ORDER BY ord) AS next_text
+        FROM t
+      )
+      SELECT conv, ord, text AS prompt, next_text AS response
+      FROM s WHERE role = 'view' AND next_role = 'click'
+      ORDER BY conv, ord
+    """,
+    "prefix_fork_groups": """
+      WITH t AS (
+        SELECT user_id AS conv, props AS text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 2 GROUP BY conv
+      ),
+      g AS (SELECT prefix, COUNT(*) AS n FROM pre GROUP BY prefix)
+      SELECT pre.conv, pre.prefix,
+             CAST(g.n AS BIGINT) AS n_convs_sharing
+      FROM pre JOIN g USING (prefix)
+      ORDER BY conv
+    """,
+    "echo_pairs": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, event_type AS role,
+               props AS text
+        FROM events
+      ),
+      s AS (
+        SELECT conv, ord, role, text,
+               lead(role) OVER (PARTITION BY conv ORDER BY ord) AS next_role,
+               lead(text) OVER (PARTITION BY conv ORDER BY ord) AS next_text
+        FROM t
+      ),
+      p AS (
+        SELECT conv, ord,
+               list_distinct(string_split(lower(text), ' ')) AS ut,
+               list_distinct(string_split(lower(next_text), ' ')) AS lt
+        FROM s
+        WHERE role = 'view' AND next_role = 'click'
+          AND text IS NOT NULL AND next_text IS NOT NULL
+      )
+      SELECT conv, ord,
+             CAST(len(ut) AS BIGINT) AS n_user_tokens,
+             CAST(len(lt) AS BIGINT) AS n_assistant_tokens,
+             CAST(len(list_intersect(ut, lt)) AS BIGINT) AS n_shared
+      FROM p ORDER BY conv, ord
     """,
     "collapse_turns": """
       WITH t AS (

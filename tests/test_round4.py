@@ -1,0 +1,206 @@
+"""Round-4 transcript-curation operators: structural lint,
+cross-conversation boilerplate, retry-loop runs, instruction/response
+pairs, shared-prefix fork groups, assistant-echo token overlap."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+    boilerplate_turns,
+    conversation_lint,
+    echo_pairs,
+    instruction_pairs,
+    prefix_fork_groups,
+    repeated_turn_runs,
+)
+
+
+def _ds(rows, cols=("conv_id", "turn_idx", "role", "text")):
+    return rd.from_pandas(pd.DataFrame(rows, columns=list(cols)))
+
+
+# ---------------------------------------------------------------------------
+# conversation_lint
+# ---------------------------------------------------------------------------
+
+
+def test_conversation_lint_flags():
+    ds = _ds(
+        [
+            # conv a: clean user->assistant dialogue, consecutive turns
+            ("a", 1, "user", "hi"),
+            ("a", 2, "assistant", "hello"),
+            ("a", 3, "user", "do X"),
+            ("a", 4, "assistant", "done"),
+            # conv b: opens with assistant, double-send, numbering gap
+            ("b", 1, "assistant", "yo"),
+            ("b", 2, "assistant", "yo again"),
+            ("b", 4, "user", "?"),
+            # conv c: null text mid-dialogue
+            ("c", 1, "user", "q"),
+            ("c", 2, "assistant", None),
+        ]
+    )
+    out = (
+        conversation_lint(ds, opener_role="user", closer_role="assistant")
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    a, b, c = out.loc["a"], out.loc["b"], out.loc["c"]
+    assert a["ok"] and a["n_turns"] == 4 and a["n_order_gaps"] == 0
+    assert a["first_role"] == "user" and a["last_role"] == "assistant"
+    assert not b["ok"]
+    assert b["first_role"] == "assistant" and b["last_role"] == "user"
+    assert b["n_order_gaps"] == 1 and b["n_role_repeats"] == 1
+    assert not c["ok"] and c["n_null_text"] == 1 and c["n_role_repeats"] == 0
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_turns
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_turns_distinct_conv_threshold():
+    ds = _ds(
+        [
+            ("a", 1, "user", "hi"),
+            ("a", 2, "assistant", "hi"),  # same conv twice: 1 conv, 2 occ
+            ("b", 1, "user", "hi"),
+            ("c", 1, "user", "hi"),
+            ("a", 3, "user", "rare"),
+            ("b", 2, "user", "twice"),
+            ("c", 2, "user", "twice"),
+            ("c", 3, "user", None),  # null text excluded
+        ]
+    )
+    out = (
+        boilerplate_turns(ds, min_convs=2)
+        .to_pandas()
+        .set_index("text")
+        .sort_index()
+    )
+    assert set(out.index) == {"hi", "twice"}
+    assert out.loc["hi", "n_convs"] == 3
+    assert out.loc["hi", "n_occurrences"] == 4
+    assert out.loc["twice", "n_convs"] == 2
+    assert out.loc["twice", "n_occurrences"] == 2
+
+
+# ---------------------------------------------------------------------------
+# repeated_turn_runs
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_turn_runs_islands():
+    ds = _ds(
+        [
+            ("a", 1, "user", "retry"),
+            ("a", 2, "user", "retry"),
+            ("a", 3, "user", "retry"),  # run of 3
+            ("a", 4, "assistant", "ok"),
+            ("a", 5, "user", "retry"),  # interrupted: new island, len 1
+            ("b", 1, "user", "x"),
+            ("b", 2, "user", "y"),  # same role, different text: no run
+        ]
+    )
+    out = repeated_turn_runs(ds, min_run=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["conv_id"], r["role"], r["text"]) == ("a", "user", "retry")
+    assert r["run_len"] == 3 and r["first_ord"] == 1
+
+
+# ---------------------------------------------------------------------------
+# instruction_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_instruction_pairs_adjacency():
+    ds = _ds(
+        [
+            ("a", 1, "user", "q1"),
+            ("a", 2, "assistant", "a1"),  # pair
+            ("a", 3, "user", "q2"),
+            ("a", 4, "user", "q2 again"),  # user->user: q2 skipped
+            ("a", 5, "assistant", "a2"),  # pair for q2-again
+            ("b", 1, "user", "tail"),  # conversation ends: skipped
+            ("c", 1, "user", "t"),
+            ("c", 2, "tool", "result"),  # user->tool: skipped
+        ]
+    )
+    out = (
+        instruction_pairs(ds, user_role="user", assistant_role="assistant")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["prompt"]) == ["q1", "q2 again"]
+    assert list(out["response"]) == ["a1", "a2"]
+    assert list(out["turn_idx"]) == [1, 4]
+
+
+# ---------------------------------------------------------------------------
+# prefix_fork_groups
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_fork_groups_counts():
+    ds = _ds(
+        [
+            # a and b share the first two turns verbatim (a fork)
+            ("a", 1, "user", "sys"),
+            ("a", 2, "user", "q"),
+            ("a", 3, "assistant", "ans1"),
+            ("b", 1, "user", "sys"),
+            ("b", 2, "user", "q"),
+            ("b", 3, "assistant", "ans2"),
+            # c diverges on turn 2
+            ("c", 1, "user", "sys"),
+            ("c", 2, "user", "other"),
+        ]
+    )
+    out = (
+        prefix_fork_groups(ds, prefix_turns=2)
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert out.loc["a", "prefix"] == "sys\nq"
+    assert out.loc["a", "n_convs_sharing"] == 2
+    assert out.loc["b", "n_convs_sharing"] == 2
+    assert out.loc["c", "n_convs_sharing"] == 1
+
+
+# ---------------------------------------------------------------------------
+# echo_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_echo_pairs_token_overlap():
+    ds = _ds(
+        [
+            ("a", 1, "user", "The cat sat"),
+            ("a", 2, "assistant", "the CAT ran away"),
+            ("a", 3, "user", "a a b"),  # duplicate tokens de-duped
+            ("a", 4, "assistant", "b b c"),
+            ("b", 1, "user", "solo"),  # no follower: skipped
+        ]
+    )
+    out = (
+        echo_pairs(ds, user_role="user", assistant_role="assistant")
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    first, second = out.iloc[0], out.iloc[1]
+    # lowercased: {the, cat, sat} vs {the, cat, ran, away} -> 2 shared
+    assert first["n_user_tokens"] == 3
+    assert first["n_assistant_tokens"] == 4
+    assert first["n_shared"] == 2
+    # {a, b} vs {b, c} -> 1 shared
+    assert second["n_user_tokens"] == 2
+    assert second["n_assistant_tokens"] == 2
+    assert second["n_shared"] == 1
