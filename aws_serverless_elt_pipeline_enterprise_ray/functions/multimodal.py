@@ -767,10 +767,13 @@ def _jpeg_reconstruct(frame, store, hmax, vmax) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
-    BMP, (compressed) 8-bit PNG and JPEG (baseline SOF0 + progressive
-    SOF2); None for formats still needing a codec library
-    (WebP/AVIF/...), which keep the stub path."""
-    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg):
+    BMP, (compressed) 8-bit PNG, JPEG (baseline SOF0 + progressive
+    SOF2) and lossless WebP (VP8L, all transforms); None for formats
+    still needing a codec library (lossy-VP8 WebP / AVIF / ...), which
+    keep the stub path."""
+    from .webp import decode_webp
+
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg, decode_webp):
         img = dec(payload)
         if img is not None:
             return img

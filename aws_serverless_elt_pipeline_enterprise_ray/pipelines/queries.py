@@ -2770,6 +2770,79 @@ def q_image_png_decode(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_image_webp_decode(sf_dir: str):
+    """REAL lossless-WebP (VP8L) decode, SQL-exact: per doc an 8x8 RGB
+    image with closed-form pixels (per-channel base + row gradient +
+    right-half step) is VP8L-ENCODED with doc_id % 5 selecting the
+    feature path (plain literals / subtract-green / predictor+cache /
+    palette / LZ77-RLE + RLE code lengths) — so correctness sweeps the
+    transform inverses, color cache, backward references and both
+    prefix-code length encodings through real bitstreams — then
+    decoded + summed by the same actor-pool ImageFeatures stage as
+    PNG/JPEG. Lossless decode makes the oracle a closed form of
+    doc_id: any bit-reader/Huffman/transform bug breaks the hash."""
+    from ..functions.multimodal import ImageFeatures
+    from ..functions.webp import encode_webp_lossless
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_webp(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        r = np.arange(8)[:, None, None]
+        x = np.arange(8)[None, :, None]
+        grad = 2 * r + 6 * (x >= 4)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            base = np.array(
+                [i % 140, (i * 11) % 140, (i * 17) % 140]
+            )[None, None, :]
+            img = (base + grad).astype(np.uint8)
+            variant = i % 5
+            if variant == 0:
+                payloads.append(encode_webp_lossless(img))
+            elif variant == 1:
+                payloads.append(
+                    encode_webp_lossless(img, use_subtract_green=True)
+                )
+            elif variant == 2:
+                payloads.append(
+                    encode_webp_lossless(
+                        img, predictor_mode=2, cache_bits=3
+                    )
+                )
+            elif variant == 3:
+                payloads.append(encode_webp_lossless(img, use_palette=True))
+            else:
+                payloads.append(
+                    encode_webp_lossless(
+                        img, lz77_rle=True, rle_code_lengths=True,
+                        cache_bits=4,
+                    )
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_webp, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(8, 8)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_image_jpeg_decode(sf_dir: str):
     """REAL baseline-JPEG decode, SQL-exact: per doc a 16x16 4:2:0
     DC-only JPEG (custom canonical Huffman tables carried in DHT, hand
@@ -4973,6 +5046,7 @@ QUERIES = {
     "compression_score": q_compression_score,
     "image_features": q_image_features,
     "image_png_decode": q_image_png_decode,
+    "image_webp_decode": q_image_webp_decode,
     "image_jpeg_decode": q_image_jpeg_decode,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "video_frames": q_video_frames,
@@ -6227,6 +6301,16 @@ ORACLES = {
              CAST(64 * (doc_id % 150) + 1664 AS BIGINT) AS sum_r,
              CAST(64 * ((doc_id * 7) % 150) + 1664 AS BIGINT) AS sum_g,
              CAST(64 * ((doc_id * 13) % 150) + 1664 AS BIGINT) AS sum_b
+      FROM documents
+      ORDER BY media_id
+    """,
+    "image_webp_decode": """
+      SELECT doc_id AS media_id,
+             CAST(8 AS BIGINT) AS width,
+             CAST(8 AS BIGINT) AS height,
+             CAST(64 * (doc_id % 140) + 640 AS BIGINT) AS sum_r,
+             CAST(64 * ((doc_id * 11) % 140) + 640 AS BIGINT) AS sum_g,
+             CAST(64 * ((doc_id * 17) % 140) + 640 AS BIGINT) AS sum_b
       FROM documents
       ORDER BY media_id
     """,
