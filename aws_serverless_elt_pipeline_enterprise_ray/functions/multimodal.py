@@ -6,15 +6,16 @@ actor-pool stages, output layout) is real and tested. The codec layer
 is split honestly:
 
 * REAL pure-numpy decoders - binary PPM (P6), uncompressed 24-bit
-  BMP, PCM RIFF/WAVE, 8-bit PNG (zlib inflate + all five defilters)
-  and JPEG, baseline SOF0 AND progressive SOF2 (generic Huffman
-  entropy decode, spectral-selection / successive-approximation scans,
-  batched IDCT + JFIF color) - plus a vectorized nearest-neighbor
-  resize and integer-exact features (``decode_image`` /
-  ``resize_nearest`` / ``ImageFeatures``, ``decode_wav`` /
-  ``AudioFeatures``);
+  BMP, PCM RIFF/WAVE, FLAC (functions/flac.py), 8-bit PNG (zlib
+  inflate + all five defilters), JPEG baseline SOF0 AND progressive
+  SOF2 (generic Huffman entropy decode, spectral-selection /
+  successive-approximation scans, batched IDCT + JFIF color), and
+  lossless WebP / VP8L (functions/webp.py) - plus a vectorized
+  nearest-neighbor resize and integer-exact features
+  (``decode_image`` / ``resize_nearest`` / ``ImageFeatures``,
+  ``decode_audio`` / ``AudioFeatures``);
 * ``DecodeStub`` for the codecs that genuinely need libraries absent
-  from this container (WebP, MP3/AAC, video codecs): it
+  from this container (lossy-VP8 WebP, MP3/AAC, video codecs): it
   raises ``NotImplementedError`` unless ``fake=True``, which derives
   deterministic pseudo-metadata so pipelines exercise the full path.
 """
@@ -871,9 +872,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
         return None
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Dispatch on magic bytes: REAL decode for PCM WAV and FLAC
+    (fixed + LPC predictors, Rice residuals, stereo decorrelation —
+    see functions/flac.py); None for compressed codecs still needing a
+    library (MP3/AAC/OGG), which the coverage metric counts."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 class AudioFeatures:
     """Actor-pool audio decode -> feature stage with REAL math for the
-    library-free format (PCM WAV): integer-exact per-payload features —
+    library-free formats (PCM WAV + FLAC): integer-exact per-payload features —
     frame count, sample rate, duration_ms (floor), peak amplitude and
     energy (sum of squared samples across channels). Undecodable
     payloads degrade to ``decoded=False`` nulls (quarantine-not-crash,
@@ -884,7 +897,7 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dec, nfr, rate, dur, peak, energy = [], [], [], [], [], []
         for p in batch["payload"].to_pylist():
-            res = decode_wav(p) if p is not None else None
+            res = decode_audio(p) if p is not None else None
             if res is None:
                 dec.append(False)
                 for col in (nfr, rate, dur, peak, energy):
@@ -931,7 +944,7 @@ class AudioQuality:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dec, sil, clip, zc, cen = [], [], [], [], []
         for p in batch["payload"].to_pylist():
-            res = decode_wav(p) if p is not None else None
+            res = decode_audio(p) if p is not None else None
             if res is None or res[0].shape[0] == 0:
                 dec.append(res is not None)
                 for col in (sil, clip, zc, cen):
@@ -967,7 +980,7 @@ class AudioQuality:
 #: Layer-III decoder requires the ISO/IEC 11172-3 Huffman code tables,
 #: which cannot be transcribed reliably offline; rather than ship a
 #: wrong decoder, the engine measures what fraction of the corpus the
-#: WAV-only path skips (see ``audio_decode_coverage``) so a real
+#: native (WAV+FLAC) path skips (see ``audio_decode_coverage``) so a real
 #: deployment knows the cost before swapping libmpg123/ffmpeg into the
 #: same actor stage.
 def sniff_audio_format(payload: bytes | None) -> str:
@@ -998,7 +1011,7 @@ def audio_decode_coverage(
     """Corpus-level decode-coverage report: per sniffed audio format,
     how many payloads there are and how many the engine's native path
     actually decodes - the metric that tells a pipeline operator what
-    fraction of the corpus the WAV-only decoder is skipping (round-3
+    fraction of the corpus the native WAV+FLAC decoders are skipping (round-3
     verdict item 5). One map_batches partial per block (counts only
     cross the exchange) + a driver-sized groupby-sum.
 
@@ -1010,7 +1023,7 @@ def audio_decode_coverage(
         fmts, decs = [], []
         for p in b[payload_col].to_pylist():
             fmts.append(sniff_audio_format(p))
-            decs.append(decode_wav(p) is not None if p is not None else False)
+            decs.append(decode_audio(p) is not None if p is not None else False)
         df = pd.DataFrame({"format": fmts, "dec": np.array(decs, np.int64)})
         g = df.groupby("format", sort=False).agg(
             n=("dec", "size"), n_decoded=("dec", "sum")

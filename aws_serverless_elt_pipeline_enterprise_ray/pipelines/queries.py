@@ -3154,6 +3154,64 @@ def q_audio_quality(sf_dir: str):
     ]
 
 
+def q_audio_flac_features(sf_dir: str):
+    """REAL FLAC decode, SQL-exact: per doc a mono square wave
+    (amplitude and length closed-form in doc_id) is FLAC-ENCODED with
+    doc_id % 5 selecting the subframe path (fixed orders 1/2/0,
+    VERBATIM, raw-escape residuals) — sweeping Rice coding, the fixed
+    predictors and frame CRCs through real bitstreams — then decoded +
+    reduced by the actor-pool AudioFeatures stage. The oracle computes
+    n_frames / duration / peak / energy in closed form: any
+    bit-reader/Rice/predictor/CRC bug breaks the hash."""
+    from ..functions.flac import encode_flac
+    from ..functions.multimodal import AudioFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_flac(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n = 400 + (i % 11) * 20
+            a = 1000 + (i % 40) * 100
+            s = np.where(np.arange(n) % 2 == 0, a, -a)
+            v = i % 5
+            if v == 0:
+                payloads.append(encode_flac(s, 8000, order=1))
+            elif v == 1:
+                payloads.append(encode_flac(s, 8000, order=2))
+            elif v == 2:
+                payloads.append(encode_flac(s, 8000, order=0, rice_param=13))
+            elif v == 3:
+                payloads.append(encode_flac(s, 8000, verbatim=True))
+            else:
+                payloads.append(
+                    encode_flac(s, 8000, order=2, escape_raw_bits=16)
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_flac, batch_format="pyarrow")
+        .map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "n_frames", "sample_rate", "duration_ms", "peak",
+              "energy"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["media_id", "n_frames", "sample_rate", "duration_ms", "peak",
+         "energy"]
+    ]
+
+
 def q_conversation_windows(sf_dir: str):
     """Sliding turn-window packing over per-user event sequences
     (conv=user, turn order=event_id, text=event_type): window 4,
@@ -5051,6 +5109,7 @@ QUERIES = {
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "video_frames": q_video_frames,
     "audio_quality": q_audio_quality,
+    "audio_flac_features": q_audio_flac_features,
     "audio_coverage": q_audio_coverage,
     "conversation_windows": q_conversation_windows,
     "chunk_sentences": q_chunk_sentences,
@@ -6539,6 +6598,22 @@ ORACLES = {
       JOIN t ON t.conv = s.conv AND t.rn >= s.s AND t.rn < s.s + 4
       GROUP BY t.conv, s.s
       ORDER BY conv, window_start
+    """,
+    "audio_flac_features": """
+      WITH p AS (
+        SELECT doc_id,
+               400 + (doc_id % 11) * 20 AS n,
+               1000 + (doc_id % 40) * 100 AS a
+        FROM documents
+      )
+      SELECT doc_id AS media_id,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+             CAST(a AS BIGINT) AS peak,
+             CAST(n * a * a AS BIGINT) AS energy
+      FROM p
+      ORDER BY media_id
     """,
     "audio_quality": """
       WITH p AS (
