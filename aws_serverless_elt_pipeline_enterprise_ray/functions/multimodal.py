@@ -1044,6 +1044,182 @@ def audio_decode_coverage(
     return out.sort_values("format").reset_index(drop=True)
 
 
+#: MPEG-1 Layer III bitrate table (kbps; index 0 = free, 15 = invalid)
+_MP3_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+#: MPEG-1 sample rates by 2-bit index (3 = reserved)
+_MP3_RATES = [44100, 48000, 32000]
+#: ADTS sampling-frequency-index table (MPEG-4 audio)
+_ADTS_RATES = [
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+]
+
+
+def audio_metadata(payload: bytes | None) -> dict | None:
+    """HEADER-ONLY audio metadata — the scan a 100-TB audio corpus
+    runs before any decode: every field comes from container/frame
+    headers, so cost is O(frames) byte arithmetic with no entropy
+    decoding.
+
+    * WAV: fmt chunk + data size -> exact frame count/duration.
+    * FLAC: STREAMINFO only (rate/channels/bps/total samples).
+    * MP3 (MPEG-1 Layer III): ID3v2 skip + frame-header walk
+      (public bitrate/rate tables); duration = frames x 1152 samples;
+      mean bitrate from the per-frame indices (VBR-safe).
+    * ADTS AAC: frame walk via the 13-bit frame-length field;
+      duration = frames x 1024 samples.
+
+    Returns ``{format, n_frames, sample_rate, channels, duration_ms,
+    bitrate_kbps}`` (bitrate None where the notion doesn't apply) or
+    None when nothing parseable is found."""
+    if not payload or len(payload) < 4:
+        return None
+    fmt = sniff_audio_format(payload)
+    try:
+        if fmt == "wav":
+            res = decode_wav(payload)  # cheap: np.frombuffer, no codec
+            if res is None:
+                return None
+            samples, rate = res
+            return {
+                "format": "wav",
+                "n_frames": samples.shape[0],
+                "sample_rate": rate,
+                "channels": samples.shape[1],
+                "duration_ms": samples.shape[0] * 1000 // rate if rate else None,
+                "bitrate_kbps": None,
+            }
+        if fmt == "flac":
+            pos = 4
+            while pos + 4 <= len(payload):
+                hdr = payload[pos]
+                size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+                if (hdr & 0x7F) == 0:  # STREAMINFO
+                    body = payload[pos + 4 : pos + 4 + size]
+                    bits = int.from_bytes(body[10:18], "big")
+                    rate = bits >> 44
+                    channels = ((bits >> 41) & 0x7) + 1
+                    total = bits & ((1 << 36) - 1)
+                    return {
+                        "format": "flac",
+                        "n_frames": total,
+                        "sample_rate": rate,
+                        "channels": channels,
+                        "duration_ms": total * 1000 // rate if rate else None,
+                        "bitrate_kbps": None,
+                    }
+                if hdr >> 7:
+                    break
+                pos += 4 + size
+            return None
+        if fmt == "mp3":
+            pos = 0
+            if payload[:3] == b"ID3":  # syncsafe 28-bit tag size
+                if len(payload) < 10:
+                    return None
+                sz = 0
+                for b in payload[6:10]:
+                    sz = (sz << 7) | (b & 0x7F)
+                pos = 10 + sz
+            n_frames = 0
+            rate = None
+            channels = None
+            kbps_sum = 0
+            while pos + 4 <= len(payload):
+                h = int.from_bytes(payload[pos : pos + 4], "big")
+                if (h >> 21) != 0x7FF:
+                    break
+                version = (h >> 19) & 3
+                layer = (h >> 17) & 3
+                if version != 3 or layer != 1:  # MPEG-1 Layer III only
+                    break
+                br_idx = (h >> 12) & 0xF
+                sr_idx = (h >> 10) & 3
+                if br_idx in (0, 15) or sr_idx == 3:
+                    break
+                padding = (h >> 9) & 1
+                mode = (h >> 6) & 3
+                kbps = _MP3_BITRATES[br_idx]
+                rate = _MP3_RATES[sr_idx]
+                channels = 1 if mode == 3 else 2
+                n_frames += 1
+                kbps_sum += kbps
+                pos += 144_000 * kbps // rate + padding
+            if not n_frames:
+                return None
+            return {
+                "format": "mp3",
+                "n_frames": n_frames,
+                "sample_rate": rate,
+                "channels": channels,
+                "duration_ms": n_frames * 1152 * 1000 // rate,
+                "bitrate_kbps": kbps_sum // n_frames,
+            }
+        if fmt == "aac":
+            pos = 0
+            n_frames = 0
+            rate = None
+            channels = None
+            while pos + 7 <= len(payload):
+                if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+                    break
+                sf_idx = (payload[pos + 2] >> 2) & 0xF
+                if sf_idx >= len(_ADTS_RATES):
+                    break
+                rate = _ADTS_RATES[sf_idx]
+                channels = ((payload[pos + 2] & 1) << 2) | (
+                    payload[pos + 3] >> 6
+                )
+                frame_len = (
+                    ((payload[pos + 3] & 0x3) << 11)
+                    | (payload[pos + 4] << 3)
+                    | (payload[pos + 5] >> 5)
+                )
+                if frame_len < 7:
+                    break
+                n_frames += 1
+                pos += frame_len
+            if not n_frames:
+                return None
+            return {
+                "format": "aac",
+                "n_frames": n_frames,
+                "sample_rate": rate,
+                "channels": channels,
+                "duration_ms": n_frames * 1024 * 1000 // rate,
+                "bitrate_kbps": None,
+            }
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+class AudioMetadata:
+    """Actor-pool header-only audio metadata stage (no decode): emits
+    (format, n_frames, sample_rate, channels, duration_ms,
+    bitrate_kbps) per payload, nulls when unparseable — the filterable
+    columns (duration, bitrate, channel layout) a curation pipeline
+    gates compressed audio on BEFORE paying for decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {
+            "format": [], "n_frames": [], "sample_rate": [],
+            "channels": [], "duration_ms": [], "bitrate_kbps": [],
+        }
+        for p in batch["payload"].to_pylist():
+            md = audio_metadata(p)
+            for k in cols:
+                cols[k].append(md.get(k) if md else None)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("format", pa.array(cols["format"], pa.string()))
+        for k in ("n_frames", "sample_rate", "channels", "duration_ms",
+                  "bitrate_kbps"):
+            out = out.append_column(k, pa.array(cols[k], pa.int64()))
+        return out
+
+
 class DecodeStub:
     """Actor-pool decode/feature-extract stage for formats the engine
     does NOT decode natively (PPM/BMP/WAV/PNG/baseline JPEG all have

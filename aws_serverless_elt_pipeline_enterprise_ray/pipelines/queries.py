@@ -3212,6 +3212,96 @@ def q_audio_flac_features(sf_dir: str):
     ]
 
 
+def q_audio_metadata(sf_dir: str):
+    """Header-only audio metadata scan, SQL-exact: per doc one of four
+    container formats (doc_id % 4: PCM WAV / FLAC / MPEG-1-Layer-III
+    MP3 with an ID3v2 tag / ADTS AAC) is synthesized with closed-form
+    frame counts and rates, then scanned by the AudioMetadata stage —
+    which reads ONLY headers (frame walks, STREAMINFO, fmt chunk), the
+    way a 100-TB corpus is triaged before paying for decode. The
+    oracle computes format/frames/rate/channels/duration/bitrate
+    directly from doc_id."""
+    from ..functions.flac import encode_flac
+    from ..functions.multimodal import AudioMetadata
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_payloads(b: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        def mp3_frame(kbps_idx: int) -> bytes:
+            kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320][kbps_idx]
+            h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                 | (kbps_idx << 12) | (0 << 10) | (3 << 6))
+            size = 144_000 * kbps // 44100
+            return h.to_bytes(4, "big") + b"\x00" * (size - 4)
+
+        def adts_frame() -> bytes:
+            ln = 64
+            hdr = bytearray(7)
+            hdr[0] = 0xFF
+            hdr[1] = 0xF1
+            hdr[2] = (1 << 6) | (8 << 2)  # 16 kHz
+            hdr[3] = (1 << 6) | ((ln >> 11) & 3)  # 1 channel
+            hdr[4] = (ln >> 3) & 0xFF
+            hdr[5] = ((ln & 7) << 5) | 0x1F
+            hdr[6] = 0xFC
+            return bytes(hdr) + b"\x00" * (ln - 7)
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            v = i % 4
+            if v == 0:
+                n = 800 + (i % 5) * 160
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(16000)
+                    w.writeframes(np.zeros(n, np.int16).tobytes())
+                payloads.append(buf.getvalue())
+            elif v == 1:
+                n = 400 + (i % 11) * 20
+                payloads.append(
+                    encode_flac(np.arange(n, dtype=np.int64) % 97, 8000)
+                )
+            elif v == 2:
+                k = 2 + i % 4
+                tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+                payloads.append(tag + mp3_frame(9) * k)
+            else:
+                k = 1 + i % 3
+                payloads.append(adts_frame() * k)
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_payloads, batch_format="pyarrow")
+        .map_batches(AudioMetadata(), batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "n_frames", "sample_rate", "channels",
+              "duration_ms"):
+        out[c] = out[c].astype("int64")
+    # -1 sentinel for not-applicable bitrates: the driver hash treats
+    # pandas NA and SQL NULL differently, so the mirror stays int64
+    out["bitrate_kbps"] = out["bitrate_kbps"].fillna(-1).astype("int64")
+    return out[
+        ["media_id", "format", "n_frames", "sample_rate", "channels",
+         "duration_ms", "bitrate_kbps"]
+    ]
+
+
 def q_conversation_windows(sf_dir: str):
     """Sliding turn-window packing over per-user event sequences
     (conv=user, turn order=event_id, text=event_type): window 4,
@@ -5110,6 +5200,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "audio_quality": q_audio_quality,
     "audio_flac_features": q_audio_flac_features,
+    "audio_metadata": q_audio_metadata,
     "audio_coverage": q_audio_coverage,
     "conversation_windows": q_conversation_windows,
     "chunk_sentences": q_chunk_sentences,
@@ -6598,6 +6689,36 @@ ORACLES = {
       JOIN t ON t.conv = s.conv AND t.rn >= s.s AND t.rn < s.s + 4
       GROUP BY t.conv, s.s
       ORDER BY conv, window_start
+    """,
+    "audio_metadata": """
+      WITH v AS (
+        SELECT doc_id, doc_id % 4 AS variant,
+               800 + (doc_id % 5) * 160 AS wav_n,
+               400 + (doc_id % 11) * 20 AS flac_n,
+               2 + doc_id % 4 AS mp3_k,
+               1 + doc_id % 3 AS aac_k
+        FROM documents
+      )
+      SELECT doc_id AS media_id,
+             CASE variant WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                          WHEN 2 THEN 'mp3' ELSE 'aac' END AS format,
+             CAST(CASE variant WHEN 0 THEN wav_n WHEN 1 THEN flac_n
+                               WHEN 2 THEN mp3_k ELSE aac_k END
+                  AS BIGINT) AS n_frames,
+             CAST(CASE variant WHEN 0 THEN 16000 WHEN 1 THEN 8000
+                               WHEN 2 THEN 44100 ELSE 16000 END
+                  AS BIGINT) AS sample_rate,
+             CAST(1 AS BIGINT) AS channels,
+             CAST(CASE variant
+                    WHEN 0 THEN (wav_n * 1000) // 16000
+                    WHEN 1 THEN (flac_n * 1000) // 8000
+                    WHEN 2 THEN (mp3_k * 1152 * 1000) // 44100
+                    ELSE (aac_k * 1024 * 1000) // 16000
+                  END AS BIGINT) AS duration_ms,
+             CASE WHEN variant = 2 THEN CAST(128 AS BIGINT)
+                  ELSE CAST(-1 AS BIGINT) END AS bitrate_kbps
+      FROM v
+      ORDER BY media_id
     """,
     "audio_flac_features": """
       WITH p AS (

@@ -204,3 +204,86 @@ def test_echo_pairs_token_overlap():
     assert second["n_user_tokens"] == 2
     assert second["n_assistant_tokens"] == 2
     assert second["n_shared"] == 1
+
+
+# ---------------------------------------------------------------------------
+# audio_metadata (header-only scan: wav / flac / mp3 / adts-aac)
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame(kbps_idx=9, sr_idx=0, pad=0, mode=0):
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+    )
+
+    h = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        | (kbps_idx << 12) | (sr_idx << 10) | (pad << 9) | (mode << 6)
+    )
+    size = 144_000 * _MP3_BITRATES[kbps_idx] // _MP3_RATES[sr_idx] + pad
+    return h.to_bytes(4, "big") + b"\x00" * (size - 4)
+
+
+def _adts_frame(sf=4, ch=2, ln=64):
+    b = bytearray(7)
+    b[0] = 0xFF
+    b[1] = 0xF1
+    b[2] = (1 << 6) | (sf << 2) | ((ch >> 2) & 1)
+    b[3] = ((ch & 3) << 6) | ((ln >> 11) & 3)
+    b[4] = (ln >> 3) & 0xFF
+    b[5] = ((ln & 7) << 5) | 0x1F
+    b[6] = 0xFC
+    return bytes(b) + b"\x00" * (ln - 7)
+
+
+def test_audio_metadata_headers_only():
+    import io
+    import wave
+
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.flac import (
+        encode_flac,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        audio_metadata,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(3200, np.int16).tobytes())
+    md = audio_metadata(buf.getvalue())
+    assert md == {
+        "format": "wav", "n_frames": 1600, "sample_rate": 16000,
+        "channels": 2, "duration_ms": 100, "bitrate_kbps": None,
+    }
+
+    md = audio_metadata(encode_flac(np.arange(800) % 100, 8000))
+    assert (md["format"], md["n_frames"], md["sample_rate"]) == (
+        "flac", 800, 8000,
+    )
+    assert md["duration_ms"] == 100
+
+    # ID3 tag skip + VBR mean bitrate + padding-bit frame advance
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    md = audio_metadata(
+        id3 + _mp3_frame(9) + _mp3_frame(11) + _mp3_frame(9, 0, 1)
+    )
+    assert (md["format"], md["n_frames"], md["sample_rate"]) == (
+        "mp3", 3, 44100,
+    )
+    assert md["bitrate_kbps"] == (128 + 192 + 128) // 3
+    assert md["duration_ms"] == 3 * 1152 * 1000 // 44100
+
+    md = audio_metadata(_adts_frame() + _adts_frame())
+    assert (md["format"], md["n_frames"], md["channels"]) == ("aac", 2, 2)
+    assert md["duration_ms"] == 2 * 1024 * 1000 // 44100
+
+    assert audio_metadata(b"junk") is None
+    assert audio_metadata(None) is None
+    # truncated mp3 sync with no full frame header
+    assert audio_metadata(b"\xff\xfb") is None
