@@ -1157,6 +1157,50 @@ def audio_metadata(payload: bytes | None) -> dict | None:
                 "duration_ms": n_frames * 1152 * 1000 // rate,
                 "bitrate_kbps": kbps_sum // n_frames,
             }
+        if fmt == "ogg":
+            # page walk: duration comes from the LAST page's granule
+            # position (sample count at the codec clock); rate/channels
+            # from the Vorbis/Opus identification packet on page one
+            pos = 0
+            last_granule = None
+            rate = None
+            channels = None
+            codec = None
+            preskip = 0
+            while pos + 27 <= len(payload):
+                if payload[pos : pos + 4] != b"OggS":
+                    break
+                granule = int.from_bytes(
+                    payload[pos + 6 : pos + 14], "little", signed=True
+                )
+                nsegs = payload[pos + 26]
+                segs = payload[pos + 27 : pos + 27 + nsegs]
+                body_len = int(sum(segs))
+                body = payload[pos + 27 + nsegs : pos + 27 + nsegs + body_len]
+                if rate is None:
+                    if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                        channels = body[11]
+                        rate = int.from_bytes(body[12:16], "little")
+                        codec = "vorbis"
+                    elif body[:8] == b"OpusHead" and len(body) >= 12:
+                        channels = body[9]
+                        preskip = int.from_bytes(body[10:12], "little")
+                        rate = 48000  # Opus granules tick at 48 kHz
+                        codec = "opus"
+                if granule >= 0:
+                    last_granule = granule
+                pos += 27 + nsegs + body_len
+            if last_granule is None or not rate:
+                return None
+            total = last_granule - (preskip if codec == "opus" else 0)
+            return {
+                "format": "ogg",
+                "n_frames": total,
+                "sample_rate": rate,
+                "channels": channels,
+                "duration_ms": total * 1000 // rate,
+                "bitrate_kbps": None,
+            }
         if fmt == "aac":
             pos = 0
             n_frames = 0

@@ -243,6 +243,12 @@ def run_bench() -> dict:
         "bm25_rank",
         "cumsum_user_value",
         "cooccur_event_types",
+        # round-4 additions: transcript curation + codec paths
+        "conversation_lint",
+        "instruction_pairs",
+        "boilerplate_turns",
+        "image_webp_decode",
+        "audio_metadata",
     )
     for name in qnames:
         t0 = time.perf_counter()

@@ -287,3 +287,57 @@ def test_audio_metadata_headers_only():
     assert audio_metadata(None) is None
     # truncated mp3 sync with no full frame header
     assert audio_metadata(b"\xff\xfb") is None
+
+
+def _ogg_page(body, granule, seq, header_type=0):
+    n_full, rem = divmod(len(body), 255)
+    segs = bytes([255] * n_full + [rem])
+    hdr = (
+        b"OggS" + bytes([0, header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + (7).to_bytes(4, "little")  # serial
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"  # checksum unverified
+        + bytes([len(segs)]) + segs
+    )
+    return hdr + body
+
+
+def test_audio_metadata_ogg_vorbis_and_opus():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        audio_metadata,
+    )
+
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+        + (22050).to_bytes(4, "little") + b"\x00" * 9
+    )
+    stream = (
+        _ogg_page(ident, -1 if False else 0, 0, header_type=2)
+        + _ogg_page(b"\x05" * 100, 44100, 1)
+        + _ogg_page(b"\x05" * 100, 88200, 2, header_type=4)
+    )
+    md = audio_metadata(stream)
+    assert md == {
+        "format": "ogg", "n_frames": 88200, "sample_rate": 22050,
+        "channels": 2, "duration_ms": 88200 * 1000 // 22050,
+        "bitrate_kbps": None,
+    }
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 1]) + (312).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + b"\x00\x00\x00"
+    )
+    stream = (
+        _ogg_page(opus_head, 0, 0, header_type=2)
+        + _ogg_page(b"\x05" * 50, 48000 + 312, 1, header_type=4)
+    )
+    md = audio_metadata(stream)
+    # opus granules tick at 48 kHz and include the pre-skip
+    assert md["sample_rate"] == 48000
+    assert md["n_frames"] == 48000
+    assert md["duration_ms"] == 1000
+    assert md["channels"] == 1
+
+    # truncated / pageless ogg rejected
+    assert audio_metadata(b"OggS\x00\x00") is None
