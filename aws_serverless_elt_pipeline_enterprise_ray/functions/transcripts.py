@@ -597,6 +597,74 @@ def echo_pairs(
     )
 
 
+def conversation_language_consistency(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Language-consistency screen: language-ID every turn (map-side,
+    the stopword-hit heuristic from ``text.LangId`` — no shuffle),
+    then ONE conv-bucketed exchange of per-block (conv, lang, n)
+    partials to find each conversation's majority language and how
+    many turns disagree with it. Mixed-language transcripts (copy-paste
+    contamination, wrong-locale sessions) are the usual drop. Ties on
+    the majority count break by ``LANG_PRIORITY``, matching the
+    per-turn tie-break. Returns (conv, majority_lang, n_turns,
+    n_minority, consistent)."""
+    from .text import LANG_PRIORITY, LangId
+
+    nb = num_buckets or _buckets_for_cluster()
+    lid = LangId(text_col)
+    prio = {lang: i for i, lang in enumerate(LANG_PRIORITY)}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        scored = lid(b[[conv_col, text_col]].copy())
+        p = (
+            scored.groupby([conv_col, "lang_pred"], sort=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+        p["_qb"] = _key_buckets(p[conv_col], nb)
+        return p
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            g.groupby([conv_col, "lang_pred"], sort=False)["_n"]
+            .sum()
+            .reset_index()
+        )
+        pairs["_p"] = pairs["lang_pred"].map(prio)
+        pairs = pairs.sort_values(
+            [conv_col, "_n", "_p"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pairs["_tot"] = pairs.groupby(conv_col, sort=False)["_n"].transform(
+            "sum"
+        )
+        top = pairs.groupby(conv_col, sort=False).head(1)
+        out = pd.DataFrame(
+            {
+                conv_col: top[conv_col].to_numpy(),
+                "majority_lang": top["lang_pred"].to_numpy(),
+                "n_turns": top["_tot"].to_numpy().astype(np.int64),
+                "n_minority": (top["_tot"] - top["_n"]).to_numpy().astype(
+                    np.int64
+                ),
+            }
+        )
+        out["consistent"] = out["n_minority"] == 0
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_qb")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
 def assign_split(
     ds: rd.Dataset,
     *,

@@ -3562,6 +3562,47 @@ def q_prefix_fork_groups(sf_dir: str):
     return out[["conv", "prefix", "n_convs_sharing"]]
 
 
+def q_conversation_lang_consistency(sf_dir: str):
+    """Per-conversation language-consistency screen, SQL-exact: every
+    turn gets a deterministic language-marker suffix (event_id % 3
+    picks English/Spanish/French stopwords disjoint across the three
+    pattern lists), the per-turn heuristic is the shared LangId
+    stopword count, and the conversation rollup (majority language,
+    minority-turn count, consistent flag) shuffles only per-block
+    (conv, lang, n) partials. Oracle mirrors the hit CASEs and the
+    count/priority tie-break."""
+    from ..functions.transcripts import conversation_language_consistency
+
+    src = _conv_stream(sf_dir)
+
+    def suffix(b: pd.DataFrame) -> pd.DataFrame:
+        mod = (b["ord"] % 3).to_numpy()
+        sfx = np.where(
+            mod == 0, " the and you",
+            np.where(mod == 1, " el por los", " le pour dans"),
+        )
+        return pd.DataFrame(
+            {"conv": b["conv"], "text": b["text"].to_numpy() + sfx}
+        )
+
+    out = (
+        conversation_language_consistency(
+            src.map_batches(suffix, batch_format="pandas"),
+            conv_col="conv", text_col="text",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["n_minority"] = out["n_minority"].astype("int64")
+    out["consistent"] = out["consistent"].astype(bool)
+    return out[
+        ["conv", "majority_lang", "n_turns", "n_minority", "consistent"]
+    ]
+
+
 def q_echo_pairs(sf_dir: str):
     """Assistant-echo token overlap on adjacent 'view'->'click' pairs:
     distinct lowercase whitespace tokens shared between the two turn
@@ -5211,6 +5252,7 @@ QUERIES = {
     "instruction_pairs": q_instruction_pairs,
     "prefix_fork_groups": q_prefix_fork_groups,
     "echo_pairs": q_echo_pairs,
+    "conversation_lang_consistency": q_conversation_lang_consistency,
     "fix_mojibake": q_fix_mojibake,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
@@ -6596,6 +6638,41 @@ ORACLES = {
       FROM pre JOIN g USING (prefix)
       ORDER BY conv
     """,
+    "conversation_lang_consistency": """
+      WITH t AS (
+        SELECT user_id AS conv,
+               props || CASE event_id % 3
+                          WHEN 0 THEN ' the and you'
+                          WHEN 1 THEN ' el por los'
+                          ELSE ' le pour dans'
+                        END AS text
+        FROM events
+      ),
+      scored AS (SELECT conv, {_LANG} FROM t),
+      pred AS (
+        SELECT conv,
+               CASE WHEN hits_es > hits_en AND hits_es >= hits_fr THEN 'es'
+                    WHEN hits_fr > hits_en AND hits_fr > hits_es THEN 'fr'
+                    ELSE 'en' END AS lang
+        FROM scored
+      ),
+      counts AS (SELECT conv, lang, COUNT(*) AS n FROM pred GROUP BY conv, lang),
+      ranked AS (
+        SELECT conv, lang, n,
+               SUM(n) OVER (PARTITION BY conv) AS tot,
+               row_number() OVER (
+                 PARTITION BY conv
+                 ORDER BY n DESC,
+                   CASE lang WHEN 'en' THEN 0 WHEN 'es' THEN 1 ELSE 2 END
+               ) AS rn
+        FROM counts
+      )
+      SELECT conv, lang AS majority_lang,
+             CAST(tot AS BIGINT) AS n_turns,
+             CAST(tot - n AS BIGINT) AS n_minority,
+             (tot - n = 0) AS consistent
+      FROM ranked WHERE rn = 1 ORDER BY conv
+    """.replace("{_LANG}", _LANG_SQL_CASES),
     "echo_pairs": """
       WITH t AS (
         SELECT user_id AS conv, event_id AS ord, event_type AS role,

@@ -341,3 +341,37 @@ def test_audio_metadata_ogg_vorbis_and_opus():
 
     # truncated / pageless ogg rejected
     assert audio_metadata(b"OggS\x00\x00") is None
+
+
+def test_conversation_language_consistency():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        conversation_language_consistency,
+    )
+
+    ds = _ds(
+        [
+            # conv a: 2 english turns, 1 spanish -> majority en, 1 minority
+            ("a", 1, "user", "the cat and you"),
+            ("a", 2, "assistant", "that is the point"),
+            ("a", 3, "user", "el gato por los tejados"),
+            # conv b: all french -> consistent
+            ("b", 1, "user", "le chat pour dans"),
+            ("b", 2, "assistant", "être le pour dans ce"),
+            # conv c: 1 en / 1 es tie -> priority breaks to en
+            ("c", 1, "user", "the and you"),
+            ("c", 2, "assistant", "el por los"),
+        ]
+    )
+    out = (
+        conversation_language_consistency(ds)
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    a, b, c = out.loc["a"], out.loc["b"], out.loc["c"]
+    assert (a["majority_lang"], a["n_turns"], a["n_minority"]) == ("en", 3, 1)
+    assert not a["consistent"]
+    assert (b["majority_lang"], b["n_minority"], bool(b["consistent"])) == (
+        "fr", 0, True,
+    )
+    assert c["majority_lang"] == "en" and c["n_minority"] == 1
