@@ -284,6 +284,10 @@ def _write_residual(
     """Single-partition residual; ``escape_raw_bits`` selects the
     raw-escape encoding instead of Rice. Both emissions are built as
     one numpy bit array (no per-bit Python)."""
+    if not 0 <= param <= 30:
+        # 5-bit value 31 is the escape marker; larger values would
+        # silently truncate mod 32 and desync the decoder
+        raise ValueError("flac: rice_param must be in [0, 30]")
     pbits = 4 if param < 15 and escape_raw_bits is None else 5
     method = 0 if pbits == 4 else 1
     w.write(method, 2)

@@ -265,7 +265,13 @@ def conversation_lint(
         rep = np.zeros(len(g), dtype=np.int64)
         if len(g) > 1:
             gap[1:] = same_conv[1:] & (ord_[1:] != ord_[:-1] + 1)
-            rep[1:] = same_conv[1:] & (role[1:] == role[:-1])
+            # SQL NULL semantics: a NULL role never equals anything,
+            # so two consecutive null roles are NOT a repeat
+            notna = pd.notna(role)
+            rep[1:] = (
+                same_conv[1:] & notna[1:] & notna[:-1]
+                & (role[1:] == role[:-1])
+            )
         gg = g.assign(_gap=gap, _rep=rep, _nul=g[text_col].isna())
         agg = (
             gg.groupby(conv_col, sort=False)

@@ -723,7 +723,12 @@ def _encode_stream_literals(
             while i + run < n and px32[i + run] == px32[i - 1 + run]:
                 run += 1
             if run >= 3:
-                ops.append(("copy", run))
+                # length prefix codes span values 1..4096 (24 codes);
+                # longer runs must split into multiple copies
+                full, rest = divmod(run, 4096)
+                ops.extend([("copy", 4096)] * full)
+                if rest:
+                    ops.append(("copy", rest))
                 if cache is not None:
                     for j in range(i, i + run):
                         hsh = (0x1E35A7BD * int(px32[j])) % (1 << 32) >> (

@@ -3231,11 +3231,12 @@ def q_audio_metadata(sf_dir: str):
         import wave
 
         def mp3_frame(kbps_idx: int) -> bytes:
-            kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-                    224, 256, 320][kbps_idx]
+            from ..functions.multimodal import _MP3_BITRATES, _MP3_RATES
+
+            kbps = _MP3_BITRATES[kbps_idx]
             h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
                  | (kbps_idx << 12) | (0 << 10) | (3 << 6))
-            size = 144_000 * kbps // 44100
+            size = 144_000 * kbps // _MP3_RATES[0]
             return h.to_bytes(4, "big") + b"\x00" * (size - 4)
 
         def adts_frame() -> bytes:
@@ -3498,8 +3499,13 @@ def q_repeated_turn_runs(sf_dir: str):
     src = _conv_stream(sf_dir)
 
     def coarsen(b: pd.DataFrame) -> pd.DataFrame:
+        # null props stay null (the operator excludes them, matching
+        # the oracle's WHERE props IS NOT NULL)
         b = b.copy()
-        b["text"] = b["text"].str.len().astype("int64").astype(str)
+        b["text"] = (
+            b["text"].str.len().astype("Int64").astype("string").astype(object)
+        )
+        b["text"] = b["text"].where(b["text"].notna(), None)
         return b
 
     out = (
@@ -3581,8 +3587,10 @@ def q_conversation_lang_consistency(sf_dir: str):
             mod == 0, " the and you",
             np.where(mod == 1, " el por los", " le pour dans"),
         )
+        # null-safe concat (SQL `props || suffix` yields NULL; LangId
+        # downstream fillna's, classifying the turn as 'en' either way)
         return pd.DataFrame(
-            {"conv": b["conv"], "text": b["text"].to_numpy() + sfx}
+            {"conv": b["conv"], "text": b["text"].fillna("").to_numpy() + sfx}
         )
 
     out = (
