@@ -30,34 +30,33 @@ import numpy as np
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "bit")
+    """LSB-first reader over a bit cursor; field reads slice the byte
+    buffer once (``int.from_bytes``) instead of looping per bit."""
+
+    __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.pos = 0  # bit position
+        self.nbits = 8 * len(data)
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.pos >= len(self.data):
-                raise ValueError("vp8l: bitstream truncated")
-            v |= ((self.data[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
-        return v
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
+            raise ValueError("vp8l: bitstream truncated")
+        self.pos = end
+        v = int.from_bytes(
+            self.data[pos >> 3:(end + 7) >> 3], "little"
+        ) >> (pos & 7)
+        return v & ((1 << n) - 1)
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
+        pos = self.pos
+        if pos >= self.nbits:
             raise ValueError("vp8l: bitstream truncated")
-        b = (self.data[self.pos] >> self.bit) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        self.pos = pos + 1
+        return (self.data[pos >> 3] >> (pos & 7)) & 1
 
 
 class _BitWriter:
@@ -84,10 +83,6 @@ class _BitWriter:
 #: order in which code-length-code lengths are stored (spec constant)
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
-#: sentinel for a single-symbol code: decoding consumes zero bits
-_SINGLE = "single"
-
-
 def _canonical_codes(lengths: list[int]) -> dict[int, int]:
     """DEFLATE-style canonical code assignment: symbols ascending
     within each length, codes counted up MSB-first."""
@@ -109,45 +104,61 @@ def _canonical_codes(lengths: list[int]) -> dict[int, int]:
     return out
 
 
+class _Lut:
+    """Table-driven prefix decoder. ``table[next maxlen stream bits]``
+    (LSB-first packing, i.e. first-read bit is bit 0 of the index)
+    holds ``(sym << 4) | code_len``; -1 marks invalid codewords. One
+    list lookup per symbol replaces the per-bit tree walk."""
+
+    __slots__ = ("table", "mask")
+
+    def __init__(self, table: list[int], mask: int):
+        self.table = table
+        self.mask = mask
+
+
 def _build_tree(lengths: list[int]):
-    """Prefix-decode tree: nested 2-lists; leaves are ints. A code
-    with exactly one used symbol returns (_SINGLE, sym): reading it
-    consumes no bits (spec: simple code with one symbol)."""
+    """Prefix decoder for one code, always a ``_Lut``. A code with
+    exactly one used symbol gets mask=0 / code_len=0: decoding
+    consumes zero bits (spec: simple code with one symbol)."""
     used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
     if not used:
         raise ValueError("vp8l: empty prefix code")
     if len(used) == 1:
-        return (_SINGLE, used[0][0])
+        return _Lut([used[0][0] << 4], 0)
     codes = _canonical_codes(lengths)
-    root = [None, None]
+    maxlen = max(ln for _, ln in used)
+    if maxlen > 15:
+        raise ValueError("vp8l: code length > 15")
+    table = np.full(1 << maxlen, -1, np.int32)
     for sym, ln in used:
         code = codes[sym]
-        node = root
-        for depth in range(ln - 1, -1, -1):
-            b = (code >> depth) & 1
-            if depth == 0:
-                if node[b] is not None:
-                    raise ValueError("vp8l: over-subscribed prefix code")
-                node[b] = sym
-            else:
-                if node[b] is None:
-                    node[b] = [None, None]
-                node = node[b]
-                if isinstance(node, int):
-                    raise ValueError("vp8l: over-subscribed prefix code")
-    return root
+        if code >> ln:  # Kraft overflow: canonical code spilled over
+            raise ValueError("vp8l: over-subscribed prefix code")
+        rev = 0
+        for b in range(ln):
+            rev = (rev << 1) | ((code >> b) & 1)
+        # the codeword owns every index whose low ln bits equal rev
+        sl = table[rev::1 << ln]
+        if (sl != -1).any():
+            raise ValueError("vp8l: over-subscribed prefix code")
+        sl[:] = (sym << 4) | ln
+    return _Lut(table.tolist(), (1 << maxlen) - 1)
 
 
-def _tree_decode(r: _BitReader, tree) -> int:
-    if isinstance(tree, tuple):  # single-symbol: zero bits
-        return tree[1]
-    node = tree
-    while True:
-        node = node[r.read_bit()]
-        if node is None:
-            raise ValueError("vp8l: invalid prefix code word")
-        if isinstance(node, int):
-            return node
+def _tree_decode(r: _BitReader, tree: _Lut) -> int:
+    pos = r.pos
+    i = pos >> 3
+    # 3 bytes past the cursor byte always cover maxlen<=15 more bits
+    v = (int.from_bytes(r.data[i:i + 3], "little") >> (pos & 7)) & tree.mask
+    e = tree.table[v]
+    if e < 0:
+        raise ValueError("vp8l: invalid prefix code word")
+    pos += e & 0xF
+    if pos > r.nbits:
+        raise ValueError("vp8l: bitstream truncated")
+    r.pos = pos
+    return e >> 4
 
 
 def _read_prefix_code(r: _BitReader, alphabet_size: int):
@@ -157,10 +168,10 @@ def _read_prefix_code(r: _BitReader, alphabet_size: int):
         first_8bit = r.read_bit()
         sym0 = r.read(8 if first_8bit else 1)
         if num_symbols == 1:
-            return (_SINGLE, sym0)
+            return _Lut([sym0 << 4], 0)
         # two symbols: code 0 -> first symbol AS READ (not canonical)
         sym1 = r.read(8)
-        return [sym0, sym1]
+        return _Lut([(sym0 << 4) | 1, (sym1 << 4) | 1], 1)
     num_cl = 4 + r.read(4)
     cl_lengths = [0] * 19
     for i in range(num_cl):
@@ -302,27 +313,144 @@ def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
 def _inverse_predictor(argb: np.ndarray, modes: np.ndarray, bits: int):
     """In-place inverse predictor transform. argb: (h, w, 4) uint8
     residuals -> pixels; modes: per-block mode grid (green channel of
-    the transform sub-image)."""
+    the transform sub-image).
+
+    Row-at-a-time: same-mode block runs with no left-dependency
+    (modes 0/2/3/4/8/9 read only the previous row) apply as whole-run
+    numpy ops; mode 1 (L) is a mod-256 cumsum; the left-dependent
+    modes (5/6/7/10/11/12/13) fall back to a per-pixel loop over
+    plain int channels (no per-pixel array allocation)."""
     h, w = argb.shape[:2]
     px = argb.astype(np.int32)
+    modes_i = modes.astype(np.int64)
     for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], np.int32)
-            elif y == 0:
-                pred = px[0, x - 1]
-            elif x == 0:
-                pred = px[y - 1, 0]
+        row = px[y]
+        if y == 0:
+            # (0,0) predicts black [255,0,0,0]; the rest of the top
+            # row is forced mode L -> one cumsum mod 256
+            row[0, 0] += 255
+            np.cumsum(row, axis=0, out=row)
+            row &= 0xFF
+            continue
+        prev = px[y - 1]
+        row[0] = (row[0] + prev[0]) & 0xFF  # x==0 is forced mode T
+        row0 = row[0].tolist()
+        mrow = modes_i[y >> bits]
+        x0 = 1
+        while x0 < w:
+            mode = int(mrow[x0 >> bits])
+            # merge consecutive blocks sharing the mode into one run
+            x1 = ((x0 >> bits) + 1) << bits
+            while x1 < w and mrow[x1 >> bits] == mode:
+                x1 = ((x1 >> bits) + 1) << bits
+            x1 = min(x1, w)
+            n = x1 - x0
+            seg = row[x0:x1]
+            if mode == 0:
+                seg[:, 0] += 255
+                seg &= 0xFF
+            elif mode == 1:  # L: cumsum seeded by the left neighbor
+                seg[0] = (seg[0] + row[x0 - 1]) & 0xFF
+                np.cumsum(seg, axis=0, out=seg)
+                seg &= 0xFF
+            elif mode == 2:  # T
+                seg += prev[x0:x1]
+                seg &= 0xFF
+            elif mode in (3, 9):  # TR / avg2(T, TR)
+                # scan-order arithmetic: TR of the rightmost column
+                # is the leftmost pixel of the SAME row
+                tr = np.empty((n, 4), np.int32)
+                m = min(x1 + 1, w) - (x0 + 1)
+                tr[:m] = prev[x0 + 1:x0 + 1 + m]
+                if x1 == w:
+                    tr[-1] = row[0]
+                seg += tr if mode == 3 else (prev[x0:x1] + tr) >> 1
+                seg &= 0xFF
+            elif mode == 4:  # TL
+                seg += prev[x0 - 1:x1 - 1]
+                seg &= 0xFF
+            elif mode == 8:  # avg2(TL, T)
+                seg += (prev[x0 - 1:x1 - 1] + prev[x0:x1]) >> 1
+                seg &= 0xFF
+            elif 5 <= mode <= 13:
+                # left-dependent: sequential, plain-int channels
+                # unrolled (a, r, g, b) to avoid per-pixel list builds
+                res = seg.tolist()
+                prevl = prev[x0 - 1:min(x1 + 1, w)].tolist()
+                la, lr, lg, lb = row[x0 - 1].tolist()
+                last = n - 1 if x1 == w else -1
+                for i in range(n):
+                    tla, tlr, tlg, tlb = prevl[i]
+                    ta, tr_, tg, tb = prevl[i + 1]
+                    if mode == 7:
+                        pa = (la + ta) >> 1
+                        pr = (lr + tr_) >> 1
+                        pg = (lg + tg) >> 1
+                        pb = (lb + tb) >> 1
+                    elif mode == 6:
+                        pa = (la + tla) >> 1
+                        pr = (lr + tlr) >> 1
+                        pg = (lg + tlg) >> 1
+                        pb = (lb + tlb) >> 1
+                    elif mode == 11:  # Select
+                        pl = (abs(ta - tla) + abs(tr_ - tlr)
+                              + abs(tg - tlg) + abs(tb - tlb))
+                        pt = (abs(la - tla) + abs(lr - tlr)
+                              + abs(lg - tlg) + abs(lb - tlb))
+                        if pl < pt:
+                            pa, pr, pg, pb = la, lr, lg, lb
+                        else:
+                            pa, pr, pg, pb = ta, tr_, tg, tb
+                    elif mode == 12:  # ClampAddSubtractFull
+                        pa = min(255, max(0, la + ta - tla))
+                        pr = min(255, max(0, lr + tr_ - tlr))
+                        pg = min(255, max(0, lg + tg - tlg))
+                        pb = min(255, max(0, lb + tb - tlb))
+                    elif mode == 13:  # ClampAddSubtractHalf
+                        ave = (la + ta) >> 1
+                        d = ave - tla
+                        pa = min(255, max(
+                            0, ave + (d // 2 if d >= 0 else -((-d) // 2))
+                        ))
+                        ave = (lr + tr_) >> 1
+                        d = ave - tlr
+                        pr = min(255, max(
+                            0, ave + (d // 2 if d >= 0 else -((-d) // 2))
+                        ))
+                        ave = (lg + tg) >> 1
+                        d = ave - tlg
+                        pg = min(255, max(
+                            0, ave + (d // 2 if d >= 0 else -((-d) // 2))
+                        ))
+                        ave = (lb + tb) >> 1
+                        d = ave - tlb
+                        pb = min(255, max(
+                            0, ave + (d // 2 if d >= 0 else -((-d) // 2))
+                        ))
+                    else:  # 5 / 10 need TR
+                        ra, rr, rg, rb = (
+                            row0 if i == last else prevl[i + 2]
+                        )
+                        if mode == 5:
+                            pa = (((la + ra) >> 1) + ta) >> 1
+                            pr = (((lr + rr) >> 1) + tr_) >> 1
+                            pg = (((lg + rg) >> 1) + tg) >> 1
+                            pb = (((lb + rb) >> 1) + tb) >> 1
+                        else:  # 10
+                            pa = (((la + tla) >> 1) + ((ta + ra) >> 1)) >> 1
+                            pr = (((lr + tlr) >> 1) + ((tr_ + rr) >> 1)) >> 1
+                            pg = (((lg + tlg) >> 1) + ((tg + rg) >> 1)) >> 1
+                            pb = (((lb + tlb) >> 1) + ((tb + rb) >> 1)) >> 1
+                    ca, cr, cg, cb = res[i]
+                    la = (ca + pa) & 0xFF
+                    lr = (cr + pr) & 0xFF
+                    lg = (cg + pg) & 0xFF
+                    lb = (cb + pb) & 0xFF
+                    res[i] = (la, lr, lg, lb)
+                seg[:] = res
             else:
-                mode = int(modes[y >> bits, x >> bits])
-                L = px[y, x - 1]
-                T = px[y - 1, x]
-                TL = px[y - 1, x - 1]
-                # scan-order address arithmetic: TR of the rightmost
-                # column is the leftmost pixel of the SAME row
-                TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
-                pred = _predict(mode, L, T, TL, TR)
-            px[y, x] = (px[y, x] + pred) & 0xFF
+                raise ValueError(f"vp8l: bad predictor mode {mode}")
+            x0 = x1
     argb[:] = px.astype(np.uint8)
 
 
@@ -416,7 +544,7 @@ def _decode_image_stream(
     cache_bits = r.read(4) if r.read_bit() else 0
     if cache_bits and not (1 <= cache_bits <= 11):
         raise ValueError("vp8l: bad color-cache size")
-    cache = np.zeros(1 << cache_bits, np.uint32) if cache_bits else None
+    cache = [0] * (1 << cache_bits) if cache_bits else None
 
     # meta prefix-code groups (top level only)
     entropy = None
@@ -439,54 +567,128 @@ def _decode_image_stream(
             )
         )
 
-    out = np.zeros(xsize * h, np.uint32)
+    # per-pixel group index, flattened once (beats 2D indexing per
+    # symbol in the hot loop)
+    meta_full = None
+    if entropy is not None:
+        meta = (entropy[:, :, 1].astype(np.int32) << 8) | entropy[:, :, 2]
+        meta_full = meta[
+            np.arange(h) >> hbits
+        ][:, np.arange(xsize) >> hbits].ravel().tolist()
+
+    out = [0] * (xsize * h)
     pos = 0
     total = xsize * h
+    shift = 32 - cache_bits if cache_bits else 0
+    # flatten each group to (table, mask) pairs for the inlined loop
+    flat = [
+        (g[0].table, g[0].mask, g[1].table, g[1].mask, g[2].table,
+         g[2].mask, g[3].table, g[3].mask, g[4].table, g[4].mask)
+        for g in groups
+    ]
+    gt, gm, rt, rm, bt, bm, at, am, dt, dm = flat[0]
+    data = r.data
+    nbits = r.nbits
+    bpos = r.pos
     while pos < total:
-        if entropy is not None:
-            x, y = pos % xsize, pos // xsize
-            m = entropy[y >> hbits, x >> hbits]
-            gtree, rtree, btree, atree, dtree = groups[
-                (int(m[1]) << 8) | int(m[2])
-            ]
-        else:
-            gtree, rtree, btree, atree, dtree = groups[0]
-        s = _tree_decode(r, gtree)
-        if s < 256:  # literal
-            green = s
-            red = _tree_decode(r, rtree)
-            blue = _tree_decode(r, btree)
-            alpha = _tree_decode(r, atree)
-            px = (alpha << 24) | (red << 16) | (green << 8) | blue
+        if meta_full is not None:
+            gt, gm, rt, rm, bt, bm, at, am, dt, dm = flat[meta_full[pos]]
+        # one 9-byte refill covers the worst case for a whole literal
+        # (4 codes x 15 bits) or a whole backward reference
+        # (code + 10 extra + code + 18 extra)
+        i = bpos >> 3
+        buf = int.from_bytes(data[i:i + 9], "little") >> (bpos & 7)
+        e = gt[buf & gm]
+        if e < 0:
+            raise ValueError("vp8l: invalid prefix code word")
+        n = e & 15
+        s = e >> 4
+        bpos += n
+        buf >>= n
+        if s < 256:  # literal (stream order: green, red, blue, alpha)
+            e = rt[buf & rm]
+            if e < 0:
+                raise ValueError("vp8l: invalid prefix code word")
+            red = e >> 4
+            n = e & 15
+            bpos += n
+            buf >>= n
+            e = bt[buf & bm]
+            if e < 0:
+                raise ValueError("vp8l: invalid prefix code word")
+            blue = e >> 4
+            n = e & 15
+            bpos += n
+            buf >>= n
+            e = at[buf & am]
+            if e < 0:
+                raise ValueError("vp8l: invalid prefix code word")
+            bpos += e & 15
+            if bpos > nbits:
+                raise ValueError("vp8l: bitstream truncated")
+            px = ((e >> 4) << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             pos += 1
             if cache is not None:
-                cache[(0x1E35A7BD * px) % (1 << 32) >> (32 - cache_bits)] = px
+                cache[(0x1E35A7BD * px) % (1 << 32) >> shift] = px
         elif s < 256 + 24:  # LZ77 backward reference
-            length = _lz77_decode_value(r, s - 256)
-            dcode = _tree_decode(r, dtree)
-            dist = _plane_distance(_lz77_decode_value(r, dcode), xsize)
-            if dist > pos or pos + length > total:
+            pc = s - 256
+            if pc < 4:
+                length = pc + 1
+            else:
+                nx = (pc - 2) >> 1
+                length = (
+                    ((2 + (pc & 1)) << nx) + (buf & ((1 << nx) - 1)) + 1
+                )
+                bpos += nx
+                buf >>= nx
+            e = dt[buf & dm]
+            if e < 0:
+                raise ValueError("vp8l: invalid prefix code word")
+            pc = e >> 4
+            n = e & 15
+            bpos += n
+            buf >>= n
+            if pc < 4:
+                dv = pc + 1
+            else:
+                nx = (pc - 2) >> 1
+                dv = ((2 + (pc & 1)) << nx) + (buf & ((1 << nx) - 1)) + 1
+                bpos += nx
+            if bpos > nbits:
+                raise ValueError("vp8l: bitstream truncated")
+            dist = _plane_distance(dv, xsize)
+            end = pos + length
+            if dist > pos or end > total:
                 raise ValueError("vp8l: backward reference out of range")
-            for i in range(length):
-                px = out[pos - dist]
-                out[pos] = px
-                pos += 1
-                if cache is not None:
-                    cache[
-                        (0x1E35A7BD * int(px)) % (1 << 32) >> (32 - cache_bits)
-                    ] = px
+            if dist >= length:
+                out[pos:end] = out[pos - dist:pos - dist + length]
+            else:
+                # overlapping copy repeats the trailing dist pixels
+                pat = out[pos - dist:pos]
+                rep, rem = divmod(length, dist)
+                out[pos:end] = pat * rep + pat[:rem]
+            if cache is not None:
+                for px in out[pos:end]:
+                    cache[(0x1E35A7BD * px) % (1 << 32) >> shift] = px
+            pos = end
         else:  # color-cache hit
+            if bpos > nbits:
+                raise ValueError("vp8l: bitstream truncated")
             if cache is None:
                 raise ValueError("vp8l: cache symbol without cache")
             out[pos] = cache[s - 256 - 24]
             pos += 1
+    if bpos > nbits:
+        raise ValueError("vp8l: bitstream truncated")
+    r.pos = bpos
 
+    out32 = np.array(out, dtype=np.uint32).reshape(h, xsize)
     argb = np.zeros((h, xsize, 4), np.uint8)
-    argb[:, :, 0] = (out >> 24).reshape(h, xsize).astype(np.uint8)
-    argb[:, :, 1] = ((out >> 16) & 0xFF).reshape(h, xsize).astype(np.uint8)
-    argb[:, :, 2] = ((out >> 8) & 0xFF).reshape(h, xsize).astype(np.uint8)
-    argb[:, :, 3] = (out & 0xFF).reshape(h, xsize).astype(np.uint8)
+    argb[:, :, 0] = (out32 >> 24).astype(np.uint8)
+    argb[:, :, 1] = ((out32 >> 16) & 0xFF).astype(np.uint8)
+    argb[:, :, 2] = ((out32 >> 8) & 0xFF).astype(np.uint8)
+    argb[:, :, 3] = (out32 & 0xFF).astype(np.uint8)
 
     for t in reversed(transforms):
         if t[0] == "palette":
