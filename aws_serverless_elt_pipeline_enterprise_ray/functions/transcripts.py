@@ -697,3 +697,259 @@ def assign_split(
         return b.append_column(split_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def preference_pairs(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prefix_turns: int = 1,
+    assistant_role: str | None = None,
+    sep: str = "\n",
+    max_group: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Preference-pair mining from shared-prefix forks: conversations
+    whose first ``prefix_turns`` turns are textually identical are the
+    same dialogue regenerated, and their DIFFERING next turns are
+    natural (chosen, rejected) candidates for reward-model training.
+    Emits one row per unordered conversation pair within a fork group
+    whose fork-turn texts differ: (prefix, conv_a, conv_b,
+    response_a, response_b) with conv_a < conv_b.
+
+    Stage 1 (conv-bucketed shuffle) assembles each conversation's
+    prefix string plus its fork turn (rank ``prefix_turns``, i.e. the
+    turn right after the prefix); ``assistant_role`` optionally
+    requires the fork turn to carry that role. Stage 2 buckets the
+    ONE-ROW-PER-CONVERSATION table by prefix and self-merges per
+    group (C-level join, no per-row Python). ``max_group`` SKIPS fork
+    groups larger than the cap — the anti-quadratic guard a 100-TB
+    run sets (a 10k-fork template would otherwise emit 5*10^7 pairs);
+    skipped mass is bounded by cap^2 per group either way."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_qb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        rn = g.groupby(conv_col, sort=False).cumcount().to_numpy()
+        head = g[rn < prefix_turns]
+        agg = (
+            head.groupby(conv_col, sort=False)[text_col]
+            .agg(lambda s: sep.join(x for x in s if x is not None))
+            .rename("prefix")
+            .reset_index()
+        )
+        fork = g[rn == prefix_turns]
+        if assistant_role is not None:
+            fork = fork[fork[role_col] == assistant_role]
+        fork = fork[[conv_col, text_col]].rename(columns={text_col: "_resp"})
+        agg = agg.merge(fork, on=conv_col, how="inner")
+        agg = agg[agg["_resp"].notna()]
+        agg["_gb"] = _key_buckets(agg["prefix"], nb)
+        return agg
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        if max_group is not None:
+            sz = g.groupby("prefix", sort=False)[conv_col].transform("size")
+            g = g[sz.to_numpy() <= max_group]
+        m = g.merge(g, on="prefix", suffixes=("_a", "_b"))
+        m = m[
+            (m[f"{conv_col}_a"] < m[f"{conv_col}_b"])
+            & (m["_resp_a"] != m["_resp_b"])
+        ]
+        return pd.DataFrame(
+            {
+                "prefix": m["prefix"],
+                "conv_a": m[f"{conv_col}_a"],
+                "conv_b": m[f"{conv_col}_b"],
+                "response_a": m["_resp_a"],
+                "response_b": m["_resp_b"],
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_qb")
+        .map_groups(build_prefix, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+
+
+def turn_gap_stats(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    burst_us: int = 60_000_000,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-conversation inter-turn timing screen: turn count, wall
+    span, largest gap, burst count (consecutive-turn gaps shorter
+    than ``burst_us`` — resend hammering / scripted traffic), and
+    out-of-order timestamp count (gap < 0 in turn order — clock skew
+    or mis-sequenced ingestion). All integers in microseconds so the
+    SQL mirror (lead() over epoch_us) is exact. One conv-bucketed
+    shuffle; gaps are shift arithmetic."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, ts_col]].copy()
+        b["_gb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        us = g[ts_col].astype("datetime64[us]").astype("int64")
+        conv = g[conv_col].to_numpy()
+        nxt = us.groupby(g[conv_col], sort=False).shift(-1)
+        gap = (nxt - us).to_numpy()  # NaN on each conversation's last turn
+        has = ~np.isnan(gap)
+        gf = pd.DataFrame(
+            {
+                conv_col: conv,
+                "_n": 1,
+                "_ts": us.to_numpy(),
+                "_gap": np.where(has, gap, np.nan),
+            }
+        )
+        agg = gf.groupby(conv_col, sort=False).agg(
+            n_turns=("_n", "sum"),
+            _min=("_ts", "min"),
+            _max=("_ts", "max"),
+            max_gap_us=("_gap", "max"),
+        )
+        bursts = (
+            gf[has & (gf["_gap"] < burst_us)]
+            .groupby(conv_col, sort=False)["_n"].sum()
+        )
+        ooo = (
+            gf[has & (gf["_gap"] < 0)]
+            .groupby(conv_col, sort=False)["_n"].sum()
+        )
+        out = agg.reset_index()
+        out["span_us"] = out["_max"] - out["_min"]
+        out["max_gap_us"] = out["max_gap_us"].fillna(0).astype("int64")
+        out["n_bursts"] = (
+            out[conv_col].map(bursts).fillna(0).astype("int64")
+        )
+        out["n_out_of_order"] = (
+            out[conv_col].map(ooo).fillna(0).astype("int64")
+        )
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out[
+            [conv_col, "n_turns", "span_us", "max_gap_us", "n_bursts",
+             "n_out_of_order"]
+        ]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def context_truncate(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    budget_tokens: int = 2048,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Context-window trimming: keep each conversation's most recent
+    turns whose cumulative token count (counted from the END) fits
+    ``budget_tokens``; the final turn always survives even if it
+    alone busts the budget (a training example needs its target).
+    Tokens are single-space-split counts (null text = 0), identical
+    to DuckDB ``len(string_split(x, ' '))``, so the mirror is exact.
+    Returns the surviving rows with n_tokens and the running
+    from-the-end total. One conv-bucketed shuffle; the scan is a
+    reverse cumsum."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, text_col]].copy()
+        b["_cb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [conv_col, order_col], ascending=[True, False],
+            kind="mergesort",
+        )
+        ntok = (g[text_col].str.count(" ") + 1).fillna(0).astype("int64")
+        grp = ntok.groupby(g[conv_col], sort=False)
+        cum = grp.cumsum()
+        is_last = grp.cumcount() == 0  # first in DESC order = last turn
+        keep = ((cum <= budget_tokens) | is_last).to_numpy()
+        out = pd.DataFrame(
+            {
+                conv_col: g[conv_col],
+                order_col: g[order_col],
+                text_col: g[text_col],
+                "n_tokens": ntok,
+                "cum_tokens_from_end": cum.astype("int64"),
+            }
+        )
+        return out[keep]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def refusal_screen(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    pattern: str = (
+        r"(?i)\b(i can(?:no|')t|i cannot|i'm (?:sorry|unable)|"
+        r"i am (?:sorry|unable)|as an ai\b|i won't)"
+    ),
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Canned-refusal screen: per conversation, how many
+    ``assistant_role`` turns there are and how many match the refusal
+    ``pattern`` (RE2-compatible, case-insensitivity via inline (?i) so
+    the DuckDB ``regexp_matches`` mirror uses the SAME string). Pure
+    map-side partials per (conv); ONE bounded-fanout shuffle via
+    bucketed_agg — no raw turns move. Downstream filters threshold
+    n_refusal_turns / n_assistant_turns (ints only; no float here)."""
+    from .windows import bucketed_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_a = (b[role_col] == assistant_role).to_numpy()
+        hit = (
+            b[text_col].str.contains(pattern, regex=True, na=False)
+            .to_numpy()
+            & is_a
+        )
+        return pd.DataFrame(
+            {
+                conv_col: b[conv_col],
+                "n_assistant_turns": is_a.astype(np.int64),
+                "n_refusal_turns": hit.astype(np.int64),
+            }
+        )
+
+    return bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        conv_col,
+        {"n_assistant_turns": "sum", "n_refusal_turns": "sum"},
+        nb=num_buckets,
+    )

@@ -5126,6 +5126,124 @@ def q_value_quantiles_sketch(sf_dir: str):
     return df.round({c: 4 for c in df.columns if c.startswith("q")})
 
 
+def q_preference_pairs(sf_dir: str):
+    """Preference-pair mining from shared-prefix forks: conversations
+    with an identical (coarsened) first turn are regenerations; their
+    differing second turns become (response_a, response_b) candidate
+    pairs. Texts are coarsened to the props' 7-char head so fork
+    groups exist at toy scale; the operator is cardinality-agnostic.
+    SQL mirror: ranked substr prefix + self-join with conv_a <
+    conv_b."""
+    from ..functions.transcripts import preference_pairs
+
+    src = _conv_stream(sf_dir)
+
+    def coarsen(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text"] = b["text"].str.slice(0, 7)
+        return b
+
+    out = (
+        preference_pairs(
+            src.map_batches(coarsen, batch_format="pandas"),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text", prefix_turns=1, max_group=1000,
+        )
+        .to_pandas()
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    out["conv_a"] = out["conv_a"].astype("int64")
+    out["conv_b"] = out["conv_b"].astype("int64")
+    return out[["prefix", "conv_a", "conv_b", "response_a", "response_b"]]
+
+
+def q_turn_gap_stats(sf_dir: str):
+    """Per-conversation inter-turn timing screen: turn count, wall
+    span, max gap, sub-60s burst count, out-of-order timestamp count
+    — all int64 microseconds. One conv-bucketed shuffle. SQL mirror:
+    lead(ts) over epoch_us diffs."""
+    from ..functions.transcripts import turn_gap_stats
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "ts": b["ts"],
+            }
+        )
+
+    out = (
+        turn_gap_stats(
+            ev.map_batches(prep, batch_format="pandas"),
+            conv_col="conv", order_col="ord", ts_col="ts",
+            burst_us=60_000_000,
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[
+        ["conv", "n_turns", "span_us", "max_gap_us", "n_bursts",
+         "n_out_of_order"]
+    ]
+
+
+def q_context_truncate(sf_dir: str):
+    """Context-window trimming: keep each conversation's most recent
+    turns fitting a 24-token budget (the last turn always survives).
+    Token counts are single-space splits, SQL-exact. One conv-bucketed
+    shuffle; the scan is a reverse cumsum. SQL mirror: windowed SUM
+    over ord DESC."""
+    from ..functions.transcripts import context_truncate
+
+    out = (
+        context_truncate(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            budget_tokens=24,
+        )
+        .to_pandas()
+        .sort_values(["conv", "ord"])
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["ord"] = out["ord"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["cum_tokens_from_end"] = out["cum_tokens_from_end"].astype("int64")
+    return out[["conv", "ord", "text", "n_tokens", "cum_tokens_from_end"]]
+
+
+def q_refusal_screen(sf_dir: str):
+    """Canned-refusal screen: per conversation, assistant-turn count
+    and refusal-pattern hits (pattern string shared VERBATIM with the
+    DuckDB regexp_matches mirror). Map-side partials; one
+    bounded-fanout bucketed_agg shuffle."""
+    from ..functions.transcripts import refusal_screen
+
+    out = (
+        refusal_screen(
+            _conv_stream(sf_dir),
+            conv_col="conv", role_col="role", text_col="text",
+            assistant_role="click", pattern='(?i)"k": 8[0-9]',
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["conv", "n_assistant_turns", "n_refusal_turns"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5261,6 +5379,10 @@ QUERIES = {
     "prefix_fork_groups": q_prefix_fork_groups,
     "echo_pairs": q_echo_pairs,
     "conversation_lang_consistency": q_conversation_lang_consistency,
+    "preference_pairs": q_preference_pairs,
+    "turn_gap_stats": q_turn_gap_stats,
+    "context_truncate": q_context_truncate,
+    "refusal_screen": q_refusal_screen,
     "fix_mojibake": q_fix_mojibake,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
@@ -6706,6 +6828,85 @@ ORACLES = {
              CAST(len(lt) AS BIGINT) AS n_assistant_tokens,
              CAST(len(list_intersect(ut, lt)) AS BIGINT) AS n_shared
       FROM p ORDER BY conv, ord
+    """,
+    "preference_pairs": """
+      WITH t AS (
+        SELECT user_id AS conv, substr(props, 1, 7) AS text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 1 GROUP BY conv
+      ),
+      fork AS (
+        SELECT conv, text AS resp FROM t WHERE rn = 2 AND text IS NOT NULL
+      ),
+      pc AS (
+        SELECT pre.conv, pre.prefix, fork.resp
+        FROM pre JOIN fork USING (conv)
+      ),
+      g AS (SELECT prefix, COUNT(*) AS n FROM pc GROUP BY prefix)
+      SELECT a.prefix,
+             a.conv AS conv_a, b.conv AS conv_b,
+             a.resp AS response_a, b.resp AS response_b
+      FROM pc a
+      JOIN pc b ON a.prefix = b.prefix AND a.conv < b.conv
+      JOIN g ON g.prefix = a.prefix
+      WHERE a.resp <> b.resp AND g.n <= 1000
+      ORDER BY conv_a, conv_b
+    """,
+    "turn_gap_stats": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS nts
+        FROM events
+      )
+      SELECT conv,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS span_us,
+             CAST(COALESCE(MAX(epoch_us(nts) - epoch_us(ts)), 0) AS BIGINT)
+               AS max_gap_us,
+             CAST(SUM(CASE WHEN nts IS NOT NULL
+                            AND epoch_us(nts) - epoch_us(ts) < 60000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+             CAST(SUM(CASE WHEN nts IS NOT NULL
+                            AND epoch_us(nts) - epoch_us(ts) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order
+      FROM t GROUP BY conv ORDER BY conv
+    """,
+    "context_truncate": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, props AS text,
+               CASE WHEN props IS NULL THEN 0
+                    ELSE len(string_split(props, ' ')) END AS n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id DESC) AS rnd
+        FROM events
+      ),
+      c AS (
+        SELECT conv, ord, text, n_tokens, rnd,
+               SUM(n_tokens) OVER (
+                 PARTITION BY conv ORDER BY ord DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+      )
+      SELECT conv, ord, text,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(cum AS BIGINT) AS cum_tokens_from_end
+      FROM c WHERE cum <= 24 OR rnd = 1
+      ORDER BY conv, ord
+    """,
+    "refusal_screen": """
+      SELECT user_id AS conv,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_assistant_turns,
+             CAST(SUM(CASE WHEN event_type = 'click' AND props IS NOT NULL
+                            AND regexp_matches(props, '(?i)"k": 8[0-9]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_refusal_turns
+      FROM events GROUP BY user_id ORDER BY conv
     """,
     "collapse_turns": """
       WITH t AS (

@@ -375,3 +375,179 @@ def test_conversation_language_consistency():
         "fr", 0, True,
     )
     assert c["majority_lang"] == "en" and c["n_minority"] == 1
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_fork_mining():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        preference_pairs,
+    )
+
+    ds = _ds(
+        [
+            # three forks off the same opening; c3's response repeats c1's
+            ("c1", 1, "user", "tell me a joke"),
+            ("c1", 2, "assistant", "joke A"),
+            ("c2", 1, "user", "tell me a joke"),
+            ("c2", 2, "assistant", "joke B"),
+            ("c3", 1, "user", "tell me a joke"),
+            ("c3", 2, "assistant", "joke A"),
+            # different prefix: no pairs with the group above
+            ("d1", 1, "user", "weather?"),
+            ("d1", 2, "assistant", "sunny"),
+            # fork turn not assistant: excluded by the role filter
+            ("e1", 1, "user", "tell me a joke"),
+            ("e1", 2, "user", "never mind"),
+            # too short: no fork turn at all
+            ("f1", 1, "user", "tell me a joke"),
+        ]
+    )
+    out = (
+        preference_pairs(
+            ds, prefix_turns=1, assistant_role="assistant"
+        )
+        .to_pandas()
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    # pairs among {c1:A, c2:B, c3:A}: (c1,c2) and (c2,c3) differ; (c1,c3) tie
+    assert list(zip(out["conv_a"], out["conv_b"])) == [
+        ("c1", "c2"), ("c2", "c3")
+    ]
+    assert set(out["prefix"]) == {"tell me a joke"}
+    assert list(out["response_a"]) == ["joke A", "joke B"]
+    assert list(out["response_b"]) == ["joke B", "joke A"]
+
+
+def test_preference_pairs_max_group_cap():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        preference_pairs,
+    )
+
+    rows = []
+    for i in range(6):  # one 6-conv fork group
+        rows += [(f"g{i}", 1, "user", "same opener"),
+                 (f"g{i}", 2, "assistant", f"resp {i}")]
+    rows += [("h0", 1, "user", "other"), ("h0", 2, "assistant", "x"),
+             ("h1", 1, "user", "other"), ("h1", 2, "assistant", "y")]
+    ds = _ds(rows)
+    out = preference_pairs(
+        ds, prefix_turns=1, assistant_role="assistant", max_group=4
+    ).to_pandas()
+    # the 6-conv group is skipped entirely; the 2-conv group survives
+    assert set(out["prefix"]) == {"other"}
+    assert len(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# turn_gap_stats
+# ---------------------------------------------------------------------------
+
+
+def test_turn_gap_stats_bursts_and_ooo():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        turn_gap_stats,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    sec = pd.Timedelta(seconds=1)
+    ds = _ds(
+        [
+            # conv a: gaps of 10s, 3600s, -5s (out of order in turn order)
+            ("a", 1, None, t0),
+            ("a", 2, None, t0 + 10 * sec),
+            ("a", 3, None, t0 + 3610 * sec),
+            ("a", 4, None, t0 + 3605 * sec),
+            # conv b: single turn
+            ("b", 1, None, t0),
+        ],
+        cols=("conv_id", "turn_idx", "role", "ts"),
+    )
+    out = (
+        turn_gap_stats(ds, burst_us=60_000_000)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    a = out.loc["a"]
+    assert a["n_turns"] == 4
+    assert a["span_us"] == 3610 * 1_000_000
+    assert a["max_gap_us"] == 3600 * 1_000_000
+    assert a["n_bursts"] == 2  # the 10s gap and the -5s gap
+    assert a["n_out_of_order"] == 1
+    b = out.loc["b"]
+    assert b["n_turns"] == 1 and b["span_us"] == 0 and b["max_gap_us"] == 0
+    assert b["n_bursts"] == 0 and b["n_out_of_order"] == 0
+
+
+# ---------------------------------------------------------------------------
+# context_truncate
+# ---------------------------------------------------------------------------
+
+
+def test_context_truncate_budget_and_last_turn():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        context_truncate,
+    )
+
+    ds = _ds(
+        [
+            # conv a: 3+3+3 tokens; budget 6 keeps the last two turns
+            ("a", 1, "user", "one two three"),
+            ("a", 2, "assistant", "four five six"),
+            ("a", 3, "user", "seven eight nine"),
+            # conv b: the only turn busts the budget but survives
+            ("b", 1, "user", "a b c d e f g h i j"),
+            # conv c: null text counts 0 tokens
+            ("c", 1, "user", None),
+            ("c", 2, "assistant", "ok"),
+        ]
+    )
+    out = (
+        context_truncate(ds, budget_tokens=6)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    a = out[out["conv_id"] == "a"]
+    assert list(a["turn_idx"]) == [2, 3]
+    assert list(a["cum_tokens_from_end"]) == [6, 3]
+    b = out[out["conv_id"] == "b"]
+    assert list(b["turn_idx"]) == [1] and b["n_tokens"].iloc[0] == 10
+    c = out[out["conv_id"] == "c"]
+    assert list(c["turn_idx"]) == [1, 2]
+    assert list(c["n_tokens"]) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# refusal_screen
+# ---------------------------------------------------------------------------
+
+
+def test_refusal_screen_counts():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        refusal_screen,
+    )
+
+    ds = _ds(
+        [
+            ("a", 1, "user", "do something sketchy"),
+            ("a", 2, "assistant", "I can't help with that"),
+            ("a", 3, "user", "please"),
+            ("a", 4, "assistant", "I CANNOT do that"),  # case-insensitive
+            ("b", 1, "user", "hi"),
+            ("b", 2, "assistant", "hello there"),
+            # user turn matching the pattern must NOT count
+            ("c", 1, "user", "I can't believe it"),
+            ("c", 2, "assistant", "believe it"),
+        ]
+    )
+    out = refusal_screen(ds).to_pandas().set_index("conv_id").sort_index()
+    assert out.loc["a", "n_assistant_turns"] == 2
+    assert out.loc["a", "n_refusal_turns"] == 2
+    assert out.loc["b", "n_refusal_turns"] == 0
+    assert out.loc["c", "n_assistant_turns"] == 1
+    assert out.loc["c", "n_refusal_turns"] == 0
