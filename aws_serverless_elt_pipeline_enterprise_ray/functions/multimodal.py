@@ -1264,6 +1264,166 @@ class AudioMetadata:
         return out
 
 
+def image_metadata(payload: bytes | None) -> dict | None:
+    """HEADER-ONLY image metadata — the triage scan a 100-TB image
+    corpus runs BEFORE paying for decode: format, dimensions, bit
+    depth and channel count come from fixed-offset container headers
+    (PNG IHDR, JPEG SOF marker walk, GIF logical screen, BMP
+    BITMAPINFOHEADER, PPM/PGM ASCII header, WebP VP8L/VP8/VP8X), so
+    cost is O(markers) byte arithmetic with no entropy decoding.
+    Dimension-based gating (min size, aspect-ratio, megapixel cost
+    estimates for the decode stage) happens here.
+
+    Returns ``{format, width, height, bit_depth, channels}``
+    (bit_depth in bits per channel; channels None where the header
+    doesn't state it, e.g. progressive-scan-less truncation) or None
+    when nothing parseable is found."""
+    if not payload or len(payload) < 10:
+        return None
+    try:
+        if payload[:8] == _PNG_MAGIC and len(payload) >= 26:
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            depth = payload[24]
+            ctype = payload[25]
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            return {"format": "png", "width": w, "height": h,
+                    "bit_depth": depth, "channels": nch}
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to SOFn
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if pos + 4 > len(payload):
+                    break
+                seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+                # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    body = payload[pos + 4:pos + 2 + seglen]
+                    if len(body) < 6:
+                        return None
+                    return {
+                        "format": "jpeg",
+                        "width": int.from_bytes(body[3:5], "big"),
+                        "height": int.from_bytes(body[1:3], "big"),
+                        "bit_depth": body[0],
+                        "channels": body[5],
+                    }
+                if marker == 0xD9 or marker == 0xDA:
+                    break  # EOI / entropy data: no SOF seen
+                pos += 2 + seglen
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 11:
+            flags = payload[10]
+            return {
+                "format": "gif",
+                "width": int.from_bytes(payload[6:8], "little"),
+                "height": int.from_bytes(payload[8:10], "little"),
+                "bit_depth": (flags & 0x07) + 1,
+                "channels": 3,  # palette RGB
+            }
+        if payload[:2] == b"BM" and len(payload) >= 30:
+            bpp = int.from_bytes(payload[28:30], "little")
+            return {
+                "format": "bmp",
+                "width": int.from_bytes(payload[18:22], "little"),
+                "height": abs(int.from_bytes(
+                    payload[22:26], "little", signed=True)),
+                "bit_depth": 8 if bpp >= 8 else bpp,
+                "channels": max(1, bpp // 8),
+            }
+        if payload[:2] in (b"P5", b"P6"):
+            # ASCII header: magic, width, height, maxval (with comments)
+            fields: list[int] = []
+            pos = 2
+            while len(fields) < 3 and pos < min(len(payload), 256):
+                c = payload[pos]
+                if c == 0x23:  # '#' comment to EOL
+                    while pos < len(payload) and payload[pos] not in (10, 13):
+                        pos += 1
+                elif 0x30 <= c <= 0x39:
+                    v = 0
+                    while (pos < len(payload)
+                           and 0x30 <= payload[pos] <= 0x39):
+                        v = v * 10 + (payload[pos] - 0x30)
+                        pos += 1
+                    fields.append(v)
+                else:
+                    pos += 1
+            if len(fields) < 3:
+                return None
+            return {
+                "format": "ppm" if payload[:2] == b"P6" else "pgm",
+                "width": fields[0],
+                "height": fields[1],
+                "bit_depth": 16 if fields[2] > 255 else 8,
+                "channels": 3 if payload[:2] == b"P6" else 1,
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            off = 12
+            while off + 8 <= len(payload):
+                fourcc = payload[off:off + 4]
+                size = int.from_bytes(payload[off + 4:off + 8], "little")
+                body = payload[off + 8:off + 8 + size]
+                if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                    bits = int.from_bytes(body[1:5], "little")
+                    return {
+                        "format": "webp",
+                        "width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1,
+                        "bit_depth": 8,
+                        "channels": 4 if (bits >> 28) & 1 else 3,
+                    }
+                if fourcc == b"VP8 " and len(body) >= 10:
+                    if body[3:6] != b"\x9d\x01\x2a":  # keyframe start code
+                        return None
+                    return {
+                        "format": "webp",
+                        "width": int.from_bytes(body[6:8], "little") & 0x3FFF,
+                        "height": int.from_bytes(body[8:10], "little") & 0x3FFF,
+                        "bit_depth": 8,
+                        "channels": 3,
+                    }
+                if fourcc == b"VP8X" and len(body) >= 10:
+                    return {
+                        "format": "webp",
+                        "width": int.from_bytes(body[4:7], "little") + 1,
+                        "height": int.from_bytes(body[7:10], "little") + 1,
+                        "bit_depth": 8,
+                        "channels": 4 if body[0] & 0x10 else 3,
+                    }
+                off += 8 + size + (size & 1)
+            return None
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+class ImageMetadata:
+    """Actor-pool header-only image metadata stage (no decode): emits
+    (format, width, height, bit_depth, channels) per payload, nulls
+    when unparseable — the dimension/format gate a curation pipeline
+    applies BEFORE the decode stage's megapixel cost."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {"format": [], "width": [], "height": [],
+                "bit_depth": [], "channels": []}
+        for p in batch["payload"].to_pylist():
+            md = image_metadata(p)
+            for k in cols:
+                cols[k].append(md.get(k) if md else None)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("format", pa.array(cols["format"], pa.string()))
+        for k in ("width", "height", "bit_depth", "channels"):
+            out = out.append_column(k, pa.array(cols[k], pa.int64()))
+        return out
+
+
 class DecodeStub:
     """Actor-pool decode/feature-extract stage for formats the engine
     does NOT decode natively (PPM/BMP/WAV/PNG/baseline JPEG all have

@@ -3303,6 +3303,75 @@ def q_audio_metadata(sf_dir: str):
     ]
 
 
+def q_image_metadata(sf_dir: str):
+    """Header-only image triage (the dimension/format gate run BEFORE
+    decode cost): doc_id%6 sweeps PNG / JPEG-SOF-walk / GIF / BMP /
+    PPM / WebP-VP8L header paths with closed-form dims. SQL mirror:
+    CASE arithmetic on doc_id."""
+    from ..functions.multimodal import ImageMetadata, encode_png
+    from ..functions.webp import encode_webp_lossless
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_payloads(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            w, h = 4 + i % 7, 3 + i % 5
+            v = i % 6
+            if v == 0:
+                payloads.append(
+                    encode_png(np.zeros((h, w, 3), np.uint8))
+                )
+            elif v == 1:  # JPEG: SOF0 is all the header scan needs
+                sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+                       + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                       + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+                payloads.append(b"\xff\xd8" + sof + b"\xff\xd9")
+            elif v == 2:  # GIF logical screen descriptor
+                payloads.append(
+                    b"GIF89a" + w.to_bytes(2, "little")
+                    + h.to_bytes(2, "little") + bytes([0x77, 0, 0])
+                )
+            elif v == 3:  # BMP BITMAPINFOHEADER
+                hdr = (b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4
+                       + (54).to_bytes(4, "little")
+                       + (40).to_bytes(4, "little")
+                       + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                       + (1).to_bytes(2, "little")
+                       + (24).to_bytes(2, "little") + b"\x00" * 24)
+                payloads.append(hdr)
+            elif v == 4:  # PPM with a comment line
+                payloads.append(
+                    f"P6\n# fixture\n{w} {h}\n255\n".encode()
+                    + b"\x00" * (3 * w * h)
+                )
+            else:
+                payloads.append(
+                    encode_webp_lossless(np.zeros((h, w, 3), np.uint8))
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_payloads, batch_format="pyarrow")
+        .map_batches(ImageMetadata(), batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "bit_depth", "channels"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["media_id", "format", "width", "height", "bit_depth", "channels"]
+    ]
+
+
 def q_conversation_windows(sf_dir: str):
     """Sliding turn-window packing over per-user event sequences
     (conv=user, turn order=event_id, text=event_type): window 4,
@@ -5383,6 +5452,7 @@ QUERIES = {
     "turn_gap_stats": q_turn_gap_stats,
     "context_truncate": q_context_truncate,
     "refusal_screen": q_refusal_screen,
+    "image_metadata": q_image_metadata,
     "fix_mojibake": q_fix_mojibake,
     "audio_features": q_audio_features,
     "url_dedup": q_url_dedup,
@@ -6898,6 +6968,18 @@ ORACLES = {
              CAST(cum AS BIGINT) AS cum_tokens_from_end
       FROM c WHERE cum <= 24 OR rnd = 1
       ORDER BY conv, ord
+    """,
+    "image_metadata": """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+               WHEN 3 THEN 'bmp' WHEN 4 THEN 'ppm' ELSE 'webp'
+             END AS format,
+             CAST(4 + doc_id % 7 AS BIGINT) AS width,
+             CAST(3 + doc_id % 5 AS BIGINT) AS height,
+             CAST(8 AS BIGINT) AS bit_depth,
+             CAST(3 AS BIGINT) AS channels
+      FROM documents ORDER BY media_id
     """,
     "refusal_screen": """
       SELECT user_id AS conv,

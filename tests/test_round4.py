@@ -551,3 +551,74 @@ def test_refusal_screen_counts():
     assert out.loc["b", "n_refusal_turns"] == 0
     assert out.loc["c", "n_assistant_turns"] == 1
     assert out.loc["c", "n_refusal_turns"] == 0
+
+
+# ---------------------------------------------------------------------------
+# image_metadata (header-only)
+# ---------------------------------------------------------------------------
+
+
+def test_image_metadata_headers_only():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        encode_png,
+        image_metadata,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.webp import (
+        encode_webp_lossless,
+    )
+
+    # PNG 16-bit grayscale header (hand-built IHDR: depth 16, ctype 0)
+    ihdr = (b"\x00\x00\x00\x0dIHDR"
+            + (7).to_bytes(4, "big") + (9).to_bytes(4, "big")
+            + bytes([16, 0, 0, 0, 0]) + b"\x00" * 4)
+    png16 = b"\x89PNG\r\n\x1a\n" + ihdr
+    md = image_metadata(png16)
+    assert md == {"format": "png", "width": 7, "height": 9,
+                  "bit_depth": 16, "channels": 1}
+
+    # real encoders round through the same scan
+    md = image_metadata(encode_png(np.zeros((5, 11, 3), np.uint8)))
+    assert (md["width"], md["height"], md["channels"]) == (11, 5, 3)
+    md = image_metadata(encode_webp_lossless(np.zeros((6, 4, 3), np.uint8)))
+    assert md == {"format": "webp", "width": 4, "height": 6,
+                  "bit_depth": 8, "channels": 3}
+
+    # progressive JPEG: SOF2 counts like SOF0 in the marker walk
+    sof2 = (b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+            + (33).to_bytes(2, "big") + (21).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    md = image_metadata(b"\xff\xd8" + sof2)
+    assert md == {"format": "jpeg", "width": 21, "height": 33,
+                  "bit_depth": 8, "channels": 1}
+    # DHT before SOF must be skipped, not parsed as a frame header
+    dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+    assert image_metadata(b"\xff\xd8" + dht + sof2)["width"] == 21
+
+    # lossy VP8 keyframe header (start code 9d 01 2a)
+    vp8 = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"))
+    riff = (b"RIFF" + (4 + 8 + len(vp8)).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + len(vp8).to_bytes(4, "little") + vp8)
+    md = image_metadata(riff)
+    assert (md["format"], md["width"], md["height"]) == ("webp", 320, 240)
+
+    # VP8X canvas dims (24-bit minus-one), alpha flag -> 4 channels
+    vp8x = bytes([0x10, 0, 0, 0]) + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    riffx = (b"RIFF" + (4 + 8 + len(vp8x)).to_bytes(4, "little") + b"WEBP"
+             + b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x)
+    md = image_metadata(riffx)
+    assert md == {"format": "webp", "width": 100, "height": 50,
+                  "bit_depth": 8, "channels": 4}
+
+    # PGM (P5) single channel, 16-bit maxval
+    md = image_metadata(b"P5\n# c\n12 8\n65535\n")
+    assert md == {"format": "pgm", "width": 12, "height": 8,
+                  "bit_depth": 16, "channels": 1}
+
+    # garbage / truncation degrade to None
+    assert image_metadata(b"not an image at all") is None
+    assert image_metadata(b"") is None
+    assert image_metadata(None) is None
+    assert image_metadata(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
