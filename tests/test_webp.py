@@ -266,3 +266,70 @@ def test_decode_image_dispatches_webp():
     img = _grad(8, 8)
     out = decode_image(encode_webp_lossless(img, use_subtract_green=True))
     assert np.array_equal(out, img)
+
+
+def test_cross_validation_against_libwebp():
+    """Independent oracle: libwebp-encoded lossless streams decode
+    pixel-exact through our decoder, and libwebp decodes OUR encoder's
+    streams pixel-exact (both directions). Skipped where the system
+    library is absent — every other test in this file is library-free."""
+    import ctypes
+
+    import numpy as np
+    import pytest
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp not present")
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeRGB.restype = ctypes.c_void_p
+    lib.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = []
+    yy, xx = np.mgrid[0:37, 0:53]
+    cases.append(rng.integers(0, 256, (24, 31, 3)).astype(np.uint8))
+    cases.append(
+        np.stack([(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256], -1)
+        .astype(np.uint8)
+    )
+    cases.append(np.full((16, 90, 3), 200, np.uint8))
+    cases.append((rng.integers(0, 4, (40, 22, 3)) * 80).astype(np.uint8))
+    for img in cases:
+        h, w = img.shape[:2]
+        out = ctypes.c_void_p()
+        n = lib.WebPEncodeLosslessRGB(
+            np.ascontiguousarray(img).tobytes(), w, h, w * 3,
+            ctypes.byref(out),
+        )
+        assert n > 0
+        payload = ctypes.string_at(out.value, n)
+        lib.WebPFree(out)
+        dec = decode_webp(payload)
+        assert dec is not None and (dec == img).all()
+
+        ours = encode_webp_lossless(
+            img, use_subtract_green=True, cache_bits=4, lz77_rle=True
+        )
+        ww, hh = ctypes.c_int(), ctypes.c_int()
+        ptr = lib.WebPDecodeRGB(ours, len(ours), ctypes.byref(ww),
+                                ctypes.byref(hh))
+        assert ptr, "libwebp rejected our stream"
+        got = np.frombuffer(
+            ctypes.string_at(ptr, ww.value * hh.value * 3), np.uint8
+        ).reshape(hh.value, ww.value, 3)
+        lib.WebPFree(ctypes.c_void_p(ptr))
+        assert (got == img).all()
