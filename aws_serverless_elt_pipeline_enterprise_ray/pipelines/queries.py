@@ -624,6 +624,63 @@ def q_cdc_top_convs(sf_dir: str):
     return out.to_pandas()
 
 
+def q_cdc_lint_rollup(sf_dir: str):
+    """CDC -> curation composition: apply the changelog, then run the
+    structural transcript lint OVER the committed lake (the curation
+    family's input IS the exactly-once table, not raw events). Oracle:
+    the lint SQL over the FINAL_SQL LWW state."""
+    from ..functions.transcripts import conversation_lint
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    out = (
+        conversation_lint(
+            read_table(lake, columns=["conv_id", "turn_idx", "role", "text"]),
+            conv_col="conv_id", order_col="turn_idx", role_col="role",
+            text_col="text", opener_role="view", closer_role="click",
+        )
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_turns", "n_order_gaps", "n_role_repeats", "n_null_text"):
+        out[c] = out[c].astype("int64")
+    out["ok"] = out["ok"].astype(bool)
+    return out[
+        ["conv_id", "n_turns", "first_role", "last_role",
+         "n_order_gaps", "n_role_repeats", "n_null_text", "ok"]
+    ]
+
+
+def q_cdc_context_truncate(sf_dir: str):
+    """CDC -> curation composition #2: context-window truncation over
+    the committed lake (keep each conversation's latest turns fitting
+    a 24-token budget). Oracle: windowed reverse SUM over the
+    FINAL_SQL state."""
+    from ..functions.transcripts import context_truncate
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    out = (
+        context_truncate(
+            read_table(lake, columns=["conv_id", "turn_idx", "text"]),
+            conv_col="conv_id", order_col="turn_idx", text_col="text",
+            budget_tokens=24,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    out["turn_idx"] = out["turn_idx"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["cum_tokens_from_end"] = out["cum_tokens_from_end"].astype("int64")
+    return out[
+        ["conv_id", "turn_idx", "text", "n_tokens", "cum_tokens_from_end"]
+    ]
+
+
 def q_cdc_quarantine_counts(sf_dir: str):
     """M4 bad-record routing: rows by quarantine status (op poisoned
     deterministically for event_id % 97 == 0)."""
@@ -5343,6 +5400,8 @@ QUERIES = {
     "cdc_distinct_roles": q_cdc_distinct_roles,
     "cdc_top_convs": q_cdc_top_convs,
     "cdc_quarantine_counts": q_cdc_quarantine_counts,
+    "cdc_lint_rollup": q_cdc_lint_rollup,
+    "cdc_context_truncate": q_cdc_context_truncate,
     "cdc_dq_stats": q_cdc_dq_stats,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -6968,6 +7027,59 @@ ORACLES = {
              CAST(cum AS BIGINT) AS cum_tokens_from_end
       FROM c WHERE cum <= 24 OR rnd = 1
       ORDER BY conv, ord
+    """,
+    "cdc_lint_rollup": f"""
+      WITH fin AS ({FINAL_SQL}),
+      s AS (
+        SELECT conv_id, turn_idx, role, text,
+               lead(turn_idx) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx) AS next_ord,
+               lead(role) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+        FROM fin
+      )
+      SELECT conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             arg_min(role, turn_idx) AS first_role,
+             arg_max(role, turn_idx) AS last_role,
+             CAST(SUM(CASE WHEN next_ord IS NOT NULL
+                            AND next_ord <> turn_idx + 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_order_gaps,
+             CAST(SUM(CASE WHEN next_role = role THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_role_repeats,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_text,
+             (arg_min(role, turn_idx) = 'view'
+              AND arg_max(role, turn_idx) = 'click'
+              AND SUM(CASE WHEN next_ord IS NOT NULL
+                            AND next_ord <> turn_idx + 1
+                           THEN 1 ELSE 0 END) = 0
+              AND SUM(CASE WHEN next_role = role THEN 1 ELSE 0 END) = 0
+              AND SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0) AS ok
+      FROM s GROUP BY conv_id ORDER BY conv_id
+    """,
+    "cdc_context_truncate": f"""
+      WITH fin AS ({FINAL_SQL}),
+      t AS (
+        SELECT conv_id, turn_idx, text,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split(text, ' ')) END AS n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx DESC) AS rnd
+        FROM fin
+      ),
+      c AS (
+        SELECT conv_id, turn_idx, text, n_tokens, rnd,
+               SUM(n_tokens) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+      )
+      SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(cum AS BIGINT) AS cum_tokens_from_end
+      FROM c WHERE cum <= 24 OR rnd = 1
+      ORDER BY conv_id, turn_idx
     """,
     "image_metadata": """
       SELECT doc_id AS media_id,
