@@ -1296,6 +1296,9 @@ def image_metadata(payload: bytes | None) -> dict | None:
                     pos += 1
                     continue
                 marker = payload[pos + 1]
+                if marker == 0xFF:  # T.81 fill byte before a marker
+                    pos += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     pos += 2
                     continue

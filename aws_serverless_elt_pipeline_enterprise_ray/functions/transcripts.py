@@ -448,6 +448,41 @@ def instruction_pairs(
     )
 
 
+def _conv_prefixes(
+    g: pd.DataFrame,
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+    prefix_turns: int,
+    sep: str,
+) -> tuple[pd.DataFrame, np.ndarray, pd.DataFrame]:
+    """Per-conversation first-``prefix_turns`` prefix string with SQL
+    ``string_agg`` semantics: null texts are skipped, and an ALL-null
+    prefix is SQL NULL — it joins/groups with nothing downstream, so
+    those conversations are dropped here rather than colliding on the
+    empty string (which would weld unrelated no-text conversations
+    into one fork group). Shared by ``prefix_fork_groups`` and
+    ``preference_pairs`` so the two operators cannot drift.
+
+    Returns (sorted frame, per-row rank array, one-row-per-conv frame
+    with a non-null ``prefix`` column)."""
+    g = g.sort_values([conv_col, order_col], kind="mergesort")
+    rn = g.groupby(conv_col, sort=False).cumcount().to_numpy()
+    head = g[rn < prefix_turns]
+    agg = (
+        head.groupby(conv_col, sort=False)[text_col]
+        .agg(
+            lambda s: (lambda v: sep.join(v) if v else None)(
+                [x for x in s if not pd.isna(x)]
+            )
+        )
+        .rename("prefix")
+        .reset_index()
+    )
+    agg = agg[agg["prefix"].notna()]
+    return g, rn, agg
+
+
 def prefix_fork_groups(
     ds: rd.Dataset,
     *,
@@ -464,7 +499,8 @@ def prefix_fork_groups(
     resumed sessions — and training on every fork overweights the
     shared stem. Stage 1 (conv-bucketed shuffle) assembles each
     conversation's prefix string (rank-ordered, null texts skipped per
-    SQL ``string_agg``); stage 2 (prefix-bucketed shuffle over ONE ROW
+    SQL ``string_agg``; ALL-null prefixes are SQL NULL and dropped —
+    see ``_conv_prefixes``); stage 2 (prefix-bucketed shuffle over ONE ROW
     PER CONVERSATION) counts the fork group and annotates every
     member. Returns (conv, prefix, n_convs_sharing). At 100 TB the
     second shuffle carries a prefix digest instead of the string —
@@ -477,14 +513,8 @@ def prefix_fork_groups(
         return b
 
     def build_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([conv_col, order_col], kind="mergesort")
-        rn = g.groupby(conv_col, sort=False).cumcount()
-        head = g[rn.to_numpy() < prefix_turns]
-        agg = (
-            head.groupby(conv_col, sort=False)[text_col]
-            .agg(lambda s: sep.join(x for x in s if x is not None))
-            .rename("prefix")
-            .reset_index()
+        _, _, agg = _conv_prefixes(
+            g, conv_col, order_col, text_col, prefix_turns, sep
         )
         agg["_gb"] = _key_buckets(agg["prefix"], nb)
         return agg
@@ -737,14 +767,8 @@ def preference_pairs(
         return b
 
     def build_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([conv_col, order_col], kind="mergesort")
-        rn = g.groupby(conv_col, sort=False).cumcount().to_numpy()
-        head = g[rn < prefix_turns]
-        agg = (
-            head.groupby(conv_col, sort=False)[text_col]
-            .agg(lambda s: sep.join(x for x in s if x is not None))
-            .rename("prefix")
-            .reset_index()
+        g, rn, agg = _conv_prefixes(
+            g, conv_col, order_col, text_col, prefix_turns, sep
         )
         fork = g[rn == prefix_turns]
         if assistant_role is not None:
@@ -808,10 +832,14 @@ def turn_gap_stats(
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([conv_col, order_col], kind="mergesort")
-        us = g[ts_col].astype("datetime64[us]").astype("int64")
+        tsv = g[ts_col].astype("datetime64[us]")
+        # Null timestamps must be EXCLUDED, not cast (NaT -> int64 is
+        # the -2^63 sentinel, which would poison span/gap/burst counts
+        # where the SQL mirror's epoch_us(NULL) is skipped by MAX/SUM).
+        us = tsv.astype("int64").astype("float64").mask(tsv.isna())
         conv = g[conv_col].to_numpy()
         nxt = us.groupby(g[conv_col], sort=False).shift(-1)
-        gap = (nxt - us).to_numpy()  # NaN on each conversation's last turn
+        gap = (nxt - us).to_numpy()  # NaN on last turn / null ts pairs
         has = ~np.isnan(gap)
         gf = pd.DataFrame(
             {
@@ -836,7 +864,9 @@ def turn_gap_stats(
             .groupby(conv_col, sort=False)["_n"].sum()
         )
         out = agg.reset_index()
-        out["span_us"] = out["_max"] - out["_min"]
+        # Float spans are exact (< 2^53 us); all-null-ts convs get SQL
+        # NULL (Int64 NA), matching CAST(NULL AS BIGINT).
+        out["span_us"] = (out["_max"] - out["_min"]).astype("Int64")
         out["max_gap_us"] = out["max_gap_us"].fillna(0).astype("int64")
         out["n_bursts"] = (
             out[conv_col].map(bursts).fillna(0).astype("int64")
@@ -934,11 +964,15 @@ def refusal_screen(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         is_a = (b[role_col] == assistant_role).to_numpy()
-        hit = (
-            b[text_col].str.contains(pattern, regex=True, na=False)
-            .to_numpy()
-            & is_a
-        )
+        # Run the (alternation-heavy) regex on assistant rows only —
+        # on multi-role transcripts that's a minority of the batch.
+        hit = np.zeros(len(b), dtype=bool)
+        if is_a.any():
+            hit[is_a] = (
+                b.loc[is_a, text_col]
+                .str.contains(pattern, regex=True, na=False)
+                .to_numpy()
+            )
         return pd.DataFrame(
             {
                 conv_col: b[conv_col],

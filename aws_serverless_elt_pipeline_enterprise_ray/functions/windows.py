@@ -30,12 +30,24 @@ import ray.data as rd
 
 def _key_buckets(v: pd.Series, nb: int) -> np.ndarray:
     """Cross-process-deterministic bucket of a key column (Python's
-    builtin hash is per-process salted and must never shuffle)."""
+    builtin hash is per-process salted and must never shuffle). Null
+    keys land deterministically in bucket 0 — they are a single group
+    and must co-locate like any other key."""
+    isna = v.isna().to_numpy()
     if pd.api.types.is_integer_dtype(v):
-        return ((v.to_numpy().astype(np.int64) % nb) + nb) % nb
-    from ..schema import hash_strings
+        arr = (v.fillna(0) if isna.any() else v).to_numpy().astype(np.int64)
+        out = ((arr % nb) + nb) % nb
+    else:
+        from ..schema import hash_strings
 
-    return (hash_strings(v.to_numpy()) % np.uint64(nb)).astype(np.int64)
+        # polars rejects mixed str/NaN object arrays; nulls get their
+        # bucket overwritten below, so hash a placeholder for them.
+        if isna.any() and not pd.api.types.is_numeric_dtype(v):
+            v = v.fillna("")
+        out = (hash_strings(v.to_numpy()) % np.uint64(nb)).astype(np.int64)
+    if isna.any():
+        out = np.where(isna, 0, out)
+    return out
 
 
 def _buckets_for_cluster() -> int:
@@ -88,7 +100,10 @@ def bucketed_agg(
     assert not bad, f"unsupported agg ops: {bad}"
 
     def _combine(b: pd.DataFrame, counts_are_sums: bool) -> pd.DataFrame:
-        g = b.groupby(keys, sort=False)
+        # dropna=False: null keys are a group like any other (matches
+        # both SQL GROUP BY and the Ray groupby().aggregate() this
+        # replaced); pandas' default silently drops those rows.
+        g = b.groupby(keys, sort=False, dropna=False)
         parts = []
         if other:
             parts.append(g.agg(other))

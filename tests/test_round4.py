@@ -622,3 +622,121 @@ def test_image_metadata_headers_only():
     assert image_metadata(b"") is None
     assert image_metadata(None) is None
     assert image_metadata(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+
+
+# ---------------------------------------------------------------------------
+# review regressions: null handling in prefixes / gaps / bucketed_agg,
+# JPEG fill bytes
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_fork_groups_all_null_prefix_is_sql_null():
+    # Two unrelated conversations whose prefix turns are ALL null must
+    # NOT be welded into one fork group (SQL string_agg -> NULL joins
+    # nothing); a conv with one null among non-null prefix turns keeps
+    # string_agg's skip-null semantics.
+    ds = _ds(
+        [
+            ("a", 1, "user", None),
+            ("a", 2, "assistant", None),
+            ("a", 3, "user", "follow-a"),
+            ("b", 1, "user", None),
+            ("b", 2, "assistant", None),
+            ("b", 3, "user", "follow-b"),
+            ("c", 1, "user", None),
+            ("c", 2, "assistant", "stem"),
+            ("d", 1, "user", "stem"),
+            ("d", 2, "assistant", None),
+        ]
+    )
+    out = prefix_fork_groups(ds, prefix_turns=2).to_pandas()
+    assert set(out["conv_id"]) == {"c", "d"}  # a, b dropped (NULL prefix)
+    assert (out["prefix"] == "stem").all()
+    assert (out["n_convs_sharing"] == 2).all()
+
+
+def test_preference_pairs_null_prefix_excluded():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        preference_pairs,
+    )
+
+    ds = _ds(
+        [
+            # null first turns: must not pair with each other
+            ("a", 1, "user", None),
+            ("a", 2, "assistant", "resp-a"),
+            ("b", 1, "user", None),
+            ("b", 2, "assistant", "resp-b"),
+            # real fork group
+            ("c", 1, "user", "q"),
+            ("c", 2, "assistant", "r1"),
+            ("d", 1, "user", "q"),
+            ("d", 2, "assistant", "r2"),
+        ]
+    )
+    out = preference_pairs(ds, prefix_turns=1).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["conv_a"] == "c" and out.iloc[0]["conv_b"] == "d"
+
+
+def test_turn_gap_stats_null_ts_excluded():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        turn_gap_stats,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "z", "z"],
+            "turn_idx": [1, 2, 3, 1, 2],
+            "ts": [t0, pd.NaT, t0 + pd.Timedelta(seconds=120), pd.NaT, pd.NaT],
+        }
+    )
+    out = (
+        turn_gap_stats(rd.from_pandas(rows), burst_us=60_000_000)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    a = out.loc["a"]
+    # span over NON-null ts = 120s; the (t0, NaT) and (NaT, t2) adjacent
+    # pairs contribute no gap, no burst, no out-of-order
+    assert a["n_turns"] == 3
+    assert a["span_us"] == 120_000_000
+    assert a["max_gap_us"] == 0  # no adjacent pair has both ts present
+    assert a["n_bursts"] == 0 and a["n_out_of_order"] == 0
+    z = out.loc["z"]
+    assert z["n_turns"] == 2 and pd.isna(z["span_us"])  # SQL NULL span
+    assert z["max_gap_us"] == 0
+
+
+def test_bucketed_agg_keeps_null_keys():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.windows import (
+        bucketed_agg,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": ["x", None, "x", None, "y"],
+            "v": [1, 10, 2, 20, 5],
+        }
+    )
+    out = bucketed_agg(
+        rd.from_pandas(df), "k", {"v": "sum", "n": "count"}, nb=4
+    ).to_pandas()
+    bykey = {(None if pd.isna(k) else k): (v, n)
+             for k, v, n in zip(out["k"], out["v"], out["n"])}
+    assert bykey == {"x": (3, 2), None: (30, 2), "y": (5, 1)}
+
+
+def test_image_metadata_jpeg_fill_bytes():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.multimodal import (
+        image_metadata,
+    )
+
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+            + (17).to_bytes(2, "big") + (13).to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0]))
+    # spec-legal 0xFF fill bytes before the marker must be skipped
+    md = image_metadata(b"\xff\xd8" + b"\xff\xff\xff" + sof0)
+    assert md == {"format": "jpeg", "width": 13, "height": 17,
+                  "bit_depth": 8, "channels": 3}
