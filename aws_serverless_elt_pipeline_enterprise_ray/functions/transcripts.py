@@ -987,3 +987,131 @@ def refusal_screen(
         {"n_assistant_turns": "sum", "n_refusal_turns": "sum"},
         nb=num_buckets,
     )
+
+
+def tool_usage_stats(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-conversation tool-call profile for agent-trajectory
+    curation: total turns, tool turns, distinct tools, dominant tool
+    (most frequent; ties break by tool name so the SQL mirror is
+    exact), and the longest consecutive same-tool run over the
+    conversation's tool turns in turn order — the stuck-agent /
+    tool-loop screen (an agent re-invoking one tool k times in a row
+    is looping even when each call's arguments differ, which
+    ``repeated_turn_runs``'s same-text islands cannot see).
+    Non-tool turns between two calls do NOT break a run: assistant ->
+    tool -> assistant -> same tool is the loop shape being screened.
+
+    One conv-bucketed shuffle; runs are double-cumcount
+    gaps-and-islands, everything else is C-level groupbys. At 100 TB
+    the shuffle carries (conv, ord, tool) only."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, tool_col]].copy()
+        b["_tb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        n_turns = g.groupby(conv_col, sort=False).size()
+        t = g[g[tool_col].notna()]
+        rn = t.groupby(conv_col, sort=False).cumcount().to_numpy()
+        rnt = t.groupby([conv_col, tool_col], sort=False).cumcount().to_numpy()
+        tf = pd.DataFrame(
+            {
+                conv_col: t[conv_col].to_numpy(),
+                "tool": t[tool_col].to_numpy(),
+                "_isl": rn - rnt,
+            }
+        )
+        runs = tf.groupby([conv_col, "tool", "_isl"], sort=False).size()
+        max_run = runs.groupby(level=0).max() if len(runs) else pd.Series(dtype="int64")
+        n_tool = tf.groupby(conv_col, sort=False).size()
+        n_distinct = tf.groupby(conv_col, sort=False)["tool"].nunique()
+        cnt = (
+            tf.groupby([conv_col, "tool"], sort=False)
+            .size()
+            .reset_index(name="_n")
+            .sort_values(
+                [conv_col, "_n", "tool"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+        )
+        top = cnt.drop_duplicates(conv_col, keep="first").set_index(conv_col)["tool"]
+        out = n_turns.rename("n_turns").reset_index()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["n_tool_turns"] = out[conv_col].map(n_tool).fillna(0).astype("int64")
+        out["n_distinct_tools"] = (
+            out[conv_col].map(n_distinct).fillna(0).astype("int64")
+        )
+        tt = out[conv_col].map(top)
+        out["top_tool"] = tt.astype(object).where(tt.notna(), None)
+        out["max_tool_run"] = out[conv_col].map(max_run).fillna(0).astype("int64")
+        return out[
+            [conv_col, "n_turns", "n_tool_turns", "n_distinct_tools",
+             "top_tool", "max_tool_run"]
+        ]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def tool_transitions(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Global tool->tool adjacency counts over each conversation's
+    tool turns in turn order — the tool-chain transition graph an
+    agent-workflow analysis ranks (which tool follows which; feed it
+    to the graph operators for communities/PageRank over tools).
+    Adjacency needs whole conversations co-located, so stage 1 is the
+    conv-bucketed shuffle emitting per-bucket (from, to, n) partials;
+    stage 2 is ONE ``bucketed_agg`` over those partials — the second
+    exchange carries tool-pair cardinality, never turns."""
+    from .windows import bucketed_agg
+
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, tool_col]].copy()
+        b = b[b[tool_col].notna()]
+        b["_tb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        nxt = g.groupby(conv_col, sort=False)[tool_col].shift(-1)
+        keep = nxt.notna().to_numpy()
+        pf = pd.DataFrame(
+            {
+                "tool_from": g[tool_col].to_numpy()[keep],
+                "tool_to": nxt.to_numpy()[keep],
+            }
+        )
+        return (
+            pf.groupby(["tool_from", "tool_to"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return bucketed_agg(partials, ["tool_from", "tool_to"], {"n": "sum"})

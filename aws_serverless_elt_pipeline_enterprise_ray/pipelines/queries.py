@@ -5370,6 +5370,79 @@ def q_refusal_screen(sf_dir: str):
     return out[["conv", "n_assistant_turns", "n_refusal_turns"]]
 
 
+def _conv_tool_stream(sf_dir: str) -> rd.Dataset:
+    """Per-user event sequence with a SYNTHETIC deterministic tool
+    column (click events call tool_<event_id % 3>; other events carry
+    no tool) — the shared input of the agent-trajectory queries, with
+    the identical CASE expression in the SQL mirrors."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        tool = np.where(
+            (b["event_type"] == "click").to_numpy(),
+            "tool_" + (b["event_id"] % 3).astype(str),
+            None,
+        )
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "tool": tool,
+            }
+        )
+
+    return ev.map_batches(prep, batch_format="pandas")
+
+
+def q_tool_usage_stats(sf_dir: str):
+    """Per-conversation tool-call profile: tool-turn/distinct-tool
+    counts, dominant tool (ties by name), longest consecutive
+    same-tool run (the stuck-agent loop screen). One conv-bucketed
+    shuffle; runs are double-cumcount islands. SQL mirror: double
+    row_number islands + ranked counts."""
+    from ..functions.transcripts import tool_usage_stats
+
+    out = (
+        tool_usage_stats(
+            _conv_tool_stream(sf_dir),
+            conv_col="conv", order_col="ord", tool_col="tool",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "n_turns", "n_tool_turns", "n_distinct_tools",
+              "max_tool_run"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["conv", "n_turns", "n_tool_turns", "n_distinct_tools",
+         "top_tool", "max_tool_run"]
+    ]
+
+
+def q_tool_transitions(sf_dir: str):
+    """Global tool->tool adjacency counts over per-conversation tool
+    turns (the tool-chain graph). Conv-bucketed pair assembly, then
+    one bucketed_agg over (from, to) partials. SQL mirror: lead()
+    over tool turns + GROUP BY."""
+    from ..functions.transcripts import tool_transitions
+
+    out = (
+        tool_transitions(
+            _conv_tool_stream(sf_dir),
+            conv_col="conv", order_col="ord", tool_col="tool",
+        )
+        .to_pandas()
+        .sort_values(["tool_from", "tool_to"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["tool_from", "tool_to", "n"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5511,6 +5584,8 @@ QUERIES = {
     "turn_gap_stats": q_turn_gap_stats,
     "context_truncate": q_context_truncate,
     "refusal_screen": q_refusal_screen,
+    "tool_usage_stats": q_tool_usage_stats,
+    "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
     "fix_mojibake": q_fix_mojibake,
     "audio_features": q_audio_features,
@@ -7005,6 +7080,70 @@ ORACLES = {
                             AND epoch_us(nts) - epoch_us(ts) < 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order
       FROM t GROUP BY conv ORDER BY conv
+    """,
+    "tool_usage_stats": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord,
+               CASE WHEN event_type = 'click'
+                    THEN 'tool_' || CAST(event_id % 3 AS VARCHAR) END AS tool
+        FROM events
+      ),
+      base AS (
+        SELECT conv, CAST(COUNT(*) AS BIGINT) AS n_turns FROM t GROUP BY conv
+      ),
+      tt AS (SELECT conv, ord, tool FROM t WHERE tool IS NOT NULL),
+      i AS (
+        SELECT conv, tool,
+               ROW_NUMBER() OVER (PARTITION BY conv ORDER BY ord)
+             - ROW_NUMBER() OVER (PARTITION BY conv, tool ORDER BY ord) AS isl
+        FROM tt
+      ),
+      runs AS (
+        SELECT conv, tool, isl, COUNT(*) AS rl FROM i GROUP BY conv, tool, isl
+      ),
+      mr AS (SELECT conv, MAX(rl) AS max_run FROM runs GROUP BY conv),
+      agg AS (
+        SELECT conv, COUNT(*) AS n_tool,
+               COUNT(DISTINCT tool) AS n_dist
+        FROM tt GROUP BY conv
+      ),
+      cnt AS (SELECT conv, tool, COUNT(*) AS n FROM tt GROUP BY conv, tool),
+      top AS (
+        SELECT conv, tool AS top_tool FROM (
+          SELECT conv, tool,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY conv ORDER BY n DESC, tool) AS rn
+          FROM cnt
+        ) WHERE rn = 1
+      )
+      SELECT b.conv, b.n_turns,
+             CAST(COALESCE(a.n_tool, 0) AS BIGINT) AS n_tool_turns,
+             CAST(COALESCE(a.n_dist, 0) AS BIGINT) AS n_distinct_tools,
+             top.top_tool,
+             CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_tool_run
+      FROM base b
+      LEFT JOIN agg a USING (conv)
+      LEFT JOIN top USING (conv)
+      LEFT JOIN mr USING (conv)
+      ORDER BY conv
+    """,
+    "tool_transitions": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord,
+               CASE WHEN event_type = 'click'
+                    THEN 'tool_' || CAST(event_id % 3 AS VARCHAR) END AS tool
+        FROM events
+      ),
+      tt AS (SELECT conv, ord, tool FROM t WHERE tool IS NOT NULL),
+      p AS (
+        SELECT conv, tool AS tool_from,
+               lead(tool) OVER (PARTITION BY conv ORDER BY ord) AS tool_to
+        FROM tt
+      )
+      SELECT tool_from, tool_to, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE tool_to IS NOT NULL
+      GROUP BY tool_from, tool_to
+      ORDER BY tool_from, tool_to
     """,
     "context_truncate": """
       WITH t AS (

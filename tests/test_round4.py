@@ -740,3 +740,77 @@ def test_image_metadata_jpeg_fill_bytes():
     md = image_metadata(b"\xff\xd8" + b"\xff\xff\xff" + sof0)
     assert md == {"format": "jpeg", "width": 13, "height": 17,
                   "bit_depth": 8, "channels": 3}
+
+
+# ---------------------------------------------------------------------------
+# agent-trajectory operators: tool usage profile, tool transitions
+# ---------------------------------------------------------------------------
+
+
+def test_tool_usage_stats_loops_and_ties():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        tool_usage_stats,
+    )
+
+    ds = _ds(
+        [
+            # conv a: search x3 consecutively (a stuck loop), fetch once;
+            # the assistant turn between calls must NOT break the run
+            ("a", 1, "user", None),
+            ("a", 2, "tool", "search"),
+            ("a", 3, "assistant", None),
+            ("a", 4, "tool", "search"),
+            ("a", 5, "tool", "search"),
+            ("a", 6, "tool", "fetch"),
+            # conv b: tie between fetch and search -> name order wins
+            ("b", 1, "tool", "search"),
+            ("b", 2, "tool", "fetch"),
+            # conv c: no tool turns at all
+            ("c", 1, "user", None),
+        ],
+        cols=("conv_id", "turn_idx", "role", "tool"),
+    )
+    out = (
+        tool_usage_stats(ds, conv_col="conv_id", order_col="turn_idx",
+                         tool_col="tool")
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    a = out.loc["a"]
+    assert a["n_turns"] == 6 and a["n_tool_turns"] == 4
+    assert a["n_distinct_tools"] == 2 and a["top_tool"] == "search"
+    assert a["max_tool_run"] == 3
+    b = out.loc["b"]
+    assert b["top_tool"] == "fetch" and b["max_tool_run"] == 1
+    c = out.loc["c"]
+    assert c["n_tool_turns"] == 0 and c["max_tool_run"] == 0
+    assert pd.isna(c["top_tool"])
+
+
+def test_tool_transitions_adjacency():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        tool_transitions,
+    )
+
+    ds = _ds(
+        [
+            # a: search -> search -> fetch (two transitions)
+            ("a", 1, "tool", "search"),
+            ("a", 2, "tool", "search"),
+            ("a", 3, "tool", "fetch"),
+            # b: search -> fetch; conversation boundaries never pair
+            ("b", 1, "tool", "search"),
+            ("b", 2, "tool", "fetch"),
+            # c: single tool turn -> no transition
+            ("c", 1, "tool", "run"),
+        ],
+        cols=("conv_id", "turn_idx", "role", "tool"),
+    )
+    out = (
+        tool_transitions(ds, conv_col="conv_id", order_col="turn_idx",
+                         tool_col="tool")
+        .to_pandas()
+    )
+    got = {(f, t): n for f, t, n in
+           zip(out["tool_from"], out["tool_to"], out["n"])}
+    assert got == {("search", "search"): 1, ("search", "fetch"): 2}
