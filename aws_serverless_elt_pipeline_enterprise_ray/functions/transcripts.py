@@ -1115,3 +1115,76 @@ def tool_transitions(
         .map_groups(pairs, batch_format="pandas")
     )
     return bucketed_agg(partials, ["tool_from", "tool_to"], {"n": "sum"})
+
+
+def fork_best_of_n(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    prefix_turns: int = 1,
+    score_col: str | None = None,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Rejection-sampling selection within shared-prefix fork groups:
+    keep ONE conversation per fork group — the one whose fork turn
+    (rank ``prefix_turns``) maximizes the score, ties broken by conv
+    id ascending so the SQL mirror is exact. ``score_col`` names an
+    integer per-turn score column; when None the score is the fork
+    turn's character length (the cheap best-of-N heuristic). Returns
+    (prefix, conv, score, n_candidates) — one row per fork group,
+    ``n_candidates`` counting the scored forks the winner beat.
+
+    The N-way regeneration shape ``preference_pairs`` mines pairs
+    from is the same one best-of-N sampling keeps winners from; this
+    is that second consumer. Same two bounded shuffles: conv-bucketed
+    prefix+fork assembly (via ``_conv_prefixes``; all-null prefixes
+    are SQL NULL and join nothing), then a prefix-bucketed one-row-
+    per-conversation reduce."""
+    nb = num_buckets or _buckets_for_cluster()
+    cols = [conv_col, order_col, text_col] + (
+        [score_col] if score_col else []
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy()
+        b["_bb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g, rn, agg = _conv_prefixes(
+            g, conv_col, order_col, text_col, prefix_turns, sep
+        )
+        fork = g[rn == prefix_turns]
+        fork = fork[fork[text_col].notna()]
+        if score_col:
+            score = fork[score_col].astype("int64")
+        else:
+            score = fork[text_col].str.len().astype("int64")
+        fork = pd.DataFrame(
+            {conv_col: fork[conv_col], "score": score}
+        )
+        agg = agg.merge(fork, on=conv_col, how="inner")
+        agg["_gb"] = _key_buckets(agg["prefix"], nb)
+        return agg
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["prefix", "score", conv_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        n = g.groupby("prefix", sort=False)[conv_col].transform("size")
+        g = g.assign(n_candidates=n.astype("int64"))
+        out = g.drop_duplicates("prefix", keep="first")
+        return out[["prefix", conv_col, "score", "n_candidates"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bb")
+        .map_groups(build, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -5397,6 +5397,46 @@ def _conv_tool_stream(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(prep, batch_format="pandas")
 
 
+def q_fork_best_of_n(sf_dir: str):
+    """Best-of-N rejection sampling within shared-prefix fork groups:
+    one winner per group by fork-turn length (ties by conv asc). Two
+    bounded shuffles. SQL mirror: ranked self-join over the same
+    prefix CTEs as preference_pairs."""
+    from ..functions.transcripts import fork_best_of_n
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "props"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                # 7-char prefix key so regenerated "responses" collide
+                # into fork groups, like the preference_pairs fixture;
+                # the score is the FULL text's length so winners vary
+                "text": b["props"].str[:7],
+                "sc": b["props"].str.len(),
+            }
+        )
+
+    out = (
+        fork_best_of_n(
+            ev.map_batches(prep, batch_format="pandas"),
+            conv_col="conv", order_col="ord", text_col="text",
+            prefix_turns=1, score_col="sc",
+        )
+        .to_pandas()
+        .sort_values("prefix")
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "score", "n_candidates"):
+        out[c] = out[c].astype("int64")
+    return out[["prefix", "conv", "score", "n_candidates"]]
+
+
 def q_tool_usage_stats(sf_dir: str):
     """Per-conversation tool-call profile: tool-turn/distinct-tool
     counts, dominant tool (ties by name), longest consecutive
@@ -5584,6 +5624,7 @@ QUERIES = {
     "turn_gap_stats": q_turn_gap_stats,
     "context_truncate": q_context_truncate,
     "refusal_screen": q_refusal_screen,
+    "fork_best_of_n": q_fork_best_of_n,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7080,6 +7121,37 @@ ORACLES = {
                             AND epoch_us(nts) - epoch_us(ts) < 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order
       FROM t GROUP BY conv ORDER BY conv
+    """,
+    "fork_best_of_n": """
+      WITH t AS (
+        SELECT user_id AS conv, substr(props, 1, 7) AS text,
+               length(props) AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 1 GROUP BY conv
+      ),
+      fork AS (
+        SELECT conv, sc FROM t WHERE rn = 2 AND text IS NOT NULL
+      ),
+      pc AS (
+        SELECT pre.conv, pre.prefix, fork.sc
+        FROM pre JOIN fork USING (conv)
+      ),
+      g AS (SELECT prefix, COUNT(*) AS n FROM pc GROUP BY prefix),
+      r AS (
+        SELECT conv, prefix, sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY prefix ORDER BY sc DESC, conv) AS rk
+        FROM pc
+      )
+      SELECT r.prefix, r.conv, CAST(r.sc AS BIGINT) AS score,
+             CAST(g.n AS BIGINT) AS n_candidates
+      FROM r JOIN g USING (prefix)
+      WHERE rk = 1 ORDER BY prefix
     """,
     "tool_usage_stats": """
       WITH t AS (

@@ -814,3 +814,60 @@ def test_tool_transitions_adjacency():
     got = {(f, t): n for f, t, n in
            zip(out["tool_from"], out["tool_to"], out["n"])}
     assert got == {("search", "search"): 1, ("search", "fetch"): 2}
+
+
+def test_fork_best_of_n_selection():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_best_of_n,
+    )
+
+    ds = _ds(
+        [
+            # fork group "q": c wins on length; tie d/e -> d (conv asc)
+            ("c", 1, "user", "q"),
+            ("c", 2, "assistant", "long answer"),
+            ("d", 1, "user", "q"),
+            ("d", 2, "assistant", "short"),
+            ("e", 1, "user", "q"),
+            ("e", 2, "assistant", "brief"),
+            # all-null prefix: excluded entirely (SQL NULL)
+            ("f", 1, "user", None),
+            ("f", 2, "assistant", "resp"),
+            # singleton group
+            ("g", 1, "user", "solo"),
+            ("g", 2, "assistant", "only"),
+        ]
+    )
+    out = (
+        fork_best_of_n(ds, prefix_turns=1)
+        .to_pandas()
+        .set_index("prefix")
+        .sort_index()
+    )
+    assert set(out.index) == {"q", "solo"}
+    q = out.loc["q"]
+    assert q["conv_id"] == "c" and q["score"] == len("long answer")
+    assert q["n_candidates"] == 3
+    assert out.loc["solo"]["conv_id"] == "g"
+    assert out.loc["solo"]["n_candidates"] == 1
+
+
+def test_fork_best_of_n_score_col_and_ties():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_best_of_n,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b"],
+            "turn_idx": [1, 2, 1, 2],
+            "text": ["p", "x", "p", "y"],
+            "sc": [0, 7, 0, 7],  # tie on score -> conv asc wins
+        }
+    )
+    out = fork_best_of_n(
+        rd.from_pandas(df), prefix_turns=1, score_col="sc"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["conv_id"] == "a" and out.iloc[0]["score"] == 7
+    assert out.iloc[0]["n_candidates"] == 2
