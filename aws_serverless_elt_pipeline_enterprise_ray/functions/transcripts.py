@@ -1019,11 +1019,23 @@ def tool_usage_stats(
         return b
 
     def build(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False + merges (not .map): a null conv id is one
+        # group like any other, matching SQL GROUP BY / PARTITION BY
+        # (pandas merge keys treat NaN as equal, Series.map does not).
         g = g.sort_values([conv_col, order_col], kind="mergesort")
-        n_turns = g.groupby(conv_col, sort=False).size()
+        out = (
+            g.groupby(conv_col, sort=False, dropna=False)
+            .size()
+            .rename("n_turns")
+            .reset_index()
+        )
         t = g[g[tool_col].notna()]
-        rn = t.groupby(conv_col, sort=False).cumcount().to_numpy()
-        rnt = t.groupby([conv_col, tool_col], sort=False).cumcount().to_numpy()
+        rn = t.groupby(conv_col, sort=False, dropna=False).cumcount().to_numpy()
+        rnt = (
+            t.groupby([conv_col, tool_col], sort=False, dropna=False)
+            .cumcount()
+            .to_numpy()
+        )
         tf = pd.DataFrame(
             {
                 conv_col: t[conv_col].to_numpy(),
@@ -1031,12 +1043,25 @@ def tool_usage_stats(
                 "_isl": rn - rnt,
             }
         )
-        runs = tf.groupby([conv_col, "tool", "_isl"], sort=False).size()
-        max_run = runs.groupby(level=0).max() if len(runs) else pd.Series(dtype="int64")
-        n_tool = tf.groupby(conv_col, sort=False).size()
-        n_distinct = tf.groupby(conv_col, sort=False)["tool"].nunique()
+        runs = (
+            tf.groupby([conv_col, "tool", "_isl"], sort=False, dropna=False)
+            .size()
+            .rename("_rl")
+            .reset_index()
+        )
+        mr = (
+            runs.groupby(conv_col, sort=False, dropna=False)["_rl"]
+            .max()
+            .rename("max_tool_run")
+            .reset_index()
+        )
+        agg = (
+            tf.groupby(conv_col, sort=False, dropna=False)
+            .agg(n_tool_turns=("tool", "size"), n_distinct_tools=("tool", "nunique"))
+            .reset_index()
+        )
         cnt = (
-            tf.groupby([conv_col, "tool"], sort=False)
+            tf.groupby([conv_col, "tool"], sort=False, dropna=False)
             .size()
             .reset_index(name="_n")
             .sort_values(
@@ -1045,16 +1070,19 @@ def tool_usage_stats(
                 kind="mergesort",
             )
         )
-        top = cnt.drop_duplicates(conv_col, keep="first").set_index(conv_col)["tool"]
-        out = n_turns.rename("n_turns").reset_index()
-        out["n_turns"] = out["n_turns"].astype("int64")
-        out["n_tool_turns"] = out[conv_col].map(n_tool).fillna(0).astype("int64")
-        out["n_distinct_tools"] = (
-            out[conv_col].map(n_distinct).fillna(0).astype("int64")
+        top = cnt.drop_duplicates(conv_col, keep="first")[
+            [conv_col, "tool"]
+        ].rename(columns={"tool": "top_tool"})
+        out = (
+            out.merge(agg, on=conv_col, how="left")
+            .merge(top, on=conv_col, how="left")
+            .merge(mr, on=conv_col, how="left")
         )
-        tt = out[conv_col].map(top)
+        for c in ("n_tool_turns", "n_distinct_tools", "max_tool_run"):
+            out[c] = out[c].fillna(0).astype("int64")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        tt = out["top_tool"]
         out["top_tool"] = tt.astype(object).where(tt.notna(), None)
-        out["max_tool_run"] = out[conv_col].map(max_run).fillna(0).astype("int64")
         return out[
             [conv_col, "n_turns", "n_tool_turns", "n_distinct_tools",
              "top_tool", "max_tool_run"]
@@ -1095,7 +1123,9 @@ def tool_transitions(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([conv_col, order_col], kind="mergesort")
-        nxt = g.groupby(conv_col, sort=False)[tool_col].shift(-1)
+        # dropna=False: a null conv id is ONE conversation (SQL
+        # PARTITION BY groups NULLs together) — its transitions count.
+        nxt = g.groupby(conv_col, sort=False, dropna=False)[tool_col].shift(-1)
         keep = nxt.notna().to_numpy()
         pf = pd.DataFrame(
             {
@@ -1114,7 +1144,9 @@ def tool_transitions(
         .groupby("_tb")
         .map_groups(pairs, batch_format="pandas")
     )
-    return bucketed_agg(partials, ["tool_from", "tool_to"], {"n": "sum"})
+    return bucketed_agg(
+        partials, ["tool_from", "tool_to"], {"n": "sum"}, nb=num_buckets
+    )
 
 
 def fork_best_of_n(
@@ -1133,9 +1165,12 @@ def fork_best_of_n(
     (rank ``prefix_turns``) maximizes the score, ties broken by conv
     id ascending so the SQL mirror is exact. ``score_col`` names an
     integer per-turn score column; when None the score is the fork
-    turn's character length (the cheap best-of-N heuristic). Returns
-    (prefix, conv, score, n_candidates) — one row per fork group,
-    ``n_candidates`` counting the scored forks the winner beat.
+    turn's character length (the cheap best-of-N heuristic; null
+    scores rank LAST like SQL NULLS LAST, so a group whose every
+    score is null still yields its conv-asc winner with a null
+    score). Returns (prefix, conv, score, n_candidates) — one row per
+    fork group, ``n_candidates`` counting ALL scored forks in the
+    group, winner included (a 3-way fork reports 3).
 
     The N-way regeneration shape ``preference_pairs`` mines pairs
     from is the same one best-of-N sampling keeps winners from; this
@@ -1159,10 +1194,12 @@ def fork_best_of_n(
         )
         fork = g[rn == prefix_turns]
         fork = fork[fork[text_col].notna()]
+        # Nullable Int64 keeps null scores (SQL NULLS LAST in pick)
+        # instead of crashing the int cast on a NaN.
         if score_col:
-            score = fork[score_col].astype("int64")
+            score = fork[score_col].astype("Int64")
         else:
-            score = fork[text_col].str.len().astype("int64")
+            score = fork[text_col].str.len().astype("Int64")
         fork = pd.DataFrame(
             {conv_col: fork[conv_col], "score": score}
         )

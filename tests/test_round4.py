@@ -871,3 +871,60 @@ def test_fork_best_of_n_score_col_and_ties():
     assert len(out) == 1
     assert out.iloc[0]["conv_id"] == "a" and out.iloc[0]["score"] == 7
     assert out.iloc[0]["n_candidates"] == 2
+
+
+def test_tool_ops_null_conv_is_one_group():
+    # SQL GROUP BY / PARTITION BY treat NULL conv as one group: the
+    # profile emits a null-conv row and its transitions count.
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        tool_transitions,
+        tool_usage_stats,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", None, None, None],
+            "turn_idx": [1, 1, 2, 3],
+            "role": ["tool"] * 4,
+            "tool": ["run", "search", "search", "fetch"],
+        }
+    )
+    out = tool_usage_stats(
+        rd.from_pandas(df), conv_col="conv_id", order_col="turn_idx",
+        tool_col="tool",
+    ).to_pandas()
+    assert len(out) == 2
+    nullrow = out[out["conv_id"].isna()].iloc[0]
+    assert nullrow["n_turns"] == 3 and nullrow["n_tool_turns"] == 3
+    assert nullrow["top_tool"] == "search" and nullrow["max_tool_run"] == 2
+
+    tr = tool_transitions(
+        rd.from_pandas(df), conv_col="conv_id", order_col="turn_idx",
+        tool_col="tool",
+    ).to_pandas()
+    got = {(f, t): n for f, t, n in
+           zip(tr["tool_from"], tr["tool_to"], tr["n"])}
+    assert got == {("search", "search"): 1, ("search", "fetch"): 1}
+
+
+def test_fork_best_of_n_null_scores_rank_last():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_best_of_n,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c"],
+            "turn_idx": [1, 2, 1, 2, 1, 2],
+            "text": ["p", "x", "p", "y", "p", "z"],
+            "sc": pd.array([None, None, None, 5, None, None], dtype="Int64"),
+        }
+    )
+    # fork scores: a=None, b=5, c=None -> b wins (nulls rank last,
+    # like DuckDB's NULLS LAST under DESC); no crash on the null cast
+    out = fork_best_of_n(
+        rd.from_pandas(df), prefix_turns=1, score_col="sc"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["conv_id"] == "b" and out.iloc[0]["score"] == 5
+    assert out.iloc[0]["n_candidates"] == 3
