@@ -1225,3 +1225,248 @@ def fork_best_of_n(
         .groupby("_gb")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def _fork_scores_stage(
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+    score_col: str | None,
+    prefix_turns: int,
+    sep: str,
+    nb: int,
+):
+    """Shared stage-1 kernels for the fork-group RL-data operators:
+    conv-bucketed (prefix, conv, score) candidate assembly, exactly the
+    shape ``fork_best_of_n`` selects winners from. Null-score forks are
+    EXCLUDED here (SQL aggregates over the score skip NULLs; a group
+    statistic over no scores is undefined), unlike best-of-N where a
+    null score merely ranks last."""
+    cols = [conv_col, order_col, text_col] + (
+        [score_col] if score_col else []
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy()
+        b["_bb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g, rn, agg = _conv_prefixes(
+            g, conv_col, order_col, text_col, prefix_turns, sep
+        )
+        fork = g[rn == prefix_turns]
+        fork = fork[fork[text_col].notna()]
+        if score_col:
+            fork = fork[fork[score_col].notna()]
+            score = fork[score_col].astype("int64")
+        else:
+            score = fork[text_col].str.len().astype("int64")
+        fork = pd.DataFrame({conv_col: fork[conv_col], "score": score})
+        agg = agg.merge(fork, on=conv_col, how="inner")
+        agg["_gb"] = _key_buckets(agg["prefix"], nb)
+        return agg
+
+    return add_bucket, build
+
+
+def fork_advantage(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    prefix_turns: int = 1,
+    score_col: str | None = None,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Group-relative advantage (the GRPO / RLOO reward-normalization
+    step) within shared-prefix fork groups: every scored candidate gets
+    ``advantage = score - mean(group scores)``, computed as the exact
+    integer numerator ``score*n - sum`` divided ONCE in float64 — so
+    the value is bit-identical to the SQL mirror's
+    ``CAST(score*n - s AS DOUBLE)/n`` and the oracle hash-matches
+    (float chains over per-group means would not). Returns one row per
+    candidate: (prefix, conv, score, n_candidates, advantage). Same
+    two bounded shuffles as ``fork_best_of_n``; singleton groups get
+    advantage 0 (their score IS the mean), matching the SQL window.
+    When ``score_col`` is None the score is the fork turn's character
+    length."""
+    nb = num_buckets or _buckets_for_cluster()
+    add_bucket, build = _fork_scores_stage(
+        conv_col, order_col, text_col, score_col, prefix_turns, sep, nb
+    )
+
+    def adv(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("prefix", sort=False)["score"]
+        n = grp.transform("size").to_numpy(dtype=np.int64)
+        s = grp.transform("sum").to_numpy(dtype=np.int64)
+        sc = g["score"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "prefix": g["prefix"],
+                conv_col: g[conv_col],
+                "score": sc,
+                "n_candidates": n,
+                "advantage": (sc * n - s).astype(np.float64) / n,
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bb")
+        .map_groups(build, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(adv, batch_format="pandas")
+    )
+
+
+def fork_pass_rate(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    prefix_turns: int = 1,
+    score_col: str | None = None,
+    threshold: int = 0,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-fork-group pass@k estimation table: for each shared-prefix
+    group of N regenerated candidates, how many scored >= ``threshold``
+    and the pass fraction — the per-prompt difficulty signal that
+    drives curriculum mixes and RL prompt selection. ``pass_rate`` is
+    one exact-int division (n_pass/n) so the SQL mirror hash-matches.
+    Returns one row per group: (prefix, n_candidates, n_pass,
+    pass_rate). Same shuffles as ``fork_advantage``."""
+    nb = num_buckets or _buckets_for_cluster()
+    add_bucket, build = _fork_scores_stage(
+        conv_col, order_col, text_col, score_col, prefix_turns, sep, nb
+    )
+
+    def rate(g: pd.DataFrame) -> pd.DataFrame:
+        ok = (g["score"].to_numpy(dtype=np.int64) >= threshold).astype(
+            np.int64
+        )
+        agg = (
+            g.assign(_ok=ok)
+            .groupby("prefix", sort=False)
+            .agg(n_candidates=("score", "size"), n_pass=("_ok", "sum"))
+            .reset_index()
+        )
+        agg["pass_rate"] = (
+            agg["n_pass"].to_numpy(dtype=np.float64)
+            / agg["n_candidates"].to_numpy(dtype=np.int64)
+        )
+        return agg[["prefix", "n_candidates", "n_pass", "pass_rate"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bb")
+        .map_groups(build, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(rate, batch_format="pandas")
+    )
+
+
+def _levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Unit-cost edit distance over UTF-8 BYTES — DuckDB's
+    ``levenshtein`` operates on bytes, not codepoints (probed:
+    levenshtein('café','cafe') = 2), and the oracle gate needs exact
+    agreement. Two-row DP with the inner minimum vectorized in numpy
+    (np.minimum.accumulate over the running-insert axis), so cost is
+    O(len(a)) numpy ops per byte of b rather than a Python cell loop."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) < len(b):
+        a, b = b, a
+    av = np.frombuffer(a, dtype=np.uint8).astype(np.int64)
+    prev = np.arange(len(a) + 1, dtype=np.int64)
+    for i, cb in enumerate(b):
+        cur = np.empty_like(prev)
+        cur[0] = i + 1
+        sub = prev[:-1] + (av != cb)
+        dele = prev[1:] + 1
+        np.minimum(sub, dele, out=cur[1:])
+        # running inserts: cur[j] = min(cur[j], cur[j-1]+1) left-to-right
+        # == cummin over (cur[j] - j) + j
+        shifted = cur - np.arange(len(cur), dtype=np.int64)
+        np.minimum.accumulate(shifted, out=shifted)
+        cur = shifted + np.arange(len(cur), dtype=np.int64)
+        prev = cur
+    return int(prev[-1])
+
+
+def retry_edit_distance(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Retry-divergence measurement: for every pair of CONSECUTIVE
+    same-role turns in a conversation (the regeneration / resend
+    shape ``repeated_turn_runs`` detects exact repeats of), the edit
+    distance between the two texts — distance 0 is a verbatim resend,
+    small distances are near-identical regenerations worth collapsing,
+    large ones are genuine rewrites worth keeping as preference data.
+    One conv-bucketed shuffle; pair discovery is a per-conversation
+    ``shift`` (SQL ``lag()``), the DP runs only on the matched pairs.
+    Both texts must be non-null. Returns (conv, ord, role, dist,
+    len_prev, len_next) with ``ord`` the LATER turn's order and
+    byte lengths of both sides (the normalization denominators)."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, role_col, text_col]].copy()
+        b["_eb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        grp = g.groupby(conv_col, sort=False)
+        prole = grp[role_col].shift(1)
+        ptext = grp[text_col].shift(1)
+        keep = (
+            (g[role_col] == prole)
+            & g[text_col].notna()
+            & ptext.notna()
+        ).to_numpy()
+        cur = g[text_col].to_numpy()[keep]
+        prv = ptext.to_numpy()[keep]
+        pb = [s.encode("utf-8") for s in prv]
+        cb = [s.encode("utf-8") for s in cur]
+        dist = np.fromiter(
+            (_levenshtein_bytes(x, y) for x, y in zip(pb, cb)),
+            dtype=np.int64,
+            count=len(pb),
+        )
+        return pd.DataFrame(
+            {
+                conv_col: g[conv_col].to_numpy()[keep],
+                order_col: g[order_col].to_numpy()[keep],
+                role_col: g[role_col].to_numpy()[keep],
+                "dist": dist,
+                "len_prev": np.fromiter(
+                    (len(x) for x in pb), dtype=np.int64, count=len(pb)
+                ),
+                "len_next": np.fromiter(
+                    (len(x) for x in cb), dtype=np.int64, count=len(cb)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_eb")
+        .map_groups(build, batch_format="pandas")
+    )

@@ -5483,6 +5483,107 @@ def q_tool_transitions(sf_dir: str):
     return out[["tool_from", "tool_to", "n"]]
 
 
+def _fork_score_stream(sf_dir: str):
+    """Shared fixture for the fork-group RL-data queries: the same
+    7-char-prefix / full-length-score shape as q_fork_best_of_n."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "props"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "text": b["props"].str[:7],
+                "sc": b["props"].str.len(),
+            }
+        )
+
+    return ev.map_batches(prep, batch_format="pandas")
+
+
+def q_fork_advantage(sf_dir: str):
+    """GRPO-style group-relative advantage over shared-prefix fork
+    groups: exact-integer numerator (score*n - sum) divided once, so
+    the float column hash-matches the SQL window mirror."""
+    from ..functions.transcripts import fork_advantage
+
+    out = (
+        fork_advantage(
+            _fork_score_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            prefix_turns=1, score_col="sc",
+        )
+        .to_pandas()
+        .sort_values(["prefix", "conv"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "score", "n_candidates"):
+        out[c] = out[c].astype("int64")
+    out["advantage"] = out["advantage"].astype("float64")
+    return out[["prefix", "conv", "score", "n_candidates", "advantage"]]
+
+
+def q_fork_pass_rate(sf_dir: str):
+    """Per-fork-group pass@k table (threshold = 9, the fixture's max
+    score, so pass means the fork scored at the ceiling); pass_rate is
+    one exact-int division."""
+    from ..functions.transcripts import fork_pass_rate
+
+    out = (
+        fork_pass_rate(
+            _fork_score_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            prefix_turns=1, score_col="sc", threshold=9,
+        )
+        .to_pandas()
+        .sort_values("prefix")
+        .reset_index(drop=True)
+    )
+    for c in ("n_candidates", "n_pass"):
+        out[c] = out[c].astype("int64")
+    out["pass_rate"] = out["pass_rate"].astype("float64")
+    return out[["prefix", "n_candidates", "n_pass", "pass_rate"]]
+
+
+def q_retry_edit_distance(sf_dir: str):
+    """Edit distance between consecutive same-role turns (retry
+    divergence). The engine DP is byte-level to match DuckDB's
+    levenshtein(); pairs are lag() matches within a conversation."""
+    from ..functions.transcripts import retry_edit_distance
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "props"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "role": b["event_type"],
+                "text": b["props"],
+            }
+        )
+
+    out = (
+        retry_edit_distance(
+            ev.map_batches(prep, batch_format="pandas"),
+            conv_col="conv", order_col="ord", role_col="role",
+            text_col="text",
+        )
+        .to_pandas()
+        .sort_values(["conv", "ord"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "ord", "dist", "len_prev", "len_next"):
+        out[c] = out[c].astype("int64")
+    return out[["conv", "ord", "role", "dist", "len_prev", "len_next"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5625,6 +5726,9 @@ QUERIES = {
     "context_truncate": q_context_truncate,
     "refusal_screen": q_refusal_screen,
     "fork_best_of_n": q_fork_best_of_n,
+    "fork_advantage": q_fork_advantage,
+    "fork_pass_rate": q_fork_pass_rate,
+    "retry_edit_distance": q_retry_edit_distance,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7152,6 +7256,84 @@ ORACLES = {
              CAST(g.n AS BIGINT) AS n_candidates
       FROM r JOIN g USING (prefix)
       WHERE rk = 1 ORDER BY prefix
+    """,
+    "fork_advantage": """
+      WITH t AS (
+        SELECT user_id AS conv, substr(props, 1, 7) AS text,
+               length(props) AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 1 GROUP BY conv
+      ),
+      fork AS (
+        SELECT conv, sc FROM t
+        WHERE rn = 2 AND text IS NOT NULL AND sc IS NOT NULL
+      ),
+      pc AS (
+        SELECT pre.conv, pre.prefix, fork.sc
+        FROM pre JOIN fork USING (conv)
+      ),
+      w AS (
+        SELECT prefix, conv, sc,
+               COUNT(*) OVER (PARTITION BY prefix) AS n,
+               SUM(sc) OVER (PARTITION BY prefix) AS s
+        FROM pc
+      )
+      SELECT prefix, conv, CAST(sc AS BIGINT) AS score,
+             CAST(n AS BIGINT) AS n_candidates,
+             CAST(sc * n - s AS DOUBLE) / n AS advantage
+      FROM w ORDER BY prefix, conv
+    """,
+    "fork_pass_rate": """
+      WITH t AS (
+        SELECT user_id AS conv, substr(props, 1, 7) AS text,
+               length(props) AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 1 GROUP BY conv
+      ),
+      fork AS (
+        SELECT conv, sc FROM t
+        WHERE rn = 2 AND text IS NOT NULL AND sc IS NOT NULL
+      ),
+      pc AS (
+        SELECT pre.conv, pre.prefix, fork.sc
+        FROM pre JOIN fork USING (conv)
+      )
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN sc >= 9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             CAST(SUM(CASE WHEN sc >= 9 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS pass_rate
+      FROM pc GROUP BY prefix ORDER BY prefix
+    """,
+    "retry_edit_distance": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, event_type AS role,
+               props AS text
+        FROM events
+      ),
+      p AS (
+        SELECT conv, ord, role, text,
+               lag(role) OVER (PARTITION BY conv ORDER BY ord) AS prole,
+               lag(text) OVER (PARTITION BY conv ORDER BY ord) AS ptext
+        FROM t
+      )
+      SELECT conv, ord, role,
+             CAST(levenshtein(ptext, text) AS BIGINT) AS dist,
+             CAST(strlen(ptext) AS BIGINT) AS len_prev,
+             CAST(strlen(text) AS BIGINT) AS len_next
+      FROM p
+      WHERE role = prole AND text IS NOT NULL AND ptext IS NOT NULL
+      ORDER BY conv, ord
     """,
     "tool_usage_stats": """
       WITH t AS (

@@ -209,9 +209,18 @@ def run_bench() -> dict:
         barrier = barrier == "1"
     bs = os.environ.get("BENCH_BATCH")
     bs = "default" if bs is None else (None if bs == "0" else int(bs))
+    # BENCH_COMMIT_EVERY=<files>: commit in chunks (the tailer's real
+    # operating mode) — bounds in-flight shuffle state for very large
+    # BENCH_REPEAT streams (e.g. the 10^9-event record) instead of one
+    # giant single-commit exchange.
+    ce = os.environ.get("BENCH_COMMIT_EVERY")
+    ce = int(ce) if ce else None
     # bulk load: most of the stream into an empty lake
     t0 = time.perf_counter()
-    manifests = engine.apply_changes(head, lake, spec, stage_barrier=barrier, batch_size=bs)
+    manifests = engine.apply_changes(
+        head, lake, spec, stage_barrier=barrier, batch_size=bs,
+        commit_every_files=ce,
+    )
     cdc_sec = time.perf_counter() - t0
     assert manifests, "no commit happened"
     head_events = int(n_events * len(head) / len(files))
@@ -220,7 +229,10 @@ def run_bench() -> dict:
     # lake - exercises current-state read + COW rewrite, the true CDC
     # operating mode
     t0 = time.perf_counter()
-    inc_manifests = engine.apply_changes(changes, lake, spec, stage_barrier=barrier, batch_size=bs)
+    inc_manifests = engine.apply_changes(
+        changes, lake, spec, stage_barrier=barrier, batch_size=bs,
+        commit_every_files=ce,
+    )
     inc_sec = time.perf_counter() - t0
     assert inc_manifests
     inc_events = n_events - head_events

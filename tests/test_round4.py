@@ -928,3 +928,128 @@ def test_fork_best_of_n_null_scores_rank_last():
     assert len(out) == 1
     assert out.iloc[0]["conv_id"] == "b" and out.iloc[0]["score"] == 5
     assert out.iloc[0]["n_candidates"] == 3
+
+
+# ---------------------------------------------------------------------------
+# fork_advantage / fork_pass_rate / retry_edit_distance
+# ---------------------------------------------------------------------------
+
+
+def test_fork_advantage_group_relative():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_advantage,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c", "g", "g"],
+            "turn_idx": [1, 2, 1, 2, 1, 2, 1, 2],
+            "text": ["p", "x", "p", "y", "p", "z", "solo", "w"],
+            "sc": [0, 10, 0, 4, 0, 1, 0, 5],
+        }
+    )
+    out = (
+        fork_advantage(rd.from_pandas(df), prefix_turns=1, score_col="sc")
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    # group "p": scores 10,4,1 -> mean 5 -> advantages 5,-1,-4
+    assert out.loc["a"]["advantage"] == pytest.approx(5.0)
+    assert out.loc["b"]["advantage"] == pytest.approx(-1.0)
+    assert out.loc["c"]["advantage"] == pytest.approx(-4.0)
+    assert (out.loc[["a", "b", "c"]]["n_candidates"] == 3).all()
+    # singleton group: advantage exactly 0
+    assert out.loc["g"]["advantage"] == 0.0
+    assert out.loc["g"]["n_candidates"] == 1
+
+
+def test_fork_advantage_null_scores_excluded():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_advantage,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c"],
+            "turn_idx": [1, 2, 1, 2, 1, 2],
+            "text": ["p", "x", "p", "y", "p", "z"],
+            "sc": [0, 6, 0, None, 0, 2],
+        }
+    )
+    out = fork_advantage(
+        rd.from_pandas(df), prefix_turns=1, score_col="sc"
+    ).to_pandas()
+    # b's null score drops it; group stats over the remaining 2
+    assert set(out["conv_id"]) == {"a", "c"}
+    assert (out["n_candidates"] == 2).all()
+    a = out.set_index("conv_id").loc["a"]
+    assert a["advantage"] == pytest.approx(2.0)  # 6 - mean(6,2)
+
+
+def test_fork_pass_rate_threshold():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_pass_rate,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c"],
+            "turn_idx": [1, 2, 1, 2, 1, 2],
+            "text": ["p", "x", "p", "y", "p", "z"],
+            "sc": [0, 8, 0, 3, 0, 5],
+        }
+    )
+    out = fork_pass_rate(
+        rd.from_pandas(df), prefix_turns=1, score_col="sc", threshold=5
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_candidates"] == 3 and r["n_pass"] == 2
+    assert r["pass_rate"] == pytest.approx(2 / 3)
+
+
+def test_retry_edit_distance_pairs_and_values():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        retry_edit_distance,
+    )
+
+    ds = _ds(
+        [
+            # consecutive same-role pair: kitten -> sitting (dist 3)
+            ("c1", 1, "assistant", "kitten"),
+            ("c1", 2, "assistant", "sitting"),
+            # role changes: no pair
+            ("c1", 3, "user", "kitten"),
+            # verbatim resend: dist 0
+            ("c2", 1, "user", "hi"),
+            ("c2", 2, "user", "hi"),
+            # null text on either side: no pair
+            ("c3", 1, "user", None),
+            ("c3", 2, "user", "x"),
+            ("c3", 3, "user", None),
+        ]
+    )
+    out = (
+        retry_edit_distance(ds)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.iloc[0]["conv_id"] == "c1" and out.iloc[0]["dist"] == 3
+    assert out.iloc[0]["len_prev"] == 6 and out.iloc[0]["len_next"] == 7
+    assert out.iloc[1]["conv_id"] == "c2" and out.iloc[1]["dist"] == 0
+
+
+def test_levenshtein_bytes_matches_utf8_byte_semantics():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        _levenshtein_bytes,
+    )
+
+    # DuckDB's levenshtein() is byte-level on UTF-8 (probed on 1.0.0):
+    # 'café' vs 'cafe' = 2 (é is 2 bytes), not the codepoint answer 1
+    assert _levenshtein_bytes("café".encode(), "cafe".encode()) == 2
+    assert _levenshtein_bytes("日本".encode(), "日木".encode()) == 1
+    assert _levenshtein_bytes(b"", b"abc") == 3
+    assert _levenshtein_bytes(b"ab", b"ba") == 2
+    assert _levenshtein_bytes(b"same", b"same") == 0
