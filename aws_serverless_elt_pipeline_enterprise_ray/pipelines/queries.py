@@ -681,6 +681,33 @@ def q_cdc_context_truncate(sf_dir: str):
     ]
 
 
+def q_cdc_retry_distance(sf_dir: str):
+    """CDC -> curation composition #3: retry edit distance over the
+    committed lake — how far apart consecutive same-role turns are
+    AFTER the LWW merge settled each turn's final text. Oracle: lag()
+    + levenshtein() over the FINAL_SQL state."""
+    from ..functions.transcripts import retry_edit_distance
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    out = (
+        retry_edit_distance(
+            read_table(lake, columns=["conv_id", "turn_idx", "role", "text"]),
+            conv_col="conv_id", order_col="turn_idx", role_col="role",
+            text_col="text",
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for c in ("turn_idx", "dist", "len_prev", "len_next"):
+        out[c] = out[c].astype("int64")
+    return out[
+        ["conv_id", "turn_idx", "role", "dist", "len_prev", "len_next"]
+    ]
+
+
 def q_cdc_quarantine_counts(sf_dir: str):
     """M4 bad-record routing: rows by quarantine status (op poisoned
     deterministically for event_id % 97 == 0)."""
@@ -5616,6 +5643,7 @@ QUERIES = {
     "cdc_quarantine_counts": q_cdc_quarantine_counts,
     "cdc_lint_rollup": q_cdc_lint_rollup,
     "cdc_context_truncate": q_cdc_context_truncate,
+    "cdc_retry_distance": q_cdc_retry_distance,
     "cdc_dq_stats": q_cdc_dq_stats,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_changefeed": q_cdc_changefeed,
@@ -7450,6 +7478,24 @@ ORACLES = {
               AND SUM(CASE WHEN next_role = role THEN 1 ELSE 0 END) = 0
               AND SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0) AS ok
       FROM s GROUP BY conv_id ORDER BY conv_id
+    """,
+    "cdc_retry_distance": f"""
+      WITH fin AS ({FINAL_SQL}),
+      p AS (
+        SELECT conv_id, turn_idx, role, text,
+               lag(role) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx) AS prole,
+               lag(text) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx) AS ptext
+        FROM fin
+      )
+      SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+             CAST(levenshtein(ptext, text) AS BIGINT) AS dist,
+             CAST(strlen(ptext) AS BIGINT) AS len_prev,
+             CAST(strlen(text) AS BIGINT) AS len_next
+      FROM p
+      WHERE role = prole AND text IS NOT NULL AND ptext IS NOT NULL
+      ORDER BY conv_id, turn_idx
     """,
     "cdc_context_truncate": f"""
       WITH fin AS ({FINAL_SQL}),
