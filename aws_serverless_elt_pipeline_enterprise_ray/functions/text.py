@@ -1308,3 +1308,39 @@ def novelty_scores(
         joined.map_batches(doc_partial, batch_format="pandas"),
         id_col, {"n_grams": "sum", "uniq": "sum"},
     ).map_batches(finish, batch_format="pandas")
+
+
+class Pseudonymizer:
+    """Keyed pseudonymization of identifier columns: every value in
+    ``id_cols`` becomes ``md5(key || sep || value)`` hex — deterministic
+    (the same conv/user id maps to the same token in every table and
+    every run, so joins and groupbys still line up) but irreversible
+    without the key: the de-identification step transcripts need before
+    leaving the trust boundary. Complements ``pipelines/forget``
+    (deletion erases; this retains structure). Nulls stay null.
+    Stateless per-batch map — no shuffle; the per-value cost is
+    C-level md5, the same work the SQL mirror's own ``md5()`` does."""
+
+    def __init__(self, id_cols, key: str, sep: str = "|"):
+        self.cols = list(id_cols)
+        self.prefix = (key + sep).encode("utf-8")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pre = self.prefix
+        for c in self.cols:
+            batch[c] = [
+                None if pd.isna(v)
+                else hashlib.md5(pre + str(v).encode("utf-8")).hexdigest()
+                for v in batch[c]
+            ]
+        return batch
+
+
+def pseudonymize(ds, id_cols, key: str, sep: str = "|"):
+    """Dataset-level wrapper over ``Pseudonymizer`` (see it for
+    semantics)."""
+    import ray.data as rd  # noqa: F401  (symmetry with siblings)
+
+    return ds.map_batches(
+        Pseudonymizer(id_cols, key, sep), batch_format="pandas"
+    )

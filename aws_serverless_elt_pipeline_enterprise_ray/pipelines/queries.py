@@ -5611,6 +5611,38 @@ def q_retry_edit_distance(sf_dir: str):
     return out[["conv", "ord", "role", "dist", "len_prev", "len_next"]]
 
 
+def q_pseudonymize_ids(sf_dir: str):
+    """Keyed de-identification: user ids replaced by md5(key|id)
+    tokens — deterministic (joins still line up) and irreversible
+    without the key. Per-batch map, no shuffle."""
+    from ..functions.text import pseudonymize
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_token": b["user_id"].astype("int64").astype(str),
+            }
+        )
+
+    out = (
+        pseudonymize(
+            ev.map_batches(prep, batch_format="pandas"),
+            ["user_token"], key="k1",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "user_token"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5757,6 +5789,7 @@ QUERIES = {
     "fork_advantage": q_fork_advantage,
     "fork_pass_rate": q_fork_pass_rate,
     "retry_edit_distance": q_retry_edit_distance,
+    "pseudonymize_ids": q_pseudonymize_ids,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7362,6 +7395,11 @@ ORACLES = {
       FROM p
       WHERE role = prole AND text IS NOT NULL AND ptext IS NOT NULL
       ORDER BY conv, ord
+    """,
+    "pseudonymize_ids": """
+      SELECT event_id,
+             md5('k1|' || CAST(user_id AS VARCHAR)) AS user_token
+      FROM events ORDER BY event_id
     """,
     "tool_usage_stats": """
       WITH t AS (

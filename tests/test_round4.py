@@ -1053,3 +1053,34 @@ def test_levenshtein_bytes_matches_utf8_byte_semantics():
     assert _levenshtein_bytes(b"", b"abc") == 3
     assert _levenshtein_bytes(b"ab", b"ba") == 2
     assert _levenshtein_bytes(b"same", b"same") == 0
+
+
+def test_pseudonymize_deterministic_and_null_safe():
+    import hashlib
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import (
+        pseudonymize,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2", "c1", None],
+            "other": [1, 2, 3, 4],
+        }
+    )
+    out = (
+        pseudonymize(rd.from_pandas(df), ["conv_id"], key="k1")
+        .to_pandas()
+        .sort_values("other")
+        .reset_index(drop=True)
+    )
+    want = hashlib.md5(b"k1|c1").hexdigest()
+    # referential integrity: same input -> same token
+    assert out.loc[0, "conv_id"] == want and out.loc[2, "conv_id"] == want
+    assert out.loc[1, "conv_id"] != want
+    assert out.loc[3, "conv_id"] is None or pd.isna(out.loc[3, "conv_id"])
+    # a different key gives different tokens
+    out2 = pseudonymize(
+        rd.from_pandas(df), ["conv_id"], key="k2"
+    ).to_pandas()
+    assert set(out2["conv_id"].dropna()) != set(out["conv_id"].dropna())
