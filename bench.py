@@ -261,6 +261,10 @@ def run_bench() -> dict:
         "boilerplate_turns",
         "image_webp_decode",
         "audio_metadata",
+        # round-4 second-half: fork-group RL data + de-identification
+        "fork_advantage",
+        "retry_edit_distance",
+        "pseudonymize_ids",
     )
     for name in qnames:
         t0 = time.perf_counter()
