@@ -1084,3 +1084,24 @@ def test_pseudonymize_deterministic_and_null_safe():
         rd.from_pandas(df), ["conv_id"], key="k2"
     ).to_pandas()
     assert set(out2["conv_id"].dropna()) != set(out["conv_id"].dropna())
+
+
+def test_levenshtein_bytes_fuzz_vs_duckdb():
+    import random
+
+    import duckdb
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        _levenshtein_bytes,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdé日x "
+    con = duckdb.connect()
+    for _ in range(120):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        want = con.execute(
+            "select levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _levenshtein_bytes(a.encode(), b.encode()) == want, (a, b)
