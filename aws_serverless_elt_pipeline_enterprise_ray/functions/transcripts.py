@@ -1279,6 +1279,7 @@ def fork_advantage(
     prefix_turns: int = 1,
     score_col: str | None = None,
     sep: str = "\n",
+    normalize: str = "none",
     num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Group-relative advantage (the GRPO / RLOO reward-normalization
@@ -1287,12 +1288,20 @@ def fork_advantage(
     integer numerator ``score*n - sum`` divided ONCE in float64 — so
     the value is bit-identical to the SQL mirror's
     ``CAST(score*n - s AS DOUBLE)/n`` and the oracle hash-matches
-    (float chains over per-group means would not). Returns one row per
-    candidate: (prefix, conv, score, n_candidates, advantage). Same
-    two bounded shuffles as ``fork_best_of_n``; singleton groups get
-    advantage 0 (their score IS the mean), matching the SQL window.
-    When ``score_col`` is None the score is the fork turn's character
+    (float chains over per-group means would not). With
+    ``normalize="std"`` the advantage is instead the GRPO z-score
+    ``(score - mean) / std_pop``, still hash-exact: the algebraic form
+    ``(score*n - s) / sqrt(n*ss - s²)`` is one correctly-rounded sqrt
+    and one division over exact integers, so
+    numpy and the SQL mirror agree bitwise; zero-variance groups get
+    advantage 0 (the GRPO convention — no signal, no update). Returns
+    one row per candidate: (prefix, conv, score, n_candidates,
+    advantage). Same two bounded shuffles as ``fork_best_of_n``;
+    singleton groups get advantage 0 (their score IS the mean). When
+    ``score_col`` is None the score is the fork turn's character
     length."""
+    if normalize not in ("none", "std"):
+        raise ValueError(f"normalize must be 'none' or 'std': {normalize!r}")
     nb = num_buckets or _buckets_for_cluster()
     add_bucket, build = _fork_scores_stage(
         conv_col, order_col, text_col, score_col, prefix_turns, sep, nb
@@ -1303,13 +1312,31 @@ def fork_advantage(
         n = grp.transform("size").to_numpy(dtype=np.int64)
         s = grp.transform("sum").to_numpy(dtype=np.int64)
         sc = g["score"].to_numpy(dtype=np.int64)
+        num = sc * n - s
+        if normalize == "std":
+            # std_pop = sqrt((n*ss - s²)/n²) = sqrt(n*ss - s²)/n, so
+            # z = ((sc*n - s)/n) / std_pop = (sc*n - s)/sqrt(n*ss - s²)
+            ss = (
+                (g["score"] * g["score"])
+                .groupby(g["prefix"], sort=False)
+                .transform("sum")
+                .to_numpy(dtype=np.int64)
+            )
+            var_num = n * ss - s * s
+            with np.errstate(divide="ignore", invalid="ignore"):
+                a = num.astype(np.float64) / np.sqrt(
+                    var_num.astype(np.float64)
+                )
+            a = np.where(var_num == 0, 0.0, a)
+        else:
+            a = num.astype(np.float64) / n
         out = pd.DataFrame(
             {
                 "prefix": g["prefix"],
                 conv_col: g[conv_col],
                 "score": sc,
                 "n_candidates": n,
-                "advantage": (sc * n - s).astype(np.float64) / n,
+                "advantage": a,
             }
         )
         return out

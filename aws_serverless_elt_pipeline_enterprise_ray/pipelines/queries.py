@@ -5553,6 +5553,29 @@ def q_fork_advantage(sf_dir: str):
     return out[["prefix", "conv", "score", "n_candidates", "advantage"]]
 
 
+def q_fork_zscore(sf_dir: str):
+    """GRPO z-score normalization (normalize="std"): advantage =
+    (score − mean)/std_pop, hash-exact via the algebraic form
+    (sc·n − s)/sqrt(n·ss − s²) over exact ints; zero-variance
+    groups get 0."""
+    from ..functions.transcripts import fork_advantage
+
+    out = (
+        fork_advantage(
+            _fork_score_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            prefix_turns=1, score_col="sc", normalize="std",
+        )
+        .to_pandas()
+        .sort_values(["prefix", "conv"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "score", "n_candidates"):
+        out[c] = out[c].astype("int64")
+    out["advantage"] = out["advantage"].astype("float64")
+    return out[["prefix", "conv", "score", "n_candidates", "advantage"]]
+
+
 def q_fork_pass_rate(sf_dir: str):
     """Per-fork-group pass@k table (threshold = 9, the fixture's max
     score, so pass means the fork scored at the ceiling); pass_rate is
@@ -5787,6 +5810,7 @@ QUERIES = {
     "refusal_screen": q_refusal_screen,
     "fork_best_of_n": q_fork_best_of_n,
     "fork_advantage": q_fork_advantage,
+    "fork_zscore": q_fork_zscore,
     "fork_pass_rate": q_fork_pass_rate,
     "retry_edit_distance": q_retry_edit_distance,
     "pseudonymize_ids": q_pseudonymize_ids,
@@ -7347,6 +7371,41 @@ ORACLES = {
       SELECT prefix, conv, CAST(sc AS BIGINT) AS score,
              CAST(n AS BIGINT) AS n_candidates,
              CAST(sc * n - s AS DOUBLE) / n AS advantage
+      FROM w ORDER BY prefix, conv
+    """,
+    "fork_zscore": """
+      WITH t AS (
+        SELECT user_id AS conv, substr(props, 1, 7) AS text,
+               length(props) AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 1 GROUP BY conv
+      ),
+      fork AS (
+        SELECT conv, sc FROM t
+        WHERE rn = 2 AND text IS NOT NULL AND sc IS NOT NULL
+      ),
+      pc AS (
+        SELECT pre.conv, pre.prefix, fork.sc
+        FROM pre JOIN fork USING (conv)
+      ),
+      w AS (
+        SELECT prefix, conv, sc,
+               COUNT(*) OVER (PARTITION BY prefix) AS n,
+               SUM(sc) OVER (PARTITION BY prefix) AS s,
+               SUM(sc * sc) OVER (PARTITION BY prefix) AS ss
+        FROM pc
+      )
+      SELECT prefix, conv, CAST(sc AS BIGINT) AS score,
+             CAST(n AS BIGINT) AS n_candidates,
+             CASE WHEN n * ss - s * s = 0 THEN 0.0
+                  ELSE CAST(sc * n - s AS DOUBLE)
+                       / sqrt(CAST(n * ss - s * s AS DOUBLE))
+             END AS advantage
       FROM w ORDER BY prefix, conv
     """,
     "fork_pass_rate": """

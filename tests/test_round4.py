@@ -1105,3 +1105,39 @@ def test_levenshtein_bytes_fuzz_vs_duckdb():
             "select levenshtein(?, ?)", [a, b]
         ).fetchone()[0]
         assert _levenshtein_bytes(a.encode(), b.encode()) == want, (a, b)
+
+
+def test_fork_advantage_zscore_normalization():
+    import math
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_advantage,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c", "g", "g", "h", "h"],
+            "turn_idx": [1, 2, 1, 2, 1, 2, 1, 2, 1, 2],
+            "text": ["p", "x", "p", "y", "p", "z", "q", "w", "q", "v"],
+            # group p: 10,4,1 (mean 5, var (25+1+16)/3=14)
+            # group q: 3,3 -> zero variance
+            "sc": [0, 10, 0, 4, 0, 1, 0, 3, 0, 3],
+        }
+    )
+    out = (
+        fork_advantage(
+            rd.from_pandas(df), prefix_turns=1, score_col="sc",
+            normalize="std",
+        )
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    std = math.sqrt(14)
+    assert out.loc["a"]["advantage"] == pytest.approx(5 / std)
+    assert out.loc["b"]["advantage"] == pytest.approx(-1 / std)
+    assert out.loc["c"]["advantage"] == pytest.approx(-4 / std)
+    # zero-variance group: GRPO convention advantage 0
+    assert out.loc["g"]["advantage"] == 0.0
+    assert out.loc["h"]["advantage"] == 0.0
+    with pytest.raises(ValueError):
+        fork_advantage(rd.from_pandas(df), normalize="bogus")
