@@ -1497,3 +1497,71 @@ def retry_edit_distance(
         .groupby("_eb")
         .map_groups(build, batch_format="pandas")
     )
+
+
+def discounted_returns(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    reward_col: str = "reward",
+    gamma: float = 0.5,
+    horizon: int = 16,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-turn discounted return (RL credit assignment over
+    trajectories): ``ret_t = sum_{j=0..horizon} gamma^j * r_{t+j}``
+    within each conversation, in turn order. Constraints make the
+    float column ORACLE-HASH-EXACT rather than merely close:
+    ``gamma`` must be a power of two (each term ``r * 2^-jm`` is a
+    dyadic rational, so every partial sum is exactly representable
+    and addition order cannot matter) and the horizon is bounded
+    (terms span ``horizon*log2(1/gamma) + bits(r)`` < 53 bits for
+    integer rewards, so no rounding ever occurs — numpy's j-loop and
+    the SQL mirror's join-sum agree bitwise). Null-reward turns are
+    EXCLUDED entirely (they neither receive nor contribute return;
+    discount distance is rank distance in the filtered sequence).
+    One conv-bucketed shuffle; the return is ``horizon`` C-level
+    shifted adds per bucket, no Python per row. Returns (conv, ord,
+    reward, ret)."""
+    import math
+
+    lg = math.log2(gamma)
+    if gamma <= 0 or gamma > 1 or lg != int(lg):
+        raise ValueError(
+            f"gamma must be a power of two in (0, 1]: {gamma!r}"
+        )
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0: {horizon!r}")
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, reward_col]].dropna(
+            subset=[reward_col]
+        )
+        b = b.copy()
+        b["_db"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        grp = g.groupby(conv_col, sort=False)[reward_col]
+        r = g[reward_col].to_numpy(dtype=np.float64)
+        ret = r.copy()
+        for j in range(1, horizon + 1):
+            sh = grp.shift(-j).to_numpy(dtype=np.float64)
+            ret += (gamma**j) * np.nan_to_num(sh, nan=0.0)
+        return pd.DataFrame(
+            {
+                conv_col: g[conv_col],
+                order_col: g[order_col],
+                "reward": g[reward_col],
+                "ret": ret,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(build, batch_format="pandas")
+    )

@@ -5634,6 +5634,42 @@ def q_retry_edit_distance(sf_dir: str):
     return out[["conv", "ord", "role", "dist", "len_prev", "len_next"]]
 
 
+def q_discounted_returns(sf_dir: str):
+    """RL credit assignment: horizon-16 gamma=0.5 discounted return
+    per turn. Power-of-two gamma makes every term dyadic, so the
+    float column is hash-exact vs the SQL join-sum."""
+    from ..functions.transcripts import discounted_returns
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "props"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv": b["user_id"].astype("int64"),
+                "ord": b["event_id"].astype("int64"),
+                "reward": b["props"].str.len().astype("int64"),
+            }
+        )
+
+    out = (
+        discounted_returns(
+            ev.map_batches(prep, batch_format="pandas"),
+            conv_col="conv", order_col="ord", reward_col="reward",
+            gamma=0.5, horizon=16,
+        )
+        .to_pandas()
+        .sort_values(["conv", "ord"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "ord", "reward"):
+        out[c] = out[c].astype("int64")
+    out["ret"] = out["ret"].astype("float64")
+    return out[["conv", "ord", "reward", "ret"]]
+
+
 def q_pseudonymize_ids(sf_dir: str):
     """Keyed de-identification: user ids replaced by md5(key|id)
     tokens — deterministic (joins still line up) and irreversible
@@ -5814,6 +5850,7 @@ QUERIES = {
     "fork_pass_rate": q_fork_pass_rate,
     "retry_edit_distance": q_retry_edit_distance,
     "pseudonymize_ids": q_pseudonymize_ids,
+    "discounted_returns": q_discounted_returns,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7459,6 +7496,24 @@ ORACLES = {
       SELECT event_id,
              md5('k1|' || CAST(user_id AS VARCHAR)) AS user_token
       FROM events ORDER BY event_id
+    """,
+    "discounted_returns": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, length(props) AS r
+        FROM events WHERE props IS NOT NULL
+      ),
+      rk AS (
+        SELECT conv, ord, r,
+               ROW_NUMBER() OVER (PARTITION BY conv ORDER BY ord) - 1
+                 AS rn
+        FROM t
+      )
+      SELECT a.conv, a.ord, CAST(a.r AS BIGINT) AS reward,
+             SUM(b.r * power(0.5, b.rn - a.rn)) AS ret
+      FROM rk a JOIN rk b
+        ON a.conv = b.conv AND b.rn >= a.rn AND b.rn <= a.rn + 16
+      GROUP BY a.conv, a.ord, a.r
+      ORDER BY a.conv, a.ord
     """,
     "tool_usage_stats": """
       WITH t AS (

@@ -1141,3 +1141,44 @@ def test_fork_advantage_zscore_normalization():
     assert out.loc["h"]["advantage"] == 0.0
     with pytest.raises(ValueError):
         fork_advantage(rd.from_pandas(df), normalize="bogus")
+
+
+def test_discounted_returns_values_and_validation():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        discounted_returns,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b", "b"],
+            "turn_idx": [1, 2, 3, 1, 2],
+            "reward": [4, 2, 8, 1, None],
+        }
+    )
+    out = (
+        discounted_returns(
+            rd.from_pandas(df), reward_col="reward", gamma=0.5, horizon=16
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # a: ret_1 = 4 + 2/2 + 8/4 = 7; ret_2 = 2 + 8/2 = 6; ret_3 = 8
+    a = out[out["conv_id"] == "a"]["ret"].tolist()
+    assert a == [7.0, 6.0, 8.0]
+    # b: null-reward turn excluded entirely -> only turn 1, ret = 1
+    b = out[out["conv_id"] == "b"]
+    assert len(b) == 1 and b.iloc[0]["ret"] == 1.0
+    # bounded horizon: gamma=0.5 horizon=1 -> ret_1 = 4 + 1 = 5
+    out2 = (
+        discounted_returns(
+            rd.from_pandas(df), reward_col="reward", gamma=0.5, horizon=1
+        )
+        .to_pandas()
+    )
+    r1 = out2[(out2["conv_id"] == "a") & (out2["turn_idx"] == 1)]
+    assert r1.iloc[0]["ret"] == 5.0
+    with pytest.raises(ValueError):
+        discounted_returns(rd.from_pandas(df), gamma=0.3)
+    with pytest.raises(ValueError):
+        discounted_returns(rd.from_pandas(df), horizon=-1)
