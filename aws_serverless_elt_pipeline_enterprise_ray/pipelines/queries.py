@@ -5702,6 +5702,49 @@ def q_pseudonymize_ids(sf_dir: str):
     return out[["event_id", "user_token"]]
 
 
+def q_fence_lint(sf_dir: str):
+    """Code-fence balance / truncated-generation screen: per
+    conversation, fenced-turn and odd-fence-count (truncated) turn
+    counts plus the final-turn-truncated flag. Texts derived as
+    repeat('```', event_id % 4) || props so fence parity varies; the
+    shuffle carries 4 int columns, never the texts. SQL mirror:
+    (length - length(replace)) // 3 + arg_max parity."""
+    from ..functions.transcripts import fence_lint
+
+    src = _conv_stream(sf_dir)
+
+    def fence_text(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        k = (b["ord"].to_numpy() % 4).astype(np.int64)
+        fences = np.array(
+            ["", "```", "``````", "`````````"], dtype=object
+        )[k]
+        txt = b["text"]
+        notna = txt.notna().to_numpy()
+        out = np.full(len(b), None, dtype=object)
+        out[notna] = fences[notna] + txt.to_numpy(dtype=object)[notna]
+        b["text"] = out
+        return b
+
+    out = (
+        fence_lint(
+            src.map_batches(fence_text, batch_format="pandas"),
+            conv_col="conv", order_col="ord", text_col="text",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "n_turns", "n_fenced_turns", "n_unbalanced"):
+        out[c] = out[c].astype("int64")
+    out["last_unbalanced"] = out["last_unbalanced"].astype(bool)
+    out["ok"] = out["ok"].astype(bool)
+    return out[
+        ["conv", "n_turns", "n_fenced_turns", "n_unbalanced",
+         "last_unbalanced", "ok"]
+    ]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5851,6 +5894,7 @@ QUERIES = {
     "retry_edit_distance": q_retry_edit_distance,
     "pseudonymize_ids": q_pseudonymize_ids,
     "discounted_returns": q_discounted_returns,
+    "fence_lint": q_fence_lint,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7496,6 +7540,31 @@ ORACLES = {
       SELECT event_id,
              md5('k1|' || CAST(user_id AS VARCHAR)) AS user_token
       FROM events ORDER BY event_id
+    """,
+    "fence_lint": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord,
+               CASE WHEN props IS NULL THEN NULL
+                    ELSE repeat('```', CAST(event_id % 4 AS INT)) || props
+               END AS text
+        FROM events
+      ),
+      f AS (
+        SELECT conv, ord,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE (length(text) - length(replace(text, '```', '')))
+                         // 3
+               END AS nf
+        FROM t
+      )
+      SELECT conv,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fenced_turns,
+             CAST(SUM(nf % 2) AS BIGINT) AS n_unbalanced,
+             (arg_max(nf, ord) % 2 = 1) AS last_unbalanced,
+             (SUM(nf % 2) = 0) AS ok
+      FROM f GROUP BY conv ORDER BY conv
     """,
     "discounted_returns": """
       WITH t AS (
