@@ -1636,3 +1636,62 @@ def fence_lint(
         .groupby("_fb")
         .map_groups(build, batch_format="pandas")
     )
+
+
+def system_prompt_inventory(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distinct opening-turn (system-prompt) inventory: every
+    conversation's FIRST turn text, grouped — how many system-prompt /
+    opener variants exist in the corpus, how many conversations each
+    drives, and a representative conversation id per variant. The
+    audit step before prompt-template consolidation or per-template
+    stratified sampling.
+
+    Scale: map-side each block keeps ONE candidate row per
+    conversation (its block-local min ``order_col``), so the first
+    conv-bucketed shuffle carries <= one row per conversation per
+    block; each bucket reduces to the true first turn, and a second
+    bounded shuffle over (text) — one row per CONVERSATION, never per
+    turn — produces the inventory with a vectorized groupby.
+
+    Returns (prompt, n_convs, example_conv) with SQL GROUP-BY
+    semantics (null prompts form a group; ``example_conv`` = min).
+    """
+    from .windows import bucketed_agg
+
+    nb = num_buckets or _buckets_for_cluster()
+
+    def candidates(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[conv_col, order_col, text_col]].sort_values(
+            [conv_col, order_col], kind="mergesort"
+        )
+        b = b.drop_duplicates(conv_col, keep="first").copy()
+        b["_sb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def first_turn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        g = g.drop_duplicates(conv_col, keep="first")
+        return pd.DataFrame(
+            {
+                "prompt": g[text_col],
+                "example_conv": g[conv_col],
+                "n_convs": 1,
+            }
+        )
+
+    firsts = (
+        ds.map_batches(candidates, batch_format="pandas")
+        .groupby("_sb")
+        .map_groups(first_turn, batch_format="pandas")
+    )
+    return bucketed_agg(
+        firsts, "prompt",
+        {"example_conv": "min", "n_convs": "sum"},
+    )

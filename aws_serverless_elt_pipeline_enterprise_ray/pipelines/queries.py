@@ -5745,6 +5745,28 @@ def q_fence_lint(sf_dir: str):
     ]
 
 
+def q_system_prompt_inventory(sf_dir: str):
+    """Opening-turn (system-prompt) template inventory: distinct
+    first-turn texts with conversation counts and a representative
+    conv. Two bounded shuffles: per-conv candidates, then one row per
+    CONVERSATION grouped by text. SQL mirror: row_number()=1 +
+    GROUP BY."""
+    from ..functions.transcripts import system_prompt_inventory
+
+    out = (
+        system_prompt_inventory(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+        )
+        .to_pandas()
+        .sort_values("prompt", na_position="last")
+        .reset_index(drop=True)
+    )
+    out["n_convs"] = out["n_convs"].astype("int64")
+    out["example_conv"] = out["example_conv"].astype("int64")
+    return out[["prompt", "n_convs", "example_conv"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5895,6 +5917,7 @@ QUERIES = {
     "pseudonymize_ids": q_pseudonymize_ids,
     "discounted_returns": q_discounted_returns,
     "fence_lint": q_fence_lint,
+    "system_prompt_inventory": q_system_prompt_inventory,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7540,6 +7563,19 @@ ORACLES = {
       SELECT event_id,
              md5('k1|' || CAST(user_id AS VARCHAR)) AS user_token
       FROM events ORDER BY event_id
+    """,
+    "system_prompt_inventory": """
+      WITH t AS (
+        SELECT user_id AS conv, props AS text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      )
+      SELECT text AS prompt,
+             CAST(COUNT(*) AS BIGINT) AS n_convs,
+             CAST(MIN(conv) AS BIGINT) AS example_conv
+      FROM t WHERE rn = 1
+      GROUP BY text ORDER BY prompt
     """,
     "fence_lint": """
       WITH t AS (

@@ -55,3 +55,40 @@ def test_fence_lint_nonoverlapping_count_matches_sql_replace():
     ds = _ds([("a", 1, "assistant", "`````")])
     out = fence_lint(ds).to_pandas()
     assert out.loc[0, "n_unbalanced"] == 1
+
+
+# ---------------------------------------------------------------------------
+# system_prompt_inventory
+# ---------------------------------------------------------------------------
+
+
+def test_system_prompt_inventory_groups_firsts():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        system_prompt_inventory,
+    )
+
+    ds = _ds(
+        [
+            # two convs share prompt P1; order within conv not sorted
+            ("a", 2, "user", "later"),
+            ("a", 1, "system", "P1"),
+            ("b", 1, "system", "P1"),
+            ("c", 1, "system", "P2"),
+            ("c", 5, "user", "x"),
+            # d: null first-turn text forms its own group
+            ("d", 1, "system", None),
+        ]
+    )
+    out = (
+        system_prompt_inventory(ds)
+        .to_pandas()
+        .sort_values("prompt", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    p1 = out[out["prompt"] == "P1"].iloc[0]
+    assert p1["n_convs"] == 2 and p1["example_conv"] == "a"
+    p2 = out[out["prompt"] == "P2"].iloc[0]
+    assert p2["n_convs"] == 1 and p2["example_conv"] == "c"
+    nul = out[out["prompt"].isna()].iloc[0]
+    assert nul["n_convs"] == 1 and nul["example_conv"] == "d"
