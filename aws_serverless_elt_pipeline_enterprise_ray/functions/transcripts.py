@@ -1695,3 +1695,70 @@ def system_prompt_inventory(
         firsts, "prompt",
         {"example_conv": "min", "n_convs": "sum"},
     )
+
+
+#: Imperative openers treated as commands by ``dialogue_acts``.
+COMMAND_VERBS = (
+    "write", "create", "make", "fix", "add", "generate", "explain",
+    "list", "show", "give", "update", "delete", "run", "implement",
+    "translate", "summarize",
+)
+
+
+def dialogue_acts(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str | None = "user",
+    command_verbs: tuple[str, ...] = COMMAND_VERBS,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-conversation dialogue-act profile over (by default) user
+    turns: questions / commands / statements — the request-mix signal
+    behind instruction-following vs chat-style corpus weighting.
+
+    Classification (deliberately SQL-mirrorable so the oracle can
+    verify it): null texts are excluded; a turn ending in ``?`` is a
+    question; else if its first space-split token lowercases to one of
+    ``command_verbs`` it's a command; else a statement.
+
+    Scale: classification and per-conv partial sums happen MAP-SIDE
+    per block (vectorized str kernels); the single bounded-fanout
+    shuffle (``bucketed_agg``) carries one partial row per conversation
+    per block — never texts.
+    """
+    from .windows import bucketed_agg
+
+    verbs = frozenset(v.lower() for v in command_verbs)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[text_col].notna()
+        if user_role is not None:
+            m &= b[role_col] == user_role
+        t = b.loc[m, text_col]
+        conv = b.loc[m, conv_col]
+        q = t.str.endswith("?").to_numpy(dtype=bool)
+        first = t.str.split(" ").str[0].str.lower()
+        c = (~q) & first.isin(verbs).to_numpy(dtype=bool)
+        part = pd.DataFrame(
+            {
+                conv_col: conv,
+                "n_questions": q.astype("int64"),
+                "n_commands": c.astype("int64"),
+                "n_statements": (~q & ~c).astype("int64"),
+            }
+        )
+        return (
+            part.groupby(conv_col, sort=False, dropna=False)
+            .sum()
+            .reset_index()
+        )
+
+    return bucketed_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        conv_col,
+        {"n_questions": "sum", "n_commands": "sum", "n_statements": "sum"},
+        nb=num_buckets,
+    )

@@ -5767,6 +5767,46 @@ def q_system_prompt_inventory(sf_dir: str):
     return out[["prompt", "n_convs", "example_conv"]]
 
 
+def q_dialogue_acts(sf_dir: str):
+    """Per-conversation dialogue-act profile (question / command /
+    statement) over 'view' turns. Texts derived per event_id % 3 so
+    every act branch is exercised; classification + partials are
+    map-side, ONE bounded shuffle. SQL mirror: CASE + LIKE +
+    string_split first token."""
+    from ..functions.transcripts import dialogue_acts
+
+    src = _conv_stream(sf_dir)
+
+    def acts_text(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        txt = b["text"]
+        k = (b["ord"].to_numpy() % 3).astype(np.int64)
+        raw = txt.to_numpy(dtype=object)
+        out = np.full(len(b), None, dtype=object)
+        nn = txt.notna().to_numpy()
+        qm, cm = nn & (k == 0), nn & (k == 1)
+        out[qm] = "what is " + raw[qm] + "?"
+        out[cm] = "Write " + raw[cm]
+        rest = nn & (k == 2)
+        out[rest] = raw[rest]
+        b["text"] = out
+        return b
+
+    out = (
+        dialogue_acts(
+            src.map_batches(acts_text, batch_format="pandas"),
+            conv_col="conv", role_col="role", text_col="text",
+            user_role="view",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "n_questions", "n_commands", "n_statements"):
+        out[c] = out[c].astype("int64")
+    return out[["conv", "n_questions", "n_commands", "n_statements"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5918,6 +5958,7 @@ QUERIES = {
     "discounted_returns": q_discounted_returns,
     "fence_lint": q_fence_lint,
     "system_prompt_inventory": q_system_prompt_inventory,
+    "dialogue_acts": q_dialogue_acts,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7576,6 +7617,35 @@ ORACLES = {
              CAST(MIN(conv) AS BIGINT) AS example_conv
       FROM t WHERE rn = 1
       GROUP BY text ORDER BY prompt
+    """,
+    "dialogue_acts": """
+      WITH t AS (
+        SELECT user_id AS conv,
+               CASE event_id % 3
+                 WHEN 0 THEN 'what is ' || props || '?'
+                 WHEN 1 THEN 'Write ' || props
+                 ELSE props END AS text
+        FROM events
+        WHERE event_type = 'view' AND props IS NOT NULL
+      ),
+      c AS (
+        SELECT conv,
+               CASE WHEN text LIKE '%?' THEN 'q'
+                    WHEN lower(string_split(text, ' ')[1]) IN
+                      ('write','create','make','fix','add','generate',
+                       'explain','list','show','give','update','delete',
+                       'run','implement','translate','summarize') THEN 'c'
+                    ELSE 's' END AS act
+        FROM t
+      )
+      SELECT conv,
+             CAST(SUM(CASE WHEN act = 'q' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_questions,
+             CAST(SUM(CASE WHEN act = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_commands,
+             CAST(SUM(CASE WHEN act = 's' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_statements
+      FROM c GROUP BY conv ORDER BY conv
     """,
     "fence_lint": """
       WITH t AS (

@@ -92,3 +92,32 @@ def test_system_prompt_inventory_groups_firsts():
     assert p2["n_convs"] == 1 and p2["example_conv"] == "c"
     nul = out[out["prompt"].isna()].iloc[0]
     assert nul["n_convs"] == 1 and nul["example_conv"] == "d"
+
+
+# ---------------------------------------------------------------------------
+# dialogue_acts
+# ---------------------------------------------------------------------------
+
+
+def test_dialogue_acts_classification():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        dialogue_acts,
+    )
+
+    ds = _ds(
+        [
+            ("a", 1, "user", "what is X?"),
+            ("a", 2, "assistant", "X is Y"),          # excluded: role
+            ("a", 3, "user", "Write a poem"),          # command (case)
+            ("a", 4, "user", "the sky is blue"),       # statement
+            ("a", 5, "user", None),                    # excluded: null
+            ("b", 1, "user", "fix it?"),               # '?' wins over verb
+            ("b", 2, "user", ""),                      # statement
+        ]
+    )
+    out = dialogue_acts(ds).to_pandas().set_index("conv_id").sort_index()
+    a, b = out.loc["a"], out.loc["b"]
+    assert a["n_questions"] == 1 and a["n_commands"] == 1
+    assert a["n_statements"] == 1
+    assert b["n_questions"] == 1 and b["n_commands"] == 0
+    assert b["n_statements"] == 1
