@@ -1762,3 +1762,85 @@ def dialogue_acts(
         {"n_questions": "sum", "n_commands": "sum", "n_statements": "sum"},
         nb=num_buckets,
     )
+
+
+def response_length_trend(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str | None = None,
+    role: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-conversation verbosity drift: the OLS slope of turn text
+    length against the turn's 0-based rank (optionally restricted to
+    one ``role``, e.g. assistant). Positive slope = responses balloon
+    over the conversation (context stuffing / rambling degeneration);
+    negative = collapse toward terse replies — both curation signals
+    for long-conversation filtering.
+
+    Hash-exact by construction: with x = rank and y = length as exact
+    int64, ``slope = (n*sxy - sx*sy) / (n*sxx - sx*sx)`` is computed as
+    exact integer numerator and denominator (both < 2^53 for any
+    realistic conversation) and ONE float64 division — bitwise equal to
+    the SQL mirror's ``CAST(... AS DOUBLE) / ...``. Single-turn
+    conversations (denominator 0) get SQL NULL.
+
+    Scale: null texts drop and texts reduce to their LENGTH map-side,
+    so the one conv-bucketed shuffle carries three int columns; ranks
+    and the five sums are C-level groupby arithmetic per bucket.
+    """
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[text_col].notna()
+        if role_col is not None and role is not None:
+            m &= b[role_col] == role
+        b = b.loc[m]
+        out = pd.DataFrame(
+            {
+                conv_col: b[conv_col],
+                order_col: b[order_col],
+                "_len": b[text_col].str.len().astype("int64"),
+            }
+        )
+        out["_lb"] = _key_buckets(out[conv_col], nb)
+        return out
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        x = g.groupby(conv_col, sort=False).cumcount().to_numpy(np.int64)
+        y = g["_len"].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                conv_col: g[conv_col],
+                "_n": 1,
+                "_sx": x,
+                "_sy": y,
+                "_sxy": x * y,
+                "_sxx": x * x,
+            }
+        )
+        a = part.groupby(conv_col, sort=False).sum().reset_index()
+        n, sx, sy = (a[c].to_numpy(np.int64) for c in ("_n", "_sx", "_sy"))
+        sxy, sxx = a["_sxy"].to_numpy(np.int64), a["_sxx"].to_numpy(np.int64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = num.astype(np.float64) / den.astype(np.float64)
+        out = pd.DataFrame(
+            {
+                conv_col: a[conv_col],
+                "n_turns": n,
+                "slope": np.where(den == 0, np.nan, slope),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_lb")
+        .map_groups(build, batch_format="pandas")
+    )

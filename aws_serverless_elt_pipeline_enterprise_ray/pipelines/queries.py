@@ -5807,6 +5807,28 @@ def q_dialogue_acts(sf_dir: str):
     return out[["conv", "n_questions", "n_commands", "n_statements"]]
 
 
+def q_response_length_trend(sf_dir: str):
+    """Verbosity-drift slope per conversation over 'click' turns:
+    exact-int OLS numerator/denominator, ONE float division — the
+    float column hash-matches the SQL window mirror."""
+    from ..functions.transcripts import response_length_trend
+
+    out = (
+        response_length_trend(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            role_col="role", role="click",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["slope"] = out["slope"].astype("float64")
+    return out[["conv", "n_turns", "slope"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5959,6 +5981,7 @@ QUERIES = {
     "fence_lint": q_fence_lint,
     "system_prompt_inventory": q_system_prompt_inventory,
     "dialogue_acts": q_dialogue_acts,
+    "response_length_trend": q_response_length_trend,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7617,6 +7640,28 @@ ORACLES = {
              CAST(MIN(conv) AS BIGINT) AS example_conv
       FROM t WHERE rn = 1
       GROUP BY text ORDER BY prompt
+    """,
+    "response_length_trend": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord,
+               CAST(length(props) AS BIGINT) AS y
+        FROM events WHERE event_type = 'click' AND props IS NOT NULL
+      ),
+      r AS (
+        SELECT conv, y,
+               ROW_NUMBER() OVER (PARTITION BY conv ORDER BY ord) - 1 AS x
+        FROM t
+      ),
+      a AS (
+        SELECT conv, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM r GROUP BY conv
+      )
+      SELECT conv, CAST(n AS BIGINT) AS n_turns,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) END AS slope
+      FROM a ORDER BY conv
     """,
     "dialogue_acts": """
       WITH t AS (

@@ -121,3 +121,43 @@ def test_dialogue_acts_classification():
     assert a["n_statements"] == 1
     assert b["n_questions"] == 1 and b["n_commands"] == 0
     assert b["n_statements"] == 1
+
+
+# ---------------------------------------------------------------------------
+# response_length_trend
+# ---------------------------------------------------------------------------
+
+
+def test_response_length_trend_slope():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        response_length_trend,
+    )
+
+    ds = _ds(
+        [
+            # a: lengths 1,3,5 over ranks 0,1,2 -> slope exactly 2
+            ("a", 1, "assistant", "x"),
+            ("a", 2, "assistant", "xxx"),
+            ("a", 3, "assistant", "xxxxx"),
+            # b: single turn -> NULL slope
+            ("b", 1, "assistant", "hello"),
+            # c: role filter drops user turn; lengths 4,2 -> slope -2
+            ("c", 1, "user", "ignored!!!!!!"),
+            ("c", 2, "assistant", "abcd"),
+            ("c", 3, "assistant", "ab"),
+            # d: null text only -> conv absent
+            ("d", 1, "assistant", None),
+        ]
+    )
+    out = (
+        response_length_trend(ds, role_col="role", role="assistant")
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert list(out.index) == ["a", "b", "c"]
+    assert out.loc["a", "slope"] == 2.0 and out.loc["a", "n_turns"] == 3
+    assert np.isnan(out.loc["b", "slope"])
+    assert out.loc["c", "slope"] == -2.0 and out.loc["c", "n_turns"] == 2
