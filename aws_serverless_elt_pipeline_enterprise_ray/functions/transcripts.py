@@ -1844,3 +1844,74 @@ def response_length_trend(
         .groupby("_lb")
         .map_groups(build, batch_format="pandas")
     )
+
+
+def loss_mask_spans(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str = "role",
+    mask_role: str = "assistant",
+    sep_len: int = 1,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Loss-mask span computation for packed-conversation training:
+    when a conversation's non-null turns are concatenated with a
+    ``sep_len``-char separator, each turn occupies
+    ``[span_start, span_end)`` — and only spans whose role equals
+    ``mask_role`` (assistant) contribute to the loss. Emitting the
+    offsets as data (rather than re-tokenizing downstream) is what lets
+    the packing and masking stages stay independent.
+
+    Returns (conv, ord, span_start, span_end, mask) — all exact int64
+    (span_start = sum of earlier turns' length + sep), so the SQL
+    mirror (windowed SUM ... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)
+    is hash-exact. Null-text turns are excluded entirely (SQL
+    string_agg packing skips them).
+
+    Scale: texts reduce to their length map-side; the one
+    conv-bucketed shuffle carries four small columns, and offsets are
+    a grouped cumsum. Turn texts never move.
+    """
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b[text_col].notna()]
+        out = pd.DataFrame(
+            {
+                conv_col: b[conv_col],
+                order_col: b[order_col],
+                "_len": b[text_col].str.len().astype("int64"),
+                "_mask": (b[role_col] == mask_role).to_numpy(dtype=bool),
+            }
+        )
+        out["_mb"] = _key_buckets(out[conv_col], nb)
+        return out
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        step = g["_len"].to_numpy(np.int64) + sep_len
+        cum = (
+            pd.Series(step)
+            .groupby(g[conv_col].reset_index(drop=True), sort=False)
+            .cumsum()
+            .to_numpy(np.int64)
+        )
+        start = cum - step
+        return pd.DataFrame(
+            {
+                conv_col: g[conv_col].to_numpy(),
+                order_col: g[order_col].to_numpy(),
+                "span_start": start,
+                "span_end": start + g["_len"].to_numpy(np.int64),
+                "mask": g["_mask"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(build, batch_format="pandas")
+    )

@@ -5829,6 +5829,29 @@ def q_response_length_trend(sf_dir: str):
     return out[["conv", "n_turns", "slope"]]
 
 
+def q_loss_mask_spans(sf_dir: str):
+    """Packed-sequence loss-mask spans: per turn, [span_start,
+    span_end) char offsets in the conversation's packed text plus the
+    assistant-mask flag — all exact int64, hash-exact vs the windowed
+    SUM mirror. Texts never enter the shuffle."""
+    from ..functions.transcripts import loss_mask_spans
+
+    out = (
+        loss_mask_spans(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            role_col="role", mask_role="click",
+        )
+        .to_pandas()
+        .sort_values(["conv", "ord"])
+        .reset_index(drop=True)
+    )
+    for c in ("conv", "ord", "span_start", "span_end"):
+        out[c] = out[c].astype("int64")
+    out["mask"] = out["mask"].astype(bool)
+    return out[["conv", "ord", "span_start", "span_end", "mask"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5982,6 +6005,7 @@ QUERIES = {
     "system_prompt_inventory": q_system_prompt_inventory,
     "dialogue_acts": q_dialogue_acts,
     "response_length_trend": q_response_length_trend,
+    "loss_mask_spans": q_loss_mask_spans,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7640,6 +7664,24 @@ ORACLES = {
              CAST(MIN(conv) AS BIGINT) AS example_conv
       FROM t WHERE rn = 1
       GROUP BY text ORDER BY prompt
+    """,
+    "loss_mask_spans": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord, event_type AS role,
+               CAST(length(props) AS BIGINT) AS len
+        FROM events WHERE props IS NOT NULL
+      )
+      SELECT conv, ord,
+             CAST(COALESCE(SUM(len + 1) OVER (
+                    PARTITION BY conv ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS span_start,
+             CAST(COALESCE(SUM(len + 1) OVER (
+                    PARTITION BY conv ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + len AS BIGINT) AS span_end,
+             (role = 'click') AS mask
+      FROM t ORDER BY conv, ord
     """,
     "response_length_trend": """
       WITH t AS (

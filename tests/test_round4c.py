@@ -161,3 +161,37 @@ def test_response_length_trend_slope():
     assert out.loc["a", "slope"] == 2.0 and out.loc["a", "n_turns"] == 3
     assert np.isnan(out.loc["b", "slope"])
     assert out.loc["c", "slope"] == -2.0 and out.loc["c", "n_turns"] == 2
+
+
+# ---------------------------------------------------------------------------
+# loss_mask_spans
+# ---------------------------------------------------------------------------
+
+
+def test_loss_mask_spans_offsets():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        loss_mask_spans,
+    )
+
+    ds = _ds(
+        [
+            ("a", 1, "user", "hi"),          # [0, 2)
+            ("a", 2, "assistant", "hello"),  # [3, 8) after 1-char sep
+            ("a", 3, "user", None),          # excluded
+            ("a", 4, "assistant", ""),       # [9, 9): empty text keeps a span
+            ("b", 1, "assistant", "x"),      # [0, 1)
+        ]
+    )
+    out = (
+        loss_mask_spans(ds)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    rows = out.to_records(index=False).tolist()
+    assert rows == [
+        ("a", 1, 0, 2, False),
+        ("a", 2, 3, 8, True),
+        ("a", 4, 9, 9, True),
+        ("b", 1, 0, 1, True),
+    ]
