@@ -5852,6 +5852,57 @@ def q_loss_mask_spans(sf_dir: str):
     return out[["conv", "ord", "span_start", "span_end", "mask"]]
 
 
+def q_cdc_schema_evolve(sf_dir: str):
+    """Mid-stream schema evolution through the full engine: phase-0
+    changelog files carry the base schema, phase-1 files ADD a `score`
+    column (phases split on (event_id // 40) % 2, so the SAME keys
+    straddle the evolution and LWW interleaves across it). Two
+    sequential applies into one lake; read_table pads pre-evolution
+    winners with NULL score from footers. Oracle: global LWW over the
+    union with CASE-derived score."""
+    from .cdc import apply_changes, read_table
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props",
+                 "value"],
+    )
+
+    def derive(batch: pa.Table, phase: int) -> pa.Table:
+        base = _derive_batch(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(((eid // 40) % 2) == phase)
+        base = base.filter(keep)
+        if phase == 1:
+            score = batch["value"].combine_chunks() if isinstance(
+                batch["value"], pa.ChunkedArray) else batch["value"]
+            base = base.append_column(
+                pa.field("score", pa.float64()), pc.filter(score, keep)
+            )
+        return base
+
+    ch_a, ch_b, lake = _scratch("chA"), _scratch("chB"), _scratch("lake")
+    ev.map_batches(
+        lambda b: derive(b, 0), batch_format="pyarrow"
+    ).write_parquet(ch_a)
+    ev.map_batches(
+        lambda b: derive(b, 1), batch_format="pyarrow"
+    ).write_parquet(ch_b)
+    spec = _spec(sf_dir)
+    apply_changes(ch_a, lake, spec)
+    apply_changes(ch_b, lake, spec)
+    df = (
+        read_table(lake)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts",
+               "score"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6006,6 +6057,7 @@ QUERIES = {
     "dialogue_acts": q_dialogue_acts,
     "response_length_trend": q_response_length_trend,
     "loss_mask_spans": q_loss_mask_spans,
+    "cdc_schema_evolve": q_cdc_schema_evolve,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7664,6 +7716,32 @@ ORACLES = {
              CAST(MIN(conv) AS BIGINT) AS example_conv
       FROM t WHERE rn = 1
       GROUP BY text ORDER BY prompt
+    """,
+    "cdc_schema_evolve": """
+      WITH ch AS (
+        SELECT
+          CASE WHEN event_id % 10 = 9 THEN 'D'
+               WHEN event_id % 10 >= 6 THEN 'U'
+               ELSE 'I' END AS op,
+          event_id AS seq,
+          'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+          CAST(event_id % 40 AS INTEGER) AS turn_idx,
+          event_type AS role,
+          props AS text,
+          CAST(NULL AS VARCHAR) AS tool,
+          ts,
+          CASE WHEN (event_id // 40) % 2 = 1 THEN value
+               ELSE NULL END AS score
+        FROM events
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM ch
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts, score
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx
     """,
     "loss_mask_spans": """
       WITH t AS (
