@@ -5903,6 +5903,91 @@ def q_cdc_schema_evolve(sf_dir: str):
                "score"]]
 
 
+def q_cdc_clone_branch(sf_dir: str):
+    """Zero-copy branch isolation under the oracle gate: apply
+    phase-0 events, clone (hard-link branch) the lake, apply phase-1
+    events to the ORIGINAL only, then read the BRANCH — it must equal
+    the LWW state over phase-0 events alone (writes after the branch
+    point are invisible to it)."""
+    from .cdc import apply_changes, read_table
+    from .clone import clone_lake
+
+    ev = _events(sf_dir)
+
+    def derive_phase(batch: pa.Table, phase: int) -> pa.Table:
+        base = _derive_batch(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return base.filter(pa.array(((eid // 40) % 2) == phase))
+
+    ch_a, ch_b = _scratch("cl-chA"), _scratch("cl-chB")
+    lake, branch = _scratch("cl-lake"), _scratch("cl-branch")
+    shutil.rmtree(branch)  # clone_lake wants a fresh dir
+    ev.map_batches(
+        lambda b: derive_phase(b, 0), batch_format="pyarrow"
+    ).write_parquet(ch_a)
+    ev.map_batches(
+        lambda b: derive_phase(b, 1), batch_format="pyarrow"
+    ).write_parquet(ch_b)
+    spec = _spec(sf_dir)
+    apply_changes(ch_a, lake, spec)
+    clone_lake(lake, branch)
+    apply_changes(ch_b, lake, spec)  # diverges AFTER the branch point
+    df = (
+        read_table(branch)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
+def q_cdc_gc_read(sf_dir: str):
+    """GC safety under the oracle gate: apply the changelog as three
+    chunked commits, garbage-collect every superseded version's
+    unreferenced files (keep_versions=1, no age grace), and read —
+    the surviving files must still serve the exact LWW state."""
+    from ..state.manifest import ManifestStore
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _write_changelog(sf_dir, n_files=6), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), commit_every_files=2)
+    ManifestStore(lake).gc(keep_versions=1, min_age_seconds=0.0)
+    df = (
+        read_table(lake)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
+def q_cdc_export_read(sf_dir: str):
+    """Snapshot-export fidelity under the oracle gate: apply, export
+    the visible state to plain partitioned Parquet (the engine-less
+    consumer hand-off), and read the EXPORT back with a plain
+    read_parquet — it must equal the LWW state byte-for-byte."""
+    import glob as _glob
+
+    from .cdc import apply_changes
+    from .export import export_snapshot
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    out = _scratch("export")
+    apply_changes(changes, lake, _spec(sf_dir))
+    export_snapshot(lake, out)
+    files = sorted(_glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    df = (
+        rd.read_parquet(files)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6058,6 +6143,9 @@ QUERIES = {
     "response_length_trend": q_response_length_trend,
     "loss_mask_spans": q_loss_mask_spans,
     "cdc_schema_evolve": q_cdc_schema_evolve,
+    "cdc_clone_branch": q_cdc_clone_branch,
+    "cdc_gc_read": q_cdc_gc_read,
+    "cdc_export_read": q_cdc_export_read,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -6121,6 +6209,8 @@ _LANG_SQL_CASES = """
 
 ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_gc_read": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_export_read": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_objstore": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_inflight": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_debezium": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
@@ -7716,6 +7806,29 @@ ORACLES = {
              CAST(MIN(conv) AS BIGINT) AS example_conv
       FROM t WHERE rn = 1
       GROUP BY text ORDER BY prompt
+    """,
+    "cdc_clone_branch": """
+      WITH ch AS (
+        SELECT
+          CASE WHEN event_id % 10 = 9 THEN 'D'
+               WHEN event_id % 10 >= 6 THEN 'U'
+               ELSE 'I' END AS op,
+          event_id AS seq,
+          'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+          CAST(event_id % 40 AS INTEGER) AS turn_idx,
+          event_type AS role, props AS text,
+          CAST(NULL AS VARCHAR) AS tool, ts
+        FROM events
+        WHERE (event_id // 40) % 2 = 0
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM ch
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx
     """,
     "cdc_schema_evolve": """
       WITH ch AS (
