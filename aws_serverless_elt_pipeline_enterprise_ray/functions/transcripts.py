@@ -1915,3 +1915,70 @@ def loss_mask_spans(
         .groupby("_mb")
         .map_groups(build, batch_format="pandas")
     )
+
+
+def fork_margin(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    prefix_turns: int = 1,
+    score_col: str | None = None,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Best-vs-runner-up score margin per shared-prefix fork group —
+    the label-confidence signal for RM training data mined from N-way
+    regenerations: a wide margin means (chosen, rejected) pairs from
+    this group are unambiguous; margin 0 (tie) or a singleton group
+    (NULL margin) means the group can't supply a preference label.
+
+    Ranking is (score DESC, conv ASC) exactly like ``fork_best_of_n``;
+    null-score candidates are excluded (``_fork_scores_stage``
+    semantics). Returns one row per group: (prefix, n_candidates,
+    best_conv, best_score, second_score, margin) — second_score /
+    margin are SQL NULL for singleton groups; all scores exact int64.
+
+    Scale: same two bounded shuffles as the other fork ops (conv-
+    bucketed candidate assembly, then one row per CANDIDATE into the
+    prefix-bucketed rank)."""
+    nb = num_buckets or _buckets_for_cluster()
+    add_bucket, build = _fork_scores_stage(
+        conv_col, order_col, text_col, score_col, prefix_turns, sep, nb
+    )
+
+    def margin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["prefix", "score", conv_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rn = g.groupby("prefix", sort=False).cumcount().to_numpy()
+        n = (
+            g.groupby("prefix", sort=False)[conv_col]
+            .transform("size")
+            .to_numpy(np.int64)
+        )
+        best = g[rn == 0].assign(n_candidates=n[rn == 0])
+        second = g.loc[rn == 1, ["prefix", "score"]].rename(
+            columns={"score": "second_score"}
+        )
+        out = best.rename(
+            columns={conv_col: "best_conv", "score": "best_score"}
+        ).merge(second, on="prefix", how="left")
+        out["best_score"] = out["best_score"].astype("int64")
+        out["second_score"] = out["second_score"].astype("Int64")
+        out["margin"] = out["best_score"] - out["second_score"]
+        return out[
+            ["prefix", "n_candidates", "best_conv", "best_score",
+             "second_score", "margin"]
+        ]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bb")
+        .map_groups(build, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(margin, batch_format="pandas")
+    )

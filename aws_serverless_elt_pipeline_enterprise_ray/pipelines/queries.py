@@ -5988,6 +5988,37 @@ def q_cdc_export_read(sf_dir: str):
     return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
 
+def q_fork_margin(sf_dir: str):
+    """Best-vs-runner-up margin per fork group (RM-label confidence):
+    same fixture as the other fork ops; ranking (score DESC, conv ASC)
+    mirrors the SQL row_number; singleton groups get NULL
+    second/margin."""
+    from ..functions.transcripts import fork_margin
+
+    out = (
+        fork_margin(
+            _fork_score_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            prefix_turns=1, score_col="sc",
+        )
+        .to_pandas()
+        .sort_values("prefix")
+        .reset_index(drop=True)
+    )
+    out["n_candidates"] = out["n_candidates"].astype("int64")
+    out["best_conv"] = out["best_conv"].astype("int64")
+    out["best_score"] = out["best_score"].astype("int64")
+    # DOUBLE on both sides: DuckDB's pandas dtype for a nullable int
+    # column flips int64/float64 with NULL presence (scale-dependent),
+    # so the stable hash contract is float64 + NaN.
+    out["second_score"] = out["second_score"].astype("float64")
+    out["margin"] = out["margin"].astype("float64")
+    return out[
+        ["prefix", "n_candidates", "best_conv", "best_score",
+         "second_score", "margin"]
+    ]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6146,6 +6177,7 @@ QUERIES = {
     "cdc_clone_branch": q_cdc_clone_branch,
     "cdc_gc_read": q_cdc_gc_read,
     "cdc_export_read": q_cdc_export_read,
+    "fork_margin": q_fork_margin,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7829,6 +7861,43 @@ ORACLES = {
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY conv_id, turn_idx
+    """,
+    "fork_margin": """
+      WITH t AS (
+        SELECT user_id AS conv, substr(props, 1, 7) AS text,
+               length(props) AS sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events
+      ),
+      pre AS (
+        SELECT conv, string_agg(text, chr(10) ORDER BY rn) AS prefix
+        FROM t WHERE rn <= 1 GROUP BY conv
+      ),
+      fork AS (
+        SELECT conv, sc FROM t
+        WHERE rn = 2 AND text IS NOT NULL AND sc IS NOT NULL
+      ),
+      pc AS (
+        SELECT pre.conv, pre.prefix, fork.sc
+        FROM pre JOIN fork USING (conv)
+      ),
+      r AS (
+        SELECT prefix, conv, sc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY prefix ORDER BY sc DESC, conv ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY prefix) AS n
+        FROM pc
+      )
+      SELECT a.prefix,
+             CAST(a.n AS BIGINT) AS n_candidates,
+             a.conv AS best_conv,
+             CAST(a.sc AS BIGINT) AS best_score,
+             CAST(b.sc AS DOUBLE) AS second_score,
+             CAST(a.sc - b.sc AS DOUBLE) AS margin
+      FROM r a LEFT JOIN r b ON a.prefix = b.prefix AND b.rk = 2
+      WHERE a.rk = 1
+      ORDER BY a.prefix
     """,
     "cdc_schema_evolve": """
       WITH ch AS (

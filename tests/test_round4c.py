@@ -195,3 +195,59 @@ def test_loss_mask_spans_offsets():
         ("a", 4, 9, 9, True),
         ("b", 1, 0, 1, True),
     ]
+
+
+# ---------------------------------------------------------------------------
+# fork_margin
+# ---------------------------------------------------------------------------
+
+
+def test_fork_margin_best_vs_runner_up():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_margin,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b", "c", "c", "d"],
+            "turn_idx": [1, 2, 1, 2, 1, 2, 1],
+            "text": ["P", "x", "P", "y", "P", "z", "Q"],
+            "sc": [None, 7, None, 3, None, 7, None],
+        }
+    )
+    out = (
+        fork_margin(
+            rd.from_pandas(df), prefix_turns=1, score_col="sc"
+        )
+        .to_pandas()
+        .set_index("prefix")
+    )
+    # group P: scores 7 (a), 3 (b), 7 (c); best = a by conv tiebreak,
+    # runner-up = c (also 7) -> margin 0
+    p = out.loc["P"]
+    assert p["n_candidates"] == 3 and p["best_conv"] == "a"
+    assert p["best_score"] == 7 and p["second_score"] == 7
+    assert p["margin"] == 0
+    # group Q: fork turn missing -> no candidates -> group absent
+    assert "Q" not in out.index
+
+
+def test_fork_margin_singleton_null():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        fork_margin,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a"],
+            "turn_idx": [1, 2],
+            "text": ["P", "only"],
+            "sc": [None, 5],
+        }
+    )
+    out = fork_margin(
+        rd.from_pandas(df), prefix_turns=1, score_col="sc"
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["n_candidates"] == 1 and row["best_score"] == 5
+    assert pd.isna(row["second_score"]) and pd.isna(row["margin"])
