@@ -1982,3 +1982,54 @@ def fork_margin(
         .groupby("_gb")
         .map_groups(margin, batch_format="pandas")
     )
+
+
+def pack_conversations(
+    ds: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str | None = None,
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Pack each conversation into ONE row: its non-null turn texts
+    (optionally ``role: text`` lines when ``role_col`` is given) joined
+    with ``sep`` in turn order, plus the packed turn count — the
+    materialization step whose offsets ``loss_mask_spans`` computes,
+    and the document-shape a conversation-level dedup/fingerprint
+    consumes. SQL mirror: ``string_agg(text, sep ORDER BY ord)``
+    (null turns skipped, all-null conversations absent).
+
+    Scale: ONE conv-bucketed shuffle; the join is a C-level grouped
+    aggregation. A conversation must fit one worker's heap — the same
+    assumption every per-conversation operator here makes."""
+    nb = num_buckets or _buckets_for_cluster()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        cols = [conv_col, order_col, text_col] + (
+            [role_col] if role_col else []
+        )
+        b = b[cols].dropna(subset=[text_col]).copy()
+        if role_col:
+            b[text_col] = b[role_col] + ": " + b[text_col]
+            b = b.drop(columns=[role_col])
+            b = b.dropna(subset=[text_col])  # null role -> null line
+        b["_pb"] = _key_buckets(b[conv_col], nb)
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        agg = g.groupby(conv_col, sort=False).agg(
+            n_turns=(text_col, "size"), text=(text_col, sep.join)
+        )
+        out = agg.reset_index()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(build, batch_format="pandas")
+    )

@@ -6019,6 +6019,59 @@ def q_fork_margin(sf_dir: str):
     ]
 
 
+def q_pack_conversations(sf_dir: str):
+    """Conversation packing: one row per conversation, role-prefixed
+    turn texts joined in turn order. SQL mirror: string_agg ORDER BY."""
+    from ..functions.transcripts import pack_conversations
+
+    out = (
+        pack_conversations(
+            _conv_stream(sf_dir),
+            conv_col="conv", order_col="ord", text_col="text",
+            role_col="role",
+        )
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+    out["conv"] = out["conv"].astype("int64")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out[["conv", "n_turns", "text"]]
+
+
+def q_conv_near_dup(sf_dir: str):
+    """Conversation-level near-dedup: every conversation gets a
+    lightly perturbed twin (conv+100000, every 7th turn text altered),
+    the corpus is packed one-row-per-conversation, and MinHash-LSH +
+    exact-Jaccard + connected-components keeps one survivor per
+    near-dup cluster — originals win by min-id. Rows-only check (the
+    LSH pipeline is not SQL-expressible); deterministic fixture."""
+    from ..functions.dedup import near_dedup
+    from ..functions.transcripts import pack_conversations
+
+    src = _conv_stream(sf_dir)
+
+    def twin(b: pd.DataFrame) -> pd.DataFrame:
+        alt = b.copy()
+        alt["conv"] = alt["conv"] + 100_000
+        perturb = (alt["ord"] % 7 == 0) & alt["text"].notna()
+        alt.loc[perturb, "text"] = alt.loc[perturb, "text"] + " X"
+        return pd.concat([b, alt], ignore_index=True)
+
+    packed = pack_conversations(
+        src.map_batches(twin, batch_format="pandas"),
+        conv_col="conv", order_col="ord", text_col="text", sep="\n",
+    )
+    survivors = near_dedup(
+        packed, threshold=0.6, text_col="text", id_col="conv",
+        num_perm=64, bands=16,
+    )
+    out = survivors.to_pandas().sort_values("conv").reset_index(drop=True)
+    out["conv"] = out["conv"].astype("int64")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out[["conv", "n_turns"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6178,6 +6231,8 @@ QUERIES = {
     "cdc_gc_read": q_cdc_gc_read,
     "cdc_export_read": q_cdc_export_read,
     "fork_margin": q_fork_margin,
+    "pack_conversations": q_pack_conversations,
+    "conv_near_dup": q_conv_near_dup,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7861,6 +7916,18 @@ ORACLES = {
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY conv_id, turn_idx
+    """,
+    "pack_conversations": """
+      WITH t AS (
+        SELECT user_id AS conv, event_id AS ord,
+               event_type || ': ' || props AS line
+        FROM events
+        WHERE props IS NOT NULL AND event_type IS NOT NULL
+      )
+      SELECT conv,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             string_agg(line, chr(10) ORDER BY ord) AS text
+      FROM t GROUP BY conv ORDER BY conv
     """,
     "fork_margin": """
       WITH t AS (

@@ -251,3 +251,30 @@ def test_fork_margin_singleton_null():
     row = out.iloc[0]
     assert row["n_candidates"] == 1 and row["best_score"] == 5
     assert pd.isna(row["second_score"]) and pd.isna(row["margin"])
+
+
+# ---------------------------------------------------------------------------
+# pack_conversations
+# ---------------------------------------------------------------------------
+
+
+def test_pack_conversations_order_and_nulls():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        pack_conversations,
+    )
+
+    ds = _ds(
+        [
+            ("a", 2, "assistant", "world"),
+            ("a", 1, "user", "hello"),
+            ("a", 3, "user", None),
+            ("b", 1, "user", None),  # all-null -> absent
+        ]
+    )
+    out = pack_conversations(ds).to_pandas().set_index("conv_id")
+    assert list(out.index) == ["a"]
+    assert out.loc["a", "text"] == "hello\nworld"
+    assert out.loc["a", "n_turns"] == 2
+    # role-prefixed variant
+    out2 = pack_conversations(ds, role_col="role").to_pandas()
+    assert out2.loc[0, "text"] == "user: hello\nassistant: world"
