@@ -6072,6 +6072,28 @@ def q_conv_near_dup(sf_dir: str):
     return out[["conv", "n_turns"]]
 
 
+def q_cdc_transcript_refinery(sf_dir: str):
+    """Flagship CDC -> training-shards composition: full engine apply
+    (exactly-once LWW lake), then the transcript refinery — collapse
+    consecutive same-role turns, pack role-prefixed conversations,
+    deterministic split assignment. Every stage SQL-mirrorable, so the
+    END-TO-END composition is hash-exact against one oracle CTE."""
+    from .cdc import apply_changes, read_table
+    from .refinery import transcript_refinery
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    out = (
+        transcript_refinery(read_table(lake))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["packed_chars"] = out["packed_chars"].astype("int64")
+    return out[["conv_id", "n_turns", "packed_chars", "text", "split"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6233,6 +6255,7 @@ QUERIES = {
     "fork_margin": q_fork_margin,
     "pack_conversations": q_pack_conversations,
     "conv_near_dup": q_conv_near_dup,
+    "cdc_transcript_refinery": q_cdc_transcript_refinery,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7928,6 +7951,48 @@ ORACLES = {
              CAST(COUNT(*) AS BIGINT) AS n_turns,
              string_agg(line, chr(10) ORDER BY ord) AS text
       FROM t GROUP BY conv ORDER BY conv
+    """,
+    "cdc_transcript_refinery": f"""
+      WITH final AS ({FINAL_SQL}),
+      t AS (
+        SELECT conv_id, turn_idx, role, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+               ROW_NUMBER() OVER (
+                 PARTITION BY conv_id, role ORDER BY turn_idx) AS rnr
+        FROM final
+      ),
+      i AS (
+        SELECT conv_id, role,
+               STRING_AGG(text, ' ' ORDER BY turn_idx) AS text,
+               MIN(turn_idx) AS first_idx
+        FROM t GROUP BY conv_id, role, rn - rnr
+      ),
+      lines AS (
+        SELECT conv_id, first_idx, role || ': ' || text AS line
+        FROM i WHERE text IS NOT NULL
+      ),
+      packed AS (
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               string_agg(line, chr(10) ORDER BY first_idx) AS text
+        FROM lines GROUP BY conv_id
+      ),
+      sp AS (
+        SELECT conv_id, n_turns, text,
+               CAST(length(text) AS BIGINT) AS packed_chars,
+               (CAST(CAST(substr(conv_id, 6) AS BIGINT) AS HUGEINT)
+                * 2654435761) % 4294967296 AS hv
+        FROM packed
+      )
+      SELECT conv_id, n_turns, packed_chars, text,
+             CASE
+               WHEN hv < CAST(floor(0.8 * 4294967296) AS BIGINT)
+                 THEN 'train'
+               WHEN hv < CAST(floor((0.8 + 0.1) * 4294967296) AS BIGINT)
+                 THEN 'val'
+               ELSE 'test' END AS split
+      FROM sp ORDER BY conv_id
     """,
     "fork_margin": """
       WITH t AS (

@@ -72,3 +72,69 @@ def refine_corpus(
             score_col="alpha_chars", token_col="n_tokens", id_col=id_col,
         )
     return ds
+
+
+def transcript_refinery(
+    turns: rd.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    key_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    collapse_sep: str = " ",
+    line_sep: str = "\n",
+) -> rd.Dataset:
+    """Transcript-native refinery: the committed CDC table -> training
+    shards, composed from the transcript operator library:
+
+        collapse consecutive same-role turns
+        -> pack each conversation into role-prefixed lines
+        -> deterministic train/val/test assignment per conversation
+
+    Returns one row per conversation: (conv, n_turns, packed_chars,
+    text, split). ``key_col`` names an int64 column to hash for the
+    split (default: digits parsed from ``conv_col``). Every stage is
+    the library's own bounded-shuffle operator, so the composition is
+    fully SQL-mirrorable (see the ``cdc_transcript_refinery`` query) —
+    the CDC analogue of ``refine_corpus``'s document flow.
+
+    Reference parity: the silver -> consumer hand-off
+    (lambdas/transform/app.py:93-116 + Athena consumption,
+    Instructions.md:122-131), extended to the training-data packaging
+    the reference leaves downstream.
+    """
+    from ..functions.transcripts import (
+        assign_split,
+        collapse_consecutive_turns,
+        pack_conversations,
+    )
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    collapsed = collapse_consecutive_turns(
+        turns, conv_col=conv_col, order_col=order_col,
+        role_col=role_col, text_col=text_col, sep=collapse_sep,
+    )
+    packed = pack_conversations(
+        collapsed, conv_col=conv_col, order_col="turn_seq",
+        text_col=text_col, role_col=role_col, sep=line_sep,
+    )
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if key_col is None:
+            b["_skey"] = (
+                b[conv_col].astype(str).str.extract(r"(\d+)", expand=False)
+                .astype("int64")
+            )
+        else:
+            b["_skey"] = b[key_col].astype("int64")
+        b["packed_chars"] = b["text"].str.len().astype("int64")
+        return b
+
+    out = assign_split(
+        packed.map_batches(add_key, batch_format="pandas"),
+        key_col="_skey", fractions=fractions,
+    )
+    return out.drop_columns(["_skey"])

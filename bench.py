@@ -265,6 +265,11 @@ def run_bench() -> dict:
         "fork_advantage",
         "retry_edit_distance",
         "pseudonymize_ids",
+        # round-4 continuation: packing/masking + lifecycle gates
+        "loss_mask_spans",
+        "pack_conversations",
+        "fork_margin",
+        "cdc_schema_evolve",
     )
     for name in qnames:
         t0 = time.perf_counter()
