@@ -278,3 +278,45 @@ def test_pack_conversations_order_and_nulls():
     # role-prefixed variant
     out2 = pack_conversations(ds, role_col="role").to_pandas()
     assert out2.loc[0, "text"] == "user: hello\nassistant: world"
+
+
+# ---------------------------------------------------------------------------
+# transcript_refinery (composition)
+# ---------------------------------------------------------------------------
+
+
+def test_transcript_refinery_composition():
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.refinery import (
+        transcript_refinery,
+    )
+
+    ds = _ds(
+        [
+            # conv_3: double user send collapses; packs to 2 lines
+            ("conv_3", 1, "user", "aa"),
+            ("conv_3", 2, "user", "bb"),
+            ("conv_3", 3, "assistant", "cc"),
+            # conv_7: single turn
+            ("conv_7", 1, "user", "zz"),
+        ]
+    )
+    out = (
+        transcript_refinery(ds)
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert out.loc["conv_3", "text"] == "user: aa bb\nassistant: cc"
+    assert out.loc["conv_3", "n_turns"] == 2
+    assert out.loc["conv_3", "packed_chars"] == len("user: aa bb\nassistant: cc")
+    # split is the deterministic knuth-hash bucket of the conv number
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.mixing import (
+        knuth_hash32,
+    )
+    import numpy as np
+
+    for conv, num in (("conv_3", 3), ("conv_7", 7)):
+        hv = int(knuth_hash32(np.array([num], dtype=np.int64))[0])
+        frac = hv / 4294967296
+        want = "train" if frac < 0.8 else ("val" if frac < 0.8 + 0.1 else "test")
+        assert out.loc[conv, "split"] == want
