@@ -6094,6 +6094,41 @@ def q_cdc_transcript_refinery(sf_dir: str):
     return out[["conv_id", "n_turns", "packed_chars", "text", "split"]]
 
 
+def q_cdc_rollback(sf_dir: str):
+    """Rollback under the oracle gate (the DQ-demotion path): commit
+    the stream as two halves, roll CURRENT back to v1, and read — the
+    lake must serve exactly the LWW state over the first half, with
+    v2's files demoted but not destroyed."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import ManifestStore
+    from .cdc import apply_changes, read_table
+
+    changes, lake = _scratch("rb-changes"), _scratch("lake")
+    full = pa.concat_tables(
+        _changes_ds(sf_dir).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    cut = pc.max(full["seq"]).as_py() // 2
+    pq.write_table(
+        full.filter(pc.less(full["seq"], pa.scalar(cut, pa.int64()))),
+        os.path.join(changes, "ch-000.parquet"),
+    )
+    pq.write_table(
+        full.filter(pc.greater_equal(full["seq"], pa.scalar(cut, pa.int64()))),
+        os.path.join(changes, "ch-001.parquet"),
+    )
+    spec = _spec(sf_dir)
+    m1 = apply_changes(
+        [os.path.join(changes, "ch-000.parquet")], lake, spec
+    )[-1]
+    apply_changes(changes, lake, spec)
+    ManifestStore(lake).rollback(m1.version)
+    df = read_table(lake).to_pandas()  # CURRENT, not a pinned version
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6256,6 +6291,7 @@ QUERIES = {
     "pack_conversations": q_pack_conversations,
     "conv_near_dup": q_conv_near_dup,
     "cdc_transcript_refinery": q_cdc_transcript_refinery,
+    "cdc_rollback": q_cdc_rollback,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -6447,6 +6483,17 @@ ORACLES = {
       SELECT CASE WHEN event_id % 97 = 0 THEN 'unknown_op' ELSE 'ok' END AS status,
              count(*) AS n
       FROM events GROUP BY status ORDER BY status
+    """,
+    "cdc_rollback": f"""
+      WITH ch AS ({CH_SQL}),
+      lo AS (SELECT * FROM ch WHERE seq < (SELECT max(seq) FROM ch) // 2),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM lo)
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx
     """,
     "cdc_time_travel": f"""
       WITH ch AS ({CH_SQL}),

@@ -320,3 +320,55 @@ def test_transcript_refinery_composition():
         frac = hv / 4294967296
         want = "train" if frac < 0.8 else ("val" if frac < 0.8 + 0.1 else "test")
         assert out.loc[conv, "split"] == want
+
+
+# ---------------------------------------------------------------------------
+# rollback -> re-apply convergence
+# ---------------------------------------------------------------------------
+
+
+def test_rollback_then_reapply_converges(tmp_path):
+    import aws_serverless_elt_pipeline_enterprise_ray as engine
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import (
+        gen_changes,
+        oracle_final_state,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+        ManifestStore,
+    )
+
+    ch = str(tmp_path / "ch")
+    lake = str(tmp_path / "lake")
+    gen_changes(ch, n_events=4000, n_convs=50, n_files=4, seed=11)
+    import os
+
+    files = sorted(
+        os.path.join(ch, f) for f in os.listdir(ch) if f.endswith(".parquet")
+    )
+    spec = engine.default_spec(num_partitions=4)
+    m1 = engine.apply_changes(files[:2], lake, spec)[-1]
+    engine.apply_changes(files, lake, spec)
+    store = ManifestStore(lake)
+    store.rollback(m1.version)
+    # the fence is version-scoped: after demotion the second half is
+    # NOT in CURRENT's lineage, so re-apply must pick it up again and
+    # converge to the full oracle state
+    ms = engine.apply_changes(files, lake, spec)
+    assert ms, "re-apply after rollback must not be a no-op"
+    got = (
+        engine.read_table(lake)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_final_state(ch)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    cols = sorted(set(got.columns) & set(want.columns))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[cols].astype({c: want[c].dtype for c in cols}), want[cols]
+    )
