@@ -38,6 +38,7 @@ from ..schema import (
     hash_impl_id,
     lww_combine_fast,
     normalize_batch,
+    promote_type,
     schema_union,
 )
 from ..sources.changelog import discover_pending, group_by_schema, peek_schemas
@@ -335,6 +336,25 @@ def _derive_run_spec(
             if f.name not in run_spec.payload_schema.names
         ]
         run_spec = run_spec.with_extras(prior_extras)
+        # Type evolution is monotone widening: an extra column whose
+        # footer type differs from the committed (parent) type resolves
+        # through promote_type, never first-seen-wins — a float32 lake
+        # column receiving float64 files widens; the reverse apply
+        # stays float64. Base-spec columns are pinned by the spec.
+        prior_types = {f.name: f.type for f in parent_fields}
+        base_names = set(spec.payload_schema.names)
+        widened, changed = [], False
+        for f in run_spec.payload_schema:
+            pt = prior_types.get(f.name)
+            if pt is not None and f.name not in base_names and not pt.equals(f.type):
+                widened.append(pa.field(f.name, promote_type(pt, f.type)))
+                changed = True
+            else:
+                widened.append(f)
+        if changed:
+            run_spec = dataclasses.replace(
+                run_spec, payload_schema=pa.schema(widened)
+            )
     if parent_partitioning:
         pp = parent_partitioning
         if pp.get("hash_impl", hash_impl_id()) != hash_impl_id():

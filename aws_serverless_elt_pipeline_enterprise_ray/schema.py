@@ -489,19 +489,59 @@ def _run_last_mask(sorted_tbl: pa.Table, key_cols) -> np.ndarray:
     return change
 
 
+def promote_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Smallest Arrow type BOTH inputs widen to losslessly — the
+    type-evolution lattice (Delta/Iceberg widening semantics): ints
+    promote within signedness (mixed signed/unsigned promotes to the
+    signed type wide enough for both), floats promote to the wider
+    float, int+float promotes to float64 (documented caveat: int64
+    values above 2^53 round). Anything else — string vs number,
+    uint64 vs signed, nested mismatches — raises, because a silent
+    cast in either direction loses data."""
+    if a.equals(b):
+        return a
+    fl_a, fl_b = pa.types.is_floating(a), pa.types.is_floating(b)
+    in_a, in_b = pa.types.is_integer(a), pa.types.is_integer(b)
+    if fl_a and fl_b:
+        return a if a.bit_width >= b.bit_width else b
+    if in_a and in_b:
+        signed = pa.types.is_signed_integer(a) or pa.types.is_signed_integer(b)
+
+        def vbits(t: pa.DataType) -> int:
+            return t.bit_width - (1 if pa.types.is_signed_integer(t) else 0)
+
+        need = max(vbits(a), vbits(b)) + (1 if signed else 0)
+        for bits in (8, 16, 32, 64):
+            if bits >= need:
+                return getattr(pa, f"int{bits}" if signed else f"uint{bits}")()
+        raise ValueError(f"no integer type holds both {a} and {b}")
+    if (in_a and fl_b) or (fl_a and in_b):
+        return pa.float64()
+    raise ValueError(f"incompatible schema evolution: {a} vs {b}")
+
+
 def schema_union(schemas: Sequence[pa.Schema], base: pa.Schema) -> list[tuple[str, pa.DataType]]:
     """Discover additive extra columns across changelog file schemas
     (schema evolution - reference precedent: compaction's added
     ``_ingested_at`` column, ``compact_silver.py:40``). Returns
-    (name, type) pairs not already in ``base``, in first-seen order."""
+    (name, type) pairs not already in ``base``, in first-seen order;
+    a column seen with DIFFERENT types across files resolves through
+    ``promote_type`` (lossless widening) instead of first-seen-wins."""
     known = set(base.names) | {"op", "seq", "part_id", "_bad"}
     extras: list[tuple[str, pa.DataType]] = []
-    seen = set()
+    index: dict[str, int] = {}
     for sch in schemas:
         for field in sch:
-            if field.name not in known and field.name not in seen:
+            if field.name in known:
+                continue
+            at = index.get(field.name)
+            if at is None:
+                index[field.name] = len(extras)
                 extras.append((field.name, field.type))
-                seen.add(field.name)
+            elif not extras[at][1].equals(field.type):
+                extras[at] = (
+                    field.name, promote_type(extras[at][1], field.type)
+                )
     return extras
 
 

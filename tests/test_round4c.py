@@ -372,3 +372,82 @@ def test_rollback_then_reapply_converges(tmp_path):
     pd.testing.assert_frame_equal(
         got[cols].astype({c: want[c].dtype for c in cols}), want[cols]
     )
+
+
+# ---------------------------------------------------------------------------
+# type-widening schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_promote_type_lattice():
+    import pyarrow as pa
+    import pytest
+
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import promote_type
+
+    assert promote_type(pa.float32(), pa.float64()) == pa.float64()
+    assert promote_type(pa.float64(), pa.float32()) == pa.float64()
+    assert promote_type(pa.int32(), pa.int64()) == pa.int64()
+    assert promote_type(pa.int8(), pa.int8()) == pa.int8()
+    # mixed signedness: smallest signed type holding both
+    assert promote_type(pa.uint32(), pa.int32()) == pa.int64()
+    assert promote_type(pa.uint8(), pa.int8()) == pa.int16()
+    assert promote_type(pa.int64(), pa.float32()) == pa.float64()
+    with pytest.raises(ValueError):
+        promote_type(pa.uint64(), pa.int64())  # nothing holds both
+    with pytest.raises(ValueError):
+        promote_type(pa.string(), pa.int64())  # not an evolution
+
+
+def test_schema_union_widens_not_first_seen():
+    import pyarrow as pa
+
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import (
+        TRANSCRIPT_SCHEMA,
+        schema_union,
+    )
+
+    narrow = pa.schema([("score", pa.float32())])
+    wide = pa.schema([("score", pa.float64())])
+    for order in ([narrow, wide], [wide, narrow]):
+        extras = schema_union(order, TRANSCRIPT_SCHEMA)
+        assert extras == [("score", pa.float64())]
+
+
+def test_apply_widens_evolved_column_across_commits(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import aws_serverless_elt_pipeline_enterprise_ray as engine
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+
+    ch = str(tmp_path / "ch")
+    gen_changes(ch, n_events=1500, n_convs=20, n_files=2, seed=7)
+    files = sorted(
+        os.path.join(ch, f) for f in os.listdir(ch) if f.endswith(".parquet")
+    )
+    t1, t2 = pq.read_table(files[0]), pq.read_table(files[1])
+    pq.write_table(
+        t1.append_column("score", pa.array([1.5] * len(t1), pa.float32())),
+        files[0],
+    )
+    pq.write_table(
+        t2.append_column("score", pa.array([2.25] * len(t2), pa.float64())),
+        files[1],
+    )
+    spec = engine.default_spec(num_partitions=4)
+    # narrow-first as TWO commits (the cross-commit reconciliation),
+    # then the same stream into a fresh lake wide-first
+    lake_a = str(tmp_path / "lake_a")
+    engine.apply_changes([files[0]], lake_a, spec)
+    engine.apply_changes(files, lake_a, spec)
+    df_a = engine.read_table(lake_a).to_pandas()
+    assert str(df_a["score"].dtype) == "float64"
+    assert set(df_a["score"].unique()) == {1.5, 2.25}
+    lake_b = str(tmp_path / "lake_b")
+    engine.apply_changes([files[1]], lake_b, spec)
+    engine.apply_changes(files, lake_b, spec)
+    df_b = engine.read_table(lake_b).to_pandas()
+    assert str(df_b["score"].dtype) == "float64"
