@@ -6129,6 +6129,53 @@ def q_cdc_rollback(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def q_cdc_schema_widen(sf_dir: str):
+    """Type-widening evolution under the oracle gate: phase-0 files
+    carry `score` as float32, phase-1 files as float64 — the lake
+    column widens monotonically (promote_type), old float32 values
+    surviving LWW are served exactly (float32 -> float64 is lossless).
+    Oracle: LWW with CASE-phased CAST(REAL)/DOUBLE derivation."""
+    from .cdc import apply_changes, read_table
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props",
+                 "value"],
+    )
+
+    def derive(batch: pa.Table, phase: int) -> pa.Table:
+        base = _derive_batch(batch)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(((eid // 40) % 2) == phase)
+        typ = pa.float32() if phase == 0 else pa.float64()
+        score = batch["value"].combine_chunks() if isinstance(
+            batch["value"], pa.ChunkedArray) else batch["value"]
+        return base.filter(keep).append_column(
+            pa.field("score", typ), pc.filter(score, keep).cast(typ)
+        )
+
+    ch_a, ch_b, lake = _scratch("wA"), _scratch("wB"), _scratch("lake")
+    ev.map_batches(
+        lambda b: derive(b, 0), batch_format="pyarrow"
+    ).write_parquet(ch_a)
+    ev.map_batches(
+        lambda b: derive(b, 1), batch_format="pyarrow"
+    ).write_parquet(ch_b)
+    spec = _spec(sf_dir)
+    apply_changes(ch_a, lake, spec)
+    apply_changes(ch_b, lake, spec)
+    df = (
+        read_table(lake)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    assert str(df["score"].dtype) == "float64", df["score"].dtype
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts",
+               "score"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6292,6 +6339,7 @@ QUERIES = {
     "conv_near_dup": q_conv_near_dup,
     "cdc_transcript_refinery": q_cdc_transcript_refinery,
     "cdc_rollback": q_cdc_rollback,
+    "cdc_schema_widen": q_cdc_schema_widen,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -6483,6 +6531,33 @@ ORACLES = {
       SELECT CASE WHEN event_id % 97 = 0 THEN 'unknown_op' ELSE 'ok' END AS status,
              count(*) AS n
       FROM events GROUP BY status ORDER BY status
+    """,
+    "cdc_schema_widen": """
+      WITH ch AS (
+        SELECT
+          CASE WHEN event_id % 10 = 9 THEN 'D'
+               WHEN event_id % 10 >= 6 THEN 'U'
+               ELSE 'I' END AS op,
+          event_id AS seq,
+          'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+          CAST(event_id % 40 AS INTEGER) AS turn_idx,
+          event_type AS role,
+          props AS text,
+          CAST(NULL AS VARCHAR) AS tool,
+          ts,
+          CASE WHEN (event_id // 40) % 2 = 0
+               THEN CAST(CAST(value AS REAL) AS DOUBLE)
+               ELSE value END AS score
+        FROM events
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM ch
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts, score
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx
     """,
     "cdc_rollback": f"""
       WITH ch AS ({CH_SQL}),
