@@ -500,6 +500,12 @@ def promote_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     cast in either direction loses data."""
     if a.equals(b):
         return a
+    # an all-null file footer types its column pa.null(): any real
+    # type absorbs it (null casts to anything)
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
     fl_a, fl_b = pa.types.is_floating(a), pa.types.is_floating(b)
     in_a, in_b = pa.types.is_integer(a), pa.types.is_integer(b)
     if fl_a and fl_b:

@@ -451,3 +451,12 @@ def test_apply_widens_evolved_column_across_commits(tmp_path):
     engine.apply_changes(files, lake_b, spec)
     df_b = engine.read_table(lake_b).to_pandas()
     assert str(df_b["score"].dtype) == "float64"
+
+
+def test_promote_type_null_absorbed():
+    import pyarrow as pa
+
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import promote_type
+
+    assert promote_type(pa.null(), pa.float64()) == pa.float64()
+    assert promote_type(pa.int32(), pa.null()) == pa.int32()
