@@ -6176,6 +6176,35 @@ def q_cdc_schema_widen(sf_dir: str):
                "score"]]
 
 
+def q_cdc_maintain_read(sf_dir: str):
+    """Policy-driven maintenance under the oracle gate: apply as many
+    small chunked commits (stacking LSM runs / small files), run the
+    `maintain` decision loop until it reports nothing left to do, and
+    read — every corrective rewrite (compact or rebalance) must
+    preserve the exact LWW state."""
+    from .cdc import apply_changes, read_table
+    from .maintain import maintain
+
+    changes, lake = _write_changelog(sf_dir, n_files=8), _scratch("lake")
+    apply_changes(
+        changes, lake, _spec(sf_dir),
+        commit_every_files=2, max_rows_per_file=400,
+    )
+    for _ in range(4):  # at most one action per call; run to fixpoint
+        if maintain(
+            lake, max_files_per_partition=2, target_rows_per_file=4000,
+        )["action"] == "none":
+            break
+    df = (
+        read_table(lake)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6340,6 +6369,7 @@ QUERIES = {
     "cdc_transcript_refinery": q_cdc_transcript_refinery,
     "cdc_rollback": q_cdc_rollback,
     "cdc_schema_widen": q_cdc_schema_widen,
+    "cdc_maintain_read": q_cdc_maintain_read,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -6404,6 +6434,7 @@ _LANG_SQL_CASES = """
 ORACLES = {
     "cdc_apply_full": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_gc_read": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_maintain_read": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_export_read": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_objstore": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_inflight": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
