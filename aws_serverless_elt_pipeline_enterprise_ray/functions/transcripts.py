@@ -2013,7 +2013,9 @@ def pack_conversations(
         )
         b = b[cols].dropna(subset=[text_col]).copy()
         if role_col:
-            b[text_col] = b[role_col] + ": " + b[text_col]
+            # str.cat propagates null role/text into a null line, which
+            # the dropna below removes (string_agg skip semantics)
+            b[text_col] = b[role_col].str.cat(b[text_col], sep=": ")
             b = b.drop(columns=[role_col])
             b = b.dropna(subset=[text_col])  # null role -> null line
         b["_pb"] = _key_buckets(b[conv_col], nb)

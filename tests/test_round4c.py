@@ -460,3 +460,20 @@ def test_promote_type_null_absorbed():
 
     assert promote_type(pa.null(), pa.float64()) == pa.float64()
     assert promote_type(pa.int32(), pa.null()) == pa.int32()
+
+
+def test_pack_conversations_null_role_drops_line():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.transcripts import (
+        pack_conversations,
+    )
+
+    ds = _ds(
+        [
+            ("a", 1, "user", "hi"),
+            ("a", 2, None, "orphan"),  # null role -> line dropped
+            ("a", 3, "assistant", "yo"),
+        ]
+    )
+    out = pack_conversations(ds, role_col="role").to_pandas()
+    assert out.loc[0, "text"] == "user: hi\nassistant: yo"
+    assert out.loc[0, "n_turns"] == 2
