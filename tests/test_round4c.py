@@ -477,3 +477,39 @@ def test_pack_conversations_null_role_drops_line():
     out = pack_conversations(ds, role_col="role").to_pandas()
     assert out.loc[0, "text"] == "user: hi\nassistant: yo"
     assert out.loc[0, "n_turns"] == 2
+
+
+def test_widening_across_lsm_delta_runs(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import aws_serverless_elt_pipeline_enterprise_ray as engine
+    from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
+
+    ch = str(tmp_path / "ch")
+    lake = str(tmp_path / "lake")
+    gen_changes(ch, n_events=20000, n_convs=50, n_files=4, seed=9)
+    files = sorted(
+        os.path.join(ch, f) for f in os.listdir(ch) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        if i < 3:  # big float32 base
+            t = t.append_column(
+                "score", pa.array([float(i)] * len(t), pa.float32())
+            )
+        else:  # tiny float64 delta -> LSM run, not COW
+            t = t.slice(0, 200).append_column(
+                "score", pa.array([9.75] * 200, pa.float64())
+            )
+        pq.write_table(t, f)
+    spec = engine.default_spec(num_partitions=4)
+    engine.apply_changes(files[:3], lake, spec)
+    m2 = engine.apply_changes(files, lake, spec)[-1]
+    assert m2.metrics.get("delta_appends", 0) > 0  # merge-on-read path
+    df = engine.read_table(lake).to_pandas()
+    assert str(df["score"].dtype) == "float64"
+    vals = set(df["score"].dropna().unique())
+    assert 9.75 in vals and {0.0, 1.0, 2.0} & vals
