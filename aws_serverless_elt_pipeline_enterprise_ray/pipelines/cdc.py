@@ -347,7 +347,13 @@ def _derive_run_spec(
         for f in run_spec.payload_schema:
             pt = prior_types.get(f.name)
             if pt is not None and f.name not in base_names and not pt.equals(f.type):
-                widened.append(pa.field(f.name, promote_type(pt, f.type)))
+                try:
+                    widened.append(pa.field(f.name, promote_type(pt, f.type)))
+                except ValueError as e:
+                    raise ValueError(
+                        f"column {f.name!r}: {e} (committed lake type "
+                        f"{pt} vs incoming {f.type}; evolution must widen)"
+                    ) from None
                 changed = True
             else:
                 widened.append(f)

@@ -545,9 +545,15 @@ def schema_union(schemas: Sequence[pa.Schema], base: pa.Schema) -> list[tuple[st
                 index[field.name] = len(extras)
                 extras.append((field.name, field.type))
             elif not extras[at][1].equals(field.type):
-                extras[at] = (
-                    field.name, promote_type(extras[at][1], field.type)
-                )
+                try:
+                    extras[at] = (
+                        field.name, promote_type(extras[at][1], field.type)
+                    )
+                except ValueError as e:
+                    raise ValueError(
+                        f"column {field.name!r}: {e} (changelog files "
+                        "disagree and neither type widens to the other)"
+                    ) from None
     return extras
 
 
