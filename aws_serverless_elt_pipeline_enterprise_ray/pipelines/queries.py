@@ -6205,6 +6205,65 @@ def q_cdc_maintain_read(sf_dir: str):
     return df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
 
+def q_cdc_incremental_refinery(sf_dir: str):
+    """Incremental curation == full recompute, under the oracle gate:
+    run the transcript refinery over snapshot v1, commit more changes,
+    then re-curate ONLY the conversations the v1->v2 change feed names
+    (CDF-pruned; the re-read is partition+zone-map pruned point
+    lookups) and splice over the v1 results. The spliced table must
+    hash-match the full-recompute oracle over the final state — the
+    100-TB re-curation pattern: work scales with the delta, not the
+    corpus."""
+    import pyarrow.parquet as pq
+
+    from .cdc import apply_changes, read_conversations, read_table
+    from .cdf import table_changes
+    from .refinery import transcript_refinery
+
+    changes, lake = _scratch("ir-changes"), _scratch("lake")
+    full = pa.concat_tables(
+        _changes_ds(sf_dir).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    cut = pc.max(full["seq"]).as_py() // 2
+    pq.write_table(
+        full.filter(pc.less(full["seq"], pa.scalar(cut, pa.int64()))),
+        os.path.join(changes, "ch-000.parquet"),
+    )
+    pq.write_table(
+        full.filter(pc.greater_equal(full["seq"], pa.scalar(cut, pa.int64()))),
+        os.path.join(changes, "ch-001.parquet"),
+    )
+    spec = _spec(sf_dir)
+    m1 = apply_changes(
+        [os.path.join(changes, "ch-000.parquet")], lake, spec
+    )[-1]
+    m2 = apply_changes(changes, lake, spec)[-1]
+
+    base = transcript_refinery(
+        read_table(lake, version=m1.version)
+    ).to_pandas()
+    changed = (
+        table_changes(lake, m1.version, m2.version)
+        .select_columns(["conv_id"])
+        .to_pandas()["conv_id"]
+        .unique()
+        .tolist()
+    )
+    redone = transcript_refinery(
+        read_conversations(lake, changed)
+    ).to_pandas()
+    out = (
+        pd.concat([base[~base["conv_id"].isin(changed)], redone])
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["packed_chars"] = out["packed_chars"].astype("int64")
+    return out[["conv_id", "n_turns", "packed_chars", "text", "split"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6370,6 +6429,7 @@ QUERIES = {
     "cdc_rollback": q_cdc_rollback,
     "cdc_schema_widen": q_cdc_schema_widen,
     "cdc_maintain_read": q_cdc_maintain_read,
+    "cdc_incremental_refinery": q_cdc_incremental_refinery,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -8106,6 +8166,48 @@ ORACLES = {
       FROM t GROUP BY conv ORDER BY conv
     """,
     "cdc_transcript_refinery": f"""
+      WITH final AS ({FINAL_SQL}),
+      t AS (
+        SELECT conv_id, turn_idx, role, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+               ROW_NUMBER() OVER (
+                 PARTITION BY conv_id, role ORDER BY turn_idx) AS rnr
+        FROM final
+      ),
+      i AS (
+        SELECT conv_id, role,
+               STRING_AGG(text, ' ' ORDER BY turn_idx) AS text,
+               MIN(turn_idx) AS first_idx
+        FROM t GROUP BY conv_id, role, rn - rnr
+      ),
+      lines AS (
+        SELECT conv_id, first_idx, role || ': ' || text AS line
+        FROM i WHERE text IS NOT NULL
+      ),
+      packed AS (
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               string_agg(line, chr(10) ORDER BY first_idx) AS text
+        FROM lines GROUP BY conv_id
+      ),
+      sp AS (
+        SELECT conv_id, n_turns, text,
+               CAST(length(text) AS BIGINT) AS packed_chars,
+               (CAST(CAST(substr(conv_id, 6) AS BIGINT) AS HUGEINT)
+                * 2654435761) % 4294967296 AS hv
+        FROM packed
+      )
+      SELECT conv_id, n_turns, packed_chars, text,
+             CASE
+               WHEN hv < CAST(floor(0.8 * 4294967296) AS BIGINT)
+                 THEN 'train'
+               WHEN hv < CAST(floor((0.8 + 0.1) * 4294967296) AS BIGINT)
+                 THEN 'val'
+               ELSE 'test' END AS split
+      FROM sp ORDER BY conv_id
+    """,
+    "cdc_incremental_refinery": f"""
       WITH final AS ({FINAL_SQL}),
       t AS (
         SELECT conv_id, turn_idx, role, text,
