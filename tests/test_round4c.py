@@ -513,3 +513,28 @@ def test_widening_across_lsm_delta_runs(tmp_path):
     assert str(df["score"].dtype) == "float64"
     vals = set(df["score"].dropna().unique())
     assert 9.75 in vals and {0.0, 1.0, 2.0} & vals
+
+
+def test_promote_type_commutative_and_lossless_extremes():
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aws_serverless_elt_pipeline_enterprise_ray.schema import promote_type
+
+    numeric = [
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.uint8(), pa.uint16(), pa.uint32(),
+        pa.float32(), pa.float64(),
+    ]
+    for a, b in itertools.combinations(numeric, 2):
+        p1 = promote_type(a, b)
+        assert p1 == promote_type(b, a)  # commutative
+        for t in (a, b):
+            if pa.types.is_integer(t) and pa.types.is_integer(p1):
+                # extremes of each input survive a round-trip
+                lo = -(2 ** (t.bit_width - 1)) if pa.types.is_signed_integer(t) else 0
+                hi = 2 ** (t.bit_width - (1 if pa.types.is_signed_integer(t) else 0)) - 1
+                arr = pa.array([lo, hi], t)
+                assert pc.cast(pc.cast(arr, p1), t).equals(arr)
