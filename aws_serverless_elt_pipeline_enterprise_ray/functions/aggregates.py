@@ -1450,3 +1450,86 @@ def pearson_from_moments(m: pd.DataFrame) -> np.ndarray:
     return (n * sxy - sx * sy) / (
         np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
     )
+
+
+def cohens_kappa(
+    ds: rd.Dataset,
+    *,
+    label_a_col: str,
+    label_b_col: str,
+    group_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Cohen's kappa inter-rater agreement between two categorical
+    label columns — the label-quality gate a human-feedback / LLM-judge
+    pipeline runs before trusting its ratings (kappa ~0 = raters agree
+    no better than chance; 1 = perfect). Optionally per ``group_col``
+    (e.g. per task family or per annotator pair).
+
+    Hash-exact by construction: with ``n`` items, ``a`` agreements and
+    ``pe_num = sum_c count_a(c) * count_b(c)``, kappa is the exact-int
+    rational ``(a*n − pe_num) / (n² − pe_num)`` evaluated with ONE
+    float64 division (NULL when the denominator is 0 — both raters
+    constant on the same single category). Exactness needs n < ~9.4e7
+    per group (n² < 2^53) — per-group sizes, not corpus size.
+
+    Scale: per-block (group, label_a, label_b) contingency partials
+    map-side; ONE bounded shuffle (``bucketed_agg`` keyed on the group)
+    carries contingency-cell cardinality, never items; each bucket
+    holds complete groups so the kappa arithmetic is block-local.
+    Null labels / null groups are excluded (SQL WHERE ... IS NOT NULL).
+    """
+    gcol = group_col or "_all"
+    nb = num_buckets
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        cols = [label_a_col, label_b_col] + (
+            [group_col] if group_col else []
+        )
+        b = b[cols].dropna()
+        if group_col is None:
+            b = b.assign(_all=0)
+        g = (
+            b.groupby([gcol, label_a_col, label_b_col], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g
+
+    cells = bucketed_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        [gcol, label_a_col, label_b_col],
+        {"n": "sum"},
+        nb=nb,
+        bucket_key=gcol,
+    )
+
+    def kappa(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for grp, g in b.groupby(gcol, sort=False):
+            n = int(g["n"].sum())
+            agree = int(g.loc[g[label_a_col] == g[label_b_col], "n"].sum())
+            na = g.groupby(label_a_col)["n"].sum()
+            nbb = g.groupby(label_b_col)["n"].sum()
+            cats = na.index.union(nbb.index)
+            pe_num = int(
+                (
+                    na.reindex(cats, fill_value=0)
+                    * nbb.reindex(cats, fill_value=0)
+                ).sum()
+            )
+            den = n * n - pe_num
+            k = float(agree * n - pe_num) / den if den != 0 else np.nan
+            out.append((grp, n, agree, k))
+        res = pd.DataFrame(
+            out, columns=[gcol, "n_items", "n_agree", "kappa"]
+        )
+        res["n_items"] = res["n_items"].astype("int64")
+        res["n_agree"] = res["n_agree"].astype("int64")
+        res["kappa"] = res["kappa"].astype("float64")
+        if group_col is None:
+            res = res.drop(columns=[gcol])
+        return res
+
+    return cells.map_batches(kappa, batch_format="pandas")

@@ -6264,6 +6264,43 @@ def q_cdc_incremental_refinery(sf_dir: str):
     return out[["conv_id", "n_turns", "packed_chars", "text", "split"]]
 
 
+def q_rater_agreement(sf_dir: str):
+    """Cohen's kappa between two derived categorical raters per event
+    type — the label-quality gate for judged/annotated data; exact-int
+    rational with ONE float division, so the float column hash-matches
+    the SQL contingency mirror."""
+    from ..functions.aggregates import cohens_kappa
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "props"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["props"].notna()]
+        eid = b["event_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "grp": b["event_type"],
+                "ra": (eid % 3).astype("int64"),
+                "rb": (
+                    (eid + b["props"].str.len().to_numpy()) % 3
+                ).astype("int64"),
+            }
+        )
+
+    out = (
+        cohens_kappa(
+            ev.map_batches(prep, batch_format="pandas"),
+            label_a_col="ra", label_b_col="rb", group_col="grp",
+        )
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    return out[["grp", "n_items", "n_agree", "kappa"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6430,6 +6467,7 @@ QUERIES = {
     "cdc_schema_widen": q_cdc_schema_widen,
     "cdc_maintain_read": q_cdc_maintain_read,
     "cdc_incremental_refinery": q_cdc_incremental_refinery,
+    "rater_agreement": q_rater_agreement,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -8248,6 +8286,39 @@ ORACLES = {
                  THEN 'val'
                ELSE 'test' END AS split
       FROM sp ORDER BY conv_id
+    """,
+    "rater_agreement": """
+      WITH t AS (
+        SELECT event_type AS grp,
+               event_id % 3 AS la,
+               (event_id + length(props)) % 3 AS lb
+        FROM events WHERE props IS NOT NULL
+      ),
+      pairs AS (
+        SELECT grp, la, lb, COUNT(*) AS n FROM t GROUP BY grp, la, lb
+      ),
+      tot AS (SELECT grp, SUM(n) AS n FROM pairs GROUP BY grp),
+      agr AS (
+        SELECT grp,
+               COALESCE(SUM(CASE WHEN la = lb THEN n END), 0) AS a
+        FROM pairs GROUP BY grp
+      ),
+      ma AS (SELECT grp, la, SUM(n) AS na FROM pairs GROUP BY grp, la),
+      mb AS (SELECT grp, lb, SUM(n) AS nb FROM pairs GROUP BY grp, lb),
+      pe AS (
+        SELECT ma.grp, SUM(ma.na * mb.nb) AS p
+        FROM ma JOIN mb ON ma.grp = mb.grp AND ma.la = mb.lb
+        GROUP BY ma.grp
+      )
+      SELECT tot.grp,
+             CAST(tot.n AS BIGINT) AS n_items,
+             CAST(agr.a AS BIGINT) AS n_agree,
+             CASE WHEN tot.n * tot.n - pe.p = 0 THEN NULL
+                  ELSE CAST(agr.a * tot.n - pe.p AS DOUBLE)
+                       / (tot.n * tot.n - pe.p) END AS kappa
+      FROM tot JOIN agr ON tot.grp = agr.grp
+               JOIN pe ON tot.grp = pe.grp
+      ORDER BY tot.grp
     """,
     "fork_margin": """
       WITH t AS (

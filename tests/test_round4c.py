@@ -538,3 +538,60 @@ def test_promote_type_commutative_and_lossless_extremes():
                 hi = 2 ** (t.bit_width - (1 if pa.types.is_signed_integer(t) else 0)) - 1
                 arr = pa.array([lo, hi], t)
                 assert pc.cast(pc.cast(arr, p1), t).equals(arr)
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_values():
+    import numpy as np
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        cohens_kappa,
+    )
+
+    # classic 2x2: a=20 yes/yes, d=15 no/no, b=5, c=10 -> kappa = 0.4
+    rows = (
+        [("yes", "yes")] * 20 + [("no", "no")] * 15
+        + [("yes", "no")] * 5 + [("no", "yes")] * 10
+    )
+    df = pd.DataFrame(rows, columns=["ra", "rb"])
+    out = cohens_kappa(
+        rd.from_pandas(df), label_a_col="ra", label_b_col="rb"
+    ).to_pandas()
+    assert out.loc[0, "n_items"] == 50 and out.loc[0, "n_agree"] == 35
+    # exact rational: (35*50 - (25*30 + 25*20)) / (2500 - 1250) = 0.4
+    assert out.loc[0, "kappa"] == 0.4
+    # degenerate: both raters constant same category -> NULL
+    dg = pd.DataFrame([("x", "x")] * 4, columns=["ra", "rb"])
+    out2 = cohens_kappa(
+        rd.from_pandas(dg), label_a_col="ra", label_b_col="rb"
+    ).to_pandas()
+    assert np.isnan(out2.loc[0, "kappa"])
+
+
+def test_cohens_kappa_per_group_and_nulls():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        cohens_kappa,
+    )
+
+    df = pd.DataFrame(
+        {
+            "grp": ["g1"] * 4 + ["g2"] * 4 + [None],
+            "ra": ["a", "a", "b", "b", "a", "b", "a", "b", "a"],
+            "rb": ["a", "a", "b", "b", "b", "a", "b", "a", "a"],
+        }
+    )
+    out = (
+        cohens_kappa(
+            rd.from_pandas(df), label_a_col="ra", label_b_col="rb",
+            group_col="grp",
+        )
+        .to_pandas()
+        .set_index("grp")
+    )
+    assert out.loc["g1", "kappa"] == 1.0   # perfect agreement
+    assert out.loc["g2", "kappa"] == -1.0  # perfect disagreement
+    assert len(out) == 2                   # null group excluded
