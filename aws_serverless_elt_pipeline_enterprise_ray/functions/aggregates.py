@@ -1533,3 +1533,79 @@ def cohens_kappa(
         return res
 
     return cells.map_batches(kappa, batch_format="pandas")
+
+
+def bradley_terry(
+    ds: rd.Dataset,
+    *,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 100,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Bradley-Terry strength fitting from pairwise outcomes — the
+    ranking step after preference mining: given (winner, loser) rows
+    (model A beat model B, template X preferred over Y), fit each
+    item's strength p_i such that P(i beats j) = p_i/(p_i+p_j), via
+    the classic MM / Zermelo iteration. Deterministic: fixed uniform
+    start, fixed iteration count, geometric-mean normalization.
+
+    Scale contract: raw outcome rows stream through ONE bounded
+    shuffle (``bucketed_agg`` over (winner, loser)) that reduces them
+    to distinct-PAIR counts; only the pair-count matrix reaches the
+    driver, so the ITEM vocabulary must be driver-sized (policies,
+    model ids, prompt templates — not raw texts). Items that only ever
+    win (or only lose) get the MM fixed-point behavior (strength
+    diverges toward the simplex edge; bounded by ``iters``).
+
+    Returns a pandas DataFrame (item, wins, losses, strength, rank) —
+    driver-sized by the contract above. Null winners/losers excluded.
+    """
+    from .windows import bucketed_agg
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[winner_col, loser_col]].dropna()
+        g = (
+            b.groupby([winner_col, loser_col], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g
+
+    pairs = bucketed_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        [winner_col, loser_col],
+        {"n": "sum"},
+        nb=num_buckets,
+    ).to_pandas()
+
+    items = sorted(
+        set(pairs[winner_col]).union(pairs[loser_col])
+    )
+    idx = {it: i for i, it in enumerate(items)}
+    k = len(items)
+    wmat = np.zeros((k, k), dtype=np.float64)  # wins of i over j
+    for w, l, n in pairs.itertuples(index=False):
+        wmat[idx[w], idx[l]] += n
+    nmat = wmat + wmat.T  # games between i and j
+    wins = wmat.sum(axis=1)
+    p = np.ones(k, dtype=np.float64)
+    for _ in range(iters):
+        denom = (nmat / (p[:, None] + p[None, :])).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            newp = np.where(denom > 0, wins / denom, p)
+        newp = np.where(newp > 0, newp, 1e-12)
+        p = newp / np.exp(np.log(newp).mean())  # geometric-mean norm
+    order = np.lexsort((np.array(items, dtype=object), -p))
+    rank = np.empty(k, dtype=np.int64)
+    rank[order] = np.arange(1, k + 1)
+    return pd.DataFrame(
+        {
+            "item": items,
+            "wins": wins.astype(np.int64),
+            "losses": wmat.sum(axis=0).astype(np.int64),
+            "strength": p,
+            "rank": rank,
+        }
+    )

@@ -6301,6 +6301,40 @@ def q_rater_agreement(sf_dir: str):
     return out[["grp", "n_items", "n_agree", "kappa"]]
 
 
+def q_bradley_terry_rank(sf_dir: str):
+    """Bradley-Terry strengths over derived pairwise outcomes between
+    the 5 event types (winner = row's type, loser = the type at
+    (event_id % 5) among the others; rows where both coincide are
+    self-pairs and dropped). Deterministic MM fit; integer win/loss
+    columns and ranks are stable — rows-only check (the MM iteration
+    is not SQL-expressible)."""
+    from ..functions.aggregates import bradley_terry
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        loser = pd.Series(
+            np.array(types, dtype=object)[
+                (b["event_id"].to_numpy() % 5).astype(np.int64)
+            ],
+            index=b.index,
+        )
+        out = pd.DataFrame({"w": b["event_type"], "l": loser})
+        return out[out["w"] != out["l"]]
+
+    out = bradley_terry(
+        ev.map_batches(prep, batch_format="pandas"),
+        winner_col="w", loser_col="l",
+    )
+    out = out.sort_values("item").reset_index(drop=True)
+    out["strength"] = out["strength"].round(9)
+    return out[["item", "wins", "losses", "strength", "rank"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6468,6 +6502,7 @@ QUERIES = {
     "cdc_maintain_read": q_cdc_maintain_read,
     "cdc_incremental_refinery": q_cdc_incremental_refinery,
     "rater_agreement": q_rater_agreement,
+    "bradley_terry_rank": q_bradley_terry_rank,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,

@@ -595,3 +595,36 @@ def test_cohens_kappa_per_group_and_nulls():
     assert out.loc["g1", "kappa"] == 1.0   # perfect agreement
     assert out.loc["g2", "kappa"] == -1.0  # perfect disagreement
     assert len(out) == 2                   # null group excluded
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_recovers_order():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+        bradley_terry,
+    )
+
+    # BT-consistent outcomes (odds multiply along the chain):
+    # A:B = 3:1, B:C = 3:1, A:C = 9:1 -> strengths 9 : 3 : 1
+    rows = (
+        [("A", "B")] * 3 + [("B", "A")] * 1
+        + [("B", "C")] * 3 + [("C", "B")] * 1
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+    )
+    df = pd.DataFrame(rows, columns=["w", "l"])
+    out = bradley_terry(
+        rd.from_pandas(df), winner_col="w", loser_col="l"
+    ).set_index("item")
+    assert list(out.sort_values("rank").index) == ["A", "B", "C"]
+    assert out.loc["A", "wins"] == 12 and out.loc["A", "losses"] == 2
+    # the MLE reproduces the consistent pairwise odds
+    pa_, pb = out.loc["A", "strength"], out.loc["B", "strength"]
+    assert abs(pa_ / (pa_ + pb) - 0.75) < 0.02
+    # determinism
+    out2 = bradley_terry(
+        rd.from_pandas(df), winner_col="w", loser_col="l"
+    ).set_index("item")
+    assert (out2["strength"] == out["strength"]).all()
