@@ -6339,6 +6339,13 @@ def q_bradley_terry_rank(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+from .tpch import (  # noqa: E402
+    q_tpch_q3_shipping,
+    q_tpch_q5_local_supplier,
+    q_tpch_q10_returned,
+    q_tpch_q18_big_orders,
+)
+
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
     "cdc_apply_objstore": q_cdc_apply_objstore,
@@ -6408,6 +6415,10 @@ QUERIES = {
     "interval_join_sessions": q_interval_join_sessions,
     "join_orders_nation": q_join_orders_nation,
     "lineitem_rollup": q_lineitem_rollup,
+    "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q10_returned": q_tpch_q10_returned,
+    "tpch_q18_big_orders": q_tpch_q18_big_orders,
     "tfidf_keywords": q_tfidf_keywords,
     "novelty_scores": q_novelty_scores,
     "bm25_rank": q_bm25_rank,
@@ -7497,6 +7508,65 @@ ORACLES = {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus
+    """,
+    # TPC-H-shape join analytics (pipelines/tpch.py): money floors to
+    # integer cents per ROW before any sum on both sides, so aggregates
+    # are order-independent and hash-exact; literals are the module's
+    # Q*_ constants verbatim.
+    "tpch_q3_shipping": """
+      SELECT l_orderkey AS o_orderkey,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             o_orderdate, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-06-15'
+        AND l_shipdate  > TIMESTAMP '1998-06-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue_cents DESC, o_orderkey
+      LIMIT 10
+    """,
+    "tpch_q5_local_supplier": """
+      SELECT n_name,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'AFRICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue_cents DESC, n_name
+    """,
+    "tpch_q10_returned": """
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND c_nationkey = n_nationkey
+        AND l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, acctbal_cents, n_name
+      ORDER BY revenue_cents DESC, c_custkey
+      LIMIT 20
+    """,
+    "tpch_q18_big_orders": """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             CAST(t.sum_qty AS BIGINT) AS sum_qty
+      FROM customer, orders,
+           (SELECT l_orderkey, sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250) t
+      WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
+      ORDER BY totalprice_cents DESC, o_orderkey
+      LIMIT 100
     """,
     # ngram_jaccard: word-3-gram shingle sets built with DuckDB list
     # comprehension; the perturbation regexp falls back to the original

@@ -270,6 +270,9 @@ def run_bench() -> dict:
         "pack_conversations",
         "fork_margin",
         "cdc_schema_evolve",
+        # round-4 session 2: multi-table join analytics
+        "tpch_q3_shipping",
+        "tpch_q10_returned",
     )
     for name in qnames:
         t0 = time.perf_counter()
