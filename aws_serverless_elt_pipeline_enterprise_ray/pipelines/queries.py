@@ -6343,7 +6343,10 @@ from .tpch import (  # noqa: E402
     q_tpch_q3_shipping,
     q_tpch_q5_local_supplier,
     q_tpch_q10_returned,
+    q_tpch_q14_promo,
+    q_tpch_q17_small_qty,
     q_tpch_q18_big_orders,
+    q_tpch_q19_bands,
 )
 
 QUERIES = {
@@ -6419,6 +6422,9 @@ QUERIES = {
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q10_returned": q_tpch_q10_returned,
     "tpch_q18_big_orders": q_tpch_q18_big_orders,
+    "tpch_q14_promo": q_tpch_q14_promo,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
+    "tpch_q19_bands": q_tpch_q19_bands,
     "tfidf_keywords": q_tfidf_keywords,
     "novelty_scores": q_novelty_scores,
     "bm25_rank": q_bm25_rank,
@@ -7556,6 +7562,54 @@ ORACLES = {
       GROUP BY c_custkey, c_name, acctbal_cents, n_name
       ORDER BY revenue_cents DESC, c_custkey
       LIMIT 20
+    """,
+    "tpch_q14_promo": """
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_cents,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+               / sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS promo_ratio
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    # tpch_q17: the correlated AVG decorrelates to the exact-int
+    # cross-multiplication 5*qty*n < sum_qty — no float average on
+    # either side of the comparison.
+    "tpch_q17_small_qty": """
+      WITH t AS (
+        SELECT l_partkey,
+               sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+               count(*) AS n
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_brand = 'Brand#13'
+        GROUP BY l_partkey)
+      SELECT 'Brand#13' AS p_brand,
+             count(*) AS n_lines,
+             COALESCE(CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 0)
+               AS lost_cents
+      FROM lineitem l, t
+      WHERE l.l_partkey = t.l_partkey
+        AND 5 * CAST(FLOOR(l.l_quantity) AS BIGINT) * t.n < t.sum_qty
+    """,
+    "tpch_q19_bands": """
+      SELECT count(*) AS n_lines,
+             COALESCE(CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT), 0) AS revenue_cents
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND (
+            (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30))
     """,
     "tpch_q18_big_orders": """
       SELECT c_name, c_custkey, o_orderkey, o_orderdate,

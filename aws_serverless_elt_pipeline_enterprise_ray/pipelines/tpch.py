@@ -47,6 +47,14 @@ Q5_REGION = "AFRICA"
 Q5_LO, Q5_HI = "1996-01-01", "1998-01-01"
 Q10_LO, Q10_HI = "1996-07-01", "1997-01-01"
 Q18_MIN_QTY = 250
+Q14_LO, Q14_HI = "1997-01-01", "1997-07-01"
+Q17_BRAND = "Brand#13"
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — OR'd Q19-style clauses
+Q19_CLAUSES = (
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
 
 
 def _ts(s: str) -> pa.Scalar:
@@ -318,6 +326,206 @@ def q_tpch_q10_returned(sf_dir: str) -> pd.DataFrame:
     for c in ("c_custkey", "revenue_cents", "acctbal_cents"):
         df[c] = df[c].astype("int64")
     return df[["c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"]]
+
+
+def q_tpch_q14_promo(sf_dir: str) -> pd.DataFrame:
+    """Promotion-effect (Q14 shape): share of revenue from promo parts in
+    a ship-date window. The part dim resolves through a DENSE bitmap
+    broadcast (1 bit per partkey — ~25 MB per 2x10^8 parts, far cheaper
+    than a join); per-batch output is TWO int64 partial sums, so the
+    reduction is a scalar tree — no shuffle at all. The single float
+    division happens once, on exact ints, matching the oracle's
+    CAST(... AS DOUBLE)/... bitwise."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    keys = np.asarray(part["p_partkey"])
+    promo = np.zeros(int(keys.max()) + 1, dtype=bool)
+    promo[keys[np.asarray(pc.equal(part["p_type"], "PROMO"))]] = True
+    promo_ref = ray.put(promo)
+    lo, hi = _ts(Q14_LO), _ts(Q14_HI)
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(promo_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)
+            )
+            b = b.filter(m)
+            cents = np.asarray(_revenue_cents(b))
+            is_promo = self.promo[np.asarray(b["l_partkey"])]
+            return pa.table(
+                {
+                    "promo_cents": pa.array([int(cents[is_promo].sum())], pa.int64()),
+                    "total_cents": pa.array([int(cents.sum())], pa.int64()),
+                }
+            )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+    agg = ds.sum(["promo_cents", "total_cents"])
+    p, t = int(agg["sum(promo_cents)"]), int(agg["sum(total_cents)"])
+    return pd.DataFrame(
+        {
+            "promo_cents": pd.array([p], dtype="int64"),
+            "total_cents": pd.array([t], dtype="int64"),
+            "promo_ratio": pd.array([float(p) / t if t else None], dtype="float64"),
+        }
+    )
+
+
+def q_tpch_q17_small_qty(sf_dir: str) -> pd.DataFrame:
+    """Small-quantity-order revenue (Q17 shape — the correlated-subquery
+    pattern): revenue from one brand's lines whose quantity is below 20%
+    of that part's average. The correlated AVG decorrelates into per-part
+    (n, sum_qty) partials + ONE bucketed aggregate; the threshold
+    predicate is the exact-int cross-multiplication
+    ``5 * qty * n < sum_qty`` (no float average on either side), and the
+    stats rejoin the brand's lines through ``hash_join`` — scale-safe
+    when the brand spans millions of parts."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    bkeys = np.sort(
+        np.asarray(part.filter(pc.equal(part["p_brand"], Q17_BRAND))["p_partkey"])
+    )
+    bk_ref = ray.put(bkeys)
+
+    class BrandLines:
+        def __init__(self):
+            self.keys = ray.get(bk_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = np.asarray(b["l_partkey"])
+            if len(self.keys):
+                idx = np.searchsorted(self.keys, pk)
+                idx[idx == len(self.keys)] = 0
+                b = b.filter(pa.array(self.keys[idx] == pk))
+            else:
+                b = b.slice(0, 0)
+            return pa.table(
+                {
+                    "l_partkey": b["l_partkey"],
+                    "qty": pc.cast(pc.floor(b["l_quantity"]), pa.int64()),
+                    "price_cents": pc.cast(
+                        pc.floor(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    lines = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(BrandLines, batch_format="pyarrow", concurrency=(1, 8))
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_partkey": b["l_partkey"], "sum_qty": b["qty"], "n": b["qty"]}
+        )
+        return (
+            t.group_by(["l_partkey"])
+            .aggregate([("sum_qty", "sum"), ("n", "count")])
+            .rename_columns(["l_partkey", "sum_qty", "n"])
+        )
+
+    stats = bucketed_agg(
+        lines.map_batches(stat_partial, batch_format="pyarrow"),
+        "l_partkey",
+        {"sum_qty": "sum", "n": "sum"},
+    )
+    joined = hash_join(lines, stats, on="l_partkey", how="inner")
+
+    def below(b: pa.Table) -> pa.Table:
+        m = pc.less(
+            pc.multiply(pc.multiply(b["qty"], pa.scalar(5, pa.int64())), b["n"]),
+            b["sum_qty"],
+        )
+        b = b.filter(m)
+        return pa.table(
+            {
+                "n_lines": pa.array([b.num_rows], pa.int64()),
+                "lost_cents": pa.array(
+                    [int(np.asarray(b["price_cents"]).sum()) if b.num_rows else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = joined.map_batches(below, batch_format="pyarrow").sum(
+        ["n_lines", "lost_cents"]
+    )
+    return pd.DataFrame(
+        {
+            "p_brand": [Q17_BRAND],
+            "n_lines": pd.array([int(agg["sum(n_lines)"])], dtype="int64"),
+            "lost_cents": pd.array([int(agg["sum(lost_cents)"])], dtype="int64"),
+        }
+    )
+
+
+def q_tpch_q19_bands(sf_dir: str) -> pd.DataFrame:
+    """Disjunctive band predicate (Q19 shape): revenue from three OR'd
+    (brand, size-band, quantity-band) clauses. Part attributes broadcast
+    as DENSE numpy arrays indexed by partkey (brand id int16 + size int8
+    ~ 3 bytes/part); the whole disjunction evaluates as one vectorized
+    mask per batch and only two int64 partials leave each batch."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    keys = np.asarray(part["p_partkey"])
+    n = int(keys.max()) + 1
+    brand_of = np.full(n, -1, dtype=np.int16)
+    size_of = np.zeros(n, dtype=np.int16)
+    brand_ids = {b: i for i, b in enumerate(sorted(set(part["p_brand"].to_pylist())))}
+    brand_of[keys] = np.array(
+        [brand_ids[b] for b in part["p_brand"].to_pylist()], dtype=np.int16
+    )
+    size_of[keys] = np.asarray(part["p_size"], dtype=np.int16)
+    clauses = [
+        (brand_ids.get(br, -2), slo, shi, qlo, qhi) for br, slo, shi, qlo, qhi in Q19_CLAUSES
+    ]
+    attrs_ref = ray.put((brand_of, size_of, clauses))
+
+    class Bands:
+        def __init__(self):
+            self.brand_of, self.size_of, self.clauses = ray.get(attrs_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = np.asarray(b["l_partkey"])
+            qty = np.asarray(b["l_quantity"])
+            br, sz = self.brand_of[pk], self.size_of[pk]
+            m = np.zeros(len(pk), dtype=bool)
+            for bid, slo, shi, qlo, qhi in self.clauses:
+                m |= (br == bid) & (sz >= slo) & (sz <= shi) & (qty >= qlo) & (qty <= qhi)
+            cents = np.asarray(_revenue_cents(b))[m]
+            return pa.table(
+                {
+                    "n_lines": pa.array([int(m.sum())], pa.int64()),
+                    "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+                }
+            )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(Bands, batch_format="pyarrow", concurrency=(1, 8))
+    agg = ds.sum(["n_lines", "revenue_cents"])
+    return pd.DataFrame(
+        {
+            "n_lines": pd.array([int(agg["sum(n_lines)"])], dtype="int64"),
+            "revenue_cents": pd.array([int(agg["sum(revenue_cents)"])], dtype="int64"),
+        }
+    )
 
 
 def q_tpch_q18_big_orders(sf_dir: str) -> pd.DataFrame:

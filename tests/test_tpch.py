@@ -76,3 +76,61 @@ def test_q3_returns_top10_sorted_desc():
     r = df["revenue_cents"].to_numpy()
     assert (r[:-1] >= r[1:]).all()
     assert df["revenue_cents"].dtype == np.int64
+
+
+def test_q14_ratio_is_single_division():
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tpch import (
+        q_tpch_q14_promo,
+    )
+
+    df = q_tpch_q14_promo(SF)
+    assert len(df) == 1
+    p, t, r = int(df["promo_cents"][0]), int(df["total_cents"][0]), float(df["promo_ratio"][0])
+    assert 0 <= p <= t and t > 0
+    assert r == p / t  # bitwise: one float64 division over exact ints
+
+
+def test_q17_threshold_cross_multiplication():
+    # qty < 0.2*avg  <=>  5*qty*n < sum_qty, checked on a hand case:
+    # qtys [1, 9] -> sum 10, n 2; 5*1*2=10 !< 10 (strict), 5*9*2=90 !< 10
+    # qtys [1, 99] -> sum 100, n 2; 5*1*2=10 < 100 qualifies
+    import duckdb
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tpch import (
+        Q17_BRAND,
+        q_tpch_q17_small_qty,
+    )
+
+    df = q_tpch_q17_small_qty(SF)
+    want = duckdb.sql(
+        f"""WITH t AS (
+              SELECT l_partkey, sum(CAST(FLOOR(l_quantity) AS BIGINT)) s, count(*) n
+              FROM read_parquet('{SF}/lineitem.parquet') l,
+                   read_parquet('{SF}/part.parquet') p
+              WHERE l_partkey = p_partkey AND p_brand = '{Q17_BRAND}'
+              GROUP BY 1)
+            SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet') l, t
+            WHERE l.l_partkey = t.l_partkey
+              AND 5 * CAST(FLOOR(l.l_quantity) AS BIGINT) * t.n < t.s"""
+    ).fetchone()[0]
+    assert int(df["n_lines"][0]) == want
+
+
+def test_q19_mask_matches_per_clause_sum():
+    import duckdb
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.tpch import (
+        Q19_CLAUSES,
+        q_tpch_q19_bands,
+    )
+
+    df = q_tpch_q19_bands(SF)
+    per_clause = 0
+    for br, slo, shi, qlo, qhi in Q19_CLAUSES:
+        per_clause += duckdb.sql(
+            f"""SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet') l,
+                 read_parquet('{SF}/part.parquet') p
+                WHERE l_partkey = p_partkey AND p_brand = '{br}'
+                  AND p_size BETWEEN {slo} AND {shi}
+                  AND l_quantity BETWEEN {qlo} AND {qhi}"""
+        ).fetchone()[0]
+    # clauses are brand-disjoint, so the OR'd mask count == sum of clauses
+    assert int(df["n_lines"][0]) == per_clause
