@@ -6335,6 +6335,104 @@ def q_bradley_terry_rank(sf_dir: str):
     return out[["item", "wins", "losses", "strength", "rank"]]
 
 
+def q_running_total_by_seq(sf_dir: str):
+    """Global running total over a total order (SUM() OVER (ORDER BY
+    event_id)) — the distributed Blelloch scan: range-partition on the
+    order column, per-range partials, driver combines P scalars, each
+    range finishes with one vectorized cumsum + broadcast offset. ONE
+    shuffle; the driver never sees a row. Money floors to cents per
+    row first so the running sum is exact at any combine order."""
+    from ..functions.scan import ordered_prefix_scan
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "cents": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    out = ordered_prefix_scan(
+        ev.map_batches(prep, batch_format="pandas"),
+        order_col="event_id",
+        val_col="cents",
+        op="sum",
+        out_col="running_cents",
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for c in ("event_id", "cents", "running_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "cents", "running_cents"]]
+
+
+def q_late_arrivals(sf_dir: str):
+    """Watermark / late-data screen (SURVEY §2.9): rows whose event time
+    regressed > 21 days behind the max event time of all earlier
+    ARRIVALS. The fixture stream is time-ordered, so arrival order is
+    simulated by a deterministic hash permutation of event_id — the
+    identical expression sits in the SQL mirror's ORDER BY. The
+    exclusive running max is the distributed prefix scan (`scan.py`)."""
+    from ..functions.scan import late_arrivals
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy().astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "arrival": ((eid * np.uint64(2654435761)) % np.uint64(4294967296)).astype(
+                    "int64"
+                ),
+                "ts_us": b["ts"].astype("datetime64[us]").view("int64"),
+            }
+        )
+
+    out = late_arrivals(
+        ev.map_batches(prep, batch_format="pandas"),
+        seq_col="arrival",
+        ts_col="ts_us",
+        tolerance_us=21 * 24 * 3600 * 1_000_000,
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["ts"] = df["ts_us"].astype("datetime64[us]")
+    df["watermark"] = df["watermark_us"].astype("datetime64[us]")
+    for c in ("event_id",):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "ts", "watermark"]]
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD type-2 dimension build from the change stream: per user_id
+    ordered by (ts, event_id), consecutive unchanged event_type rows
+    collapse, survivors get [valid_from, valid_to) validity windows and
+    an is_current flag — the silver->dimensional hop. One key-bucketed
+    shuffle, whole-column shifts (functions/windows.scd2_intervals)."""
+    from ..functions.windows import scd2_intervals
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    out = scd2_intervals(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    df = out.to_pandas().sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+    df["user_id"] = df["user_id"].astype("int64")
+    df["is_current"] = df["is_current"].astype(bool)
+    return df[["user_id", "event_type", "valid_from", "valid_to", "is_current"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6425,6 +6523,9 @@ QUERIES = {
     "tpch_q14_promo": q_tpch_q14_promo,
     "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q19_bands": q_tpch_q19_bands,
+    "running_total_by_seq": q_running_total_by_seq,
+    "late_arrivals": q_late_arrivals,
+    "scd2_history": q_scd2_history,
     "tfidf_keywords": q_tfidf_keywords,
     "novelty_scores": q_novelty_scores,
     "bm25_rank": q_bm25_rank,
@@ -7562,6 +7663,45 @@ ORACLES = {
       GROUP BY c_custkey, c_name, acctbal_cents, n_name
       ORDER BY revenue_cents DESC, c_custkey
       LIMIT 20
+    """,
+    # ordered-prefix-scan family: the running aggregate's frame is
+    # ROWS UNBOUNDED PRECEDING (event_id is unique, so RANGE==ROWS);
+    # cents floor per row keeps the running sum exact.
+    "running_total_by_seq": """
+      SELECT event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(FLOOR(value * 100) AS BIGINT))
+                  OVER (ORDER BY event_id) AS BIGINT) AS running_cents
+      FROM events
+      ORDER BY event_id
+    """,
+    # late_arrivals: arrival order is the deterministic hash
+    # permutation (event_id * 2654435761) % 2^32 — a bijection for
+    # event_id < 2^32, shared VERBATIM with the Ray side.
+    "late_arrivals": """
+      SELECT event_id, ts, mx AS watermark
+      FROM (
+        SELECT event_id, ts,
+               max(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM events)
+      WHERE ts < mx - INTERVAL 21 DAYS
+      ORDER BY event_id
+    """,
+    "scd2_history": """
+      WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      k AS (SELECT * FROM s WHERE pts IS NULL OR pv <> event_type)
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+      FROM k
+      ORDER BY user_id, valid_from
     """,
     "tpch_q14_promo": """
       SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
