@@ -6446,6 +6446,14 @@ from .tpch import (  # noqa: E402
     q_tpch_q18_big_orders,
     q_tpch_q19_bands,
 )
+from .tpch2 import (  # noqa: E402
+    q_tpch_q4_order_priority,
+    q_tpch_q6_forecast,
+    q_tpch_q12_shipmode,
+    q_tpch_q13_custdist,
+    q_tpch_q15_top_supplier,
+    q_tpch_q22_global_sales,
+)
 
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
@@ -6523,6 +6531,12 @@ QUERIES = {
     "tpch_q14_promo": q_tpch_q14_promo,
     "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q19_bands": q_tpch_q19_bands,
+    "tpch_q4_order_priority": q_tpch_q4_order_priority,
+    "tpch_q6_forecast": q_tpch_q6_forecast,
+    "tpch_q12_late_lines": q_tpch_q12_shipmode,
+    "tpch_q13_custdist": q_tpch_q13_custdist,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q22_global_sales": q_tpch_q22_global_sales,
     "running_total_by_seq": q_running_total_by_seq,
     "late_arrivals": q_late_arrivals,
     "scd2_history": q_scd2_history,
@@ -7761,6 +7775,86 @@ ORACLES = {
       WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
       ORDER BY totalprice_cents DESC, o_orderkey
       LIMIT 100
+    """,
+    # tpch2 batch (pipelines/tpch2.py): EXISTS/scalar-subquery shapes
+    # decorrelate to aggregates + joins on the Ray side; the oracles
+    # keep the textbook correlated form so DuckDB plans them its own
+    # way — equivalence is the point of the gate.
+    "tpch_q4_order_priority": """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """,
+    "tpch_q6_forecast": """
+      SELECT COALESCE(CAST(sum(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS BIGINT), 0) AS revenue_cents,
+             count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 24
+    """,
+    "tpch_q12_late_lines": """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_shipdate >  o_orderdate + INTERVAL 60 DAYS
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """,
+    "tpch_q13_custdist": """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q15_top_supplier": """
+      WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s_name, revenue_cents
+      FROM supplier s, rev
+      WHERE s.s_suppkey = rev.s_suppkey
+        AND revenue_cents = (SELECT max(revenue_cents) FROM rev)
+      ORDER BY s.s_suppkey
+    """,
+    # tpch_q22: the scalar AVG decorrelates to the exact-int
+    # cross-multiplication acctbal_cents * n > sum_cents on both sides.
+    "tpch_q22_global_sales": """
+      WITH c AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer WHERE c_nationkey IN (10, 11, 12, 13, 14)),
+      a AS (SELECT sum(acctbal_cents) AS s, count(*) AS n
+            FROM c WHERE acctbal_cents > 0)
+      SELECT c_nationkey, count(*) AS numcust,
+             CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+      FROM c, a
+      WHERE acctbal_cents * n > s
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
     """,
     # ngram_jaccard: word-3-gram shingle sets built with DuckDB list
     # comprehension; the perturbation regexp falls back to the original
