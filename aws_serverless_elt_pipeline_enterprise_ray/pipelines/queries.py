@@ -6454,6 +6454,16 @@ from .tpch2 import (  # noqa: E402
     q_tpch_q15_top_supplier,
     q_tpch_q22_global_sales,
 )
+from .tpch3 import (  # noqa: E402
+    q_tpch_q2_min_cost_supplier,
+    q_tpch_q7_volume_shipping,
+    q_tpch_q8_market_share,
+    q_tpch_q9_product_profit,
+    q_tpch_q11_important_stock,
+    q_tpch_q16_supplier_count,
+    q_tpch_q20_quota_suppliers,
+    q_tpch_q21_waiting_supplier,
+)
 
 QUERIES = {
     "cdc_apply_full": q_cdc_apply_full,
@@ -6537,6 +6547,14 @@ QUERIES = {
     "tpch_q13_custdist": q_tpch_q13_custdist,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q22_global_sales": q_tpch_q22_global_sales,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+    "tpch_q20_quota_suppliers": q_tpch_q20_quota_suppliers,
+    "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     "running_total_by_seq": q_running_total_by_seq,
     "late_arrivals": q_late_arrivals,
     "scd2_history": q_scd2_history,
@@ -7855,6 +7873,137 @@ ORACLES = {
                           AND o_orderdate >= TIMESTAMP '2001-01-01')
       GROUP BY c_nationkey
       ORDER BY c_nationkey
+    """,
+    # tpch3 batch (pipelines/tpch3.py): partsupp-family shapes over the
+    # DERIVED part↔supplier relation (distinct lineitem pairs). The
+    # oracles keep the textbook correlated/nested form.
+    "tpch_q2_min_cost_supplier": """
+      WITH ps AS (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey
+                  FROM lineitem),
+      pb AS (SELECT ps.p_partkey, ps.s_suppkey,
+                    CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+             FROM ps, supplier WHERE ps.s_suppkey = supplier.s_suppkey)
+      SELECT pb.p_partkey, pb.s_suppkey, s_name, n_name, acctbal_cents
+      FROM pb, part, supplier, nation
+      WHERE pb.p_partkey = part.p_partkey AND p_type = 'STANDARD' AND p_size <= 25
+        AND pb.s_suppkey = supplier.s_suppkey AND s_nationkey = n_nationkey
+        AND acctbal_cents = (SELECT min(acctbal_cents) FROM pb p2
+                             WHERE p2.p_partkey = pb.p_partkey)
+      ORDER BY acctbal_cents DESC, pb.p_partkey, pb.s_suppkey
+      LIMIT 100
+    """,
+    "tpch_q7_volume_shipping": """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_nationkey = 3 AND n2.n_nationkey = 8)
+          OR (n1.n_nationkey = 8 AND n2.n_nationkey = 3))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """,
+    "tpch_q8_market_share": """
+      WITH x AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+               s_nationkey
+        FROM lineitem, orders, customer, part, supplier, nation n2
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND c_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+          AND p_type = 'MEDIUM'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01')
+      SELECT o_year,
+             CAST(sum(CASE WHEN s_nationkey = 2 THEN cents ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(CASE WHEN s_nationkey = 2 THEN cents ELSE 0 END) AS DOUBLE)
+               / sum(cents) AS mkt_share
+      FROM x GROUP BY o_year ORDER BY o_year
+    """,
+    "tpch_q9_product_profit": """
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                    - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+                      * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
+      FROM lineitem, orders, part, supplier, nation
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%widget%'
+      GROUP BY 1, 2
+      ORDER BY n_name, o_year DESC
+    """,
+    # tpch_q11: the fraction-of-global HAVING is the exact-int
+    # cross-multiplication 1000*value > total on both sides.
+    "tpch_q11_important_stock": """
+      WITH v AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM lineitem, supplier, nation, region
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'AFRICA'
+        GROUP BY 1)
+      SELECT p_partkey, value_cents FROM v
+      WHERE 1000 * value_cents > (SELECT sum(value_cents) FROM v)
+      ORDER BY value_cents DESC, p_partkey
+    """,
+    "tpch_q16_supplier_count": """
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps, part
+      WHERE l_partkey = p_partkey
+        AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (1, 3, 5, 7, 9, 11, 13, 15)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    # tpch_q20: the availqty 0.5x test becomes the share-of-total test
+    # 10*sq > 3*tq on the derived relation (exact ints on both sides).
+    "tpch_q20_quota_suppliers": """
+      WITH q AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+      t AS (SELECT l_partkey, sum(sq) AS tq FROM q GROUP BY 1)
+      SELECT DISTINCT s_suppkey, s_name
+      FROM supplier, q, t
+      WHERE s_suppkey = q.l_suppkey AND q.l_partkey = t.l_partkey
+        AND 10 * q.sq > 3 * t.tq
+      ORDER BY s_suppkey
+    """,
+    "tpch_q21_waiting_supplier": """
+      WITH pm AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS m
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        GROUP BY 1, 2),
+      om AS (SELECT l_orderkey, max(m) AS ms, count(*) AS nsupp FROM pm GROUP BY 1),
+      ach AS (SELECT pm.l_orderkey, count(*) AS nmax
+              FROM pm, om WHERE pm.l_orderkey = om.l_orderkey AND pm.m = om.ms
+              GROUP BY 1)
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM pm, om, ach, supplier
+      WHERE pm.l_orderkey = om.l_orderkey AND pm.l_orderkey = ach.l_orderkey
+        AND om.nsupp > 1 AND ach.nmax = 1 AND pm.m = om.ms
+        AND pm.l_suppkey = s_suppkey
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100
     """,
     # ngram_jaccard: word-3-gram shingle sets built with DuckDB list
     # comprehension; the perturbation regexp falls back to the original
