@@ -115,6 +115,23 @@ class _Exporter:
                 compression="gzip", date_format="iso", date_unit="us",
             )
 
+    def _write_orc(self, chunk: pa.Table, path: str) -> None:
+        """One ORC shard (the Hive-lineage columnar handoff format);
+        seekable-sink requirement means object-store writes buffer the
+        shard (shards are chunk-sized by max_rows, so bounded)."""
+        from pyarrow import orc as _orc
+
+        if "://" in path:
+            import io
+
+            from ..state.lakefs import fs_for
+
+            buf = io.BytesIO()
+            _orc.write_table(chunk, buf)
+            fs_for(path).write_atomic(path, buf.getvalue())
+        else:
+            _orc.write_table(chunk, path)
+
     def _write_partition_dir(self, pid: int, tbl: pa.Table) -> None:
         from ..state.lakefs import fs_for
 
@@ -130,6 +147,8 @@ class _Exporter:
                 i = lo // self.max_rows
                 if self.fmt == "jsonl":
                     self._write_jsonl(chunk, part_dir + f"/data-{i:05d}.jsonl.gz")
+                elif self.fmt == "orc":
+                    self._write_orc(chunk, part_dir + f"/data-{i:05d}.orc")
                 else:
                     fs.write_parquet(chunk, part_dir + f"/data-{i:05d}.parquet")
             fs.write_atomic(
@@ -147,6 +166,8 @@ class _Exporter:
             i = lo // self.max_rows
             if self.fmt == "jsonl":
                 self._write_jsonl(chunk, os.path.join(tmp, f"data-{i:05d}.jsonl.gz"))
+            elif self.fmt == "orc":
+                self._write_orc(chunk, os.path.join(tmp, f"data-{i:05d}.orc"))
             else:
                 pq.write_table(
                     chunk,
@@ -295,11 +316,13 @@ def export_snapshot(
     ``fmt="jsonl"`` (``layout="partition"`` only) writes gzipped JSONL
     shards instead of Parquet — the hand-off format most training jobs
     ingest directly; binary columns are base64-encoded, timestamps
-    ISO-8601."""
-    if fmt not in ("parquet", "jsonl"):
+    ISO-8601. ``fmt="orc"`` (``layout="partition"`` only) writes ORC
+    shards (Hive-lineage consumers; readable back through
+    ``sources.changelog.read_changelog_orc``)."""
+    if fmt not in ("parquet", "jsonl", "orc"):
         raise ValueError(f"unknown export fmt {fmt!r}")
-    if fmt == "jsonl" and layout != "partition":
-        raise ValueError("fmt='jsonl' supports layout='partition' only")
+    if fmt in ("jsonl", "orc") and layout != "partition":
+        raise ValueError(f"fmt={fmt!r} supports layout='partition' only")
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None:

@@ -245,6 +245,39 @@ def q_cdc_apply_debezium(sf_dir: str):
     return _final_df(lake)
 
 
+def q_cdc_apply_orc(sf_dir: str):
+    """Full e2e from ORC change drops (the Hive-lineage columnar bronze
+    format): the derived change stream is re-serialized as ORC files
+    with a tiny stripe size (forcing the STRIPE-parallel read path to
+    do real fan-out), read back by ``read_changelog_orc``, and applied
+    through the ordinary normalize/merge/commit path — final state
+    hash-matches the same FINAL_SQL oracle as the parquet path.
+    Fixture serialization is driver-side (it IS the fixture); the read
+    + apply are the distributed engine path."""
+    import glob
+
+    import pyarrow.parquet as _pq
+    from pyarrow import orc as _orc
+
+    from ..sources.changelog import read_changelog_orc
+    from .cdc import apply_dataset
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    orc_dir = _scratch("orc")
+    orc_files = []
+    for p in sorted(glob.glob(os.path.join(changes, "*.parquet"))):
+        tbl = _pq.read_table(p)
+        out = os.path.join(
+            orc_dir, os.path.basename(p).replace(".parquet", ".orc")
+        )
+        _orc.write_table(tbl, out, stripe_size=64 * 1024)
+        orc_files.append(out)
+
+    ds = read_changelog_orc(orc_files)
+    apply_dataset(ds, lake, _spec(sf_dir), label="orc")
+    return _final_df(lake)
+
+
 def q_cdc_point_lookup(sf_dir: str):
     """Pruned point lookup: hash-partition pruning (conv_partitions)
     plus file-level zone-map pruning inside each partition - the read
@@ -6470,6 +6503,7 @@ QUERIES = {
     "cdc_apply_objstore": q_cdc_apply_objstore,
     "cdc_apply_inflight": q_cdc_apply_inflight,
     "cdc_apply_debezium": q_cdc_apply_debezium,
+    "cdc_apply_orc": q_cdc_apply_orc,
     "cdc_apply_chunked_resume": q_cdc_apply_chunked_resume,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_range_scan": q_cdc_range_scan,
@@ -6722,6 +6756,7 @@ ORACLES = {
     "cdc_apply_objstore": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_inflight": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_debezium": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
+    "cdc_apply_orc": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_apply_chunked_resume": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_point_lookup": f"""
       SELECT * FROM ({FINAL_SQL})

@@ -176,3 +176,60 @@ def test_export_jsonl_shards_match_and_resume(tmp_path):
     export_snapshot(lake, out, fmt="jsonl", max_rows_per_file=300)
     res3 = export_snapshot(lake, out, fmt="jsonl", max_rows_per_file=300)
     assert res3["resumed_partitions"] == res3["partitions"]
+
+
+def test_export_orc_roundtrips_through_stripe_reader(tmp_path):
+    # fmt="orc" shards read back (stripe-parallel) equal to read_table
+    from aws_serverless_elt_pipeline_enterprise_ray.sources.changelog import (
+        read_changelog_orc,
+    )
+
+    gen_changes(
+        str(tmp_path / "ch"), n_events=6_000, n_convs=60, n_files=3, seed=11,
+        delete_ratio=0.05,
+    )
+    lake, out = str(tmp_path / "lake"), str(tmp_path / "out")
+    apply_changes(str(tmp_path / "ch"), lake, default_spec(num_partitions=4))
+    res = export_snapshot(lake, out, max_rows_per_file=500, fmt="orc")
+    files = sorted(glob.glob(os.path.join(out, "part=*", "data-*.orc")))
+    assert files and res["rows"] > 0
+    got = (
+        read_changelog_orc(files).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = (
+        read_table(lake).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # ts came back at engine precision, not ORC's ns
+    assert str(got["ts"].dtype) == str(want["ts"].dtype)
+    # resume: second export skips every partition
+    res2 = export_snapshot(lake, out, max_rows_per_file=500, fmt="orc")
+    assert res2["resumed_partitions"] == res2["partitions"]
+    # fmt change at same version must NOT resume from parquet markers
+    out2 = str(tmp_path / "out2")
+    export_snapshot(lake, out2, fmt="parquet")
+    res3 = export_snapshot(lake, out2, fmt="orc")
+    assert res3["resumed_partitions"] == 0
+
+
+def test_orc_reader_fans_out_per_stripe(tmp_path):
+    # a multi-stripe file becomes multiple read tasks, order-preserving
+    import pyarrow as pa
+    from pyarrow import orc as _orc
+
+    from aws_serverless_elt_pipeline_enterprise_ray.sources.changelog import (
+        read_changelog_orc,
+    )
+
+    t = pa.table({"x": list(range(5000)), "s": [f"r{i}" for i in range(5000)]})
+    p = str(tmp_path / "multi.orc")
+    _orc.write_table(t, p, stripe_size=4 * 1024)
+    assert _orc.ORCFile(p).nstripes > 1
+    ds = read_changelog_orc([p])
+    df = ds.to_pandas().sort_values("x").reset_index(drop=True)
+    assert len(df) == 5000 and list(df["x"][:3]) == [0, 1, 2]
+    # column projection prunes at the stripe read
+    only = read_changelog_orc([p], columns=["x"]).schema().names
+    assert only == ["x"]
