@@ -6368,6 +6368,71 @@ def q_bradley_terry_rank(sf_dir: str):
     return out[["item", "wins", "losses", "strength", "rank"]]
 
 
+def _pairwise_fixture(sf_dir: str) -> rd.Dataset:
+    """Shared derived pairwise-outcome stream for the eval-analytics
+    queries: winner = row's event type, loser = the type at
+    (event_id % 5); self-pairs dropped (same derivation as
+    ``bradley_terry_rank``, kept verbatim in the SQL mirrors)."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        loser = pd.Series(
+            np.array(types, dtype=object)[
+                (b["event_id"].to_numpy() % 5).astype(np.int64)
+            ],
+            index=b.index,
+        )
+        out = pd.DataFrame(
+            {"event_id": b["event_id"], "w": b["event_type"], "l": loser}
+        )
+        return out[out["w"] != out["l"]]
+
+    return ev.map_batches(prep, batch_format="pandas")
+
+
+def q_winrate_matrix(sf_dir: str):
+    """Head-to-head win matrix over the derived pairwise outcomes:
+    per unordered type pair, each side's exact win count and the win
+    rate (one float division of exact ints). Map-side directed-pair
+    partials, ONE bounded shuffle of pair counts."""
+    from ..functions.aggregates import pairwise_winrate
+
+    out = pairwise_winrate(
+        _pairwise_fixture(sf_dir), winner_col="w", loser_col="l"
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_judge_position_bias(sf_dir: str):
+    """Presentation-order bias probe: the winner is presented FIRST on
+    even event_ids and SECOND on odd ones, so each item's
+    first-position vs second-position win rates (and the __overall__
+    first-win rate) are fully determined — the judge-pipeline sanity
+    report, computed from 4 int counters per item."""
+    from ..functions.aggregates import position_bias
+
+    def present(b: pd.DataFrame) -> pd.DataFrame:
+        even = (b["event_id"] % 2 == 0).to_numpy()
+        f = b["w"].where(even, b["l"])
+        s = b["l"].where(even, b["w"])
+        return pd.DataFrame({"f": f, "s": s, "w": b["w"]})
+
+    judged = _pairwise_fixture(sf_dir).map_batches(
+        present, batch_format="pandas"
+    )
+    return position_bias(
+        judged, first_col="f", second_col="s", winner_col="w"
+    )
+
+
 def q_running_total_by_seq(sf_dir: str):
     """Global running total over a total order (SUM() OVER (ORDER BY
     event_id)) — the distributed Blelloch scan: range-partition on the
@@ -6687,6 +6752,8 @@ QUERIES = {
     "cdc_incremental_refinery": q_cdc_incremental_refinery,
     "rater_agreement": q_rater_agreement,
     "bradley_terry_rank": q_bradley_terry_rank,
+    "winrate_matrix": q_winrate_matrix,
+    "judge_position_bias": q_judge_position_bias,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7828,6 +7895,61 @@ ORACLES = {
       WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
       ORDER BY totalprice_cents DESC, o_orderkey
       LIMIT 100
+    """,
+    # eval-analytics over the derived pairwise-outcome stream (same
+    # winner/loser derivation as bradley_terry_rank, mirrored
+    # verbatim); win rates are single float divisions of exact ints.
+    "winrate_matrix": """
+      WITH p AS (
+        SELECT event_type AS w,
+               (['click','error','purchase','signup','view'])
+                 [CAST(event_id % 5 AS INT) + 1] AS l
+        FROM events),
+      q AS (SELECT * FROM p WHERE w <> l),
+      c AS (SELECT CASE WHEN w < l THEN w ELSE l END AS item_a,
+                   CASE WHEN w < l THEN l ELSE w END AS item_b,
+                   CASE WHEN w < l THEN 1 ELSE 0 END AS wa
+            FROM q)
+      SELECT item_a, item_b,
+             CAST(sum(wa) AS BIGINT) AS wins_a,
+             CAST(sum(1 - wa) AS BIGINT) AS wins_b,
+             count(*) AS n,
+             CAST(sum(wa) AS DOUBLE) / count(*) AS winrate_a
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "judge_position_bias": """
+      WITH p AS (
+        SELECT event_id, event_type AS w,
+               (['click','error','purchase','signup','view'])
+                 [CAST(event_id % 5 AS INT) + 1] AS l
+        FROM events),
+      q AS (SELECT * FROM p WHERE w <> l),
+      j AS (SELECT CASE WHEN event_id % 2 = 0 THEN w ELSE l END AS f,
+                   CASE WHEN event_id % 2 = 0 THEN l ELSE w END AS s,
+                   w
+            FROM q),
+      per AS (
+        SELECT item,
+               CAST(sum(fw) AS BIGINT) AS first_wins,
+               CAST(sum(fn) AS BIGINT) AS first_n,
+               CAST(sum(sw) AS BIGINT) AS second_wins,
+               CAST(sum(sn) AS BIGINT) AS second_n
+        FROM (SELECT f AS item, CASE WHEN w = f THEN 1 ELSE 0 END AS fw,
+                     1 AS fn, 0 AS sw, 0 AS sn FROM j
+              UNION ALL
+              SELECT s, 0, 0, CASE WHEN w = s THEN 1 ELSE 0 END, 1 FROM j)
+        GROUP BY item),
+      tot AS (SELECT '__overall__' AS item,
+                     CAST(sum(first_wins) AS BIGINT),
+                     CAST(sum(first_n) AS BIGINT),
+                     CAST(sum(second_wins) AS BIGINT),
+                     CAST(sum(second_n) AS BIGINT)
+              FROM per)
+      SELECT item, first_wins, first_n, second_wins, second_n,
+             CAST(first_wins AS DOUBLE) / first_n AS first_winrate,
+             CAST(second_wins AS DOUBLE) / second_n AS second_winrate
+      FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+      ORDER BY item
     """,
     # tpch2 batch (pipelines/tpch2.py): EXISTS/scalar-subquery shapes
     # decorrelate to aggregates + joins on the Ray side; the oracles

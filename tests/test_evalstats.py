@@ -1,0 +1,66 @@
+"""Eval-analytics ops (aggregates.pairwise_winrate / position_bias):
+canonicalization, slot-NaN, and winner-not-presented exclusion edges
+the oracle gate can't isolate."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import (
+    pairwise_winrate,
+    position_bias,
+)
+
+
+def test_pairwise_winrate_canonicalizes_and_counts():
+    df = pd.DataFrame(
+        {
+            "w": ["b", "a", "a", "c", "a", None],
+            "l": ["a", "b", "b", "a", "a", "b"],
+        }
+    )  # a-b: a wins 2, b wins 1; a-c: c wins 1; self-pair + null dropped
+    out = (
+        pairwise_winrate(rd.from_pandas(df).repartition(3), winner_col="w", loser_col="l")
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    assert list(out["item_a"]) == ["a", "a"]
+    assert list(out["item_b"]) == ["b", "c"]
+    assert list(out["wins_a"]) == [2, 0]
+    assert list(out["wins_b"]) == [1, 1]
+    assert list(out["n"]) == [3, 1]
+    assert out["winrate_a"][0] == 2.0 / 3.0 and out["winrate_a"][1] == 0.0
+
+
+def test_position_bias_slots_and_exclusions():
+    df = pd.DataFrame(
+        {
+            "f": ["a", "a", "b", "a"],
+            "s": ["b", "b", "a", "b"],
+            "w": ["a", "b", "a", "c"],  # last row: winner not presented
+        }
+    )
+    out = position_bias(
+        rd.from_pandas(df).repartition(2),
+        first_col="f", second_col="s", winner_col="w",
+    )
+    out = out.set_index("item")
+    # a: first twice (1 win), second once (1 win); b: first once (0),
+    # second twice (1); the w="c" row is excluded everywhere
+    assert out.loc["a", "first_wins"] == 1 and out.loc["a", "first_n"] == 2
+    assert out.loc["a", "second_wins"] == 1 and out.loc["a", "second_n"] == 1
+    assert out.loc["b", "first_wins"] == 0 and out.loc["b", "first_n"] == 1
+    assert out.loc["b", "second_wins"] == 1 and out.loc["b", "second_n"] == 2
+    assert out.loc["__overall__", "first_n"] == 3
+    assert out.loc["__overall__", "first_wins"] == 1
+
+
+def test_position_bias_nan_for_unseen_slot():
+    df = pd.DataFrame({"f": ["a"], "s": ["b"], "w": ["a"]})
+    out = position_bias(
+        rd.from_pandas(df), first_col="f", second_col="s", winner_col="w"
+    ).set_index("item")
+    assert np.isnan(out.loc["a", "second_winrate"])
+    assert np.isnan(out.loc["b", "first_winrate"])
+    assert out.loc["a", "first_winrate"] == 1.0
