@@ -253,3 +253,51 @@ def dq_gate(
             except Exception:
                 pass
     return report
+
+
+def referential_check(
+    child: "rd.Dataset",
+    parent: "rd.Dataset",
+    *,
+    fk: str,
+    pk: str | None = None,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Referential-integrity audit between two tables/lakes: child rows
+    whose foreign key has NO matching parent key — the cross-table data
+    contract the reference's per-table GE suites can't express
+    (scripts/run_ge_checks.py validates one table at a time). Returns a
+    Dataset of (fk_value, n_rows) per violating key.
+
+    Scale shape: the child's fk column reduces MAP-SIDE to distinct
+    (value, count) partials and the parent's pk to distinct values, so
+    the anti hash_join exchanges key-vocabulary-sized sides — fact rows
+    never shuffle. NULL foreign keys are ignored (SQL FK semantics:
+    NULL never violates); use a not_null DQ rule to forbid them."""
+    import pandas as pd
+
+    from ..functions.joins import hash_join
+    from ..functions.windows import bucketed_agg, bucketed_distinct
+
+    pk = pk or fk
+
+    def child_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[fk].dropna()
+        return v.value_counts().rename("n_rows").rename_axis(fk).reset_index()
+
+    counts = bucketed_agg(
+        child.map_batches(child_partial, batch_format="pandas"),
+        fk,
+        {"n_rows": "sum"},
+        nb=num_buckets,
+    )
+
+    def parent_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({fk: b[pk].dropna()})
+
+    keys = bucketed_distinct(
+        parent.map_batches(parent_keys, batch_format="pandas"),
+        fk,
+        nb=num_buckets,
+    )
+    return hash_join(counts, keys, on=fk, how="anti")

@@ -6394,6 +6394,81 @@ def _pairwise_fixture(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(prep, batch_format="pandas")
 
 
+def q_cdc_history(sf_dir: str):
+    """DESCRIBE-HISTORY surface (Delta-parity lake metadata): the
+    change stream lands in four seq-quartile chunks committed one per
+    version, and each version's LIVE row count (time-travel read,
+    tombstones filtered) must equal the LWW state of the corresponding
+    event-id PREFIX — the oracle recomputes every prefix from scratch,
+    so this gates both ``ManifestStore.history``'s version chain and
+    time-travel read correctness at every intermediate version.
+    Fixture chunking is driver-side (it IS the fixture); event_id is
+    dense 0..N-1 so the quartile cuts are ``v * N / 4``."""
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from ..state.manifest import ManifestStore
+    from .cdc import apply_changes, read_table
+
+    lake = _scratch("lake")
+    ch_dir = _scratch("hist_ch")
+    changes = _write_changelog(sf_dir)
+    tbl = pa.concat_tables(
+        [_pq.read_table(p) for p in sorted(glob.glob(os.path.join(changes, "*.parquet")))]
+    )
+    n = pc.max(tbl["seq"]).as_py() + 1  # event_id is dense 0..N-1
+    for v in range(4):
+        lo, hi = v * n // 4, (v + 1) * n // 4
+        part = tbl.filter(
+            pc.and_(
+                pc.greater_equal(tbl["seq"], pa.scalar(lo, pa.int64())),
+                pc.less(tbl["seq"], pa.scalar(hi, pa.int64())),
+            )
+        )
+        _pq.write_table(part, os.path.join(ch_dir, f"chunk-{v:05d}.parquet"))
+    apply_changes(ch_dir, lake, _spec(sf_dir), commit_every_files=1)
+
+    rows = []
+    for h in ManifestStore(lake).history():
+        v = int(h["version"])
+        rows.append(
+            {"version": v, "n_rows": int(read_table(lake, version=v).count())}
+        )
+    return pd.DataFrame(rows).sort_values("version").reset_index(drop=True)
+
+
+def q_referential_violations(sf_dir: str):
+    """Cross-table referential-integrity audit: orders whose custkey
+    has no surviving customer row (the parent is filtered to simulate
+    lost dimension rows — custkey % 7 == 0 dropped). Child fk counts
+    and parent keys both reduce to key-vocabulary size map-side; the
+    anti hash_join never sees fact rows."""
+    from .dq import referential_check
+
+    child = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def surviving(b: pa.Table) -> pa.Table:
+        # pyarrow.compute has no modulo kernel — numpy, zero-copy in
+        m = np.asarray(b["c_custkey"]) % 7 != 0
+        return b.filter(pa.array(m))
+
+    parent = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(surviving, batch_format="pyarrow")
+    out = referential_check(child, parent, fk="o_custkey", pk="c_custkey")
+    df = (
+        out.to_pandas()
+        .sort_values(["n_rows", "o_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    for c in ("o_custkey", "n_rows"):
+        df[c] = df[c].astype("int64")
+    return df[["o_custkey", "n_rows"]]
+
+
 def q_winrate_matrix(sf_dir: str):
     """Head-to-head win matrix over the derived pairwise outcomes:
     per unordered type pair, each side's exact win count and the win
@@ -6754,6 +6829,8 @@ QUERIES = {
     "bradley_terry_rank": q_bradley_terry_rank,
     "winrate_matrix": q_winrate_matrix,
     "judge_position_bias": q_judge_position_bias,
+    "referential_violations": q_referential_violations,
+    "cdc_history": q_cdc_history,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
@@ -7895,6 +7972,33 @@ ORACLES = {
       WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
       ORDER BY totalprice_cents DESC, o_orderkey
       LIMIT 100
+    """,
+    # cdc_history: each committed version's live-row count equals the
+    # LWW state of the event-id prefix it folded (quartile cuts
+    # v*N/4 over the dense 0..N-1 ids), recomputed from scratch here.
+    "cdc_history": f"""
+      WITH ch AS ({CH_SQL}),
+      n AS (SELECT count(*) AS c FROM events),
+      v(version) AS (VALUES (1), (2), (3), (4)),
+      pref AS (
+        SELECT v.version, ch.conv_id, ch.turn_idx, ch.op,
+               row_number() OVER (
+                 PARTITION BY v.version, ch.conv_id, ch.turn_idx
+                 ORDER BY ch.ts DESC, ch.seq DESC) AS rn
+        FROM v, ch, n
+        WHERE ch.seq < CAST(v.version * n.c / 4 AS BIGINT))
+      SELECT version,
+             CAST(count(*) FILTER (WHERE rn = 1 AND op <> 'D') AS BIGINT)
+               AS n_rows
+      FROM pref GROUP BY version ORDER BY version
+    """,
+    "referential_violations": """
+      SELECT o_custkey, count(*) AS n_rows
+      FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey % 7 <> 0)
+      GROUP BY o_custkey
+      ORDER BY n_rows DESC, o_custkey
     """,
     # eval-analytics over the derived pairwise-outcome stream (same
     # winner/loser derivation as bradley_terry_rank, mirrored

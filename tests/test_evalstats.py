@@ -64,3 +64,32 @@ def test_position_bias_nan_for_unseen_slot():
     assert np.isnan(out.loc["a", "second_winrate"])
     assert np.isnan(out.loc["b", "first_winrate"])
     assert out.loc["a", "first_winrate"] == 1.0
+
+
+def test_referential_check_nulls_never_violate():
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dq import (
+        referential_check,
+    )
+
+    child = rd.from_pandas(
+        pd.DataFrame({"fk": [1, 1, 2, None, 9, 9, 9]}).astype({"fk": "Int64"})
+    ).repartition(2)
+    parent = rd.from_pandas(pd.DataFrame({"pk": [1, 2, 3]}))
+    out = (
+        referential_check(child, parent, fk="fk", pk="pk")
+        .to_pandas()
+        .sort_values("fk")
+        .reset_index(drop=True)
+    )
+    # only 9 violates (3 rows); the NULL fk is ignored
+    assert list(out["fk"]) == [9] and list(out["n_rows"]) == [3]
+
+
+def test_referential_check_clean_is_empty():
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dq import (
+        referential_check,
+    )
+
+    child = rd.from_pandas(pd.DataFrame({"fk": [1, 2, 2]}))
+    parent = rd.from_pandas(pd.DataFrame({"fk": [1, 2]}))
+    assert referential_check(child, parent, fk="fk").count() == 0
