@@ -6394,6 +6394,36 @@ def _pairwise_fixture(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(prep, batch_format="pandas")
 
 
+def q_rm_calibration(sf_dir: str):
+    """Monotone score calibration (distributed PAV): fit P(purchase |
+    floor(value)) as a non-decreasing step function over the integer
+    score — the reward-model/judge calibration step. Distinct-score
+    outcome totals reduce map-side; per-range PAV stacks compose
+    exactly across ranges (driver merges POOLS, never rows). Rows-only
+    gate (PAV is not SQL-expressible); the pytest suite proves
+    bit-equality with the brute-force global fit."""
+    from ..functions.calibrate import isotonic_fit
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["value", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "x": np.floor(b["value"].to_numpy()).astype(np.int64),
+                "y": (b["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    pools = isotonic_fit(
+        ev.map_batches(prep, batch_format="pandas"), x_col="x", y_col="y"
+    )
+    pools["value"] = pools["value"].round(12)
+    return pools.reset_index(drop=True)
+
+
 def q_cdc_history(sf_dir: str):
     """DESCRIBE-HISTORY surface (Delta-parity lake metadata): the
     change stream lands in four seq-quartile chunks committed one per
@@ -6831,6 +6861,7 @@ QUERIES = {
     "judge_position_bias": q_judge_position_bias,
     "referential_violations": q_referential_violations,
     "cdc_history": q_cdc_history,
+    "rm_calibration": q_rm_calibration,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,
