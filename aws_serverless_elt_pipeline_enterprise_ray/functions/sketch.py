@@ -254,3 +254,79 @@ def hll_distinct_by_group(
     out = pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
     out["n_distinct_est"] = out["n_distinct_est"].astype("int64")
     return out
+
+
+# -- Count-Min sketch -------------------------------------------------
+
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_positions(values: pd.Series, width: int, depth: int) -> np.ndarray:
+    """(depth, n) int64 bucket positions via one pandas hash + per-row
+    splitmix-style reseeding — deterministic across processes (the same
+    contract as every hash in this engine)."""
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=np.uint64)
+    out = np.empty((depth, len(h)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            x = (h ^ _CMS_SEEDS[d]) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            out[d] = (x % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_partials(
+    ds: rd.Dataset, col: str, *, width: int = 2048, depth: int = 4
+) -> rd.Dataset:
+    """Per-batch Count-Min partials: one row per batch carrying the
+    flattened ``depth × width`` int64 count matrix. No shuffle —
+    partials are fixed-size (64 KB at the defaults) regardless of row
+    count or key cardinality; merging is elementwise SUM, so the
+    sketch is associative/commutative and bitwise deterministic."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros((depth, width), dtype=np.int64)
+        v = b[col].dropna()
+        if len(v):
+            pos = _cms_positions(v, width, depth)
+            for d in range(depth):
+                np.add.at(counts[d], pos[d], 1)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def cms_merge(parts: list[bytes], *, width: int = 2048, depth: int = 4) -> np.ndarray:
+    total = np.zeros((depth, width), dtype=np.int64)
+    for raw in parts:
+        total += np.frombuffer(raw, np.int64).reshape(depth, width)
+    return total
+
+
+def cms_counts(
+    ds: rd.Dataset,
+    col: str,
+    queries: list,
+    *,
+    width: int = 2048,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Approximate frequency of each query key: the classic Count-Min
+    guarantee — estimate ≥ true count always, and ≤ true + εN with
+    probability 1−δ for ε = e/width, δ = e^−depth. The missing member
+    of the sketch family beside HLL (distinct), DDSketch (quantiles),
+    Bloom (membership) and Misra-Gries (heavy hitters): use it when
+    you need POINT frequency estimates over an unbounded key domain
+    (url/user/shingle counts at 100 TB) without a key-cardinality
+    shuffle. Driver sees blocks × 64 KB partials, never keys."""
+    parts = cms_partials(ds, col, width=width, depth=depth).take_all()
+    mat = cms_merge([r["counts"] for r in parts], width=width, depth=depth)
+    q = pd.Series(queries)
+    pos = _cms_positions(q, width, depth)
+    est = np.min(
+        np.stack([mat[d, pos[d]] for d in range(depth)], axis=0), axis=0
+    )
+    return pd.DataFrame({col: queries, "n_approx": est.astype(np.int64)})

@@ -6394,6 +6394,22 @@ def _pairwise_fixture(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(prep, batch_format="pandas")
 
 
+def q_cms_user_counts(sf_dir: str):
+    """Count-Min point-frequency estimates for a fixed probe set of
+    user ids — the sketch path for frequency queries over an unbounded
+    key domain: fixed 64 KB partials per block, elementwise-sum merge
+    (associative ⇒ bitwise deterministic at any partitioning), never a
+    key shuffle. Rows-only gate (the ε-bound guarantee is asserted in
+    pytest; estimates are deterministic but not SQL-reproducible)."""
+    from ..functions.sketch import cms_counts
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    probes = [0, 1, 2, 3, 5, 8, 13, 21, 34, 10 ** 9]
+    return cms_counts(ev, "user_id", probes)
+
+
 def q_rm_calibration(sf_dir: str):
     """Monotone score calibration (distributed PAV): fit P(purchase |
     floor(value)) as a non-decreasing step function over the integer
@@ -6862,6 +6878,7 @@ QUERIES = {
     "referential_violations": q_referential_violations,
     "cdc_history": q_cdc_history,
     "rm_calibration": q_rm_calibration,
+    "cms_user_counts": q_cms_user_counts,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,

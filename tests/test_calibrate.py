@@ -89,3 +89,34 @@ def test_isotonic_transform_clamps_and_steps():
     # below domain clamps to first; the gap (7) takes the NEXT pool's
     # value; above domain clamps to last
     assert out == [0.25, 0.25, 0.25, 0.75, 0.75, 0.75, 0.75]
+
+
+def test_count_min_overestimates_within_bound():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import (
+        cms_counts,
+    )
+
+    rng = np.random.RandomState(3)
+    keys = rng.zipf(1.5, size=20000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(6)
+    qs = [1, 2, 3, 50, 999999]
+    out = cms_counts(ds, "k", qs, width=2048, depth=4).set_index("k")
+    truth = pd.Series(keys).value_counts()
+    n = len(keys)
+    eps = np.e / 2048
+    for q in qs:
+        t = int(truth.get(q, 0))
+        e = int(out.loc[q, "n_approx"])
+        assert e >= t, (q, e, t)          # never underestimates
+        assert e <= t + 3 * eps * n, (q, e, t)  # generous 3x the 1-δ bound
+
+
+def test_count_min_merge_equals_single_pass():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.sketch import (
+        cms_counts,
+    )
+
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "a", "b"] * 50})
+    one = cms_counts(rd.from_pandas(df), "k", ["a", "b", "c"])
+    many = cms_counts(rd.from_pandas(df).repartition(7), "k", ["a", "b", "c"])
+    assert one.equals(many)  # merge is associative => layout-invariant
