@@ -273,6 +273,10 @@ def run_bench() -> dict:
         # round-4 session 2: multi-table join analytics
         "tpch_q3_shipping",
         "tpch_q10_returned",
+        # round-4 session 4: full TPC-H coverage + calibration
+        "tpch_q21_waiting_supplier",
+        "tpch_q9_product_profit",
+        "rm_calibration",
     )
     for name in qnames:
         t0 = time.perf_counter()
