@@ -801,3 +801,196 @@ def mmr_select(
         picks.append((step + 1, int(row["id"]), float(row["score"])))
 
     return pd.DataFrame(picks, columns=["rank", "id", "score"])
+
+
+# -- Product quantization (PQ) ANN -------------------------------------
+
+
+class _PQTrainPartial:
+    """Per-batch PQ training partial: for every subspace, assign each
+    vector's sub-slice to its nearest code (L2) and emit per-(subspace,
+    code) sum + count — m × kc tiny rows per batch."""
+
+    def __init__(self, codebooks_ref, vec_col: str):
+        self.C = ray.get(codebooks_ref)  # (m, kc, dsub)
+        self.vec_col = vec_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(np.stack(b[self.vec_col].to_numpy()).astype(np.float64))
+        m, kc, dsub = self.C.shape
+        rows = []
+        for s in range(m):
+            sub = V[:, s * dsub:(s + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * sub @ self.C[s].T
+                + (self.C[s] * self.C[s]).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in np.unique(assign):
+                mask = assign == c
+                rows.append(
+                    (s, int(c), int(mask.sum()), sub[mask].sum(axis=0))
+                )
+        return pd.DataFrame(rows, columns=["sub", "code", "n", "vsum"])
+
+
+def pq_train(
+    ds: rd.Dataset,
+    *,
+    m: int = 8,
+    kc: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., TPAMI 2011):
+    split the (normalized) embedding into ``m`` subspaces and run L2
+    k-means with ``kc`` codes independently in each — the memory-scale
+    path for billion-vector ANN (``m`` bytes per vector at kc ≤ 256 vs
+    4·d for float32). Same scale shape as ``kmeans_centroids``: the
+    corpus never shuffles, the driver combines blocks × m × kc partial
+    rows per iteration. Deterministic: codebooks initialize from the
+    kc smallest-id vectors' sub-slices, exact-fixpoint early stop.
+    Returns the (m, kc, d/m) codebook tensor."""
+    init = ds.sort(id_col).limit(kc).to_pandas()
+    V0 = _normalize(np.stack(init[vec_col].to_numpy()).astype(np.float64))
+    d = V0.shape[1]
+    assert d % m == 0, (d, m)
+    dsub = d // m
+    C = np.stack([V0[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    for _ in range(iters):
+        ref = ray.put(C)
+        parts = ds.map_batches(
+            _PQTrainPartial,
+            fn_constructor_kwargs={"codebooks_ref": ref, "vec_col": vec_col},
+            batch_format="pandas",
+            concurrency=(1, 8),
+        ).to_pandas()
+        sums = np.zeros_like(C)
+        counts = np.zeros((m, kc), dtype=np.int64)
+        for s, c, n, vs in parts.itertuples(index=False):
+            sums[s, c] += vs
+            counts[s, c] += n
+        C_new = C.copy()
+        nz = counts > 0
+        C_new[nz] = sums[nz] / counts[nz][:, None]
+        if np.array_equal(C_new, C):
+            break
+        C = C_new
+    return C
+
+
+class _PQSearch:
+    """Fused encode+shortlist+rerank: per batch, encode each corpus
+    vector's sub-slices to codes; query LUTs (one m × kc table of
+    partial dot products per query, broadcast once per actor) turn the
+    asymmetric distance into ``m`` table lookups per vector; the ADC
+    scores shortlist ``k × refine`` local candidates, which re-rank by
+    EXACT dot product against the still-in-memory batch vectors — so
+    every emitted score is exact and the approximation only affects
+    which candidates survive the shortlist."""
+
+    def __init__(
+        self, codebooks_ref, luts_ref, k: int, refine: int,
+        id_col: str, vec_col: str,
+    ):
+        self.C = ray.get(codebooks_ref)                      # (m, kc, dsub)
+        self.qids, self.Q, self.luts = ray.get(luts_ref)     # (nq,), (nq,d), (nq,m,kc)
+        self.k, self.refine = k, refine
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(np.stack(b[self.vec_col].to_numpy()).astype(np.float64))
+        ids = b[self.id_col].to_numpy()
+        m, kc, dsub = self.C.shape
+        codes = np.empty((len(V), m), dtype=np.int64)
+        for s in range(m):
+            sub = V[:, s * dsub:(s + 1) * dsub]
+            d2 = -2.0 * sub @ self.C[s].T + (self.C[s] * self.C[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1)
+        out = []
+        for qi, qid in enumerate(self.qids):
+            score = np.zeros(len(V), dtype=np.float64)
+            lut = self.luts[qi]
+            for s in range(m):
+                score += lut[s, codes[:, s]]
+            kr = min(self.k * self.refine, len(V))
+            short = np.argpartition(-score, kr - 1)[:kr]
+            exact = V[short] @ self.Q[qi]
+            k = min(self.k, len(short))
+            top = short[np.argpartition(-exact, k - 1)[:k]]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": ids[top],
+                        "cosine": V[top] @ self.Q[qi],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    m: int = 8,
+    kc: int = 16,
+    iters: int = 8,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """PQ approximate top-k (Jégou et al., TPAMI 2011) with exact
+    re-rank: train codebooks on the corpus, then ONE fused
+    encode+shortlist+rerank pass — per batch the ADC score is ``m``
+    LUT lookups per vector instead of a d-dim dot product, the top
+    ``k·refine`` local candidates re-score exactly in-batch, and only
+    nq × k rows leave each batch. Scores are exact cosines; the
+    approximation only affects shortlist membership (recall asserted
+    in pytest, not oracle-gated). Like IVF's probe set, the shortlist
+    is per-batch, so results can vary with block layout when the
+    ``k·refine`` cap binds — deterministic for a fixed partitioning.
+    Returns (query_id, rank, neighbor_id, cosine)."""
+    codebooks = pq_train(
+        ds, m=m, kc=kc, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    qset = set(int(i) for i in query_ids)
+
+    def grab(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[id_col].isin(qset)][[id_col, vec_col]]
+
+    qdf = ds.map_batches(grab, batch_format="pandas").to_pandas().sort_values(id_col)
+    Q = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
+    mq, kcq, dsub = codebooks.shape
+    # LUT[q, s, c] = dot(q's subspace s, code c of subspace s)
+    Qs = Q.reshape(len(Q), mq, dsub)
+    luts = np.einsum("qsd,skd->qsk", Qs, codebooks)
+    cb_ref = ray.put(codebooks)
+    luts_ref = ray.put((qdf[id_col].to_numpy(), Q, luts))
+
+    local = ds.map_batches(
+        _PQSearch,
+        fn_constructor_kwargs=dict(
+            codebooks_ref=cb_ref, luts_ref=luts_ref,
+            k=k + (1 if exclude_self else 0), refine=refine,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        batch_format="pandas",
+        concurrency=(1, 8),
+        num_cpus=1,
+    ).to_pandas()
+    if exclude_self:
+        local = local[local["query_id"] != local["neighbor_id"]]
+    local = local.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = local.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top["cosine"] = top["cosine"].round(9)
+    return top[["query_id", "rank", "neighbor_id", "cosine"]]

@@ -6394,6 +6394,23 @@ def _pairwise_fixture(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(prep, batch_format="pandas")
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN with exact re-rank: codebooks train
+    distributed (corpus never shuffles), search is one fused
+    encode+shortlist+rerank pass — m LUT lookups per vector for the
+    shortlist, exact cosines for everything returned. The
+    memory-scale path for billion-vector search (m bytes/vector).
+    Rows-only gate (shortlist membership is approximate; recall and
+    score exactness are pytest-asserted)."""
+    from ..functions.similarity import pq_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return pq_topk(ds, [0, 1, 2, 3, 4], k=5, m=8, kc=16, refine=4)
+
+
 def q_cms_user_counts(sf_dir: str):
     """Count-Min point-frequency estimates for a fixed probe set of
     user ids — the sketch path for frequency queries over an unbounded
@@ -6879,6 +6896,7 @@ QUERIES = {
     "cdc_history": q_cdc_history,
     "rm_calibration": q_rm_calibration,
     "cms_user_counts": q_cms_user_counts,
+    "ann_pq_topk": q_ann_pq_topk,
     "tool_usage_stats": q_tool_usage_stats,
     "tool_transitions": q_tool_transitions,
     "image_metadata": q_image_metadata,

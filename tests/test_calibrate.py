@@ -120,3 +120,43 @@ def test_count_min_merge_equals_single_pass():
     one = cms_counts(rd.from_pandas(df), "k", ["a", "b", "c"])
     many = cms_counts(rd.from_pandas(df).repartition(7), "k", ["a", "b", "c"])
     assert one.equals(many)  # merge is associative => layout-invariant
+
+
+def test_pq_topk_recall_and_exact_scores():
+    import pyarrow.parquet as pq
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ds = rd.from_arrow(t).repartition(5)
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(ds, qids, k=10)
+    approx = pq_topk(ds, qids, k=10, m=8, kc=16, refine=4)
+    # recall@10 over the shortlist+rerank path
+    rec = np.mean(
+        [
+            len(
+                set(exact[exact.query_id == q]["neighbor_id"])
+                & set(approx[approx.query_id == q]["neighbor_id"])
+            )
+            / 10
+            for q in qids
+        ]
+    )
+    assert rec >= 0.8, rec
+    # every returned score is the EXACT cosine (re-ranked in-batch)
+    E = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    hits = [
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in approx.itertuples()
+        if (r.query_id, r.neighbor_id) in E
+    ]
+    assert hits
+    for q, n, c in hits:
+        assert abs(c - E[(q, n)]) < 1e-9
+    # deterministic for a fixed partitioning
+    again = pq_topk(ds, qids, k=10, m=8, kc=16, refine=4)
+    assert approx.equals(again)
