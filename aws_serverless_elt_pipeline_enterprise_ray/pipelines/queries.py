@@ -6408,7 +6408,10 @@ def q_ann_pq_topk(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
-    return pq_topk(ds, [0, 1, 2, 3, 4], k=5, m=8, kc=16, refine=4)
+    # iters=3: each Lloyd's round is a full map_batches pass (fixed Ray
+    # overhead dominates at gate scale); codebook quality converges in
+    # 2-3 rounds on this fixture and the recall bar lives in pytest
+    return pq_topk(ds, [0, 1, 2, 3, 4], k=5, m=8, kc=16, refine=4, iters=3)
 
 
 def q_cms_user_counts(sf_dir: str):
