@@ -6693,6 +6693,69 @@ from .tpch2 import (  # noqa: E402
     q_tpch_q15_top_supplier,
     q_tpch_q22_global_sales,
 )
+def q_psi_event_drift(sf_dir: str):
+    """Population-stability / Jensen-Shannon drift of the event_type
+    mix between the two halves of the observed ts range: domain-sized
+    (bin, side) histogram exchange, Laplace-smoothed proportions,
+    per-bin terms floor-quantized to integer nanos (the
+    grouped_entropy convention) so the SQL mirror hash-matches
+    despite logarithms."""
+    from ..functions.drift import categorical_drift
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    out = categorical_drift(ev, col="event_type")
+    return out[["event_type", "n_a", "n_b", "psi_nano", "js_nano"]]
+
+
+def q_ks_value_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov drift of value cents
+    between the ts-range halves: D as the exact rational
+    d_num/(n_a*n_b) folded from a value-domain-sized histogram with
+    Python-int arithmetic (cum*N products pass int64 at 10^10
+    events) — no floats anywhere, fully hash-exact."""
+    from ..functions.drift import ks_drift
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value", "ts"]
+    )
+
+    def cents(b: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            np.floor(b["value"].to_numpy(dtype=np.float64) * 100.0).astype(
+                np.int64
+            )
+        )
+
+    return ks_drift(
+        ev, value_fn=cents, value_col="v", cols=["value", "ts"]
+    )
+
+
+def q_mwu_value_drift(sf_dir: str):
+    """Exact Mann-Whitney U rank-sum drift of value cents between the
+    ts-range halves (doubled U so midrank tie credit stays integral)
+    plus the exact ppm-floored AUC effect size — same domain-sized
+    histogram shape as the KS query."""
+    from ..functions.drift import mannwhitney_drift
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value", "ts"]
+    )
+
+    def cents(b: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            np.floor(b["value"].to_numpy(dtype=np.float64) * 100.0).astype(
+                np.int64
+            )
+        )
+
+    return mannwhitney_drift(
+        ev, value_fn=cents, value_col="v", cols=["value", "ts"]
+    )
+
+
 from .tpch3 import (  # noqa: E402
     q_tpch_q2_min_cost_supplier,
     q_tpch_q7_volume_shipping,
@@ -6953,6 +7016,9 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "window_dedup": q_window_dedup,
     "value_quantiles_sketch": q_value_quantiles_sketch,
+    "psi_event_drift": q_psi_event_drift,
+    "ks_value_drift": q_ks_value_drift,
+    "mwu_value_drift": q_mwu_value_drift,
 }
 
 _LANG_SQL_CASES = """
@@ -10227,6 +10293,120 @@ ORACLES = {
              COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_dedup
       FROM base b LEFT JOIN kept k USING (doc_id)
       GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    "psi_event_drift": """
+      WITH bnd AS (
+        SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS tmin,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        FROM events
+      ),
+      s AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) >=
+                    tmin + (tmax - tmin) // 2 THEN 1 ELSE 0 END AS side
+        FROM events, bnd
+      ),
+      c AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b
+        FROM s GROUP BY event_type
+      ),
+      t AS (
+        SELECT *,
+               CAST((SELECT sum(n_a) FROM c) AS DOUBLE)
+                 + CAST((SELECT count(*) FROM c) AS DOUBLE) AS ta,
+               CAST((SELECT sum(n_b) FROM c) AS DOUBLE)
+                 + CAST((SELECT count(*) FROM c) AS DOUBLE) AS tb
+        FROM c
+      ),
+      pq AS (
+        SELECT event_type, n_a, n_b,
+               (CAST(n_a AS DOUBLE) + 1.0) / ta AS p,
+               (CAST(n_b AS DOUBLE) + 1.0) / tb AS q
+        FROM t
+      )
+      SELECT event_type, n_a, n_b,
+             CAST(FLOOR((p - q) * ln(p / q) * 1e9) AS BIGINT) AS psi_nano,
+             CAST(FLOOR((0.5 * p * ln(p / ((p + q) / 2.0))
+                         + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1e9)
+                  AS BIGINT) AS js_nano
+      FROM pq ORDER BY event_type
+    """,
+    "ks_value_drift": """
+      WITH bnd AS (
+        SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS tmin,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        FROM events
+      ),
+      p AS (
+        SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               CASE WHEN epoch_us(ts) >=
+                    tmin + (tmax - tmin) // 2 THEN 1 ELSE 0 END AS side
+        FROM events, bnd
+      ),
+      h AS (
+        SELECT v,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS na,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS nb
+        FROM p GROUP BY v
+      ),
+      c AS (
+        SELECT v,
+               sum(na) OVER (ORDER BY v) AS ca,
+               sum(nb) OVER (ORDER BY v) AS cb,
+               (SELECT sum(na) FROM h) AS ta,
+               (SELECT sum(nb) FROM h) AS tb
+        FROM h
+      )
+      SELECT CAST(v AS BIGINT) AS at_value,
+             CAST(abs(ca * tb - cb * ta) AS BIGINT) AS d_num,
+             CAST(ta AS BIGINT) AS n_a,
+             CAST(tb AS BIGINT) AS n_b,
+             CAST(abs(ca * tb - cb * ta) * 1000000 // (ta * tb) AS BIGINT)
+               AS d_ppm
+      FROM c
+      ORDER BY abs(ca * tb - cb * ta) DESC, v ASC
+      LIMIT 1
+    """,
+    "mwu_value_drift": """
+      WITH bnd AS (
+        SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS tmin,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        FROM events
+      ),
+      p AS (
+        SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+               CASE WHEN epoch_us(ts) >=
+                    tmin + (tmax - tmin) // 2 THEN 1 ELSE 0 END AS side
+        FROM events, bnd
+      ),
+      h AS (
+        SELECT v,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS na,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                 AS nb
+        FROM p GROUP BY v
+      ),
+      c AS (
+        SELECT na, nb,
+               COALESCE(sum(nb) OVER (
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS cumb
+        FROM h
+      )
+      SELECT CAST(sum(na * (2 * cumb + nb)) AS BIGINT) AS u2_a,
+             CAST((SELECT sum(na) FROM h) AS BIGINT) AS n_a,
+             CAST((SELECT sum(nb) FROM h) AS BIGINT) AS n_b,
+             CAST(sum(na * (2 * cumb + nb)) * 1000000
+                  // (2 * (SELECT sum(na) FROM h)
+                        * (SELECT sum(nb) FROM h)) AS BIGINT) AS auc_ppm
+      FROM c
     """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
