@@ -203,6 +203,104 @@ def ks_drift(
     )
 
 
+def embedding_drift(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    vec_col: str,
+    side_fn=None,
+) -> pd.DataFrame:
+    """Centroid drift between two halves of an embedding corpus:
+    cosine between the per-side MEAN vectors (direction drift) and the
+    mean-norm ratio (scale drift).
+
+    Elements are floor-quantized to int64 micros per row, so the
+    per-dimension per-side sums are EXACT integers (the count factors
+    cancel in the cosine); dot/norm products run in Python ints on the
+    driver (they pass int64 at 10^10 rows) and each output statistic
+    is ONE straight-line double expression of those exact ints,
+    floored to nanos — the SQL mirror (same expression tree over
+    HUGEINT sums) hash-matches.
+
+    ``side_fn(batch) -> 0/1 array`` picks the baseline/current side;
+    default is ``id_col`` parity (two deterministic interleaved
+    snapshots — in a live lake you'd pass the snapshot tag).
+
+    Scale shape: per-batch (dim, side) partial sums — the exchange is
+    dims × 2 rows per block, never the corpus — then a domain-sized
+    groupby-sum. Returns one row (n_a, n_b, cos_nano, scale_nano)."""
+    if side_fn is None:
+        def side_fn(b: pd.DataFrame) -> np.ndarray:
+            return (
+                b[id_col].to_numpy(dtype=np.int64) % 2
+            ).astype(np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b[vec_col].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+        side = side_fn(b)
+        rows = []
+        for s in (0, 1):
+            mask = side == s
+            if not mask.any():
+                continue
+            sums = q[mask].sum(axis=0)
+            d = pd.DataFrame(
+                {
+                    "dim": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+                    "side": np.int64(s),
+                    "s": sums,
+                    "n": np.int64(mask.sum()),
+                }
+            )
+            rows.append(d)
+        return pd.concat(rows, ignore_index=True)
+
+    part = bucketed_agg(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["dim", "side"],
+        {"s": "sum", "n": "sum"},
+    ).to_pandas()
+    wide = (
+        part.pivot_table(
+            index="dim", columns="side", values="s", aggfunc="sum",
+            fill_value=0,
+        )
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    sa = [int(x) for x in wide[0]]
+    sb = [int(x) for x in wide[1]]
+    # n repeats per dim; read it off dim 1 (every vector has dim 1)
+    one = part[part["dim"] == 1]
+    na = int(one.loc[one["side"] == 0, "n"].sum())
+    nb = int(one.loc[one["side"] == 1, "n"].sum())
+    dot = sum(a * b for a, b in zip(sa, sb))
+    qa = sum(a * a for a in sa)
+    qb = sum(b * b for b in sb)
+    import math
+
+    cos = float(dot) / (math.sqrt(float(qa)) * math.sqrt(float(qb)))
+    scale = (
+        math.sqrt(float(qb)) * float(na)
+        / (math.sqrt(float(qa)) * float(nb))
+    )
+    return pd.DataFrame(
+        {
+            "n_a": pd.array([na], dtype="int64"),
+            "n_b": pd.array([nb], dtype="int64"),
+            "cos_nano": pd.array(
+                [math.floor(cos * NANO)], dtype="int64"
+            ),
+            "scale_nano": pd.array(
+                [math.floor(scale * NANO)], dtype="int64"
+            ),
+        }
+    )
+
+
 def mannwhitney_drift(
     ds: rd.Dataset,
     *,

@@ -6756,6 +6756,22 @@ def q_mwu_value_drift(sf_dir: str):
     )
 
 
+def q_embedding_drift(sf_dir: str):
+    """Embedding-centroid drift between the two parity halves of the
+    corpus: cosine of the per-side mean vectors + mean-norm ratio,
+    from exact int64 micro-quantized per-dimension sums (the exchange
+    carries dims × 2 rows per block, never vectors) — each statistic
+    is one straight-line double expression floored to nanos, SQL-exact
+    vs a HUGEINT unnest mirror."""
+    from ..functions.drift import embedding_drift
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embedding_drift(emb, id_col="vec_id", vec_col="embedding")
+
+
 from .tpch3 import (  # noqa: E402
     q_tpch_q2_min_cost_supplier,
     q_tpch_q7_volume_shipping,
@@ -7019,6 +7035,7 @@ QUERIES = {
     "psi_event_drift": q_psi_event_drift,
     "ks_value_drift": q_ks_value_drift,
     "mwu_value_drift": q_mwu_value_drift,
+    "embedding_drift": q_embedding_drift,
 }
 
 _LANG_SQL_CASES = """
@@ -10407,6 +10424,47 @@ ORACLES = {
                   // (2 * (SELECT sum(na) FROM h)
                         * (SELECT sum(nb) FROM h)) AS BIGINT) AS auc_ppm
       FROM c
+    """,
+    "embedding_drift": """
+      WITH e AS (
+        SELECT vec_id % 2 AS side,
+               CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+                 AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                    AS BIGINT) AS q
+        FROM embeddings
+      ),
+      s AS (
+        SELECT dim,
+               CAST(sum(CASE WHEN side = 0 THEN q ELSE 0 END) AS HUGEINT)
+                 AS sa,
+               CAST(sum(CASE WHEN side = 1 THEN q ELSE 0 END) AS HUGEINT)
+                 AS sb
+        FROM e GROUP BY dim
+      ),
+      agg AS (
+        SELECT sum(sa * sb) AS dot,
+               sum(sa * sa) AS qa,
+               sum(sb * sb) AS qb
+        FROM s
+      ),
+      n AS (
+        SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings
+      )
+      SELECT n_a, n_b,
+             CAST(FLOOR(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(qa AS DOUBLE))
+                           * sqrt(CAST(qb AS DOUBLE))) * 1e9)
+                  AS BIGINT) AS cos_nano,
+             CAST(FLOOR(sqrt(CAST(qb AS DOUBLE)) * CAST(n_a AS DOUBLE)
+                        / (sqrt(CAST(qa AS DOUBLE)) * CAST(n_b AS DOUBLE))
+                        * 1e9)
+                  AS BIGINT) AS scale_nano
+      FROM agg, n
     """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:

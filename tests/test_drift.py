@@ -118,6 +118,57 @@ def test_ks_drift_matches_bruteforce():
     assert row["d_ppm"] == best * 1_000_000 // (na * nb)
 
 
+def test_embedding_drift_matches_bruteforce():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.drift import (
+        embedding_drift,
+    )
+
+    rng = np.random.RandomState(3)
+    n, d = 120, 8
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+        )
+    )
+    out = embedding_drift(ds, id_col="vec_id", vec_col="embedding")
+
+    q = np.floor(vecs.astype(np.float64) * 1e6).astype(object)
+    sa = q[::2].sum(axis=0)
+    sb = q[1::2].sum(axis=0)
+    dot = int(sum(int(a) * int(b) for a, b in zip(sa, sb)))
+    qa = int(sum(int(a) * int(a) for a in sa))
+    qb = int(sum(int(b) * int(b) for b in sb))
+    cos = float(dot) / (math.sqrt(float(qa)) * math.sqrt(float(qb)))
+    scale = math.sqrt(float(qb)) * (n / 2) / (math.sqrt(float(qa)) * (n / 2))
+    row = out.iloc[0]
+    assert (row["n_a"], row["n_b"]) == (60, 60)
+    assert row["cos_nano"] == math.floor(cos * 1e9)
+    assert row["scale_nano"] == math.floor(scale * 1e9)
+
+
+def test_embedding_drift_detects_planted_shift():
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.drift import (
+        embedding_drift,
+    )
+
+    rng = np.random.RandomState(5)
+    n, d = 200, 4
+    base = rng.normal(0, 1, (n, d))
+    # even ids centered at +mu, odd ids at -mu -> strong direction drift
+    mu = np.array([3.0, 0, 0, 0])
+    vecs = np.where(
+        (np.arange(n) % 2 == 0)[:, None], base + mu, base - mu
+    ).astype(np.float32)
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+        )
+    )
+    out = embedding_drift(ds, id_col="vec_id", vec_col="embedding")
+    assert out.iloc[0]["cos_nano"] < 0  # opposite centroids
+
+
 def test_mwu_drift_matches_bruteforce():
     rng = np.random.RandomState(13)
     n = 200
