@@ -87,8 +87,12 @@ from .pipelines.cdc import (
     read_where,
 )
 from .state.manifest import Manifest, ManifestStore
+from .state.txn import Transaction, TxnCatalog, read_table_at
 
 __all__ = [
+    "Transaction",
+    "TxnCatalog",
+    "read_table_at",
     "CHANGELOG_SCHEMA",
     "TRANSCRIPT_SCHEMA",
     "TableSpec",

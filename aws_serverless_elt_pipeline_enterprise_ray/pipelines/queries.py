@@ -921,6 +921,61 @@ def q_cdc_multitable(sf_dir: str):
     )
 
 
+def q_cdc_txn_multitable(sf_dir: str):
+    """Cross-lake atomic transaction (state/txn.py): the two per-type
+    change streams apply into separate lakes, then ONE exclusive-create
+    catalog commit publishes both pins — readers through the catalog
+    see all of the transaction or none (the cross-table consistency
+    the reference's independent per-type Lambda writes lack). Final
+    union must equal the per-type LWW reduction, exactly like the
+    route-based multitable path."""
+    from ..schema import default_spec
+    from ..state.txn import TxnCatalog, read_table_at
+
+    def half(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            uid = b["conv_id"].to_pylist()
+            mask = pa.array(
+                [int(c.rsplit("_", 1)[1]) % 2 == parity for c in uid]
+            )
+            return b.filter(mask)
+
+        return fn
+
+    ch_s, ch_t = _scratch("txn-ch-s"), _scratch("txn-ch-t")
+    root = _scratch("txn-root")
+    base = _changes_ds(sf_dir)
+    base.map_batches(half(0), batch_format="pyarrow").repartition(
+        2
+    ).write_parquet(ch_s)
+    base.map_batches(half(1), batch_format="pyarrow").repartition(
+        2
+    ).write_parquet(ch_t)
+
+    cat = TxnCatalog(root)
+    txn = cat.begin()
+    txn.apply(
+        "shipments", ch_s,
+        default_spec(name="shipments", num_partitions=8),
+        lake_dir=os.path.join(root, "shipments"),
+    )
+    txn.apply(
+        "tracking", ch_t,
+        default_spec(name="tracking", num_partitions=8),
+        lake_dir=os.path.join(root, "tracking"),
+    )
+    txn.commit()
+    dfs = []
+    for name in ("shipments", "tracking"):
+        df = read_table_at(cat, name).to_pandas()
+        df.insert(0, "record_type", name)
+        dfs.append(df)
+    out = pd.concat(dfs, ignore_index=True)
+    return out.sort_values(
+        ["record_type", "conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+
+
 def q_cdc_rebalance(sf_dir: str):
     """Re-salt / rebalance migration: commit under P=16, migrate to
     P=64 with two conv_ids newly salted hot, then apply MORE changes
@@ -6818,6 +6873,7 @@ QUERIES = {
     "cdc_changefeed": q_cdc_changefeed,
     "cdc_forget": q_cdc_forget,
     "cdc_multitable": q_cdc_multitable,
+    "cdc_txn_multitable": q_cdc_txn_multitable,
     "cdc_rebalance": q_cdc_rebalance,
     "cdc_catalog_sql": q_cdc_catalog_sql,
     "dedup_exact": q_dedup_exact,
@@ -7263,6 +7319,20 @@ ORACLES = {
       ORDER BY conv_id, turn_idx
     """,
     "cdc_multitable": f"""
+      WITH ch AS ({CH_SQL}),
+      typed AS (
+        SELECT CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+                    THEN 'shipments' ELSE 'tracking' END AS record_type, *
+        FROM ch),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+        FROM typed)
+      SELECT record_type, conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY record_type, conv_id, turn_idx
+    """,
+    "cdc_txn_multitable": f"""
       WITH ch AS ({CH_SQL}),
       typed AS (
         SELECT CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
