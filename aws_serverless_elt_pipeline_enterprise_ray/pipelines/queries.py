@@ -976,6 +976,32 @@ def q_cdc_txn_multitable(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_cdc_bootstrap(sf_dir: str):
+    """Initial-snapshot bootstrap then full-stream replay (the
+    Debezium snapshot→streaming handoff, pipelines/bootstrap.py): a
+    mid-stream snapshot state seeds a FRESH lake as seq-0 inserts,
+    then the ENTIRE changelog applies from its beginning — the
+    snapshot/stream overlap needs no offset handshake because LWW by
+    (ts, seq) makes re-applied rows no-ops. Final state must equal
+    the pure SQL reduction of the full stream."""
+    import glob
+
+    from .bootstrap import bootstrap_lake
+    from .cdc import apply_changes, read_table
+
+    changes = _write_changelog(sf_dir, n_files=6)
+    files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
+    spec = _spec(sf_dir)
+    # the snapshot source: lake state after only half the stream
+    source = _scratch("boot-src")
+    apply_changes(files[:3], source, spec)
+    # fresh lake seeded from the snapshot, then the FULL stream
+    lake = _scratch("boot-lake")
+    bootstrap_lake(read_table(source), lake, spec)
+    apply_changes(files, lake, spec)
+    return _final_df(lake)
+
+
 def q_cdc_rebalance(sf_dir: str):
     """Re-salt / rebalance migration: commit under P=16, migrate to
     P=64 with two conv_ids newly salted hot, then apply MORE changes
@@ -6874,6 +6900,7 @@ QUERIES = {
     "cdc_forget": q_cdc_forget,
     "cdc_multitable": q_cdc_multitable,
     "cdc_txn_multitable": q_cdc_txn_multitable,
+    "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_rebalance": q_cdc_rebalance,
     "cdc_catalog_sql": q_cdc_catalog_sql,
     "dedup_exact": q_dedup_exact,
@@ -7346,6 +7373,7 @@ ORACLES = {
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY record_type, conv_id, turn_idx
     """,
+    "cdc_bootstrap": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_rebalance": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_catalog_sql": f"{FINAL_SQL} ORDER BY conv_id, turn_idx",
     "cdc_dq_stats": f"""
