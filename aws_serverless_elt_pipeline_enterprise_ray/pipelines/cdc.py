@@ -885,6 +885,45 @@ def read_conversations(
         for pid, files in sub.items()
         if (kept := [f for f in files if may_contain(f)])
     }
+    # third pruning level: per-file key Bloom sidecars (written by
+    # file_entry). Ranges cannot prune a file that merely STRADDLES a
+    # wanted key - common once LSM delta runs overlap - but the bloom
+    # answers "is any wanted key possibly in this file" with ~1% FP at
+    # a ~10-bits/key sidecar read, far cheaper than the parquet read it
+    # avoids. No false negatives, so dropping a bloom-negative file
+    # cannot change the LWW merge; missing/corrupt sidecars mean
+    # "read".
+    if any(f.get("bloom") for files in sub.values() for f in files):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.bloom import Bloom
+
+        fs = lakefs(lake_dir)
+        wanted_series = pd.Series(wanted_sorted)
+
+        def bloom_may_contain(f: dict) -> bool:
+            bp = f.get("bloom")
+            if not bp:
+                return True
+            try:
+                raw = fs.read_bytes(fs.full(bp))
+                if len(raw) * 8 != f["bloom_bits"]:
+                    return True  # truncated sidecar: read the file
+                bl = Bloom(
+                    np.frombuffer(raw, dtype=np.uint8),
+                    f["bloom_bits"],
+                    f["bloom_k"],
+                )
+                return bool(bl.contains(wanted_series).any())
+            except Exception:
+                return True
+
+        sub = {
+            pid: kept
+            for pid, files in sub.items()
+            if (kept := [f for f in files if bloom_may_contain(f)])
+        }
     if not any(sub.values()):
         return _empty_like(m, columns)
     ds = _read_lake_partitions(lake_dir, sub, m)

@@ -87,6 +87,9 @@ class _Compactor:
         self.target = target_rows_per_file
         self.stamp = stamp_ingested_at
         self.cluster_by = tuple(cluster_by)
+        from ..stages.merge import file_blooms_enabled
+
+        self.file_blooms = file_blooms_enabled()  # captured on the driver
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pid, out_files = [], []
@@ -152,7 +155,8 @@ class _Compactor:
                 lfs.write_parquet(chunk, path)
                 files.append(
                     file_entry(
-                        self.lake_dir, path, chunk, self.key_cols[0], run_id=rid
+                        self.lake_dir, path, chunk, self.key_cols[0],
+                        run_id=rid, bloom=self.file_blooms,
                     )
                 )
             out_pid.append(pid)

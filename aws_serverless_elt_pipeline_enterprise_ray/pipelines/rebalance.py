@@ -45,6 +45,9 @@ class _PartitionWriter:
         self.lake_dir = lake_dir
         self.key_cols = key_cols
         self.max_rows_per_file = max_rows_per_file
+        from ..stages.merge import file_blooms_enabled
+
+        self.file_blooms = file_blooms_enabled()  # captured on the driver
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -72,7 +75,8 @@ class _PartitionWriter:
             path = lfs.full("data", f"part={part_id:05d}", f"f-{uuid.uuid4().hex}.parquet")
             lfs.write_parquet(chunk, path)
             files.append(
-                file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid)
+                file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid,
+                           bloom=self.file_blooms)
             )
         return pa.table(
             {"part_id": pa.array([part_id], pa.int32()),

@@ -56,12 +56,20 @@ MERGE_RESULT_SCHEMA = pa.schema(
 )
 
 
+def file_blooms_enabled() -> bool:
+    """Driver-side capture of the bloom kill switch: workers don't see
+    post-init driver env changes, so writer classes read this in
+    ``__init__`` and pass it through to ``file_entry``."""
+    return os.environ.get("GRAFT_FILE_BLOOMS", "1") != "0"
+
+
 def file_entry(
     lake_dir: str,
     path: str,
     chunk: pa.Table,
     key_col: str | None,
     run_id: str | None = None,
+    bloom: bool | None = None,
 ) -> dict:
     """Manifest file entry for one written chunk, with a zone map: the
     min/max of the leading key column (chunks are key-sorted by every
@@ -96,6 +104,42 @@ def file_entry(
         if kmin is not None:
             entry["key_min"] = kmin
             entry["key_max"] = kmax
+        # file-level key Bloom filter (sidecar object, ~10 bits per
+        # distinct key, k=7 -> ~1% FP): prunes point lookups that the
+        # min/max range CANNOT - after LSM delta-appends a partition
+        # holds runs with overlapping key ranges, and a range check
+        # keeps every straddling file while the bloom keeps only real
+        # candidates (Delta/Iceberg bloom index analogue). Sidecar
+        # lives next to the data file, is referenced by the entry (gc
+        # keeps it alive exactly as long as its file) and is an
+        # optimization only - readers treat a missing/corrupt sidecar
+        # as "must read". Killable via GRAFT_FILE_BLOOMS=0.
+        if bloom is None:
+            bloom = file_blooms_enabled()
+        if kmin is not None and bloom:
+            import numpy as np
+            import pandas as pd
+
+            from ..functions.bloom import _positions
+
+            keys = pc.unique(chunk[key_col]).drop_null()
+            n = len(keys)
+            if 0 < n <= 8_000_000:  # sidecar cap ~10 MB
+                num_bits = 1 << max(
+                    10, int(np.ceil(np.log2(max(n, 1) * 10)))
+                )
+                bits = np.zeros(num_bits // 8, dtype=np.uint8)
+                pos = _positions(keys.to_pandas(), num_bits, 7).ravel()
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+                )
+                side = path + ".bloom"
+                fs.write_atomic(side, bits.tobytes())
+                entry["bloom"] = fs.rel(side)
+                entry["bloom_bits"] = num_bits
+                entry["bloom_k"] = 7
     # ts zone map (microseconds, JSON-safe ints): lets time-ranged
     # scans skip whole files. Effectiveness is data-dependent (keys
     # minted over time cluster ts within key-sorted chunks; uniform
@@ -180,6 +224,8 @@ class PartitionMerger:
         self.current_files = current_files
         self.max_rows_per_file = max_rows_per_file
         self.key_cols = spec.key_cols
+        # captured on the DRIVER: worker tasks don't see later env edits
+        self.file_blooms = file_blooms_enabled()
         # LSM-style hybrid: when this commit's (reduced) delta is small
         # relative to the partition (< delta_threshold x current rows),
         # APPEND it as a new run instead of rewriting the partition -
@@ -235,7 +281,8 @@ class PartitionMerger:
             path = fs.full("data", f"part={part_id:05d}", name)
             fs.write_parquet(chunk, path)
             files.append(
-                file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid)
+                file_entry(self.lake_dir, path, chunk, self.key_cols[0], run_id=rid,
+                           bloom=self.file_blooms)
             )
         return files
 

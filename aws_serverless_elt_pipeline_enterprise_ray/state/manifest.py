@@ -479,6 +479,13 @@ class ManifestStore:
             m = self.load(v)
             live.update(m.all_files())
             live.update(q["path"] for q in m.quarantine)
+            # bloom sidecars live exactly as long as their data file
+            live.update(
+                f["bloom"]
+                for files in m.partitions.values()
+                for f in files
+                if f.get("bloom")
+            )
         removed = []
         fs = self.fs
         cutoff = time.time() - min_age_seconds
