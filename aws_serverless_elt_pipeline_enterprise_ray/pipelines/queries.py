@@ -6853,6 +6853,145 @@ def q_embedding_drift(sf_dir: str):
     return embedding_drift(emb, id_col="vec_id", vec_col="embedding")
 
 
+def q_cdc_branch_merge(sf_dir: str):
+    """Git-for-data three-way merge (``pipelines/branch.py``): main is
+    built from the standard changelog and cloned; the BRANCH applies
+    'B:'-prefixed edits (user_id%3==0) plus deletes (%3!=0 and %7==3,
+    +90min) while MAIN concurrently applies 'M:'-prefixed edits
+    (%5==0, +2h); ``merge_branch(policy="lww")`` folds the branch back.
+    With authentic (ts, seq) credentials the merged state equals the
+    global LWW over the UNION of all three change streams — which is
+    exactly what the SQL mirror ranks — so conflicts (%15==0 keys,
+    where main's +2h beats the branch's +1h) resolve identically on
+    both sides, hash-exact."""
+    from .branch import merge_branch
+    from .cdc import apply_changes
+    from .clone import clone_lake
+
+    changes = _write_changelog(sf_dir)
+    main, branch = _scratch("mergemain"), _scratch("mergebranch")
+    apply_changes(changes, main, _spec(sf_dir))
+    clone_lake(main, branch)
+
+    ev = _events(sf_dir)
+
+    def _branch_edits(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].to_pandas()
+        conv = np.char.add("conv_", uid.astype("U20")).astype(object)
+        mu = uid % 3 == 0
+        md = (uid % 3 != 0) & (uid % 7 == 3)
+        props = b["props"].to_pandas()
+        frames = []
+        if mu.any():
+            frames.append(pd.DataFrame({
+                "op": "U", "seq": eid[mu] + 1_000_000_000,
+                "conv_id": conv[mu],
+                "turn_idx": (eid[mu] % 40).astype(np.int32),
+                "role": b["event_type"].to_pandas()[mu].to_numpy(),
+                "text": ("B:" + props[mu].astype("string")).to_numpy(
+                    dtype=object, na_value=None),
+                "tool": None,
+                "ts": (ts[mu] + pd.Timedelta(hours=1)).to_numpy(),
+            }))
+        if md.any():
+            frames.append(pd.DataFrame({
+                "op": "D", "seq": eid[md] + 3_000_000_000,
+                "conv_id": conv[md],
+                "turn_idx": (eid[md] % 40).astype(np.int32),
+                "role": None, "text": None, "tool": None,
+                "ts": (ts[md] + pd.Timedelta(minutes=90)).to_numpy(),
+            }))
+        out = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame(columns=["op", "seq", "conv_id", "turn_idx",
+                                  "role", "text", "tool", "ts"])
+        return _edit_tbl(out)
+
+    def _main_edits(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        mm = uid % 5 == 0
+        props = b["props"].to_pandas()
+        out = pd.DataFrame({
+            "op": "U", "seq": eid[mm] + 2_000_000_000,
+            "conv_id": np.char.add(
+                "conv_", uid[mm].astype("U20")).astype(object),
+            "turn_idx": (eid[mm] % 40).astype(np.int32),
+            "role": b["event_type"].to_pandas()[mm].to_numpy(),
+            "text": ("M:" + props[mm].astype("string")).to_numpy(
+                dtype=object, na_value=None),
+            "tool": None,
+            "ts": (b["ts"].to_pandas()[mm] + pd.Timedelta(hours=2)).to_numpy(),
+        })
+        return _edit_tbl(out)
+
+    def _edit_tbl(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "op": pa.array(df["op"].astype(object), pa.string()),
+            "seq": pa.array(df["seq"].astype("int64"), pa.int64()),
+            "conv_id": pa.array(df["conv_id"].astype(object), pa.string()),
+            "turn_idx": pa.array(df["turn_idx"], pa.int32()),
+            "role": pa.array(df["role"].astype(object), pa.string()),
+            "text": pa.array(df["text"].astype(object), pa.string()),
+            "tool": pa.nulls(len(df), pa.string()),
+            "ts": pa.array(pd.to_datetime(df["ts"])).cast(pa.timestamp("us")),
+        })
+
+    bdir, mdir = _scratch("bedits"), _scratch("medits")
+    ev.map_batches(_branch_edits, batch_format="pyarrow").write_parquet(bdir)
+    ev.map_batches(_main_edits, batch_format="pyarrow").write_parquet(mdir)
+    apply_changes(bdir, branch)
+    apply_changes(mdir, main)
+
+    merge_branch(branch, main, policy="lww")
+    return _final_df(main)
+
+
+BRANCH_MERGE_SQL = f"""
+  WITH ch AS ({CH_SQL}),
+  be AS (
+    SELECT 'U' AS op, event_id + 1000000000 AS seq,
+           'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 40 AS INTEGER) AS turn_idx,
+           event_type AS role, 'B:' || props AS text,
+           CAST(NULL AS VARCHAR) AS tool,
+           ts + INTERVAL 1 HOUR AS ts
+    FROM events WHERE user_id % 3 = 0
+  ),
+  bd AS (
+    SELECT 'D' AS op, event_id + 3000000000 AS seq,
+           'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 40 AS INTEGER) AS turn_idx,
+           CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text,
+           CAST(NULL AS VARCHAR) AS tool,
+           ts + INTERVAL 90 MINUTE AS ts
+    FROM events WHERE user_id % 3 <> 0 AND user_id % 7 = 3
+  ),
+  me AS (
+    SELECT 'U' AS op, event_id + 2000000000 AS seq,
+           'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 40 AS INTEGER) AS turn_idx,
+           event_type AS role, 'M:' || props AS text,
+           CAST(NULL AS VARCHAR) AS tool,
+           ts + INTERVAL 2 HOUR AS ts
+    FROM events WHERE user_id % 5 = 0
+  ),
+  allch AS (
+    SELECT * FROM ch UNION ALL SELECT * FROM be
+    UNION ALL SELECT * FROM bd UNION ALL SELECT * FROM me
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM allch
+  )
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+  ORDER BY conv_id, turn_idx
+"""
+
+
 from .tpch3 import (  # noqa: E402
     q_tpch_q2_min_cost_supplier,
     q_tpch_q7_volume_shipping,
@@ -7119,6 +7258,7 @@ QUERIES = {
     "ks_value_drift": q_ks_value_drift,
     "mwu_value_drift": q_mwu_value_drift,
     "embedding_drift": q_embedding_drift,
+    "cdc_branch_merge": q_cdc_branch_merge,
 }
 
 _LANG_SQL_CASES = """
@@ -10564,6 +10704,7 @@ ORACLES = {
                   AS BIGINT) AS scale_nano
       FROM agg, n
     """,
+    "cdc_branch_merge": BRANCH_MERGE_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the
