@@ -1,0 +1,395 @@
+"""Row-level DML over the lake: DELETE WHERE / UPDATE WHERE / MERGE INTO.
+
+The lakehouse surface the reference's downstream consumers get from
+Athena+Glue only as full-table rewrites (there is no row-level DML in
+the reference at all — deletes/updates only flow through the change
+stream, ``lambdas/shared/schemas.py`` op codes): here each statement
+SYNTHESIZES winning change events and applies them through the one
+exactly-once apply path (``pipelines/cdc.apply_changes``), exactly like
+``pipelines/forget`` — so predicate DML inherits atomic commit,
+idempotent resume, time travel, LSM/compaction and replay-safety for
+free, with no second mutation code path to keep correct.
+
+Scale shape:
+- predicates are conjunctions of per-column comparisons that compile to
+  BOTH a per-file zone-map test (whole files skip the scan where
+  LWW-safe, same ``_prune_safe`` rule as ``read_where``) and one
+  vectorized ``pyarrow.compute`` mask per batch;
+- matched rows stream distributed end-to-end: the event synthesis is a
+  ``map_batches`` and the staged changelog is written by Ray workers
+  (``write_parquet``), never collected on the driver — unlike
+  ``forget_keys`` (key-count-sized by contract), DML matches can be
+  table-sized;
+- ``merge_into`` detects matches with ONE co-partitioning
+  ``hash_join`` against a projected key scan of the lake (key cols +
+  ts only leave storage) — the source is never broadcast, the lake
+  never rewrites unmatched partitions.
+
+LWW mechanics: every synthesized event carries ``seq = watermark + 1``
+(above every committed ``_seq``) and, for matched-row overrides, the
+COMMITTED row's own ``ts`` — so the event wins the (ts, seq) tiebreak
+unconditionally and the surviving row keeps its original timestamp.
+``merge_into(when_matched="update_if_newer")`` instead carries the
+source ts, so the committed row survives when it is strictly newer.
+"""
+
+from __future__ import annotations
+
+import operator
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..schema import TableSpec, default_spec
+from ..state.manifest import ManifestStore, manifest_payload_schema
+from .cdc import _prune_safe, _read_lake_partitions, apply_changes
+
+#: predicate ops -> (zone-map file test, pyarrow.compute batch kernel)
+_RANGE_OPS = {"==", "<", "<=", ">", ">=", "between", "in"}
+_OPS = _RANGE_OPS | {"!="}
+
+
+def _check_pred(where, payload: pa.Schema) -> list[tuple]:
+    out = []
+    for item in where:
+        col, op, val = item[0], item[1], item[2]
+        if op not in _OPS:
+            raise ValueError(f"unknown predicate op {op!r}; have {sorted(_OPS)}")
+        if col not in payload.names:
+            raise KeyError(f"unknown column {col!r}; lake has {payload.names}")
+        typ = payload.field(col).type
+        if pa.types.is_timestamp(typ):
+            import pandas as pd
+
+            conv = lambda v: pa.scalar(  # noqa: E731
+                int(pd.Timestamp(v).value // 1_000), typ
+            )
+        else:
+            conv = lambda v: pa.scalar(v, typ)  # noqa: E731
+        if op == "between":
+            lo, hi = val
+            val = (conv(lo), conv(hi))
+        elif op == "in":
+            val = [conv(v) for v in val]
+        else:
+            val = conv(val)
+        out.append((col, op, val))
+    return out
+
+
+def _file_may_match(pred: list[tuple]):
+    """Zone-map test: True unless some conjunct PROVABLY excludes the
+    file. ``stats`` records (min, max) of every primitive column at
+    write time; a missing entry keeps the file."""
+
+    def may(f: dict) -> bool:
+        stats = f.get("stats") or {}
+        for col, op, val in pred:
+            rng = stats.get(col)
+            if not rng:
+                continue
+            lo, hi = rng
+            if op == "==":
+                v = val.as_py()
+                if v is None or not (lo <= v <= hi):
+                    return False
+            elif op == "between":
+                if val[0].as_py() > hi or val[1].as_py() < lo:
+                    return False
+            elif op == "in":
+                if not any(
+                    v.as_py() is not None and lo <= v.as_py() <= hi for v in val
+                ):
+                    return False
+            elif op in ("<", "<="):
+                cmpf = operator.lt if op == "<" else operator.le
+                if not cmpf(lo, val.as_py()):
+                    return False
+            elif op in (">", ">="):
+                cmpf = operator.gt if op == ">" else operator.ge
+                if not cmpf(hi, val.as_py()):
+                    return False
+            # "!=" never prunes (min==max==v files are rare; not worth
+            # the stats-equality special case)
+        return True
+
+    return may
+
+
+def _batch_mask(pred: list[tuple], batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """Exact row mask (conjunction; SQL semantics: NULL -> no match)."""
+    mask = None
+    for col, op, val in pred:
+        c = batch[col]
+        if op == "==":
+            m = pc.equal(c, val)
+        elif op == "!=":
+            m = pc.not_equal(c, val)
+        elif op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "between":
+            m = pc.and_(pc.greater_equal(c, val[0]), pc.less_equal(c, val[1]))
+        else:  # in
+            m = pc.is_in(c, value_set=pa.array([v.as_py() for v in val], c.type))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
+def _matched_rows(
+    lake_dir: str, store: ManifestStore, m, pred: list[tuple],
+    columns: list[str],
+) -> rd.Dataset | None:
+    """Distributed scan of CURRENT rows matching ``pred``, zone-map
+    pruned where LWW-safe (a pruned file in a multi-run stack could
+    resurrect a superseded row, so those partitions read in full)."""
+    may = _file_may_match(pred)
+    sub: dict[str, list[dict]] = {}
+    for pid, files in m.partitions.items():
+        if not files:
+            continue
+        kept = [f for f in files if may(f)] if _prune_safe(files) else list(files)
+        if kept:
+            sub[pid] = kept
+    if not sub:
+        return None
+    read_cols = list(dict.fromkeys(columns + [c for c, _, _ in pred]))
+    ds = _read_lake_partitions(lake_dir, sub, m, columns=read_cols)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(_batch_mask(pred, batch))
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(columns)
+
+
+def _stage_events(lake_dir: str, ds: rd.Dataset, tag: str) -> list[str] | None:
+    """Write the synthesized changelog distributed (each worker lands
+    its shard atomically through the lake's own filesystem backend, so
+    the staging works on POSIX and object schemes alike); the driver
+    collects only (path, rows) summary rows. Returns the staged file
+    list (None when no row matched — no empty commit)."""
+    from ..state.lakefs import fs_for, lakefs
+
+    staging = lakefs(lake_dir).full("_staged", f"{tag}-{uuid.uuid4().hex[:8]}")
+    fs_for(staging).makedirs(staging)
+
+    def write_shard(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()),
+                 "rows": pa.array([], pa.int64())}
+            )
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = staging.rstrip("/") + "/" + f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
+        fs = fs_for(path)
+        if fs.is_object:
+            fs.write_parquet(b, path)  # object PUT is atomic
+        else:
+            tmp = path + ".tmp"
+            pq.write_table(b, tmp)
+            os.replace(tmp, path)
+        return pa.table({"path": [path], "rows": [len(b)]})
+
+    summaries = ds.map_batches(write_shard, batch_format="pyarrow").take_all()
+    files = sorted(s["path"] for s in summaries if s["rows"] > 0)
+    return files or None
+
+
+def _event_table(
+    rows: pa.Table, payload: pa.Schema, op: str, seq: int,
+    ts_col: str = "ts",
+) -> pa.Table:
+    """(op, seq) + the payload columns of ``rows``; ``ts`` taken from
+    ``ts_col`` so overrides can carry the committed row's timestamp."""
+    n = len(rows)
+    cols: dict[str, object] = {
+        "op": pa.array([op] * n, pa.string()),
+        "seq": pa.array(np.full(n, seq, dtype=np.int64), pa.int64()),
+    }
+    for name in payload.names:
+        src = ts_col if name == "ts" else name
+        if src in rows.column_names:
+            cols[name] = rows[src].cast(payload.field(name).type)
+        else:
+            cols[name] = pa.nulls(n, payload.field(name).type)
+    return pa.table(cols)
+
+
+def delete_where(
+    lake_dir: str,
+    where: list[tuple],
+    spec: TableSpec | None = None,
+    **apply_kwargs,
+):
+    """``DELETE FROM lake WHERE <conjunction>``. Tombstones every
+    CURRENT row matching ``where`` (rows where a predicate column is
+    NULL do not match, SQL semantics) through the ordinary exactly-once
+    apply. Returns the committed manifests ([] when nothing matched).
+
+    ``where``: list of ``(col, op, value)`` conjuncts, op in
+    ``== != < <= > >= between in`` (``between`` takes ``(lo, hi)``
+    inclusive, ``in`` a list)."""
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m is None:
+        return []
+    payload = manifest_payload_schema(m)
+    pred = _check_pred(where, payload)
+    key_cols = list(spec.key_cols)
+    ds = _matched_rows(lake_dir, store, m, pred, key_cols + ["ts"])
+    if ds is None:
+        return []
+    seq = int(m.watermark) + 1
+
+    def to_deletes(b: pa.Table) -> pa.Table:
+        return _event_table(b, payload, "D", seq)
+
+    events = ds.map_batches(to_deletes, batch_format="pyarrow")
+    files = _stage_events(lake_dir, events, "delete")
+    if files is None:
+        return []
+    return apply_changes(files, lake_dir, spec, **apply_kwargs)
+
+
+def update_where(
+    lake_dir: str,
+    where: list[tuple],
+    set: dict,  # noqa: A002 - SQL vocabulary
+    spec: TableSpec | None = None,
+    **apply_kwargs,
+):
+    """``UPDATE lake SET <col = expr, ...> WHERE <conjunction>``.
+    Rewrites matching CURRENT rows via winning upsert events; each
+    surviving row keeps its committed ``ts``. ``set`` values are plain
+    scalars or callables ``pa.Table -> pa.Array`` (vectorized, e.g.
+    ``lambda b: pc.binary_join_element_wise(pa.scalar("X:"), b["text"],
+    "")``). Key columns and ``ts`` cannot be assigned."""
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m is None:
+        return []
+    payload = manifest_payload_schema(m)
+    pred = _check_pred(where, payload)
+    key_cols = list(spec.key_cols)
+    for col in set:
+        if col in key_cols or col == "ts":
+            raise ValueError(
+                f"cannot assign {col!r}: key columns and ts are immutable "
+                "(delete + insert to move a row)"
+            )
+        if col not in payload.names:
+            raise KeyError(f"unknown column {col!r}; lake has {payload.names}")
+    ds = _matched_rows(lake_dir, store, m, pred, list(payload.names))
+    if ds is None:
+        return []
+    seq = int(m.watermark) + 1
+    assignments = dict(set)
+
+    def to_updates(b: pa.Table) -> pa.Table:
+        for col, expr in assignments.items():
+            typ = payload.field(col).type
+            arr = (
+                expr(b).cast(typ)
+                if callable(expr)
+                else pa.nulls(len(b), typ)
+                if expr is None
+                else pa.array([expr] * len(b), typ)
+            )
+            b = b.set_column(b.column_names.index(col), col, arr)
+        return _event_table(b, payload, "U", seq)
+
+    events = ds.map_batches(to_updates, batch_format="pyarrow")
+    files = _stage_events(lake_dir, events, "update")
+    if files is None:
+        return []
+    return apply_changes(files, lake_dir, spec, **apply_kwargs)
+
+
+def merge_into(
+    lake_dir: str,
+    source: rd.Dataset,
+    spec: TableSpec | None = None,
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    **apply_kwargs,
+):
+    """``MERGE INTO lake USING source ON <key columns>``.
+
+    ``source`` carries the payload schema (key columns + value columns
+    + ``ts``), ONE row per key (ambiguous-source is the caller's bug,
+    as in SQL MERGE). Clauses:
+
+    - ``when_matched``: ``"update"`` (source payload replaces the row
+      unconditionally; the row keeps the COMMITTED ts) |
+      ``"update_if_newer"`` (source payload + source ts; applies only
+      when source ts >= committed ts, LWW-decided — the idempotent
+      backfill clause) | ``"delete"`` | ``"ignore"``.
+    - ``when_not_matched``: ``"insert"`` (source row inserted with its
+      own ts) | ``"ignore"``.
+
+    Match detection is one co-partitioning ``hash_join`` between the
+    source and a key-column projection of the lake — both sides may be
+    table-sized; nothing is broadcast or driver-collected."""
+    from ..functions.joins import hash_join
+    from .cdc import read_table
+
+    assert when_matched in ("update", "update_if_newer", "delete", "ignore")
+    assert when_not_matched in ("insert", "ignore")
+    spec = spec or default_spec()
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m is None:
+        raise FileNotFoundError(f"no lake at {lake_dir} (bootstrap first)")
+    payload = manifest_payload_schema(m)
+    key_cols = list(spec.key_cols)
+    seq = int(m.watermark) + 1
+
+    lake_keys = read_table(lake_dir, columns=key_cols + ["ts"])
+    joined = hash_join(
+        source, lake_keys, on=key_cols, how="left",
+        right_cols=["ts"], suffix="_lake",
+    )
+
+    def to_events(b: pa.Table) -> pa.Table:
+        matched = pc.fill_null(pc.is_valid(b["ts_lake"]), False)
+        out = []
+        mb = b.filter(matched)
+        if len(mb) and when_matched != "ignore":
+            if when_matched == "delete":
+                out.append(_event_table(mb, payload, "D", seq, ts_col="ts_lake"))
+            elif when_matched == "update":
+                out.append(_event_table(mb, payload, "U", seq, ts_col="ts_lake"))
+            else:  # update_if_newer: source ts competes in LWW
+                out.append(_event_table(mb, payload, "U", seq))
+        ub = b.filter(pc.invert(matched))
+        if len(ub) and when_not_matched == "insert":
+            out.append(_event_table(ub, payload, "U", seq))
+        if not out:
+            sch = _event_table(b.slice(0, 0), payload, "U", seq).schema
+            return sch.empty_table()
+        return pa.concat_tables(out)
+
+    events = joined.map_batches(
+        lambda df: to_events(pa.Table.from_pandas(df, preserve_index=False)),
+        batch_format="pandas",
+    )
+    files = _stage_events(lake_dir, events, "merge")
+    if files is None:
+        return []
+    return apply_changes(files, lake_dir, spec, **apply_kwargs)

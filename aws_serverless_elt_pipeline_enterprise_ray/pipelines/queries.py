@@ -6992,6 +6992,139 @@ BRANCH_MERGE_SQL = f"""
 """
 
 
+def q_cdc_delete_where(sf_dir: str):
+    """Predicate DELETE (``pipelines/dml.py``): tombstone every current
+    row with role='click' AND turn_idx BETWEEN 5 AND 20 through the one
+    exactly-once apply path — candidate files zone-map pruned where
+    LWW-safe, matched rows streamed (never driver-collected), winning
+    tombstones committed as an ordinary version. Result = the SQL final
+    state with the same WHERE negated (NULL predicate columns never
+    match, SQL semantics on both sides)."""
+    from .cdc import apply_changes
+    from .dml import delete_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    delete_where(
+        lake, [("role", "==", "click"), ("turn_idx", "between", (5, 20))],
+        _spec(sf_dir),
+    )
+    return _final_df(lake)
+
+
+def q_cdc_update_where(sf_dir: str):
+    """Predicate UPDATE (``pipelines/dml.py``): rewrite text ->
+    'X:' || text and role -> 'edited' on every current row with
+    turn_idx < 7, via winning upsert events that carry the committed
+    row's own ts (the surviving row keeps its timestamp — asserted by
+    the hash). NULL text stays NULL ('X:' || NULL), matching SQL
+    concat semantics."""
+    from .cdc import apply_changes
+    from .dml import update_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    update_where(
+        lake,
+        [("turn_idx", "<", 7)],
+        {
+            "text": lambda b: pc.binary_join_element_wise(
+                pa.scalar("X:"), b["text"], ""
+            ),
+            "role": "edited",
+        },
+        _spec(sf_dir),
+    )
+    return _final_df(lake)
+
+
+def q_cdc_merge_into(sf_dir: str):
+    """MERGE INTO (``pipelines/dml.py``): the source is derived from the
+    committed state itself — keys with turn_idx%5==2 become matched
+    UPDATEs ('S:' || text, ts shifted +1h to prove the unconditional
+    clause overrides regardless of source ts: the merged row must keep
+    the COMMITTED ts), keys with turn_idx%7==3 re-keyed to turn_idx+100
+    become NOT-MATCHED INSERTs ('N:' || text, source ts carried). Match
+    detection is ONE co-partitioning hash_join against a key-projection
+    scan of the lake."""
+    from .cdc import apply_changes, read_table
+    from .dml import merge_into
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+
+    state = read_table(lake)
+
+    def to_source(b: pa.Table) -> pa.Table:
+        ti = b["turn_idx"].to_numpy(zero_copy_only=False)
+        upd = b.filter(pa.array(ti % 5 == 2))
+        upd = upd.set_column(
+            upd.column_names.index("text"), "text",
+            pc.binary_join_element_wise(pa.scalar("S:"), pc.fill_null(upd["text"], ""), ""),
+        )
+        one_h = pa.scalar(3_600_000_000, pa.duration("us"))
+        upd = upd.set_column(
+            upd.column_names.index("ts"), "ts", pc.add(upd["ts"], one_h)
+        )
+        ins = b.filter(pa.array(ti % 7 == 3))
+        ins = ins.set_column(
+            ins.column_names.index("turn_idx"), "turn_idx",
+            pc.add(ins["turn_idx"], pa.scalar(100, pa.int32())).cast(pa.int32()),
+        )
+        ins = ins.set_column(
+            ins.column_names.index("text"), "text",
+            pc.binary_join_element_wise(pa.scalar("N:"), pc.fill_null(ins["text"], ""), ""),
+        )
+        return pa.concat_tables([upd, ins])
+
+    source = state.map_batches(to_source, batch_format="pyarrow")
+    merge_into(lake, source, _spec(sf_dir))
+    return _final_df(lake)
+
+
+DELETE_WHERE_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM final
+  WHERE NOT coalesce(role = 'click' AND turn_idx BETWEEN 5 AND 20, false)
+  ORDER BY conv_id, turn_idx
+"""
+
+UPDATE_WHERE_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx < 7 THEN 'edited' ELSE role END AS role,
+         CASE WHEN turn_idx < 7 THEN 'X:' || text ELSE text END AS text,
+         tool, ts
+  FROM final
+  ORDER BY conv_id, turn_idx
+"""
+
+MERGE_INTO_SQL = f"""
+  WITH final AS ({FINAL_SQL}),
+  upd AS (
+    SELECT conv_id, turn_idx, role,
+           'S:' || coalesce(text, '') AS text, tool, ts
+    FROM final WHERE turn_idx % 5 = 2
+  ),
+  ins AS (
+    SELECT conv_id, CAST(turn_idx + 100 AS INTEGER) AS turn_idx, role,
+           'N:' || coalesce(text, '') AS text, tool, ts
+    FROM final WHERE turn_idx % 7 = 3
+  )
+  SELECT f.conv_id, f.turn_idx,
+         coalesce(u.role, f.role) AS role,
+         coalesce(u.text, f.text) AS text,
+         CASE WHEN u.conv_id IS NOT NULL THEN u.tool ELSE f.tool END AS tool,
+         f.ts
+  FROM final f LEFT JOIN upd u USING (conv_id, turn_idx)
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM ins
+  ORDER BY conv_id, turn_idx
+"""
+
+
+
 from .tpch3 import (  # noqa: E402
     q_tpch_q2_min_cost_supplier,
     q_tpch_q7_volume_shipping,
@@ -7259,6 +7392,9 @@ QUERIES = {
     "mwu_value_drift": q_mwu_value_drift,
     "embedding_drift": q_embedding_drift,
     "cdc_branch_merge": q_cdc_branch_merge,
+    "cdc_delete_where": q_cdc_delete_where,
+    "cdc_update_where": q_cdc_update_where,
+    "cdc_merge_into": q_cdc_merge_into,
 }
 
 _LANG_SQL_CASES = """
@@ -10705,6 +10841,9 @@ ORACLES = {
       FROM agg, n
     """,
     "cdc_branch_merge": BRANCH_MERGE_SQL,
+    "cdc_delete_where": DELETE_WHERE_SQL,
+    "cdc_update_where": UPDATE_WHERE_SQL,
+    "cdc_merge_into": MERGE_INTO_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -1,0 +1,230 @@
+"""Row-level DML (``pipelines/dml.py``): DELETE WHERE / UPDATE WHERE /
+MERGE INTO semantics against a DuckDB mirror of the same statement."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from aws_serverless_elt_pipeline_enterprise_ray import apply_changes, default_spec, read_table
+from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes, oracle_final_state
+from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml import (
+    delete_where,
+    merge_into,
+    update_where,
+)
+
+SPEC = default_spec(num_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def base(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dml")
+    changes = str(root / "changes")
+    gen_changes(changes, n_events=4000, n_convs=60, n_files=4, seed=71)
+    final = oracle_final_state(changes).to_pandas()
+    return root, changes, final
+
+
+def _fresh_lake(root, changes, name):
+    lake = str(root / name)
+    apply_changes(changes, lake, SPEC)
+    return lake
+
+
+def _state(lake):
+    df = read_table(lake).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _canon(df):
+    return (
+        df.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .reindex(columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    )
+
+
+def test_delete_where_matches_sql(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "del")
+    ms = delete_where(
+        lake, [("role", "==", "assistant"), ("turn_idx", "between", (5, 20))], SPEC
+    )
+    assert ms, "matched rows must commit a new version"
+    want = final[
+        ~(
+            (final["role"] == "assistant")
+            & final["turn_idx"].between(5, 20)
+        )
+    ]
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_delete_where_no_match_is_noop(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "delnoop")
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+    v0 = ManifestStore(lake).load().version
+    assert delete_where(lake, [("turn_idx", ">", 10_000)], SPEC) == []
+    assert ManifestStore(lake).load().version == v0
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(final))
+
+
+def test_delete_where_null_pred_col_never_matches(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "delnull")
+    # tool is null on most generator rows: != 'x' is NULL there ->
+    # SQL semantics, null rows never match and survive the delete
+    delete_where(lake, [("tool", "!=", "x")], SPEC)
+    want = final[~(final["tool"].notna() & (final["tool"] != "x"))]
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_update_where_matches_sql_and_keeps_ts(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "upd")
+    ms = update_where(
+        lake,
+        [("turn_idx", "<", 7)],
+        {
+            "text": lambda b: pc.binary_join_element_wise(
+                pa.scalar("X:"), b["text"], ""
+            ),
+            "role": "edited",
+        },
+        SPEC,
+    )
+    assert ms
+    want = final.copy()
+    hit = want["turn_idx"] < 7
+    want.loc[hit, "text"] = "X:" + want.loc[hit, "text"]  # NaN propagates
+    want.loc[hit, "role"] = "edited"
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_update_where_rejects_key_and_ts_assignment(base):
+    root, changes, _ = base
+    lake = _fresh_lake(root, changes, "updbad")
+    with pytest.raises(ValueError):
+        update_where(lake, [("turn_idx", "<", 7)], {"conv_id": "x"}, SPEC)
+    with pytest.raises(ValueError):
+        update_where(lake, [("turn_idx", "<", 7)], {"ts": None}, SPEC)
+    with pytest.raises(KeyError):
+        update_where(lake, [("turn_idx", "<", 7)], {"nope": 1}, SPEC)
+
+
+def test_merge_into_update_and_insert(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "merge")
+    upd = final.head(25).copy()
+    upd["text"] = "S:" + upd["text"].fillna("")
+    # stale source ts: unconditional update must still win and the
+    # surviving row must keep the COMMITTED ts
+    upd["ts"] = upd["ts"] - pd.Timedelta(days=1)
+    ins = final.head(25).copy()
+    ins["turn_idx"] = (ins["turn_idx"] + 1000).astype(ins["turn_idx"].dtype)
+    ins["text"] = "N:" + ins["text"].fillna("")
+    src = pd.concat([upd, ins], ignore_index=True)
+    ms = merge_into(lake, rd.from_pandas(src), SPEC)
+    assert ms
+
+    want_upd = upd.copy()
+    want_upd["ts"] = final.head(25)["ts"].values  # committed ts survives
+    keymask = final.set_index(["conv_id", "turn_idx"]).index.isin(
+        want_upd.set_index(["conv_id", "turn_idx"]).index
+    )
+    want = pd.concat([final[~keymask], want_upd, ins], ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_merge_into_update_if_newer_is_conditional(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "mergeifn")
+    stale = final.head(10).copy()
+    stale["text"] = "STALE"
+    stale["ts"] = stale["ts"] - pd.Timedelta(days=1)
+    newer = final.iloc[10:20].copy()
+    newer["text"] = "NEWER"
+    newer["ts"] = newer["ts"] + pd.Timedelta(days=1)
+    src = pd.concat([stale, newer], ignore_index=True)
+    ms = merge_into(
+        lake, rd.from_pandas(src), SPEC,
+        when_matched="update_if_newer", when_not_matched="ignore",
+    )
+    assert ms
+    got = _state(lake)
+    k = got.set_index(["conv_id", "turn_idx"])
+    for _, r in stale.iterrows():
+        row = k.loc[(r["conv_id"], r["turn_idx"])]
+        assert row["text"] != "STALE"  # stale source lost LWW
+    for _, r in newer.iterrows():
+        row = k.loc[(r["conv_id"], r["turn_idx"])]
+        assert row["text"] == "NEWER"
+        assert row["ts"] == r["ts"]  # source ts carried
+
+
+def test_merge_into_delete_clause(base):
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "mergedel")
+    victims = final.head(15).copy()
+    src = victims
+    ms = merge_into(
+        lake, rd.from_pandas(src), SPEC,
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert ms
+    keymask = final.set_index(["conv_id", "turn_idx"]).index.isin(
+        victims.set_index(["conv_id", "turn_idx"]).index
+    )
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(final[~keymask]))
+
+
+def test_dml_is_time_travelable(base):
+    """DML rides the ordinary commit path: the pre-DML version is still
+    readable and the version chain is gapless."""
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "ttravel")
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+    v0 = ManifestStore(lake).load().version
+    delete_where(lake, [("turn_idx", ">=", 30)], SPEC)
+    v1 = ManifestStore(lake).load().version
+    assert v1 == v0 + 1
+    before = read_table(lake, version=v0).to_pandas()
+    pd.testing.assert_frame_equal(_canon(before), _canon(final))
+
+
+def test_duckdb_mirror_end_to_end(base):
+    """The composed statement (delete + update) equals DuckDB running
+    the same DML on the same starting state."""
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "mirror")
+    delete_where(lake, [("turn_idx", "in", [2, 3, 5])], SPEC)
+    update_where(
+        lake, [("role", "==", "user")],
+        {"text": lambda b: pc.binary_join_element_wise(pa.scalar("U:"), b["text"], "")},
+        SPEC,
+    )
+    con = duckdb.connect()
+    con.register("final", final)
+    want = con.execute(
+        """
+        WITH afterdel AS (
+          SELECT * FROM final WHERE turn_idx NOT IN (2, 3, 5)
+        )
+        SELECT conv_id, turn_idx,
+               CASE WHEN role = 'user' THEN role ELSE role END AS role,
+               CASE WHEN role = 'user' THEN 'U:' || text ELSE text END AS text,
+               tool, ts
+        FROM afterdel
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    con.close()
+    got = _canon(_state(lake))
+    want = _canon(want)
+    pd.testing.assert_frame_equal(got, want)
