@@ -7082,6 +7082,61 @@ def q_cdc_merge_into(sf_dir: str):
     return _final_df(lake)
 
 
+
+def q_cdc_row_provenance(sf_dir: str):
+    """Row-level provenance audit (``stats.row_provenance``): the
+    stream lands in four seq-quartile chunks committed one per version
+    (the ``cdc_history`` fixture), then every surviving row is
+    annotated with the commit version that wrote it — its winning
+    event's seq bucketed over the per-version watermarks. event_id is
+    dense 0..N-1, so the oracle recomputes the same bucketing as
+    1 + how many quartile cuts lie at or below the winning seq."""
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from .cdc import apply_changes
+    from .stats import row_provenance
+
+    lake = _scratch("lake")
+    ch_dir = _scratch("prov_ch")
+    changes = _write_changelog(sf_dir)
+    tbl = pa.concat_tables(
+        [_pq.read_table(p) for p in sorted(glob.glob(os.path.join(changes, "*.parquet")))]
+    )
+    n = pc.max(tbl["seq"]).as_py() + 1
+    for v in range(4):
+        lo, hi = v * n // 4, (v + 1) * n // 4
+        part = tbl.filter(
+            pc.and_(
+                pc.greater_equal(tbl["seq"], pa.scalar(lo, pa.int64())),
+                pc.less(tbl["seq"], pa.scalar(hi, pa.int64())),
+            )
+        )
+        _pq.write_table(part, os.path.join(ch_dir, f"chunk-{v:05d}.parquet"))
+    apply_changes(ch_dir, lake, _spec(sf_dir), commit_every_files=1)
+    df = row_provenance(lake).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+ROW_PROVENANCE_SQL = f"""
+  WITH ch AS ({CH_SQL}),
+  n AS (SELECT max(seq) + 1 AS n FROM ch),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM ch
+  )
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         CAST(1 + CASE WHEN seq >= 1 * n // 4 THEN 1 ELSE 0 END
+                + CASE WHEN seq >= 2 * n // 4 THEN 1 ELSE 0 END
+                + CASE WHEN seq >= 3 * n // 4 THEN 1 ELSE 0 END
+              AS BIGINT) AS wrote_version
+  FROM ranked, n WHERE rn = 1 AND op <> 'D'
+  ORDER BY conv_id, turn_idx
+"""
+
+
 DELETE_WHERE_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx, role, text, tool, ts
@@ -7395,6 +7450,7 @@ QUERIES = {
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
     "cdc_merge_into": q_cdc_merge_into,
+    "cdc_row_provenance": q_cdc_row_provenance,
 }
 
 _LANG_SQL_CASES = """
@@ -10844,6 +10900,7 @@ ORACLES = {
     "cdc_delete_where": DELETE_WHERE_SQL,
     "cdc_update_where": UPDATE_WHERE_SQL,
     "cdc_merge_into": MERGE_INTO_SQL,
+    "cdc_row_provenance": ROW_PROVENANCE_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

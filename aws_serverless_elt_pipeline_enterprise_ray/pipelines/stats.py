@@ -73,3 +73,48 @@ def lake_stats(lake_dir: str, version: int | None = None, top: int = 5) -> dict:
         ],
         "partitioning": dict(m.partitioning),
     }
+
+
+def row_provenance(lake_dir: str, version: int | None = None):
+    """Row-level audit: the CURRENT (or time-traveled) state with a
+    ``wrote_version`` column — which commit wrote each surviving row.
+
+    A committed row's internal ``_seq`` is the sequence number of its
+    WINNING change event; each manifest records ``watermark`` = the max
+    seq applied through that version. ``wrote_version`` is the first
+    version whose watermark covers the row's ``_seq`` (one driver-side
+    ``history()`` pass — O(versions) manifest JSONs, never data — then a
+    broadcast ``searchsorted`` per batch).
+
+    Exact when per-commit seq ranges are non-overlapping (files landing
+    in seq order, the normal tailer discipline); with out-of-order
+    landings a row's winning seq can fall under an earlier version's
+    watermark and the column is that LOWER BOUND — documented rather
+    than hidden, since disambiguating would need per-version file
+    diffs, an O(data) replay (``pipelines/cdf`` does exactly that when
+    the exact answer is worth it)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .cdc import read_table
+
+    store = ManifestStore(lake_dir)
+    hist = store.history()
+    if version is not None:
+        hist = [h for h in hist if int(h["version"]) <= version]
+    if not hist:
+        raise FileNotFoundError(f"no committed version at {lake_dir}")
+    versions = np.array([int(h["version"]) for h in hist], dtype=np.int64)
+    marks = np.array([int(h["watermark"]) for h in hist], dtype=np.int64)
+
+    ds = read_table(lake_dir, version=version, include_internal=True)
+
+    def annotate(b: pa.Table) -> pa.Table:
+        seq = b["_seq"].to_numpy(zero_copy_only=False)
+        # first version with watermark >= seq
+        idx = np.searchsorted(marks, seq, side="left")
+        wrote = versions[np.minimum(idx, len(versions) - 1)]
+        b = b.drop_columns([c for c in ("_seq", "_deleted") if c in b.column_names])
+        return b.append_column("wrote_version", pa.array(wrote, pa.int64()))
+
+    return ds.map_batches(annotate, batch_format="pyarrow", zero_copy_batch=True)

@@ -228,3 +228,23 @@ def test_duckdb_mirror_end_to_end(base):
     got = _canon(_state(lake))
     want = _canon(want)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_row_provenance_tracks_dml_writes(base):
+    """wrote_version: baseline rows carry v1; a predicate UPDATE bumps
+    exactly the touched rows to v2 (seq-order landing -> exact)."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.stats import row_provenance
+
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "prov")
+    df0 = row_provenance(lake).to_pandas()
+    assert (df0["wrote_version"] == 1).all()
+
+    update_where(lake, [("turn_idx", "==", 4)], {"role": "touched"}, SPEC)
+    df1 = row_provenance(lake).to_pandas()
+    hit = df1["turn_idx"] == 4
+    assert (df1.loc[hit, "wrote_version"] == 2).all()
+    assert (df1.loc[~hit, "wrote_version"] == 1).all()
+    # time travel back to v1: provenance capped at the traveled version
+    dfv1 = row_provenance(lake, version=1).to_pandas()
+    assert (dfv1["wrote_version"] == 1).all()
