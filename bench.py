@@ -277,6 +277,10 @@ def run_bench() -> dict:
         "tpch_q21_waiting_supplier",
         "tpch_q9_product_profit",
         "rm_calibration",
+        # round-4 session 5: branching + row-level DML
+        "cdc_branch_merge",
+        "cdc_delete_where",
+        "cdc_merge_into",
     )
     for name in qnames:
         t0 = time.perf_counter()

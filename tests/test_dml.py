@@ -248,3 +248,28 @@ def test_row_provenance_tracks_dml_writes(base):
     # time travel back to v1: provenance capped at the traveled version
     dfv1 = row_provenance(lake, version=1).to_pandas()
     assert (dfv1["wrote_version"] == 1).all()
+
+
+def test_dml_feeds_cdf_and_matview(base):
+    """Composition: DML writes flow through the change data feed — an
+    incrementally refreshed rollup after DELETE/UPDATE/MERGE equals the
+    from-scratch recompute (the matview never saw the statements, only
+    the versions they committed)."""
+    from tests.test_matview import _assert_synced
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.matview import refresh_rollup
+
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "mvdml")
+    rollup = str(root / "mvdml_rollup")
+    refresh_rollup(lake, rollup, num_partitions=4)
+
+    delete_where(lake, [("turn_idx", ">=", 25)], SPEC)
+    refresh_rollup(lake, rollup)
+    _assert_synced(lake, rollup)
+
+    update_where(lake, [("role", "==", "user")], {"role": "USER"}, SPEC)
+    src = final.head(12).copy()
+    src["turn_idx"] = (src["turn_idx"] + 500).astype(src["turn_idx"].dtype)
+    merge_into(lake, rd.from_pandas(src), SPEC)
+    refresh_rollup(lake, rollup)  # one refresh folds BOTH versions
+    _assert_synced(lake, rollup)
