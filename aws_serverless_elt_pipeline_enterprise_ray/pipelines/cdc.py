@@ -142,6 +142,8 @@ def apply_changes(
     detect_hot_keys: bool = False,
     exchange: str | None = None,
     pipeline_commits: bool | None = None,
+    commit_retries: int | None = None,
+    expect_parent_version: int | None = None,
 ) -> list[Manifest]:
     """Apply all pending change-log files to the lake. Returns the list
     of manifests committed by this run (empty if nothing pending).
@@ -216,6 +218,8 @@ def apply_changes(
         now=now,
         detect_hot_keys=detect_hot_keys,
         exchange=exchange,
+        commit_retries=commit_retries,
+        expect_parent_version=expect_parent_version,
     )
     if pipeline_commits is None:
         pipeline_commits = os.environ.get("GRAFT_PIPELINE_COMMITS") == "1"
@@ -272,7 +276,11 @@ def apply_changes(
 
 
 def _apply_chunk_with_retry(
-    files: list[str], store: ManifestStore, spec: TableSpec, **kw
+    files: list[str],
+    store: ManifestStore,
+    spec: TableSpec,
+    commit_retries: int | None = None,
+    **kw,
 ) -> Manifest | None:
     """One chunk's apply with bounded commit-race auto-retry. Losing a
     ``CommitConflict`` means a concurrent writer published first: the
@@ -290,7 +298,11 @@ def _apply_chunk_with_retry(
 
     from ..state.manifest import CommitConflict
 
-    retries = int(os.environ.get("GRAFT_COMMIT_RETRIES", 5))
+    retries = (
+        commit_retries
+        if commit_retries is not None
+        else int(os.environ.get("GRAFT_COMMIT_RETRIES", 5))
+    )
     for attempt in range(retries + 1):
         try:
             return _apply_chunk(files, store, spec, **kw)
@@ -503,9 +515,26 @@ def _apply_chunk(
     exchange: str | None = None,
     prebuilt: "rd.Dataset | None" = None,
     prebuilt_spec: TableSpec | None = None,
+    expect_parent_version: int | None = None,
 ) -> Manifest | None:
     parent = store.load()
     parent_version = parent.version if parent else None
+
+    # Snapshot-validation fence (serializable DML): the caller derived
+    # these change files from a specific committed version; if another
+    # writer has advanced the lake since, applying them would write a
+    # stale read-modify-write. Surface the same clean conflict the
+    # commit-time race produces so the caller re-synthesizes.
+    if (
+        expect_parent_version is not None
+        and parent_version != expect_parent_version
+    ):
+        from ..state.manifest import CommitConflict
+
+        raise CommitConflict(
+            f"snapshot stale: synthesized against version "
+            f"{expect_parent_version}, lake is at {parent_version}"
+        )
 
     # Concurrent-writer fence, half 1: a writer that lost a race for an
     # earlier chunk re-filters against the FRESH parent instead of

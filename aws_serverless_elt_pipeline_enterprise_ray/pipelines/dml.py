@@ -228,6 +228,62 @@ def _event_table(
     return pa.table(cols)
 
 
+def _run_serializable(lake_dir, spec, tag, synthesize, apply_kwargs):
+    """Statement-level serializable retry. A DML statement is
+    match-then-write: its events are only correct against the snapshot
+    they were synthesized from. The file-level commit-race retry inside
+    ``apply_changes`` would re-apply the SAME stale events onto the
+    race winner's state — resurrecting deleted rows, overwriting newer
+    writes with stale payloads, and colliding on (ts, seq)=(committed
+    ts, wm+1) ties whose LWW winner is then sort-order luck. So DML
+    disables it (``commit_retries=0``) and retries the WHOLE statement:
+    on ``CommitConflict`` the losing attempt's staged shards are
+    removed and the statement re-loads the fresh snapshot, re-matches
+    its predicate, re-synthesizes with the fresh watermark and
+    re-commits — the classic optimistic lakehouse transaction loop.
+    A statement is always ONE atomic commit (``commit_every_files``
+    is rejected: partial statement commits would double-apply
+    non-idempotent SET expressions on retry)."""
+    import os
+    import random
+    import time
+
+    from ..state.lakefs import fs_for
+    from ..state.manifest import CommitConflict
+
+    if "commit_every_files" in apply_kwargs:
+        raise ValueError(
+            "a DML statement is one atomic commit; commit_every_files "
+            "is not supported here"
+        )
+    retries = int(os.environ.get("GRAFT_DML_RETRIES", "5"))
+    store = ManifestStore(lake_dir)
+    for attempt in range(retries + 1):
+        m = store.load()
+        events = synthesize(m)
+        if events is None:
+            return []
+        files = _stage_events(lake_dir, events, tag)
+        if files is None:
+            return []
+        try:
+            return apply_changes(
+                files, lake_dir, spec, commit_retries=0,
+                expect_parent_version=(m.version if m is not None else None),
+                **apply_kwargs,
+            )
+        except CommitConflict:
+            fs = fs_for(files[0])
+            for pth in files:
+                try:
+                    fs.remove(pth)
+                except (FileNotFoundError, OSError):
+                    pass
+            if attempt == retries:
+                raise
+            time.sleep(min(2.0, 0.05 * (2**attempt)) * (0.5 + random.random()))
+
+
 def delete_where(
     lake_dir: str,
     where: list[tuple],
@@ -238,31 +294,31 @@ def delete_where(
     CURRENT row matching ``where`` (rows where a predicate column is
     NULL do not match, SQL semantics) through the ordinary exactly-once
     apply. Returns the committed manifests ([] when nothing matched).
+    Serializable under concurrent writers (see ``_run_serializable``).
 
     ``where``: list of ``(col, op, value)`` conjuncts, op in
     ``== != < <= > >= between in`` (``between`` takes ``(lo, hi)``
     inclusive, ``in`` a list)."""
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
-    m = store.load()
-    if m is None:
-        return []
-    payload = manifest_payload_schema(m)
-    pred = _check_pred(where, payload)
-    key_cols = list(spec.key_cols)
-    ds = _matched_rows(lake_dir, store, m, pred, key_cols + ["ts"])
-    if ds is None:
-        return []
-    seq = int(m.watermark) + 1
 
-    def to_deletes(b: pa.Table) -> pa.Table:
-        return _event_table(b, payload, "D", seq)
+    def synthesize(m):
+        if m is None:
+            return None
+        payload = manifest_payload_schema(m)
+        pred = _check_pred(where, payload)
+        ds = _matched_rows(
+            lake_dir, store, m, pred, list(spec.key_cols) + ["ts"]
+        )
+        if ds is None:
+            return None
+        seq = int(m.watermark) + 1
+        return ds.map_batches(
+            lambda b: _event_table(b, payload, "D", seq),
+            batch_format="pyarrow",
+        )
 
-    events = ds.map_batches(to_deletes, batch_format="pyarrow")
-    files = _stage_events(lake_dir, events, "delete")
-    if files is None:
-        return []
-    return apply_changes(files, lake_dir, spec, **apply_kwargs)
+    return _run_serializable(lake_dir, spec, "delete", synthesize, apply_kwargs)
 
 
 def update_where(
@@ -277,14 +333,10 @@ def update_where(
     surviving row keeps its committed ``ts``. ``set`` values are plain
     scalars or callables ``pa.Table -> pa.Array`` (vectorized, e.g.
     ``lambda b: pc.binary_join_element_wise(pa.scalar("X:"), b["text"],
-    "")``). Key columns and ``ts`` cannot be assigned."""
+    "")``). Key columns and ``ts`` cannot be assigned. Serializable
+    under concurrent writers (see ``_run_serializable``)."""
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
-    m = store.load()
-    if m is None:
-        return []
-    payload = manifest_payload_schema(m)
-    pred = _check_pred(where, payload)
     key_cols = list(spec.key_cols)
     for col in set:
         if col in key_cols or col == "ts":
@@ -292,32 +344,39 @@ def update_where(
                 f"cannot assign {col!r}: key columns and ts are immutable "
                 "(delete + insert to move a row)"
             )
-        if col not in payload.names:
-            raise KeyError(f"unknown column {col!r}; lake has {payload.names}")
-    ds = _matched_rows(lake_dir, store, m, pred, list(payload.names))
-    if ds is None:
-        return []
-    seq = int(m.watermark) + 1
     assignments = dict(set)
 
-    def to_updates(b: pa.Table) -> pa.Table:
-        for col, expr in assignments.items():
-            typ = payload.field(col).type
-            arr = (
-                expr(b).cast(typ)
-                if callable(expr)
-                else pa.nulls(len(b), typ)
-                if expr is None
-                else pa.array([expr] * len(b), typ)
-            )
-            b = b.set_column(b.column_names.index(col), col, arr)
-        return _event_table(b, payload, "U", seq)
+    def synthesize(m):
+        if m is None:
+            return None
+        payload = manifest_payload_schema(m)
+        pred = _check_pred(where, payload)
+        for col in assignments:
+            if col not in payload.names:
+                raise KeyError(
+                    f"unknown column {col!r}; lake has {payload.names}"
+                )
+        ds = _matched_rows(lake_dir, store, m, pred, list(payload.names))
+        if ds is None:
+            return None
+        seq = int(m.watermark) + 1
 
-    events = ds.map_batches(to_updates, batch_format="pyarrow")
-    files = _stage_events(lake_dir, events, "update")
-    if files is None:
-        return []
-    return apply_changes(files, lake_dir, spec, **apply_kwargs)
+        def to_updates(b: pa.Table) -> pa.Table:
+            for col, expr in assignments.items():
+                typ = payload.field(col).type
+                arr = (
+                    expr(b).cast(typ)
+                    if callable(expr)
+                    else pa.nulls(len(b), typ)
+                    if expr is None
+                    else pa.array([expr] * len(b), typ)
+                )
+                b = b.set_column(b.column_names.index(col), col, arr)
+            return _event_table(b, payload, "U", seq)
+
+        return ds.map_batches(to_updates, batch_format="pyarrow")
+
+    return _run_serializable(lake_dir, spec, "update", synthesize, apply_kwargs)
 
 
 def merge_into(
@@ -345,7 +404,9 @@ def merge_into(
 
     Match detection is one co-partitioning ``hash_join`` between the
     source and a key-column projection of the lake — both sides may be
-    table-sized; nothing is broadcast or driver-collected."""
+    table-sized; nothing is broadcast or driver-collected. Serializable
+    under concurrent writers: a lost commit race re-joins the source
+    against the fresh snapshot (see ``_run_serializable``)."""
     from ..functions.joins import hash_join
     from .cdc import read_table
 
@@ -353,43 +414,49 @@ def merge_into(
     assert when_not_matched in ("insert", "ignore")
     spec = spec or default_spec()
     store = ManifestStore(lake_dir)
-    m = store.load()
-    if m is None:
+    if store.load() is None:
         raise FileNotFoundError(f"no lake at {lake_dir} (bootstrap first)")
-    payload = manifest_payload_schema(m)
     key_cols = list(spec.key_cols)
-    seq = int(m.watermark) + 1
 
-    lake_keys = read_table(lake_dir, columns=key_cols + ["ts"])
-    joined = hash_join(
-        source, lake_keys, on=key_cols, how="left",
-        right_cols=["ts"], suffix="_lake",
-    )
+    def synthesize(m):
+        if m is None:
+            raise FileNotFoundError(f"no lake at {lake_dir} (bootstrap first)")
+        payload = manifest_payload_schema(m)
+        seq = int(m.watermark) + 1
 
-    def to_events(b: pa.Table) -> pa.Table:
-        matched = pc.fill_null(pc.is_valid(b["ts_lake"]), False)
-        out = []
-        mb = b.filter(matched)
-        if len(mb) and when_matched != "ignore":
-            if when_matched == "delete":
-                out.append(_event_table(mb, payload, "D", seq, ts_col="ts_lake"))
-            elif when_matched == "update":
-                out.append(_event_table(mb, payload, "U", seq, ts_col="ts_lake"))
-            else:  # update_if_newer: source ts competes in LWW
-                out.append(_event_table(mb, payload, "U", seq))
-        ub = b.filter(pc.invert(matched))
-        if len(ub) and when_not_matched == "insert":
-            out.append(_event_table(ub, payload, "U", seq))
-        if not out:
-            sch = _event_table(b.slice(0, 0), payload, "U", seq).schema
-            return sch.empty_table()
-        return pa.concat_tables(out)
+        lake_keys = read_table(lake_dir, version=m.version,
+                               columns=key_cols + ["ts"])
+        joined = hash_join(
+            source, lake_keys, on=key_cols, how="left",
+            right_cols=["ts"], suffix="_lake",
+        )
 
-    events = joined.map_batches(
-        lambda df: to_events(pa.Table.from_pandas(df, preserve_index=False)),
-        batch_format="pandas",
-    )
-    files = _stage_events(lake_dir, events, "merge")
-    if files is None:
-        return []
-    return apply_changes(files, lake_dir, spec, **apply_kwargs)
+        def to_events(b: pa.Table) -> pa.Table:
+            matched = pc.fill_null(pc.is_valid(b["ts_lake"]), False)
+            out = []
+            mb = b.filter(matched)
+            if len(mb) and when_matched != "ignore":
+                if when_matched == "delete":
+                    out.append(
+                        _event_table(mb, payload, "D", seq, ts_col="ts_lake")
+                    )
+                elif when_matched == "update":
+                    out.append(
+                        _event_table(mb, payload, "U", seq, ts_col="ts_lake")
+                    )
+                else:  # update_if_newer: source ts competes in LWW
+                    out.append(_event_table(mb, payload, "U", seq))
+            ub = b.filter(pc.invert(matched))
+            if len(ub) and when_not_matched == "insert":
+                out.append(_event_table(ub, payload, "U", seq))
+            if not out:
+                sch = _event_table(b.slice(0, 0), payload, "U", seq).schema
+                return sch.empty_table()
+            return pa.concat_tables(out)
+
+        return joined.map_batches(
+            lambda df: to_events(pa.Table.from_pandas(df, preserve_index=False)),
+            batch_format="pandas",
+        )
+
+    return _run_serializable(lake_dir, spec, "merge", synthesize, apply_kwargs)

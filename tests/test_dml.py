@@ -273,3 +273,94 @@ def test_dml_feeds_cdf_and_matview(base):
     merge_into(lake, rd.from_pandas(src), SPEC)
     refresh_rollup(lake, rollup)  # one refresh folds BOTH versions
     _assert_synced(lake, rollup)
+
+
+def test_concurrent_dml_statements_serialize(base, monkeypatch):
+    """Two DML statements race: both synthesize from the SAME snapshot
+    (a barrier inside the gated apply guarantees the overlap), one
+    loses the commit and must re-synthesize from the winner's state —
+    the final table equals the serial execution, never the interleaved
+    anomaly (a stale replay would let the loser's (ts, seq)=(committed
+    ts, wm+1) events tie the winner's rows and resurrect/overwrite by
+    sort luck)."""
+    import threading
+
+    import aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml as dml
+
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "race")
+
+    bar = threading.Barrier(2, timeout=120)
+    tl = threading.local()
+    real_apply = dml.apply_changes
+
+    def gated(*a, **kw):
+        if not getattr(tl, "waited", False):
+            tl.waited = True
+            bar.wait()  # both statements synthesized from v1 by now
+        return real_apply(*a, **kw)
+
+    monkeypatch.setattr(dml, "apply_changes", gated)
+
+    errs = []
+
+    def upd():
+        try:
+            update_where(lake, [("role", "==", "user")], {"role": "A"}, SPEC)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def dele():
+        try:
+            delete_where(lake, [("turn_idx", ">=", 20)], SPEC)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ta, tb = threading.Thread(target=upd), threading.Thread(target=dele)
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errs, errs
+
+    # both serial orders produce the same state here; the interleaved
+    # anomaly (surviving turn>=20 rows, or un-updated user rows) differs
+    want = final[final["turn_idx"] < 20].copy()
+    want.loc[want["role"] == "user", "role"] = "A"
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+    hist = ManifestStore(lake).history()
+    assert [h["version"] for h in hist] == [1, 2, 3]  # gapless, both landed
+
+
+def test_dml_snapshot_fence_forces_resynthesis(base, monkeypatch):
+    """The stale-window anomaly, deterministically: a concurrent writer
+    commits BETWEEN a statement's synthesis and its apply (no physical
+    commit race, so only the snapshot-validation fence can catch it).
+    The statement must re-synthesize from the fresh version — without
+    the fence its stale events (ts, seq)=(committed ts, old wm+1) would
+    tie the winner's rows and survive by sort luck."""
+    import aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml as dml
+
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "fence")
+
+    real_apply = dml.apply_changes
+    calls = {"n": 0}
+
+    def gated(files, lake_dir, spec, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # interleaved writer: commits v2 after the delete synthesized
+            # from v1 but before its apply
+            monkeypatch.setattr(dml, "apply_changes", real_apply)
+            update_where(lake, [("role", "==", "user")], {"role": "A"}, SPEC)
+            monkeypatch.setattr(dml, "apply_changes", gated)
+        return real_apply(files, lake_dir, spec, **kw)
+
+    monkeypatch.setattr(dml, "apply_changes", gated)
+    delete_where(lake, [("turn_idx", ">=", 20)], SPEC)
+
+    assert calls["n"] == 2, "stale apply must be fenced and retried once"
+    want = final[final["turn_idx"] < 20].copy()
+    want.loc[want["role"] == "user", "role"] = "A"
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
