@@ -364,3 +364,24 @@ def test_dml_snapshot_fence_forces_resynthesis(base, monkeypatch):
     want = final[final["turn_idx"] < 20].copy()
     want.loc[want["role"] == "user", "role"] = "A"
     pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_dml_on_object_store_scheme(base, tmp_path):
+    """The whole DML path on an object-scheme lake (``s3sim://``):
+    worker-side staging shards land by atomic PUT, the statement
+    commits through the exclusive-create arbiter, and the result
+    matches the POSIX-lake run of the same statements."""
+    root, changes, final = base
+    lake = "s3sim://" + str(tmp_path).lstrip("/") + "/dmllake"
+    apply_changes(changes, lake, SPEC)
+
+    delete_where(lake, [("turn_idx", ">=", 30)], SPEC)
+    update_where(lake, [("role", "==", "user")], {"role": "A"}, SPEC)
+    src = final.head(10).copy()
+    src["turn_idx"] = (src["turn_idx"] + 700).astype(src["turn_idx"].dtype)
+    merge_into(lake, rd.from_pandas(src), SPEC)
+
+    want = final[final["turn_idx"] < 30].copy()
+    want.loc[want["role"] == "user", "role"] = "A"
+    want = pd.concat([want, src], ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
