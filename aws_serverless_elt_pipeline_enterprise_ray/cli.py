@@ -44,6 +44,32 @@ def _ray_up(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+
+def _parse_value(v: str):
+    try:
+        return json.loads(v)
+    except (ValueError, TypeError):
+        return v
+
+
+def _parse_where(items: list) -> list[tuple]:
+    out = []
+    for item in items:
+        col, op, val = item.split(":", 2)
+        val = _parse_value(val)
+        if op == "between":
+            val = tuple(val)
+        out.append((col, op, val))
+    return out
+
+
+def _parse_set(items: list) -> dict:
+    out = {}
+    for item in items:
+        col, val = item.split("=", 1)
+        out[col] = _parse_value(val)
+    return out
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="aws_serverless_elt_pipeline_enterprise_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -239,6 +265,36 @@ def main(argv=None) -> int:
     tg.add_argument("--name", required=True)
     tg.add_argument("--version", type=int, default=None)
     tg.add_argument("--delete", action="store_true")
+
+    dl = sub.add_parser(
+        "delete", help="DELETE FROM lake WHERE <conjunction> (row-level DML)"
+    )
+    dl.add_argument("--lake", required=True)
+    dl.add_argument(
+        "--where", action="append", required=True, metavar="COL:OP:VALUE",
+        help="conjunct, e.g. role:==:assistant or turn_idx:between:[5,9]; "
+        "VALUE parses as JSON, falling back to a raw string",
+    )
+
+    up = sub.add_parser(
+        "update", help="UPDATE lake SET col=value WHERE <conjunction>"
+    )
+    up.add_argument("--lake", required=True)
+    up.add_argument("--where", action="append", required=True,
+                    metavar="COL:OP:VALUE")
+    up.add_argument(
+        "--set", action="append", required=True, metavar="COL=VALUE",
+        help="scalar assignment; VALUE parses as JSON else raw string",
+    )
+
+    mb = sub.add_parser(
+        "merge-branch",
+        help="three-way merge of a diverged clone back into its source",
+    )
+    mb.add_argument("--branch", required=True)
+    mb.add_argument("--into", required=True)
+    mb.add_argument("--policy", default="lww",
+                    choices=["lww", "ours", "theirs"])
 
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
@@ -439,6 +495,32 @@ def main(argv=None) -> int:
             else:
                 v = store.tag(args.name, args.version)
                 print(json.dumps({"tag": args.name, "version": v}))
+        elif args.cmd == "delete":
+            from .pipelines.dml import delete_where
+
+            ms = delete_where(args.lake, _parse_where(args.where))
+            print(json.dumps({
+                "committed": [m.version for m in ms],
+                "metrics": ms[-1].metrics if ms else {},
+            }))
+        elif args.cmd == "update":
+            from .pipelines.dml import update_where
+
+            ms = update_where(
+                args.lake, _parse_where(args.where), _parse_set(args.set)
+            )
+            print(json.dumps({
+                "committed": [m.version for m in ms],
+                "metrics": ms[-1].metrics if ms else {},
+            }))
+        elif args.cmd == "merge-branch":
+            from .pipelines.branch import merge_branch
+
+            m = merge_branch(args.branch, args.into, policy=args.policy)
+            print(json.dumps(
+                {"version": m.version if m else None,
+                 "metrics": m.metrics if m else {}}
+            ))
         elif args.cmd == "clone":
             from .pipelines.clone import clone_lake
 

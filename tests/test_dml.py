@@ -385,3 +385,27 @@ def test_dml_on_object_store_scheme(base, tmp_path):
     want.loc[want["role"] == "user", "role"] = "A"
     want = pd.concat([want, src], ignore_index=True)
     pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_cli_dml_subcommands(base, capsys):
+    import json
+
+    from aws_serverless_elt_pipeline_enterprise_ray import cli
+
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "clidml")
+
+    assert cli.main(["delete", "--lake", lake, "--where", "turn_idx:>=:30"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed"] == [2]
+
+    assert cli.main([
+        "update", "--lake", lake,
+        "--where", "role:==:user", "--set", 'role="E"',
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed"] == [3]
+
+    want = final[final["turn_idx"] < 30].copy()
+    want.loc[want["role"] == "user", "role"] = "E"
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
