@@ -80,6 +80,15 @@ def _check_pred(where, payload: pa.Schema) -> list[tuple]:
     return out
 
 
+def _zone_val(scalar: pa.Scalar):
+    """A predicate scalar in the zone map's units: ``file_entry`` stats
+    store timestamps as raw int64 microseconds, so timestamp scalars
+    compare as ints, everything else as its Python value."""
+    if pa.types.is_timestamp(scalar.type):
+        return scalar.cast(pa.int64()).as_py()
+    return scalar.as_py()
+
+
 def _file_may_match(pred: list[tuple]):
     """Zone-map test: True unless some conjunct PROVABLY excludes the
     file. ``stats`` records (min, max) of every primitive column at
@@ -93,24 +102,25 @@ def _file_may_match(pred: list[tuple]):
                 continue
             lo, hi = rng
             if op == "==":
-                v = val.as_py()
+                v = _zone_val(val)
                 if v is None or not (lo <= v <= hi):
                     return False
             elif op == "between":
-                if val[0].as_py() > hi or val[1].as_py() < lo:
+                if _zone_val(val[0]) > hi or _zone_val(val[1]) < lo:
                     return False
             elif op == "in":
                 if not any(
-                    v.as_py() is not None and lo <= v.as_py() <= hi for v in val
+                    _zone_val(v) is not None and lo <= _zone_val(v) <= hi
+                    for v in val
                 ):
                     return False
             elif op in ("<", "<="):
                 cmpf = operator.lt if op == "<" else operator.le
-                if not cmpf(lo, val.as_py()):
+                if not cmpf(lo, _zone_val(val)):
                     return False
             elif op in (">", ">="):
                 cmpf = operator.gt if op == ">" else operator.ge
-                if not cmpf(hi, val.as_py()):
+                if not cmpf(hi, _zone_val(val)):
                     return False
             # "!=" never prunes (min==max==v files are rare; not worth
             # the stats-equality special case)
@@ -170,6 +180,45 @@ def _matched_rows(
 
     ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return ds.select_columns(columns)
+
+
+def explain_where(lake_dir: str, where: list[tuple]) -> dict:
+    """EXPLAIN for a DML predicate (or any pruned scan): how many files
+    the zone maps skip vs scan, matched-row count, and per-partition
+    prune safety — the dry run an operator checks before a DELETE on a
+    100-TB lake. Pruning stats come from the manifest alone (O(files)
+    driver work); the matched count is the same distributed scan the
+    statement would run, minus the write."""
+    store = ManifestStore(lake_dir)
+    m = store.load()
+    if m is None:
+        raise FileNotFoundError(f"no committed version at {lake_dir}")
+    payload = manifest_payload_schema(m)
+    pred = _check_pred(where, payload)
+    may = _file_may_match(pred)
+    total = scanned = unsafe = 0
+    for files in m.partitions.values():
+        if not files:
+            continue
+        total += len(files)
+        if _prune_safe(files):
+            scanned += sum(1 for f in files if may(f))
+        else:
+            scanned += len(files)
+            unsafe += 1
+    ds = _matched_rows(
+        lake_dir, store, m, pred,
+        [payload.names[0]],  # cheapest projection: count needs one col
+    )
+    matched = int(ds.count()) if ds is not None else 0
+    return {
+        "version": int(m.version),
+        "files_total": total,
+        "files_scanned": scanned,
+        "files_pruned": total - scanned,
+        "partitions_prune_unsafe": unsafe,
+        "matched_rows": matched,
+    }
 
 
 def _stage_events(lake_dir: str, ds: rd.Dataset, tag: str) -> list[str] | None:

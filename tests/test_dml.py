@@ -409,3 +409,72 @@ def test_cli_dml_subcommands(base, capsys):
     want = final[final["turn_idx"] < 30].copy()
     want.loc[want["role"] == "user", "role"] = "E"
     pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_explain_where_prunes_and_counts(base, tmp_path):
+    """EXPLAIN: zone maps prune key-range-disjoint files for a key
+    predicate, and matched_rows equals the exact count."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml import explain_where
+
+    root, changes, final = base
+    # small files so zone maps have something to prune
+    lake = str(tmp_path / "xlake")
+    apply_changes(changes, lake, SPEC, max_rows_per_file=120)
+
+    ex = explain_where(lake, [("turn_idx", "between", (0, 3))])
+    assert ex["matched_rows"] == int((final["turn_idx"] <= 3).sum())
+    assert ex["files_pruned"] + ex["files_scanned"] == ex["files_total"]
+
+    # a conv_id point predicate prunes across key-sorted chunk files
+    conv = final["conv_id"].iloc[0]
+    ex2 = explain_where(lake, [("conv_id", "==", conv)])
+    assert ex2["matched_rows"] == int((final["conv_id"] == conv).sum())
+    assert ex2["files_pruned"] > 0, "key-disjoint files must prune"
+
+
+def test_dml_predicate_fuzz_vs_duckdb(base):
+    """Seeded fuzz: 25 random conjunctions over (role, turn_idx, ts,
+    text) — delete_where's surviving state must equal DuckDB deleting
+    with the same WHERE from the same starting state (SQL NULL
+    semantics included)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    root, changes, final = base
+    con = duckdb.connect()
+    con.register("final", final)
+
+    roles = [r for r in final["role"].dropna().unique()][:4]
+    tmin, tmax = final["ts"].min(), final["ts"].max()
+
+    def rand_conjunct():
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            r = roles[int(rng.integers(0, len(roles)))]
+            op = ["==", "!="][int(rng.integers(0, 2))]
+            return ("role", op, r), f"role {'=' if op == '==' else '<>'} '{r}'"
+        if kind == 1:
+            lo = int(rng.integers(0, 30))
+            hi = lo + int(rng.integers(0, 15))
+            return ("turn_idx", "between", (lo, hi)), \
+                f"turn_idx BETWEEN {lo} AND {hi}"
+        if kind == 2:
+            cut = tmin + (tmax - tmin) * float(rng.random())
+            op = ["<=", ">"][int(rng.integers(0, 2))]
+            return ("ts", op, cut), f"ts {op} TIMESTAMP '{cut}'"
+        vals = [int(v) for v in rng.integers(0, 40, size=3)]
+        return ("turn_idx", "in", vals), \
+            f"turn_idx IN ({','.join(map(str, vals))})"
+
+    for trial in range(25):
+        n = int(rng.integers(1, 3))
+        conjs, sqls = zip(*[rand_conjunct() for _ in range(n)])
+        lake = _fresh_lake(root, changes, f"fuzz{trial}")
+        delete_where(lake, list(conjs), SPEC)
+        want = con.execute(
+            "SELECT * FROM final WHERE NOT coalesce("
+            + " AND ".join(sqls) + ", false) ORDER BY conv_id, turn_idx"
+        ).df()
+        got = _canon(_state(lake))
+        pd.testing.assert_frame_equal(got, _canon(want)), (conjs,)
+    con.close()
