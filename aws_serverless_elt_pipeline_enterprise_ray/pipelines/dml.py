@@ -52,9 +52,23 @@ _RANGE_OPS = {"==", "<", "<=", ">", ">=", "between", "in"}
 _OPS = _RANGE_OPS | {"!="}
 
 
-def _check_pred(where, payload: pa.Schema) -> list[tuple]:
+def _check_pred(where, payload: pa.Schema) -> list[list[tuple]]:
+    """Validate + normalize a predicate to DNF: ``where`` is either a
+    single conjunction ``[(col, op, val), ...]`` (ANDed) or a
+    disjunction of conjunctions ``[[...], [...]]`` (each inner list
+    ANDed, groups ORed). Returns the list of groups."""
+    if where and isinstance(where[0], (list,)):
+        groups = [list(g) for g in where]
+        if not all(groups):
+            raise ValueError("empty conjunction group in OR predicate")
+    else:
+        groups = [list(where)]
+    return [_check_conj(g, payload) for g in groups]
+
+
+def _check_conj(conj, payload: pa.Schema) -> list[tuple]:
     out = []
-    for item in where:
+    for item in conj:
         col, op, val = item[0], item[1], item[2]
         if op not in _OPS:
             raise ValueError(f"unknown predicate op {op!r}; have {sorted(_OPS)}")
@@ -155,14 +169,32 @@ def _batch_mask(pred: list[tuple], batch: pa.Table) -> pa.ChunkedArray | pa.Arra
     return mask
 
 
+def _dnf_may_match(groups: list[list[tuple]]):
+    """File survives when ANY disjunct group may match it."""
+    mays = [_file_may_match(g) for g in groups]
+
+    def may(f: dict) -> bool:
+        return any(fn(f) for fn in mays)
+
+    return may
+
+
+def _dnf_mask(groups: list[list[tuple]], batch: pa.Table):
+    mask = None
+    for g in groups:
+        gm = _batch_mask(g, batch)
+        mask = gm if mask is None else pc.or_(mask, gm)
+    return mask
+
+
 def _matched_rows(
-    lake_dir: str, store: ManifestStore, m, pred: list[tuple],
+    lake_dir: str, store: ManifestStore, m, pred: list[list[tuple]],
     columns: list[str],
 ) -> rd.Dataset | None:
     """Distributed scan of CURRENT rows matching ``pred``, zone-map
     pruned where LWW-safe (a pruned file in a multi-run stack could
     resurrect a superseded row, so those partitions read in full)."""
-    may = _file_may_match(pred)
+    may = _dnf_may_match(pred)
     sub: dict[str, list[dict]] = {}
     for pid, files in m.partitions.items():
         if not files:
@@ -172,11 +204,13 @@ def _matched_rows(
             sub[pid] = kept
     if not sub:
         return None
-    read_cols = list(dict.fromkeys(columns + [c for c, _, _ in pred]))
+    read_cols = list(
+        dict.fromkeys(columns + [c for g in pred for c, _, _ in g])
+    )
     ds = _read_lake_partitions(lake_dir, sub, m, columns=read_cols)
 
     def keep(batch: pa.Table) -> pa.Table:
-        return batch.filter(_batch_mask(pred, batch))
+        return batch.filter(_dnf_mask(pred, batch))
 
     ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return ds.select_columns(columns)
@@ -195,7 +229,7 @@ def explain_where(lake_dir: str, where: list[tuple]) -> dict:
         raise FileNotFoundError(f"no committed version at {lake_dir}")
     payload = manifest_payload_schema(m)
     pred = _check_pred(where, payload)
-    may = _file_may_match(pred)
+    may = _dnf_may_match(pred)
     total = scanned = unsafe = 0
     for files in m.partitions.values():
         if not files:

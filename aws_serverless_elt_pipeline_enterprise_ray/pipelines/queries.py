@@ -7145,6 +7145,38 @@ DELETE_WHERE_SQL = f"""
   ORDER BY conv_id, turn_idx
 """
 
+
+def q_cdc_delete_where_or(sf_dir: str):
+    """Disjunctive predicate DELETE (DNF): (role='click' AND turn_idx<10)
+    OR turn_idx>=35 — file pruning keeps a file when ANY disjunct group
+    may match; the row mask ORs the group masks (NULL never matches,
+    SQL semantics)."""
+    from .cdc import apply_changes
+    from .dml import delete_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    delete_where(
+        lake,
+        [
+            [("role", "==", "click"), ("turn_idx", "<", 10)],
+            [("turn_idx", ">=", 35)],
+        ],
+        _spec(sf_dir),
+    )
+    return _final_df(lake)
+
+
+DELETE_WHERE_OR_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM final
+  WHERE NOT coalesce(
+    (role = 'click' AND turn_idx < 10) OR turn_idx >= 35, false)
+  ORDER BY conv_id, turn_idx
+"""
+
+
 UPDATE_WHERE_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx,
@@ -7451,6 +7483,7 @@ QUERIES = {
     "cdc_update_where": q_cdc_update_where,
     "cdc_merge_into": q_cdc_merge_into,
     "cdc_row_provenance": q_cdc_row_provenance,
+    "cdc_delete_where_or": q_cdc_delete_where_or,
 }
 
 _LANG_SQL_CASES = """
@@ -10901,6 +10934,7 @@ ORACLES = {
     "cdc_update_where": UPDATE_WHERE_SQL,
     "cdc_merge_into": MERGE_INTO_SQL,
     "cdc_row_provenance": ROW_PROVENANCE_SQL,
+    "cdc_delete_where_or": DELETE_WHERE_OR_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -478,3 +478,22 @@ def test_dml_predicate_fuzz_vs_duckdb(base):
         got = _canon(_state(lake))
         pd.testing.assert_frame_equal(got, _canon(want)), (conjs,)
     con.close()
+
+
+def test_delete_where_or_predicate(base):
+    """DNF: [[a,b],[c]] = (a AND b) OR c — both the file pruning and
+    the row mask honor the disjunction."""
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "delor")
+    delete_where(
+        lake,
+        [
+            [("role", "==", "assistant"), ("turn_idx", "<", 10)],
+            [("turn_idx", ">=", 35)],
+        ],
+        SPEC,
+    )
+    hit = ((final["role"] == "assistant") & (final["turn_idx"] < 10)) | (
+        final["turn_idx"] >= 35
+    )
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(final[~hit]))
