@@ -78,9 +78,15 @@ class _Compactor:
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         drop_cols: tuple[str, ...] = (),
         cluster_by: tuple[str, ...] = (),
+        payload_names: tuple[str, ...] | None = None,
     ):
         self.key_cols = key_cols
         self.drop_cols = tuple(drop_cols)
+        # current manifest payload: rewritten files conform to it, so a
+        # DDL-dropped column's bytes leave storage at the next compact
+        self.payload_names = (
+            frozenset(payload_names) if payload_names is not None else None
+        )
         self.lake_dir = lake_dir
         self.purge = purge_tombstones
         self.purge_before_us = purge_before_us
@@ -127,6 +133,13 @@ class _Compactor:
                 tbl = tbl.drop_columns(
                     [c for c in self.drop_cols if c in tbl.column_names]
                 )
+            if self.payload_names is not None:
+                stale = [
+                    c for c in tbl.column_names
+                    if not c.startswith("_") and c not in self.payload_names
+                ]
+                if stale:  # DDL-dropped columns still present in bytes
+                    tbl = tbl.drop_columns(stale)
             if self.stamp is not None and "_ingested_at" not in tbl.column_names:
                 # reference precedent for additive schema evolution:
                 # compaction adds a constant timestamp column (M7);
@@ -241,6 +254,8 @@ def compact(
     ]
     if not todo:
         return None
+    from ..state.manifest import manifest_payload_schema, schema_to_ipc
+
     compactor = _Compactor(
         lake_dir=lake_dir,
         purge_tombstones=purge_tombstones,
@@ -250,6 +265,7 @@ def compact(
         key_cols=tuple(parent.partitioning.get("key_cols", spec.key_cols)),
         drop_cols=drop_columns,
         cluster_by=cluster_by,
+        payload_names=tuple(manifest_payload_schema(parent).names),
     )
     # task-based (state serialized once): no actor-pool startup latency
     ds = rd.from_items(todo).map_batches(
@@ -258,8 +274,6 @@ def compact(
     partitions = dict(parent.partitions)
     for r in ds.take_all():
         partitions[str(int(r["part_id"]))] = json.loads(r["files"])
-    from ..state.manifest import manifest_payload_schema, schema_to_ipc
-
     pay = manifest_payload_schema(parent)
     if drop_columns:
         pay = pa.schema([f for f in pay if f.name not in drop_columns])

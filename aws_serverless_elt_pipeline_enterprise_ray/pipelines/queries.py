@@ -7167,6 +7167,36 @@ def q_cdc_delete_where_or(sf_dir: str):
     return _final_df(lake)
 
 
+
+def q_cdc_ddl_cycle(sf_dir: str):
+    """Metadata-only DDL composed with DML (``pipelines/ddl.py``):
+    ADD COLUMN score (O(1), no data files touched; reads null-pad),
+    UPDATE fills it for turn_idx < 10 (the DML events carry the evolved
+    schema), DROP COLUMN tool (readers project it away). The oracle
+    mirrors the whole cycle over the SQL final state."""
+    import pyarrow as _pa
+
+    from .cdc import apply_changes
+    from .ddl import add_column, drop_column
+    from .dml import update_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+    add_column(lake, "score", _pa.float64())
+    update_where(lake, [("turn_idx", "<", 10)], {"score": 2.5}, _spec(sf_dir))
+    drop_column(lake, "tool")
+    return _final_df(lake)
+
+
+DDL_CYCLE_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx, role, text, ts,
+         CASE WHEN turn_idx < 10 THEN 2.5 END AS score
+  FROM final
+  ORDER BY conv_id, turn_idx
+"""
+
+
 DELETE_WHERE_OR_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx, role, text, tool, ts
@@ -7484,6 +7514,7 @@ QUERIES = {
     "cdc_merge_into": q_cdc_merge_into,
     "cdc_row_provenance": q_cdc_row_provenance,
     "cdc_delete_where_or": q_cdc_delete_where_or,
+    "cdc_ddl_cycle": q_cdc_ddl_cycle,
 }
 
 _LANG_SQL_CASES = """
@@ -10935,6 +10966,7 @@ ORACLES = {
     "cdc_merge_into": MERGE_INTO_SQL,
     "cdc_row_provenance": ROW_PROVENANCE_SQL,
     "cdc_delete_where_or": DELETE_WHERE_OR_SQL,
+    "cdc_ddl_cycle": DDL_CYCLE_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -331,13 +331,21 @@ class ManifestStore:
                     f"is at {expected - 1} (concurrent commit?)"
                 )
         else:
-            # two-step POSIX commit: a version file newer than CURRENT
+            # two-step POSIX commit: ANY version file newer than CURRENT
             # is either a corpse (crashed between the two steps - burn
             # the number) or a concurrent committer mid-flight. Refuse
             # while it is fresh; a later retry treats it as aborted.
+            # The comparison MUST be against CURRENT, not against this
+            # manifest's own version number: a committer that built its
+            # manifest after the rival's exclusive create (but before
+            # the rival's CURRENT swap) arrives here with version =
+            # rival+1 and parent = CURRENT - a same-parent sibling that
+            # would silently clobber the rival's commit if allowed
+            # through (found by the concurrent-DML race test).
             vs = self.versions()
             newest = vs[-1] if vs else 0
-            if newest >= manifest.version:
+            floor = max(cur or 0, self._posix_retired_floor())
+            if newest > floor:
                 orphan = self.fs.full("_manifest", f"manifest-{newest:06d}.json")
                 if time.time() - self.fs.mtime(orphan) < self._orphan_grace_s:
                     raise CommitConflict(
@@ -345,6 +353,7 @@ class ManifestStore:
                         f"CURRENT={cur} and is fresh - a concurrent commit "
                         "may be mid-flight; retry shortly"
                     )
+            if newest >= manifest.version:
                 manifest = dataclasses.replace(manifest, version=newest + 1)
         vpath = self.fs.full("_manifest", f"manifest-{manifest.version:06d}.json")
         # Exclusive create makes version creation atomic (O_EXCL /
@@ -391,8 +400,30 @@ class ManifestStore:
             )
             self.commit(restored)
             return
+        self._record_posix_retired()
         self.fs.write_atomic(
             self.fs.full("_manifest", "CURRENT"), json.dumps({"version": to_version})
+        )
+
+    def _posix_retired_floor(self) -> int:
+        """POSIX only: the highest version number known to be RETIRED
+        history (demoted by rollback / reset) rather than a mid-flight
+        concurrent committer. Version files above CURRENT but at or
+        below this floor are legitimate leftovers; anything above BOTH
+        is treated as a racing sibling by ``commit``."""
+        path = self.fs.full("_manifest", "RETIRED.json")
+        if not self.fs.exists(path):
+            return 0
+        return int(json.loads(self.fs.read_text(path)).get("above", 0))
+
+    def _record_posix_retired(self) -> None:
+        vs = self.versions()
+        if not vs:
+            return
+        floor = max(vs[-1], self._posix_retired_floor())
+        _atomic_write(
+            self.fs.full("_manifest", "RETIRED.json"),
+            json.dumps({"above": floor}),
         )
 
     def next_version(self) -> int:
@@ -413,6 +444,7 @@ class ManifestStore:
                     json.dumps({"above": vs[-1]}),
                 )
             return
+        self._record_posix_retired()
         self.fs.remove_if_exists(self.fs.full("_manifest", "CURRENT"))
 
     def versions(self) -> list[int]:
