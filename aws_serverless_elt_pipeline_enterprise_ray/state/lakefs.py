@@ -559,12 +559,26 @@ class LakeFS:
                 self._cond_put = cp
             cp(self.strip(path), data)
             return
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # Crash-atomic exclusive create: write+fsync a private temp,
+        # then hard-link it into place - link(2) fails EEXIST atomically
+        # and the target is complete-or-absent (a crash mid-write can
+        # never leave a partial version file, which lets the manifest
+        # store roll forward any file it finds instead of aging it).
+        import uuid as _uuid
+
+        tmp = f"{path}.x{_uuid.uuid4().hex[:8]}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, data)
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise
+        os.unlink(tmp)
         _fsync_dir(os.path.dirname(os.path.abspath(path)))
 
     def remove(self, path: str) -> None:

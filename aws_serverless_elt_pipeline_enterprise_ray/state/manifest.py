@@ -331,29 +331,29 @@ class ManifestStore:
                     f"is at {expected - 1} (concurrent commit?)"
                 )
         else:
-            # two-step POSIX commit: ANY version file newer than CURRENT
-            # is either a corpse (crashed between the two steps - burn
-            # the number) or a concurrent committer mid-flight. Refuse
-            # while it is fresh; a later retry treats it as aborted.
-            # The comparison MUST be against CURRENT, not against this
-            # manifest's own version number: a committer that built its
-            # manifest after the rival's exclusive create (but before
-            # the rival's CURRENT swap) arrives here with version =
-            # rival+1 and parent = CURRENT - a same-parent sibling that
-            # would silently clobber the rival's commit if allowed
-            # through (found by the concurrent-DML race test).
+            # POSIX: the exclusive version create IS the commit point
+            # (version files are crash-atomic: complete or absent);
+            # CURRENT is a roll-forwardable cache of the head. A version
+            # file above CURRENT is a rival that won its create but has
+            # not (or never will) swap CURRENT - roll it forward NOW and
+            # surface the stale parent as a clean conflict, instead of
+            # letting a same-parent sibling slide past and clobber it
+            # (the silent lost-commit race the concurrent-DML test
+            # found), and instead of aging corpses behind a grace
+            # window. Retired history (rollback/reset floor) is never
+            # rolled forward.
+            rolled = self._roll_forward(cur)
+            if rolled != cur:
+                raise CommitConflict(
+                    f"stale commit: parent={manifest.parent_version} but a "
+                    f"concurrent commit advanced the lake to {rolled}"
+                )
             vs = self.versions()
             newest = vs[-1] if vs else 0
-            floor = max(cur or 0, self._posix_retired_floor())
-            if newest > floor:
-                orphan = self.fs.full("_manifest", f"manifest-{newest:06d}.json")
-                if time.time() - self.fs.mtime(orphan) < self._orphan_grace_s:
-                    raise CommitConflict(
-                        f"stale commit: version file {newest} exists above "
-                        f"CURRENT={cur} and is fresh - a concurrent commit "
-                        "may be mid-flight; retry shortly"
-                    )
             if newest >= manifest.version:
+                # above-floor unreadable corpses are impossible with
+                # crash-atomic creates; anything left above CURRENT here
+                # is retired history - burn past it
                 manifest = dataclasses.replace(manifest, version=newest + 1)
         vpath = self.fs.full("_manifest", f"manifest-{manifest.version:06d}.json")
         # Exclusive create makes version creation atomic (O_EXCL /
@@ -367,15 +367,10 @@ class ManifestStore:
                 f"version {manifest.version} already exists (concurrent commit?)"
             ) from None
         if not self.fs.is_object:
-            self.fs.write_atomic(
-                self.fs.full("_manifest", "CURRENT"),
-                json.dumps({"version": manifest.version}),
-            )
+            self._update_current_monotonic(manifest.version)
         return manifest
 
-    #: POSIX only - how long an above-CURRENT version file is presumed
-    #: to be a live concurrent committer rather than a crash corpse
-    _orphan_grace_s: float = 60.0
+
 
     def rollback(self, to_version: int) -> None:
         """Demote CURRENT to an earlier version (DQ-gate demotion -
@@ -400,10 +395,78 @@ class ManifestStore:
             )
             self.commit(restored)
             return
-        self._record_posix_retired()
-        self.fs.write_atomic(
-            self.fs.full("_manifest", "CURRENT"), json.dumps({"version": to_version})
-        )
+        with self._current_lock():
+            self._record_posix_retired()
+            self.fs.write_atomic(
+                self.fs.full("_manifest", "CURRENT"),
+                json.dumps({"version": to_version}),
+            )
+
+    def _current_lock(self):
+        """POSIX-only advisory lock serializing CURRENT pointer writes
+        (commit swap, roll-forward, rollback). Single-node by design -
+        the object path is the multi-node protocol."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            fd = os.open(
+                self.fs.full("_manifest", ".current.lock"),
+                os.O_CREAT | os.O_RDWR,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return lock()
+
+    def _update_current_monotonic(self, version: int) -> None:
+        """Advance CURRENT to ``version`` unless it already points at or
+        beyond it - a delayed committer's swap must never regress the
+        pointer past a rival (or roll-forward) that moved it first."""
+        with self._current_lock():
+            p = self.fs.full("_manifest", "CURRENT")
+            cur = (
+                json.loads(self.fs.read_text(p))["version"]
+                if self.fs.exists(p)
+                else None
+            )
+            if cur is not None and cur >= version:
+                return
+            self.fs.write_atomic(p, json.dumps({"version": version}))
+
+    def _roll_forward(self, cur: int | None) -> int | None:
+        """POSIX recovery: make committed-but-unswapped version files
+        visible. Any readable version file above both CURRENT and the
+        retired floor whose parent chains from CURRENT was fully
+        committed by its writer's exclusive create (crash-atomic, so
+        complete); advance CURRENT through the chain and return the new
+        head. Files at or below the retired floor are demoted history
+        and stay invisible."""
+        floor = self._posix_retired_floor()
+        advanced = cur
+        while True:
+            base = max(advanced or 0, floor)
+            nxt = None
+            for v in self.versions():
+                if v <= base:
+                    continue
+                try:
+                    mv = self.load(v)
+                except (ValueError, KeyError, TypeError):
+                    continue  # unreadable legacy partial - skip
+                if mv is not None and mv.parent_version == advanced:
+                    nxt = v
+                    break
+            if nxt is None:
+                break
+            self._update_current_monotonic(nxt)
+            advanced = nxt
+        return advanced
 
     def _posix_retired_floor(self) -> int:
         """POSIX only: the highest version number known to be RETIRED
@@ -444,8 +507,9 @@ class ManifestStore:
                     json.dumps({"above": vs[-1]}),
                 )
             return
-        self._record_posix_retired()
-        self.fs.remove_if_exists(self.fs.full("_manifest", "CURRENT"))
+        with self._current_lock():
+            self._record_posix_retired()
+            self.fs.remove_if_exists(self.fs.full("_manifest", "CURRENT"))
 
     def versions(self) -> list[int]:
         out = []

@@ -15,6 +15,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 import aws_serverless_elt_pipeline_enterprise_ray as engine
 from aws_serverless_elt_pipeline_enterprise_ray.gen import gen_changes
 from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
@@ -38,10 +40,19 @@ def _writer(changes: str, lake: str) -> subprocess.Popen:
     )
 
 
-def test_multiwriter_kill_restart_stress(tmp_path):
+@pytest.mark.parametrize("backend", ["s3sim", "posix"])
+def test_multiwriter_kill_restart_stress(tmp_path, backend):
+    """Parametrized over BOTH commit protocols: the object single-step
+    path and the POSIX two-step path (exclusive create = commit point,
+    CURRENT = roll-forwardable cache; kill/restart exercises corpse
+    roll-forward and the lost-commit fence)."""
     rng = random.Random(20260818)
     changes = str(tmp_path / "ch")
-    lake = "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
+    lake = (
+        "s3sim://" + str(tmp_path).lstrip("/") + "/lake"
+        if backend == "s3sim"
+        else str(tmp_path / "lake")
+    )
     gen_changes(changes, n_events=24_000, n_convs=120, n_files=12, seed=91)
     all_files = sorted(glob.glob(os.path.join(changes, "*.parquet")))
     store = ManifestStore(lake)
