@@ -296,6 +296,20 @@ def main(argv=None) -> int:
     mb.add_argument("--policy", default="lww",
                     choices=["lww", "ours", "theirs"])
 
+    ac = sub.add_parser(
+        "add-column", help="ALTER TABLE ADD COLUMN (metadata-only, O(1))"
+    )
+    ac.add_argument("--lake", required=True)
+    ac.add_argument("--name", required=True)
+    ac.add_argument("--type", required=True,
+                    help="arrow type string, e.g. double, int64, string")
+
+    dc = sub.add_parser(
+        "drop-column", help="ALTER TABLE DROP COLUMN (metadata-only, O(1))"
+    )
+    dc.add_argument("--lake", required=True)
+    dc.add_argument("--name", required=True)
+
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
     )
@@ -495,6 +509,16 @@ def main(argv=None) -> int:
             else:
                 v = store.tag(args.name, args.version)
                 print(json.dumps({"tag": args.name, "version": v}))
+        elif args.cmd == "add-column":
+            from .pipelines.ddl import add_column
+
+            m = add_column(args.lake, args.name, args.type)
+            print(json.dumps({"version": m.version, "metrics": m.metrics}))
+        elif args.cmd == "drop-column":
+            from .pipelines.ddl import drop_column
+
+            m = drop_column(args.lake, args.name)
+            print(json.dumps({"version": m.version, "metrics": m.metrics}))
         elif args.cmd == "delete":
             from .pipelines.dml import delete_where
 
