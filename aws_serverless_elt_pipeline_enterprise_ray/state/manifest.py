@@ -11,13 +11,17 @@ We replace both with ONE atomic visibility point (strictly stronger,
 per SURVEY §4): writers emit uniquely-named files that are invisible
 until a manifest version references them.
 
-POSIX backend: commit is an O_EXCL create of the versioned manifest
-(the commit-race arbiter) followed by an atomic ``os.replace`` of the
-``CURRENT`` pointer. The two-step shape leaves a narrow window where a
-crashed committer's version file exists without CURRENT; recovery
-burns that version number, and a freshness guard refuses to commit
-past an orphan younger than a grace period (it may be a concurrent
-committer mid-flight, not a corpse).
+POSIX backend: the crash-atomic exclusive create of the versioned
+manifest (temp + hardlink: the file is complete or absent) IS the
+commit point; ``CURRENT`` is a roll-forwardable CACHE of the head,
+updated monotonically under an advisory flock. A version file above
+CURRENT — a committer that won its create but crashed (or has not yet
+swapped) — is rolled forward by the next committer, which then sees
+its own parent as stale and gets a clean ``CommitConflict``; there is
+no grace window and no silent same-parent clobber (the lost-commit
+race the concurrent-DML test exposed). ``rollback``/``reset`` record a
+``RETIRED.json`` floor so demoted history is never rolled forward.
+Single-node by design — the object path is the multi-node protocol.
 
 Object backend (URI lakes, ``state/lakefs.py``): there is no atomic
 rename, so the protocol is SINGLE-step, Delta-log style: the
