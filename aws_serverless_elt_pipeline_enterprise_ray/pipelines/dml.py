@@ -187,21 +187,121 @@ def _dnf_mask(groups: list[list[tuple]], batch: pa.Table):
     return mask
 
 
+def _group_key_values(pred, key_col):
+    """Per DNF group: the leading-key values its ``==`` / ``in``
+    conjuncts pin, or None when the group leaves the key free."""
+    out = []
+    for g in pred:
+        vals = []
+        for col, op, val in g:
+            if col != key_col:
+                continue
+            if op == "==":
+                vals.append(_zone_val(val))
+            elif op == "in":
+                vals.extend(_zone_val(v) for v in val)
+        out.append(vals or None)
+    return out
+
+
+def _bloom_tester(lake_dir):
+    """Per-call cached reader of the per-file key Bloom sidecars
+    (written by ``file_entry``): "may this file contain any of these
+    keys" with ~1% FP at a ~10-bits/key sidecar read. Missing/corrupt
+    sidecar -> read the file."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.bloom import Bloom
+    from ..state.lakefs import lakefs
+
+    fs = lakefs(lake_dir)
+    cache: dict = {}
+
+    def may(f: dict, keys: list) -> bool:
+        bp = f.get("bloom")
+        if not bp:
+            return True
+        bl = cache.get(bp)
+        if bl is None:
+            try:
+                raw = fs.read_bytes(fs.full(bp))
+                bl = (
+                    Bloom(
+                        np.frombuffer(raw, dtype=np.uint8),
+                        f["bloom_bits"], f["bloom_k"],
+                    )
+                    if len(raw) * 8 == f["bloom_bits"]
+                    else True  # truncated sidecar: read the file
+                )
+            except Exception:
+                bl = True
+            cache[bp] = bl
+        if bl is True:
+            return True
+        return bool(bl.contains(pd.Series(keys)).any())
+
+    return may
+
+
+def _prune_files(lake_dir: str, m, pred: list[list[tuple]]):
+    """Shared file-pruning pass (zone maps + key Blooms) for the
+    matched-row scan and EXPLAIN; returns (surviving partitions,
+    stats dict)."""
+    key_col = (m.partitioning.get("key_cols") or ["conv_id"])[0]
+    zone_mays = [_file_may_match(g) for g in pred]
+    group_keys = _group_key_values(pred, key_col)
+    bloom_may = (
+        _bloom_tester(lake_dir) if any(gk for gk in group_keys) else None
+    )
+    sub: dict[str, list[dict]] = {}
+    total = scanned = unsafe = 0
+    for pid, files in m.partitions.items():
+        if not files:
+            continue
+        total += len(files)
+        zone_safe = _prune_safe(files)
+        if not zone_safe:
+            unsafe += 1
+        kept = [
+            f for f in files
+            if any(
+                (zone_mays[i](f) if zone_safe else True)
+                and (
+                    bloom_may(f, group_keys[i])
+                    if bloom_may is not None and group_keys[i]
+                    else True
+                )
+                for i in range(len(pred))
+            )
+        ]
+        scanned += len(kept)
+        if kept:
+            sub[pid] = kept
+    stats = {
+        "files_total": total,
+        "files_scanned": scanned,
+        "files_pruned": total - scanned,
+        "partitions_prune_unsafe": unsafe,
+    }
+    return sub, stats
+
+
 def _matched_rows(
     lake_dir: str, store: ManifestStore, m, pred: list[list[tuple]],
     columns: list[str],
 ) -> rd.Dataset | None:
-    """Distributed scan of CURRENT rows matching ``pred``, zone-map
-    pruned where LWW-safe (a pruned file in a multi-run stack could
-    resurrect a superseded row, so those partitions read in full)."""
-    may = _dnf_may_match(pred)
-    sub: dict[str, list[dict]] = {}
-    for pid, files in m.partitions.items():
-        if not files:
-            continue
-        kept = [f for f in files if may(f)] if _prune_safe(files) else list(files)
-        if kept:
-            sub[pid] = kept
+    """Distributed scan of CURRENT rows matching ``pred``:
+
+    - zone-map pruned where LWW-safe (a pruned file in a multi-run
+      stack could resurrect a superseded row, so those partitions skip
+      zone pruning);
+    - Bloom-sidecar pruned for DNF groups that pin the LEADING KEY by
+      ``==`` / ``in`` — safe even in multi-run stacks: a file the bloom
+      proves free of key K cannot contribute to K's LWW state, and any
+      other key a partial stack mis-merges is filtered by the key
+      conjunct's own mask before it can match."""
+    sub, _ = _prune_files(lake_dir, m, pred)
     if not sub:
         return None
     read_cols = list(
@@ -218,41 +318,25 @@ def _matched_rows(
 
 def explain_where(lake_dir: str, where: list[tuple]) -> dict:
     """EXPLAIN for a DML predicate (or any pruned scan): how many files
-    the zone maps skip vs scan, matched-row count, and per-partition
-    prune safety — the dry run an operator checks before a DELETE on a
-    100-TB lake. Pruning stats come from the manifest alone (O(files)
-    driver work); the matched count is the same distributed scan the
-    statement would run, minus the write."""
+    the zone maps + key Bloom sidecars skip vs scan, matched-row count,
+    and per-partition prune safety — the dry run an operator checks
+    before a DELETE on a 100-TB lake. Pruning stats come from the
+    manifest (+ sidecar reads for key-pinned groups); the matched count
+    is the same distributed scan the statement would run, minus the
+    write."""
     store = ManifestStore(lake_dir)
     m = store.load()
     if m is None:
         raise FileNotFoundError(f"no committed version at {lake_dir}")
     payload = manifest_payload_schema(m)
     pred = _check_pred(where, payload)
-    may = _dnf_may_match(pred)
-    total = scanned = unsafe = 0
-    for files in m.partitions.values():
-        if not files:
-            continue
-        total += len(files)
-        if _prune_safe(files):
-            scanned += sum(1 for f in files if may(f))
-        else:
-            scanned += len(files)
-            unsafe += 1
+    _, stats = _prune_files(lake_dir, m, pred)
     ds = _matched_rows(
         lake_dir, store, m, pred,
         [payload.names[0]],  # cheapest projection: count needs one col
     )
     matched = int(ds.count()) if ds is not None else 0
-    return {
-        "version": int(m.version),
-        "files_total": total,
-        "files_scanned": scanned,
-        "files_pruned": total - scanned,
-        "partitions_prune_unsafe": unsafe,
-        "matched_rows": matched,
-    }
+    return {"version": int(m.version), **stats, "matched_rows": matched}
 
 
 def _stage_events(lake_dir: str, ds: rd.Dataset, tag: str) -> list[str] | None:

@@ -497,3 +497,36 @@ def test_delete_where_or_predicate(base):
         final["turn_idx"] >= 35
     )
     pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(final[~hit]))
+
+
+def test_dml_bloom_prunes_straddled_key_miss(base, tmp_path):
+    """A conv_id lexically inside several files' [key_min, key_max] but
+    absent from the lake: zone maps keep those straddling files, the
+    Bloom sidecars drop them — EXPLAIN shows deeper pruning and the
+    delete is a no-op."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml import (
+        _check_pred, _file_may_match, explain_where,
+    )
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+        ManifestStore, manifest_payload_schema,
+    )
+
+    root, changes, final = base
+    lake = str(tmp_path / "bloomlake")
+    apply_changes(changes, lake, SPEC, max_rows_per_file=150)
+
+    # a key that sorts inside the population but does not exist
+    ghost = "conv_1x"
+    assert ghost not in set(final["conv_id"])
+    m = ManifestStore(lake).load()
+    pred = _check_pred([(("conv_id"), "==", ghost)], manifest_payload_schema(m))
+    zone_keep = sum(
+        1 for files in m.partitions.values() for f in files
+        if _file_may_match(pred[0])(f)
+    )
+    ex = explain_where(lake, [("conv_id", "==", ghost)])
+    assert ex["matched_rows"] == 0
+    assert ex["files_scanned"] < zone_keep or zone_keep == 0, (
+        "blooms must prune past the zone maps for a straddled miss"
+    )
+    assert delete_where(lake, [("conv_id", "==", ghost)], SPEC) == []
