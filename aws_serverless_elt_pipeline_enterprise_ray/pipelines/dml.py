@@ -451,6 +451,36 @@ def _run_serializable(lake_dir, spec, tag, synthesize, apply_kwargs):
             time.sleep(min(2.0, 0.05 * (2**attempt)) * (0.5 + random.random()))
 
 
+def scan_where(
+    lake_dir: str,
+    where: list,
+    columns: list[str] | None = None,
+    version: int | None = None,
+) -> rd.Dataset:
+    """Generalized predicate scan of the committed state: the DML
+    match engine as a public reader. ``where`` is the same predicate
+    language as the statements (conjunction, or DNF list of
+    conjunctions; ops ``== != < <= > >= between in``); pruning is
+    zone maps + key Bloom sidecars, rows exact-filter per batch, and
+    ``columns`` pushes projection into the parquet read. The
+    multi-column / disjunctive sibling of ``cdc.read_where``."""
+    store = ManifestStore(lake_dir)
+    m = store.load(version)
+    if m is None:
+        from .cdc import _empty_like
+
+        return _empty_like(None, columns)
+    payload = manifest_payload_schema(m)
+    pred = _check_pred(where, payload)
+    cols = list(columns) if columns else list(payload.names)
+    ds = _matched_rows(lake_dir, store, m, pred, cols)
+    if ds is None:
+        from .cdc import _empty_like
+
+        return _empty_like(m, columns)
+    return ds
+
+
 def delete_where(
     lake_dir: str,
     where: list[tuple],

@@ -7188,6 +7188,38 @@ def q_cdc_ddl_cycle(sf_dir: str):
     return _final_df(lake)
 
 
+
+def q_cdc_scan_dnf(sf_dir: str):
+    """Generalized predicate scan (``dml.scan_where``): a disjunctive
+    multi-column predicate — (role='view' AND turn_idx BETWEEN 10 AND
+    25) OR (role='error') — over the committed state, zone-map +
+    Bloom pruned, projection pushed into the read."""
+    from .cdc import apply_changes
+    from .dml import scan_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    df = scan_where(
+        lake,
+        [
+            [("role", "==", "view"), ("turn_idx", "between", (10, 25))],
+            [("role", "==", "error")],
+        ],
+        columns=["conv_id", "turn_idx", "role", "ts"],
+    ).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+SCAN_DNF_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx, role, ts
+  FROM final
+  WHERE (role = 'view' AND turn_idx BETWEEN 10 AND 25)
+     OR role = 'error'
+  ORDER BY conv_id, turn_idx
+"""
+
+
 DDL_CYCLE_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx, role, text, ts,
@@ -7515,6 +7547,7 @@ QUERIES = {
     "cdc_row_provenance": q_cdc_row_provenance,
     "cdc_delete_where_or": q_cdc_delete_where_or,
     "cdc_ddl_cycle": q_cdc_ddl_cycle,
+    "cdc_scan_dnf": q_cdc_scan_dnf,
 }
 
 _LANG_SQL_CASES = """
@@ -10967,6 +11000,7 @@ ORACLES = {
     "cdc_row_provenance": ROW_PROVENANCE_SQL,
     "cdc_delete_where_or": DELETE_WHERE_OR_SQL,
     "cdc_ddl_cycle": DDL_CYCLE_SQL,
+    "cdc_scan_dnf": SCAN_DNF_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the
