@@ -7210,6 +7210,58 @@ def q_cdc_scan_dnf(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+
+def q_cdc_delete_by_aggregate(sf_dir: str):
+    """Aggregate-driven DML composition: conversations whose surviving
+    turn count exceeds 30 are deleted WHOLE — the victim set comes from
+    a distributed groupby over the committed state, its keys feed
+    ``merge_into(when_matched="delete")``, and the tombstones ride the
+    exactly-once apply. The "DELETE WHERE key IN (SELECT ... HAVING)"
+    shape, engine-level."""
+    from .cdc import apply_changes, read_table
+    from .dml import merge_into
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+
+    state = read_table(lake, columns=["conv_id", "turn_idx", "ts"])
+
+    def conv_counts(b: pa.Table) -> pa.Table:
+        t = b.group_by("conv_id").aggregate([("turn_idx", "count")])
+        return t.rename_columns(["conv_id", "n"])
+
+    import pandas as pd_
+
+    # map-side partials -> tiny driver reduce (conv-count-sized)
+    parts = state.map_batches(conv_counts, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("conv_id", as_index=False)["n"].sum()
+    victims = set(totals.loc[totals["n"] > 30, "conv_id"])
+    if victims:
+        vic_arr = pa.array(sorted(victims), pa.string())
+
+        def keys_of_victims(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["conv_id"], value_set=vic_arr))
+
+        source = state.map_batches(keys_of_victims, batch_format="pyarrow")
+        merge_into(
+            lake, source, _spec(sf_dir),
+            when_matched="delete", when_not_matched="ignore",
+        )
+    return _final_df(lake)
+
+
+DELETE_BY_AGG_SQL = f"""
+  WITH final AS ({FINAL_SQL}),
+  big AS (
+    SELECT conv_id FROM final GROUP BY conv_id HAVING count(*) > 30
+  )
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM final
+  WHERE conv_id NOT IN (SELECT conv_id FROM big)
+  ORDER BY conv_id, turn_idx
+"""
+
+
 SCAN_DNF_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx, role, ts
@@ -7548,6 +7600,7 @@ QUERIES = {
     "cdc_delete_where_or": q_cdc_delete_where_or,
     "cdc_ddl_cycle": q_cdc_ddl_cycle,
     "cdc_scan_dnf": q_cdc_scan_dnf,
+    "cdc_delete_by_aggregate": q_cdc_delete_by_aggregate,
 }
 
 _LANG_SQL_CASES = """
@@ -11001,6 +11054,7 @@ ORACLES = {
     "cdc_delete_where_or": DELETE_WHERE_OR_SQL,
     "cdc_ddl_cycle": DDL_CYCLE_SQL,
     "cdc_scan_dnf": SCAN_DNF_SQL,
+    "cdc_delete_by_aggregate": DELETE_BY_AGG_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the
