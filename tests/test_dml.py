@@ -530,3 +530,30 @@ def test_dml_bloom_prunes_straddled_key_miss(base, tmp_path):
         "blooms must prune past the zone maps for a straddled miss"
     )
     assert delete_where(lake, [("conv_id", "==", ghost)], SPEC) == []
+
+
+def test_zorder_compact_enables_value_pruning(base, tmp_path):
+    """Value-predicate pruning story end-to-end: hash-partitioned files
+    span every turn_idx (0 files pruned), but after
+    ``compact(cluster_by=("turn_idx",))`` Z-orders the partitions into
+    multiple value-clustered chunks, the same predicate prunes files —
+    and the DELETE result is unchanged."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml import explain_where
+
+    root, changes, final = base
+    lake = str(tmp_path / "zlake")
+    apply_changes(changes, lake, SPEC)
+
+    where = [("turn_idx", "between", (0, 4))]
+    before = explain_where(lake, where)
+
+    compact(lake, SPEC, min_files_to_compact=1, cluster_by=("turn_idx",),
+            target_rows_per_file=120)
+    after = explain_where(lake, where)
+    assert after["matched_rows"] == before["matched_rows"]
+    assert after["files_pruned"] > before["files_pruned"], (before, after)
+
+    delete_where(lake, where, SPEC)
+    want = final[~final["turn_idx"].between(0, 4)]
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
