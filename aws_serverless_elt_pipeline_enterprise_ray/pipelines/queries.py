@@ -7250,6 +7250,44 @@ def q_cdc_delete_by_aggregate(sf_dir: str):
     return _final_df(lake)
 
 
+
+def q_cdc_lake_diff(sf_dir: str):
+    """Anti-entropy audit (``pipelines/diff.py``): lake B is a clone of
+    A plus a DELETE (turn_idx>=35) and a text-prefix UPDATE (turn_idx<3)
+    — ``diff_lakes`` must report exactly the deleted keys as only_a and
+    exactly the text-changed keys as changed (NULL text is unchanged by
+    the prefix: 'X:' || NULL = NULL, null-safe compare on both sides)."""
+    from .cdc import apply_changes
+    from .clone import clone_lake
+    from .diff import diff_lakes
+    from .dml import delete_where, update_where
+
+    changes = _write_changelog(sf_dir)
+    a, b = _scratch("diffa"), _scratch("diffb")
+    apply_changes(changes, a, _spec(sf_dir))
+    clone_lake(a, b)
+    delete_where(b, [("turn_idx", ">=", 35)], _spec(sf_dir))
+    update_where(
+        b, [("turn_idx", "<", 3)],
+        {"text": lambda t: pc.binary_join_element_wise(
+            pa.scalar("X:"), t["text"], "")},
+        _spec(sf_dir),
+    )
+    df = diff_lakes(a, b, _spec(sf_dir)).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+LAKE_DIFF_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx, 'only_a' AS diff
+  FROM final WHERE turn_idx >= 35
+  UNION ALL
+  SELECT conv_id, turn_idx, 'changed' AS diff
+  FROM final WHERE turn_idx < 3 AND text IS NOT NULL
+  ORDER BY conv_id, turn_idx
+"""
+
+
 DELETE_BY_AGG_SQL = f"""
   WITH final AS ({FINAL_SQL}),
   big AS (
@@ -7601,6 +7639,7 @@ QUERIES = {
     "cdc_ddl_cycle": q_cdc_ddl_cycle,
     "cdc_scan_dnf": q_cdc_scan_dnf,
     "cdc_delete_by_aggregate": q_cdc_delete_by_aggregate,
+    "cdc_lake_diff": q_cdc_lake_diff,
 }
 
 _LANG_SQL_CASES = """
@@ -11055,6 +11094,7 @@ ORACLES = {
     "cdc_ddl_cycle": DDL_CYCLE_SQL,
     "cdc_scan_dnf": SCAN_DNF_SQL,
     "cdc_delete_by_aggregate": DELETE_BY_AGG_SQL,
+    "cdc_lake_diff": LAKE_DIFF_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the
