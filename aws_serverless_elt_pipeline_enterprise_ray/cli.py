@@ -310,6 +310,24 @@ def main(argv=None) -> int:
     dc.add_argument("--lake", required=True)
     dc.add_argument("--name", required=True)
 
+    df_p = sub.add_parser(
+        "diff", help="row-level lake diff: only_a/only_b/changed counts"
+    )
+    df_p.add_argument("--a", required=True)
+    df_p.add_argument("--b", required=True)
+    df_p.add_argument("--version-a", type=int, default=None)
+    df_p.add_argument("--version-b", type=int, default=None)
+
+    sw = sub.add_parser(
+        "scan", help="predicate scan of the committed state (DNF where)"
+    )
+    sw.add_argument("--lake", required=True)
+    sw.add_argument("--where", action="append", required=True,
+                    metavar="COL:OP:VALUE")
+    sw.add_argument("--columns", default=None,
+                    help="comma-separated projection")
+    sw.add_argument("--limit", type=int, default=20)
+
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
     )
@@ -509,6 +527,26 @@ def main(argv=None) -> int:
             else:
                 v = store.tag(args.name, args.version)
                 print(json.dumps({"tag": args.name, "version": v}))
+        elif args.cmd == "diff":
+            from .pipelines.diff import diff_summary
+
+            out = diff_summary(
+                args.a, args.b,
+                version_a=args.version_a, version_b=args.version_b,
+            )
+            print(json.dumps({"diff": out, "identical": not out}))
+        elif args.cmd == "scan":
+            from .pipelines.dml import scan_where
+
+            cols = args.columns.split(",") if args.columns else None
+            ds = scan_where(args.lake, _parse_where(args.where), columns=cols)
+            n = ds.count()
+            rows = ds.limit(args.limit).to_pandas()
+            print(json.dumps({
+                "matched": int(n),
+                "rows": json.loads(rows.to_json(orient="records",
+                                                date_format="iso")),
+            }))
         elif args.cmd == "add-column":
             from .pipelines.ddl import add_column
 
