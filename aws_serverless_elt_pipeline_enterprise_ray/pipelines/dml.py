@@ -169,16 +169,6 @@ def _batch_mask(pred: list[tuple], batch: pa.Table) -> pa.ChunkedArray | pa.Arra
     return mask
 
 
-def _dnf_may_match(groups: list[list[tuple]]):
-    """File survives when ANY disjunct group may match it."""
-    mays = [_file_may_match(g) for g in groups]
-
-    def may(f: dict) -> bool:
-        return any(fn(f) for fn in mays)
-
-    return may
-
-
 def _dnf_mask(groups: list[list[tuple]], batch: pa.Table):
     mask = None
     for g in groups:
