@@ -1751,3 +1751,113 @@ def position_bias(
         out["second_wins"].astype("float64") / out["second_n"]
     )
     return out.sort_values("item").reset_index(drop=True)
+
+
+def preference_cycles(
+    ds: rd.Dataset,
+    *,
+    winner_col: str,
+    loser_col: str,
+    num_buckets: int | None = None,
+) -> "pa.Table":
+    """Intransitivity audit over pairwise outcomes: directed 3-cycles
+    in the MAJORITY digraph (edge a->b iff a beat b strictly more often
+    than b beat a; ties draw no edge) — the rock-paper-scissors triples
+    that break any total ranking (Bradley-Terry, ELO) fitted to the
+    same judgments.
+
+    Scale shape: outcomes reduce through ``pairwise_winrate`` (one
+    bounded shuffle of distinct-pair counts); only the PAIR MATRIX —
+    item-vocabulary-squared, model-eval-sized by nature — reaches the
+    driver, where cycle enumeration is a vectorized adjacency pass.
+    Returns a pa.Table (item_a, item_b, item_c): each cycle once,
+    rotated so item_a is its lexicographic minimum, following edge
+    direction a->b->c->a."""
+    import numpy as np
+    import pyarrow as pa
+
+    mat = pairwise_winrate(
+        ds, winner_col=winner_col, loser_col=loser_col,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    items = sorted(set(mat["item_a"]) | set(mat["item_b"]))
+    idx = {v: i for i, v in enumerate(items)}
+    k = len(items)
+    adj = np.zeros((k, k), dtype=bool)
+    for _, r in mat.iterrows():
+        a, b = idx[r["item_a"]], idx[r["item_b"]]
+        if r["wins_a"] > r["wins_b"]:
+            adj[a, b] = True
+        elif r["wins_b"] > r["wins_a"]:
+            adj[b, a] = True
+    rows = []
+    for a in range(k):
+        bs = np.nonzero(adj[a])[0]
+        for b in bs[bs > a]:
+            cs = np.nonzero(adj[b] & adj[:, a])[0]
+            for c in cs[cs > a]:
+                rows.append((items[a], items[b], items[c]))
+    rows.sort()
+    return pa.table(
+        {
+            "item_a": pa.array([r[0] for r in rows], pa.string()),
+            "item_b": pa.array([r[1] for r in rows], pa.string()),
+            "item_c": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def length_bias(
+    ds: rd.Dataset,
+    *,
+    len_first_col: str,
+    len_second_col: str,
+    winner_col: str,
+    first_value: str = "first",
+    bucket_width: int = 10,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Judge verbosity-bias probe: first-presented win rate as a
+    function of the LENGTH GAP between the presented answers — a judge
+    that rewards longer answers shows first-win rate rising with
+    (len_first − len_second). Rows carry the two lengths and which side
+    won; gaps bucket by ``bucket_width`` (floor division, so negative
+    gaps land in negative buckets); per-bucket int partials map-side,
+    ONE bounded shuffle, win rate a single float division of exact
+    ints. Returns (gap_bucket, n, first_wins, first_win_rate)."""
+    from .windows import bucketed_agg
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[len_first_col, len_second_col, winner_col]].dropna()
+        gap = (
+            b[len_first_col].astype("int64")
+            - b[len_second_col].astype("int64")
+        )
+        out = pd.DataFrame(
+            {
+                "gap_bucket": np.floor_divide(gap, bucket_width),
+                "n": 1,
+                "first_wins": (b[winner_col] == first_value).astype("int64"),
+            }
+        )
+        return (
+            out.groupby("gap_bucket", sort=False)[["n", "first_wins"]]
+            .sum()
+            .reset_index()
+        )
+
+    agg = bucketed_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["gap_bucket"],
+        {"n": "sum", "first_wins": "sum"},
+        nb=num_buckets,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["first_win_rate"] = (
+            b["first_wins"].astype("float64") / b["n"].astype("float64")
+        )
+        return b[["gap_bucket", "n", "first_wins", "first_win_rate"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

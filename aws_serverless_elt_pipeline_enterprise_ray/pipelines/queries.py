@@ -7277,6 +7277,115 @@ def q_cdc_lake_diff(sf_dir: str):
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+
+def q_preference_cycles(sf_dir: str):
+    """Intransitivity audit (``aggregates.preference_cycles``): the
+    derived judgments are engineered rock-paper-scissors — A beats B,
+    B beats C, C beats A on event_id%3, with every 7th judgment
+    reversed as noise — so the majority digraph must contain exactly
+    the (A,B,C) 3-cycle; the SQL mirror recomputes the majority edges
+    and triple-joins them."""
+    from ..functions.aggregates import preference_cycles
+
+    ev = _events(sf_dir)
+
+    def judge(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        m = (eid % 3).astype(np.int64)
+        first = np.array(["A", "B", "C"], dtype=object)[m]
+        second = np.array(["B", "C", "A"], dtype=object)[m]
+        rev = eid % 7 == 0
+        return pd.DataFrame(
+            {
+                "w": np.where(rev, second, first),
+                "l": np.where(rev, first, second),
+            }
+        )
+
+    out = preference_cycles(
+        ev.map_batches(judge, batch_format="pandas"),
+        winner_col="w", loser_col="l",
+    )
+    return out.to_pandas()
+
+
+def q_judge_length_bias(sf_dir: str):
+    """Verbosity-bias probe (``aggregates.length_bias``): first-answer
+    length = len(props), second = event_id % 83, winner = 'first'
+    unless event_id % 3 == 0 — per length-gap bucket (width 10,
+    FLOOR division so negative gaps bucket below zero), n /
+    first_wins exact ints and the rate one float division."""
+    from ..functions.aggregates import length_bias
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "props"],
+    )
+
+    def judged(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy()
+        lf = b["props"].fillna("").str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "lf": lf,
+                "ls": (eid % 83).astype(np.int64),
+                "win": np.where(eid % 3 == 0, "second", "first"),
+            }
+        )
+
+    out = length_bias(
+        ev.map_batches(judged, batch_format="pandas"),
+        len_first_col="lf", len_second_col="ls", winner_col="win",
+        bucket_width=10,
+    )
+    return (
+        out.to_pandas().sort_values("gap_bucket").reset_index(drop=True)
+    )
+
+
+PREFERENCE_CYCLES_SQL = """
+  WITH j AS (
+    SELECT CASE WHEN event_id % 7 = 0
+                THEN (['B','C','A'])[CAST(event_id % 3 AS INT) + 1]
+                ELSE (['A','B','C'])[CAST(event_id % 3 AS INT) + 1]
+           END AS w,
+           CASE WHEN event_id % 7 = 0
+                THEN (['A','B','C'])[CAST(event_id % 3 AS INT) + 1]
+                ELSE (['B','C','A'])[CAST(event_id % 3 AS INT) + 1]
+           END AS l
+    FROM events),
+  d AS (SELECT w, l, count(*) AS n FROM j GROUP BY 1, 2),
+  e AS (
+    SELECT a.w AS src, a.l AS dst
+    FROM d a LEFT JOIN d b ON a.w = b.l AND a.l = b.w
+    WHERE a.n > coalesce(b.n, 0)
+  )
+  SELECT e1.src AS item_a, e1.dst AS item_b, e2.dst AS item_c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+  WHERE e1.src < e2.src AND e1.src < e3.src
+  ORDER BY 1, 2, 3
+"""
+
+LENGTH_BIAS_SQL = """
+  WITH j AS (
+    SELECT CAST(length(coalesce(props, '')) AS BIGINT) AS lf,
+           CAST(event_id % 83 AS BIGINT) AS ls,
+           CASE WHEN event_id % 3 = 0 THEN 'second' ELSE 'first' END AS win
+    FROM events),
+  b AS (
+    SELECT CAST(floor((lf - ls) / 10.0) AS BIGINT) AS gap_bucket,
+           count(*) AS n,
+           CAST(sum(CASE WHEN win = 'first' THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_wins
+    FROM j GROUP BY 1)
+  SELECT gap_bucket, n, first_wins,
+         CAST(first_wins AS DOUBLE) / CAST(n AS DOUBLE) AS first_win_rate
+  FROM b ORDER BY gap_bucket
+"""
+
+
 LAKE_DIFF_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx, 'only_a' AS diff
@@ -7640,6 +7749,8 @@ QUERIES = {
     "cdc_scan_dnf": q_cdc_scan_dnf,
     "cdc_delete_by_aggregate": q_cdc_delete_by_aggregate,
     "cdc_lake_diff": q_cdc_lake_diff,
+    "preference_cycles": q_preference_cycles,
+    "judge_length_bias": q_judge_length_bias,
 }
 
 _LANG_SQL_CASES = """
@@ -11095,6 +11206,8 @@ ORACLES = {
     "cdc_scan_dnf": SCAN_DNF_SQL,
     "cdc_delete_by_aggregate": DELETE_BY_AGG_SQL,
     "cdc_lake_diff": LAKE_DIFF_SQL,
+    "preference_cycles": PREFERENCE_CYCLES_SQL,
+    "judge_length_bias": LENGTH_BIAS_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -93,3 +93,45 @@ def test_referential_check_clean_is_empty():
     child = rd.from_pandas(pd.DataFrame({"fk": [1, 2, 2]}))
     parent = rd.from_pandas(pd.DataFrame({"fk": [1, 2]}))
     assert referential_check(child, parent, fk="fk").count() == 0
+
+
+def test_preference_cycles_finds_rps_triple(ray_session):
+    """An engineered rock-paper-scissors majority digraph yields
+    exactly its 3-cycle; a transitive set yields none."""
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import preference_cycles
+
+    rps = pd.DataFrame({
+        "w": ["A"] * 5 + ["B"] * 5 + ["C"] * 5 + ["B"],
+        "l": ["B"] * 5 + ["C"] * 5 + ["A"] * 5 + ["A"],  # noise reversal
+    })
+    out = preference_cycles(rd.from_pandas(rps), winner_col="w", loser_col="l")
+    assert out.to_pydict() == {"item_a": ["A"], "item_b": ["B"], "item_c": ["C"]}
+
+    ordered = pd.DataFrame({
+        "w": ["A", "A", "B"], "l": ["B", "C", "C"],
+    })
+    out2 = preference_cycles(rd.from_pandas(ordered), winner_col="w", loser_col="l")
+    assert len(out2) == 0
+
+
+def test_length_bias_buckets_and_rates(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import length_bias
+
+    df = pd.DataFrame({
+        "lf": [100, 100, 5, 5, 50],
+        "ls": [10, 10, 50, 50, 50],
+        "win": ["first", "second", "second", "second", "first"],
+    })
+    out = length_bias(
+        rd.from_pandas(df), len_first_col="lf", len_second_col="ls",
+        winner_col="win", bucket_width=10,
+    ).to_pandas().set_index("gap_bucket")
+    assert out.loc[9, "n"] == 2 and out.loc[9, "first_wins"] == 1
+    assert out.loc[-5, "n"] == 2 and out.loc[-5, "first_wins"] == 0  # floor(-45/10)
+    assert out.loc[0, "first_win_rate"] == 1.0
