@@ -1861,3 +1861,92 @@ def length_bias(
         return b[["gap_bucket", "n", "first_wins", "first_win_rate"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def fleiss_kappa(
+    ds: rd.Dataset,
+    *,
+    item_col: str,
+    category_col: str,
+    num_buckets: int | None = None,
+) -> dict:
+    """Fleiss' kappa: chance-corrected agreement for N items each rated
+    by the SAME number n of raters into categories — the multi-rater
+    generalization of Cohen's kappa (``cohen_kappa`` handles 2 raters).
+    Input: one row per rating (item, category). Raises if item rating
+    counts differ (Fleiss is undefined there).
+
+    Hash-exact by construction: with S = Σ_i Σ_k n_ik², c_k = category
+    totals and M = N·n,
+
+        kappa = [ (S − M)·M² − M·(n−1)·Σ_k c_k² ]
+                / [ M·(n−1)·(M² − Σ_k c_k²) ]
+
+    — every term an exact integer (Python bigints, no overflow), ONE
+    float division at the end, so the value matches a SQL mirror
+    bitwise. Scale shape: ratings reduce map-side to (item, category)
+    count partials, ONE bounded shuffle (``bucketed_agg`` on the item
+    key), per-bucket vectorized squares, and only per-bucket SCALAR
+    partials (Σn², category totals, item count) reach the driver."""
+    from .windows import bucketed_agg
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[item_col, category_col]].dropna()
+        out = b.groupby([item_col, category_col], sort=False).size()
+        return out.rename("cnt").reset_index()
+
+    counts = bucketed_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        [item_col, category_col],
+        {"cnt": "sum"},
+        nb=num_buckets,
+        bucket_key=item_col,
+    )
+
+    def bucket_scalars(b: pd.DataFrame) -> pd.DataFrame:
+        per_item = b.groupby(item_col, sort=False)["cnt"].agg(["sum"])
+        sq = b.assign(sq=b["cnt"].astype("int64") ** 2)
+        per_cat = b.groupby(category_col, sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {
+                "n_items": [len(per_item)],
+                "rater_min": [int(per_item["sum"].min())],
+                "rater_max": [int(per_item["sum"].max())],
+                "sum_sq": [int(sq["sq"].sum())],
+                "cats": [per_cat.index.tolist()],
+                "cat_counts": [per_cat.astype("int64").tolist()],
+            }
+        )
+
+    N = n_min = n_max = S = 0
+    cat_totals: dict = {}
+    for b in counts.map_batches(
+        bucket_scalars, batch_format="pandas"
+    ).iter_batches(batch_format="pandas", batch_size=4096):
+        for _, r in b.iterrows():
+            N += int(r["n_items"])
+            n_min = min(n_min or r["rater_min"], r["rater_min"])
+            n_max = max(n_max, r["rater_max"])
+            S += int(r["sum_sq"])
+            for c, v in zip(r["cats"], r["cat_counts"]):
+                cat_totals[c] = cat_totals.get(c, 0) + int(v)
+    if N == 0:
+        raise ValueError("no ratings")
+    if n_min != n_max:
+        raise ValueError(
+            f"Fleiss' kappa needs a constant rater count per item; "
+            f"saw {n_min}..{n_max}"
+        )
+    n = n_max
+    if n < 2:
+        raise ValueError("need at least 2 raters per item")
+    M = N * n
+    csq = sum(v * v for v in cat_totals.values())
+    num = (S - M) * M * M - M * (n - 1) * csq
+    den = M * (n - 1) * (M * M - csq)
+    return {
+        "n_items": N,
+        "n_raters": n,
+        "n_categories": len(cat_totals),
+        "kappa": float(num) / float(den) if den else 1.0,
+    }

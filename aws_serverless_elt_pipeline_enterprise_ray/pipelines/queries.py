@@ -7343,6 +7343,70 @@ def q_judge_length_bias(sf_dir: str):
     )
 
 
+
+def q_fleiss_kappa(sf_dir: str):
+    """Multi-rater agreement (``aggregates.fleiss_kappa``): items are
+    dense event_id triples (item = event_id // 3, rater = event_id % 3
+    — exactly 3 ratings each once the trailing partial triple is
+    dropped), category = the event's type. The kappa is an exact-int
+    numerator/denominator with ONE double division, so it hash-matches
+    the SQL mirror bitwise."""
+    from ..functions.aggregates import fleiss_kappa
+
+    ev = _events(sf_dir)
+
+    def ratings(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "item": (b["event_id"].to_numpy() // 3).astype(np.int64),
+                "cat": b["event_type"],
+            }
+        )
+
+    n_events = int(ev.max("event_id")) + 1
+    full = (n_events // 3) * 3
+
+    def keep_full(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] < full]
+        return ratings(b)
+
+    out = fleiss_kappa(
+        ev.map_batches(keep_full, batch_format="pandas"),
+        item_col="item", category_col="cat",
+    )
+    return pd.DataFrame([out])
+
+
+FLEISS_SQL = """
+  WITH lim AS (
+    SELECT 3 * ((CAST(max(event_id) AS BIGINT) + 1) // 3) AS full
+    FROM events),
+  r AS (
+    SELECT event_id // 3 AS item, event_type AS cat
+    FROM events, lim WHERE event_id < lim.full),
+  ic AS (SELECT item, cat, count(*) AS n_ik FROM r GROUP BY 1, 2),
+  sums AS (
+    SELECT CAST(count(DISTINCT item) AS HUGEINT) AS n_items,
+           CAST(sum(n_ik * n_ik) AS HUGEINT) AS s
+    FROM ic),
+  cats AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n_cats,
+           CAST(sum(ct * ct) AS HUGEINT) AS csq
+    FROM (SELECT cat, CAST(sum(n_ik) AS HUGEINT) AS ct
+          FROM ic GROUP BY cat)),
+  k AS (
+    SELECT n_items, 3 AS n_raters, n_cats,
+           n_items * 3 AS m, s, csq
+    FROM sums, cats)
+  SELECT CAST(n_items AS BIGINT) AS n_items,
+         CAST(n_raters AS BIGINT) AS n_raters,
+         CAST(n_cats AS BIGINT) AS n_categories,
+         CAST((s - m) * m * m - m * 2 * csq AS DOUBLE)
+           / CAST(m * 2 * (m * m - csq) AS DOUBLE) AS kappa
+  FROM k
+"""
+
+
 PREFERENCE_CYCLES_SQL = """
   WITH j AS (
     SELECT CASE WHEN event_id % 7 = 0
@@ -7751,6 +7815,7 @@ QUERIES = {
     "cdc_lake_diff": q_cdc_lake_diff,
     "preference_cycles": q_preference_cycles,
     "judge_length_bias": q_judge_length_bias,
+    "fleiss_kappa": q_fleiss_kappa,
 }
 
 _LANG_SQL_CASES = """
@@ -11208,6 +11273,7 @@ ORACLES = {
     "cdc_lake_diff": LAKE_DIFF_SQL,
     "preference_cycles": PREFERENCE_CYCLES_SQL,
     "judge_length_bias": LENGTH_BIAS_SQL,
+    "fleiss_kappa": FLEISS_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -135,3 +135,42 @@ def test_length_bias_buckets_and_rates(ray_session):
     assert out.loc[9, "n"] == 2 and out.loc[9, "first_wins"] == 1
     assert out.loc[-5, "n"] == 2 and out.loc[-5, "first_wins"] == 0  # floor(-45/10)
     assert out.loc[0, "first_win_rate"] == 1.0
+
+
+def test_fleiss_kappa_reference_value(ray_session):
+    """Fleiss' 1971 textbook example-like check: hand-computed small
+    case plus perfect-agreement == 1 and the unequal-count guard."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.aggregates import fleiss_kappa
+
+    # 4 items x 3 raters
+    rows = []
+    labels = {
+        0: ["a", "a", "a"],
+        1: ["a", "a", "b"],
+        2: ["b", "b", "b"],
+        3: ["a", "b", "b"],
+    }
+    for item, cats in labels.items():
+        rows += [{"item": item, "cat": c} for c in cats]
+    out = fleiss_kappa(rd.from_pandas(pd.DataFrame(rows)),
+                       item_col="item", category_col="cat")
+    # closed form: N=4 n=3 S=4+5+9... per-item sums of squares:
+    # [9, 5, 9, 5] -> S=28; c_a=6, c_b=6 -> csq=72; M=12
+    # kappa = ((28-12)*144 - 12*2*72) / (12*2*(144-72)) = (2304-1728)/1728
+    assert out["n_items"] == 4 and out["n_raters"] == 3
+    assert abs(out["kappa"] - (576 / 1728)) < 1e-12
+
+    perfect = pd.DataFrame(
+        [{"item": i, "cat": "x" if i % 2 else "y"} for i in range(6)
+         for _ in range(3)]
+    )
+    assert fleiss_kappa(rd.from_pandas(perfect), item_col="item",
+                        category_col="cat")["kappa"] == 1.0
+
+    bad = pd.DataFrame(rows[:-1])  # one item loses a rating
+    with pytest.raises(ValueError):
+        fleiss_kappa(rd.from_pandas(bad), item_col="item", category_col="cat")
