@@ -1344,3 +1344,87 @@ def pseudonymize(ds, id_cols, key: str, sep: str = "|"):
     return ds.map_batches(
         Pseudonymizer(id_cols, key, sep), batch_format="pandas"
     )
+
+
+def distinct_ngram_stats(
+    ds,
+    text_col: str = "text",
+    ns: tuple = (1, 2, 3),
+    num_buckets: int | None = None,
+):
+    """Corpus diversity by distinct-n (Li et al. 2016's distinct-1/2
+    generalized): per n, the total n-gram occurrences, the number of
+    DISTINCT n-grams, and their ratio — the mode-collapse / template
+    -saturation signal for generated corpora (a corpus of paraphrased
+    boilerplate scores near 0, natural text much higher).
+
+    Tokens are whitespace runs (``\\S+``, case-preserved — shared
+    verbatim with the SQL mirror); a row shorter than n tokens
+    contributes nothing. Scale shape: vectorized explode + shifted
+    window build per batch, map-side (gram, count) partials, ONE
+    gram-bucketed bounded shuffle per n (the shuffle carries distinct
+    grams, never occurrences), per-bucket scalar partials only to the
+    driver; ratio is one float division of exact ints."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .windows import bucketed_agg
+
+    rows = []
+    for n in ns:
+        def partial(b: pd.DataFrame, n=n) -> pd.DataFrame:
+            toks = b[text_col].fillna("").str.findall(r"\S+")
+            ex = toks.explode().dropna()
+            if len(ex) < n:
+                return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                     "cnt": pd.Series([], dtype="int64")})
+            doc = ex.index.to_numpy()
+            tok = ex.to_numpy(dtype=object)
+            w = len(tok) - n + 1
+            same = np.ones(w, dtype=bool)
+            for i in range(1, n):
+                same &= doc[i:w + i] == doc[:w]
+            if not same.any():
+                return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                     "cnt": pd.Series([], dtype="int64")})
+            gram = pd.Series(tok[:w][same], dtype=object)
+            for i in range(1, n):
+                gram = gram + " " + pd.Series(tok[i:w + i][same], dtype=object)
+            out = gram.value_counts()
+            return pd.DataFrame(
+                {"gram": out.index.to_numpy(dtype=object),
+                 "cnt": out.to_numpy(dtype="int64")}
+            )
+
+        agg = bucketed_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["gram"],
+            {"cnt": "sum"},
+            nb=num_buckets,
+            bucket_key="gram",
+        )
+
+        def scalars(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"distinct": [len(b)], "total": [int(b["cnt"].sum())]}
+            )
+
+        distinct = total = 0
+        for b in agg.map_batches(
+            scalars, batch_format="pandas"
+        ).iter_batches(batch_format="pandas", batch_size=4096):
+            distinct += int(b["distinct"].sum())
+            total += int(b["total"].sum())
+        rows.append(
+            (int(n), total, distinct,
+             (float(distinct) / float(total)) if total else 0.0)
+        )
+    return pa.table(
+        {
+            "n": pa.array([r[0] for r in rows], pa.int64()),
+            "total_ngrams": pa.array([r[1] for r in rows], pa.int64()),
+            "distinct_ngrams": pa.array([r[2] for r in rows], pa.int64()),
+            "distinct_ratio": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

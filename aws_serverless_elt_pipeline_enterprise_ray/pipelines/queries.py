@@ -7377,6 +7377,49 @@ def q_fleiss_kappa(sf_dir: str):
     return pd.DataFrame([out])
 
 
+
+def q_distinct_ngrams(sf_dir: str):
+    """Corpus diversity (``text.distinct_ngram_stats``): distinct-1/2/3
+    over the documents table — whitespace tokens shared verbatim with
+    the mirror; rows shorter than n contribute nothing; ratios are one
+    float division of exact ints."""
+    from ..functions.text import distinct_ngram_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return distinct_ngram_stats(docs, text_col="text", ns=(1, 2, 3)).to_pandas()
+
+
+DISTINCT_NGRAMS_SQL = r"""
+  WITH w AS (
+    SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS t
+    FROM documents),
+  n1 AS (SELECT unnest(t) AS g FROM w),
+  n2 AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS g
+    FROM w WHERE len(t) >= 2),
+  n3 AS (
+    SELECT unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+    FROM w WHERE len(t) >= 3),
+  s AS (
+    SELECT 1 AS n, count(*) AS total_ngrams,
+           count(DISTINCT g) AS distinct_ngrams FROM n1
+    UNION ALL
+    SELECT 2, count(*), count(DISTINCT g) FROM n2
+    UNION ALL
+    SELECT 3, count(*), count(DISTINCT g) FROM n3)
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(total_ngrams AS BIGINT) AS total_ngrams,
+         CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+         CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+           AS distinct_ratio
+  FROM s ORDER BY n
+"""
+
+
 FLEISS_SQL = """
   WITH lim AS (
     SELECT 3 * ((CAST(max(event_id) AS BIGINT) + 1) // 3) AS full
@@ -7816,6 +7859,7 @@ QUERIES = {
     "preference_cycles": q_preference_cycles,
     "judge_length_bias": q_judge_length_bias,
     "fleiss_kappa": q_fleiss_kappa,
+    "distinct_ngrams": q_distinct_ngrams,
 }
 
 _LANG_SQL_CASES = """
@@ -11274,6 +11318,7 @@ ORACLES = {
     "preference_cycles": PREFERENCE_CYCLES_SQL,
     "judge_length_bias": LENGTH_BIAS_SQL,
     "fleiss_kappa": FLEISS_SQL,
+    "distinct_ngrams": DISTINCT_NGRAMS_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -1182,3 +1182,20 @@ def test_discounted_returns_values_and_validation():
         discounted_returns(rd.from_pandas(df), gamma=0.3)
     with pytest.raises(ValueError):
         discounted_returns(rd.from_pandas(df), horizon=-1)
+
+
+def test_distinct_ngram_stats_counts():
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.text import distinct_ngram_stats
+
+    docs = pd.DataFrame({"text": ["a b a b", "a b", "x", None, ""]})
+    out = distinct_ngram_stats(rd.from_pandas(docs), ns=(1, 2, 3)).to_pandas()
+    out = out.set_index("n")
+    # unigrams: a b a b | a b | x -> 7 total, 3 distinct
+    assert out.loc[1, "total_ngrams"] == 7 and out.loc[1, "distinct_ngrams"] == 3
+    # bigrams: (a b)(b a)(a b) + (a b) -> 4 total, 2 distinct; 'x' row none
+    assert out.loc[2, "total_ngrams"] == 4 and out.loc[2, "distinct_ngrams"] == 2
+    # trigrams: (a b a)(b a b) -> 2 total, 2 distinct
+    assert out.loc[3, "total_ngrams"] == 2 and out.loc[3, "distinct_ngrams"] == 2
