@@ -346,3 +346,69 @@ def mannwhitney_drift(
             ),
         }
     )
+
+
+def embedding_outliers(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 20,
+) -> pd.DataFrame:
+    """Top-k embedding outliers: the vectors farthest (squared L2) from
+    the corpus centroid — the broken-encoder / off-distribution screen
+    run before embedding-based dedup or clustering trusts the space.
+
+    Exact by construction: elements floor-quantize to int64 micros
+    (same convention as ``embedding_drift``); with S the per-dimension
+    integer sum and n the count, ranking by distance to the mean S/n
+    equals ranking by ``d2 = ||n·x − S||²`` (the n² scale is shared),
+    which is an EXACT integer per vector — no float enters the
+    ordering or the output, so ties (identical vectors) break by id
+    deterministically and the SQL mirror hash-matches bitwise.
+
+    Scale shape: pass 1 computes (dim, sum) partials (dims-sized
+    exchange, never the corpus); S and n broadcast back; pass 2 scores
+    each batch vectorized (one int64→object matmul per batch — d2 can
+    exceed int64 at web scale, so the per-vector total sums in Python
+    ints) and keeps its local top-k; the driver reduces block-count × k
+    candidate rows. Returns (id, d2) as decimal strings ordered by
+    (d2 desc, id)."""
+    # pass 1: exact per-dimension sums + count
+    def dim_partials(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.floor(
+            np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(mat.shape[1], dtype=np.int64),
+                "s": mat.sum(axis=0, dtype=np.int64),
+                "n": np.full(mat.shape[1], len(b), dtype=np.int64),
+            }
+        )
+
+    parts = ds.map_batches(dim_partials, batch_format="pandas").to_pandas()
+    agg = parts.groupby("dim", sort=True)[["s", "n"]].sum()
+    S = agg["s"].to_numpy()
+    n = int(agg["n"].iloc[0]) if len(agg) else 0
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.floor(
+            np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
+        ).astype(np.int64)
+        diff = n * mat.astype(object) - S.astype(object)
+        d2 = (diff * diff).sum(axis=1)  # python ints, exact
+        out = pd.DataFrame(
+            {"id": b[id_col].to_numpy(dtype=np.int64),
+             "d2": [str(v) for v in d2]}
+        )
+        out["_key"] = [
+            (-int(v), int(i)) for v, i in zip(out["d2"], out["id"])
+        ]
+        out = out.sort_values("_key").head(k)
+        return out[["id", "d2"]]
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand["_key"] = [(-int(v), int(i)) for v, i in zip(cand["d2"], cand["id"])]
+    cand = cand.sort_values("_key").head(k)[["id", "d2"]]
+    return cand.reset_index(drop=True)

@@ -7391,6 +7391,41 @@ def q_distinct_ngrams(sf_dir: str):
     return distinct_ngram_stats(docs, text_col="text", ns=(1, 2, 3)).to_pandas()
 
 
+
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-outlier screen (``drift.embedding_outliers``): top-20
+    vectors by exact-integer ||n·x − S||² distance-to-centroid ranking
+    (micros quantization; d2 exceeds int64 so both sides carry it as a
+    decimal string), ties by vec_id."""
+    from ..functions.drift import embedding_outliers
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embedding_outliers(emb, id_col="vec_id", vec_col="embedding", k=20)
+
+
+EMBEDDING_OUTLIERS_SQL = """
+  WITH e AS (
+    SELECT vec_id,
+           CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS dim,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+             AS q
+    FROM embeddings),
+  s AS (SELECT dim, CAST(sum(q) AS HUGEINT) AS sd FROM e GROUP BY dim),
+  n AS (SELECT CAST(count(*) AS HUGEINT) AS nv FROM embeddings),
+  d AS (
+    SELECT e.vec_id,
+           sum((n.nv * CAST(e.q AS HUGEINT) - s.sd)
+               * (n.nv * CAST(e.q AS HUGEINT) - s.sd)) AS d2
+    FROM e JOIN s USING (dim), n
+    GROUP BY e.vec_id)
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(d2 AS VARCHAR) AS d2
+  FROM d ORDER BY d.d2 DESC, vec_id LIMIT 20
+"""
+
+
 DISTINCT_NGRAMS_SQL = r"""
   WITH w AS (
     SELECT regexp_extract_all(coalesce(text, ''), '\S+') AS t
@@ -7860,6 +7895,7 @@ QUERIES = {
     "judge_length_bias": q_judge_length_bias,
     "fleiss_kappa": q_fleiss_kappa,
     "distinct_ngrams": q_distinct_ngrams,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 _LANG_SQL_CASES = """
@@ -11319,6 +11355,7 @@ ORACLES = {
     "judge_length_bias": LENGTH_BIAS_SQL,
     "fleiss_kappa": FLEISS_SQL,
     "distinct_ngrams": DISTINCT_NGRAMS_SQL,
+    "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the

@@ -174,3 +174,26 @@ def test_fleiss_kappa_reference_value(ray_session):
     bad = pd.DataFrame(rows[:-1])  # one item loses a rating
     with pytest.raises(ValueError):
         fleiss_kappa(rd.from_pandas(bad), item_col="item", category_col="cat")
+
+
+def test_embedding_outliers_exact_and_tiebreak(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_serverless_elt_pipeline_enterprise_ray.functions.drift import embedding_outliers
+
+    base = np.zeros((10, 4), dtype=np.float32)
+    base[7] = [5, 5, 5, 5]     # far outlier
+    base[3] = [2, 0, 0, 0]
+    base[9] = [2, 0, 0, 0]     # identical to 3 -> id tiebreak
+    df = pd.DataFrame({
+        "vec_id": np.arange(10, dtype=np.int64),
+        "embedding": [r.copy() for r in base],
+    })
+    out = embedding_outliers(rd.from_pandas(df), id_col="vec_id",
+                             vec_col="embedding", k=4)
+    assert out["id"].tolist()[0] == 7
+    pos3 = out["id"].tolist().index(3)
+    assert out["id"].tolist()[pos3 + 1] == 9  # equal d2, id ascending
+    assert out.loc[pos3, "d2"] == out.loc[pos3 + 1, "d2"]
