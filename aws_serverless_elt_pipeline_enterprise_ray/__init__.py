@@ -86,6 +86,16 @@ from .pipelines.cdc import (
     read_time_range,
     read_where,
 )
+from .pipelines.branch import merge_branch
+from .pipelines.ddl import add_column, drop_column
+from .pipelines.diff import diff_lakes, diff_summary
+from .pipelines.dml import (
+    delete_where,
+    explain_where,
+    merge_into,
+    scan_where,
+    update_where,
+)
 from .state.manifest import Manifest, ManifestStore
 from .state.txn import Transaction, TxnCatalog, read_table_at
 
@@ -103,6 +113,16 @@ __all__ = [
     "read_table",
     "read_time_range",
     "read_where",
+    "scan_where",
+    "delete_where",
+    "update_where",
+    "merge_into",
+    "explain_where",
+    "add_column",
+    "drop_column",
+    "merge_branch",
+    "diff_lakes",
+    "diff_summary",
     "Manifest",
     "ManifestStore",
 ]
