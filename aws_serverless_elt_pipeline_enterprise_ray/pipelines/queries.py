@@ -7406,6 +7406,55 @@ def q_embedding_outliers(sf_dir: str):
     return embedding_outliers(emb, id_col="vec_id", vec_col="embedding", k=20)
 
 
+
+def q_cdc_drop_boilerplate(sf_dir: str):
+    """CDC -> curation -> DML composition #4, full circle: boilerplate
+    turns (same text in >= 8 DISTINCT conversations) are detected over
+    the COMMITTED lake by ``transcripts.boilerplate_turns`` and then
+    REMOVED from it by ``merge_into(when_matched="delete")`` — the
+    curation signal drives row-level DML through the exactly-once
+    apply, and the cleaned lake is the result."""
+    from ..functions.transcripts import boilerplate_turns
+    from .cdc import apply_changes, read_table
+    from .dml import merge_into
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir))
+
+    state = read_table(lake)
+    hits = boilerplate_turns(
+        state, conv_col="conv_id", text_col="text", min_convs=8
+    )
+    texts = set(hits.to_pandas()["text"])
+    if texts:
+        vic = pa.array(sorted(texts), pa.string())
+
+        def victims(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.fill_null(pc.is_in(b["text"], value_set=vic), False)
+            )
+
+        source = state.map_batches(victims, batch_format="pyarrow")
+        merge_into(
+            lake, source, _spec(sf_dir),
+            when_matched="delete", when_not_matched="ignore",
+        )
+    return _final_df(lake)
+
+
+DROP_BOILERPLATE_SQL = f"""
+  WITH final AS ({FINAL_SQL}),
+  boiler AS (
+    SELECT text FROM final WHERE text IS NOT NULL
+    GROUP BY text HAVING count(DISTINCT conv_id) >= 8
+  )
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM final
+  WHERE text IS NULL OR text NOT IN (SELECT text FROM boiler)
+  ORDER BY conv_id, turn_idx
+"""
+
+
 EMBEDDING_OUTLIERS_SQL = """
   WITH e AS (
     SELECT vec_id,
@@ -7896,6 +7945,7 @@ QUERIES = {
     "fleiss_kappa": q_fleiss_kappa,
     "distinct_ngrams": q_distinct_ngrams,
     "embedding_outliers": q_embedding_outliers,
+    "cdc_drop_boilerplate": q_cdc_drop_boilerplate,
 }
 
 _LANG_SQL_CASES = """
@@ -11356,6 +11406,7 @@ ORACLES = {
     "fleiss_kappa": FLEISS_SQL,
     "distinct_ngrams": DISTINCT_NGRAMS_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
+    "cdc_drop_boilerplate": DROP_BOILERPLATE_SQL,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup /
     # multimodal_decode / hll_users_by_type / value_quantiles_sketch:
     # not SQL-expressible -> rows-only checks (the driver records the
