@@ -133,6 +133,9 @@ def _final_df(lake_dir: str) -> pd.DataFrame:
     from .cdc import read_table
 
     df = read_table(lake_dir).to_pandas()
+    if "conv_id" not in df.columns:  # fully-pruned empty result
+        df = df.reindex(columns=["conv_id", "turn_idx", "role", "text",
+                                 "tool", "ts"])
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
@@ -7409,11 +7412,13 @@ def q_embedding_outliers(sf_dir: str):
 
 def q_cdc_drop_boilerplate(sf_dir: str):
     """CDC -> curation -> DML composition #4, full circle: boilerplate
-    turns (same text in >= 8 DISTINCT conversations) are detected over
-    the COMMITTED lake by ``transcripts.boilerplate_turns`` and then
-    REMOVED from it by ``merge_into(when_matched="delete")`` — the
-    curation signal drives row-level DML through the exactly-once
-    apply, and the cleaned lake is the result."""
+    turns (same text in at least a quarter of all conversations — a
+    scale-relative threshold, integer-floored on both sides) are
+    detected over the COMMITTED lake by
+    ``transcripts.boilerplate_turns`` and then REMOVED from it by
+    ``merge_into(when_matched="delete")`` — the curation signal drives
+    row-level DML through the exactly-once apply, and the cleaned lake
+    is the result."""
     from ..functions.transcripts import boilerplate_turns
     from .cdc import apply_changes, read_table
     from .dml import merge_into
@@ -7422,10 +7427,12 @@ def q_cdc_drop_boilerplate(sf_dir: str):
     apply_changes(changes, lake, _spec(sf_dir))
 
     state = read_table(lake)
+    n_convs = len(state.unique("conv_id"))
+    thresh = max(n_convs // 4, 2)
     hits = boilerplate_turns(
-        state, conv_col="conv_id", text_col="text", min_convs=8
-    )
-    texts = set(hits.to_pandas()["text"])
+        state, conv_col="conv_id", text_col="text", min_convs=thresh
+    ).to_pandas()
+    texts = set(hits["text"]) if "text" in hits.columns else set()
     if texts:
         vic = pa.array(sorted(texts), pa.string())
 
@@ -7446,7 +7453,9 @@ DROP_BOILERPLATE_SQL = f"""
   WITH final AS ({FINAL_SQL}),
   boiler AS (
     SELECT text FROM final WHERE text IS NOT NULL
-    GROUP BY text HAVING count(DISTINCT conv_id) >= 8
+    GROUP BY text
+    HAVING count(DISTINCT conv_id) >= greatest(
+      (SELECT count(DISTINCT conv_id) FROM final) // 4, 2)
   )
   SELECT conv_id, turn_idx, role, text, tool, ts
   FROM final
