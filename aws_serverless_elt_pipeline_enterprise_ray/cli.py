@@ -294,7 +294,7 @@ def main(argv=None) -> int:
     mb.add_argument("--branch", required=True)
     mb.add_argument("--into", required=True)
     mb.add_argument("--policy", default="lww",
-                    choices=["lww", "ours", "theirs"])
+                    choices=["lww", "ours", "theirs", "fail"])
 
     ac = sub.add_parser(
         "add-column", help="ALTER TABLE ADD COLUMN (metadata-only, O(1))"
@@ -578,11 +578,8 @@ def main(argv=None) -> int:
         elif args.cmd == "merge-branch":
             from .pipelines.branch import merge_branch
 
-            m = merge_branch(args.branch, args.into, policy=args.policy)
-            print(json.dumps(
-                {"version": m.version if m else None,
-                 "metrics": m.metrics if m else {}}
-            ))
+            res = merge_branch(args.branch, args.into, policy=args.policy)
+            print(json.dumps(res))
         elif args.cmd == "clone":
             from .pipelines.clone import clone_lake
 

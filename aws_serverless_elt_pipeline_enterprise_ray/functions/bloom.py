@@ -153,3 +153,44 @@ def bloom_semi_join(
     # the bloom's false positives
     return hash_join(survivors, right_keys, on=on, how="semi",
                      num_buckets=num_buckets)
+
+
+def sidecar_tester(fs):
+    """Cached reader/tester of the per-file key Bloom sidecars written
+    by ``stages.merge.file_entry`` — the ONE implementation shared by
+    every sidecar consumer (point lookups in ``cdc.read_conversations``,
+    DML predicate pruning in ``pipelines.dml``). Returns
+    ``may(file_entry, keys) -> bool``: False only when the sidecar
+    proves none of ``keys`` (list/Series of strings) is in the file;
+    a missing, truncated or unreadable sidecar means "read the file"
+    (no false negatives, so dropping a negative file cannot change an
+    LWW merge)."""
+    import numpy as np
+    import pandas as pd
+
+    cache: dict = {}
+
+    def may(f: dict, keys) -> bool:
+        bp = f.get("bloom")
+        if not bp:
+            return True
+        bl = cache.get(bp)
+        if bl is None:
+            try:
+                raw = fs.read_bytes(fs.full(bp))
+                bl = (
+                    Bloom(
+                        np.frombuffer(raw, dtype=np.uint8),
+                        f["bloom_bits"], f["bloom_k"],
+                    )
+                    if len(raw) * 8 == f["bloom_bits"]
+                    else True  # truncated sidecar: read the file
+                )
+            except Exception:
+                bl = True
+            cache[bp] = bl
+        if bl is True:
+            return True
+        return bool(bl.contains(pd.Series(keys)).any())
+
+    return may

@@ -376,6 +376,12 @@ def embedding_outliers(
     (d2 desc, id)."""
     # pass 1: exact per-dimension sums + count
     def dim_partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"dim": pd.Series([], dtype="int64"),
+                 "s": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
         mat = np.floor(
             np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
         ).astype(np.int64)
@@ -393,6 +399,11 @@ def embedding_outliers(
     n = int(agg["n"].iloc[0]) if len(agg) else 0
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or n == 0:
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"),
+                 "d2": pd.Series([], dtype=object)}
+            )
         mat = np.floor(
             np.stack(b[vec_col].to_numpy()).astype(np.float64) * 1e6
         ).astype(np.int64)
@@ -409,6 +420,9 @@ def embedding_outliers(
         return out[["id", "d2"]]
 
     cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if "d2" not in cand.columns:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "d2": pd.Series([], dtype=object)})
     cand["_key"] = [(-int(v), int(i)) for v, i in zip(cand["d2"], cand["id"])]
     cand = cand.sort_values("_key").head(k)[["id", "d2"]]
     return cand.reset_index(drop=True)

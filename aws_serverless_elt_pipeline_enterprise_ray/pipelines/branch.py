@@ -72,8 +72,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.windows import _buckets_for_cluster, _key_buckets
-from ..sources.changelog import list_changelog_files, stage_changes
-from ..state.lakefs import fs_for, lakefs
+from ..sources.changelog import stage_changes
+from ..state.lakefs import lakefs
 from ..state.manifest import ManifestStore, manifest_payload_schema
 
 #: Restamped rows' seq must outrank both sides' credentials; merge
@@ -359,9 +359,14 @@ def merge_branch(
         rb_seq = rows["_seq__b"].fillna(rows["_seq__base"]).fillna(0)
         rm_seq = rows["_seq__m"].fillna(-1)
         rforced = forced[keep].to_numpy()
+        # saturating restamp: an input seq already in the forced epoch
+        # (a prior 'ours'/'theirs' merge in this lineage) keeps its
+        # value — adding the base again would overflow int64 and the
+        # wrapped-negative seq would LOSE the LWW it must win
+        mx = np.maximum(rb_seq.to_numpy(), rm_seq.to_numpy()).astype(np.int64)
         out["seq"] = np.where(
             rforced,
-            _FORCE_SEQ_BASE + np.maximum(rb_seq.to_numpy(), rm_seq.to_numpy()),
+            np.where(mx >= _FORCE_SEQ_BASE, mx, _FORCE_SEQ_BASE + mx),
             rb_seq.to_numpy(),
         ).astype(np.int64)
         keys_df = rows.index.to_frame(index=False)

@@ -923,35 +923,13 @@ def read_conversations(
     # cannot change the LWW merge; missing/corrupt sidecars mean
     # "read".
     if any(f.get("bloom") for files in sub.values() for f in files):
-        import numpy as np
-        import pandas as pd
+        from ..functions.bloom import sidecar_tester
 
-        from ..functions.bloom import Bloom
-
-        fs = lakefs(lake_dir)
-        wanted_series = pd.Series(wanted_sorted)
-
-        def bloom_may_contain(f: dict) -> bool:
-            bp = f.get("bloom")
-            if not bp:
-                return True
-            try:
-                raw = fs.read_bytes(fs.full(bp))
-                if len(raw) * 8 != f["bloom_bits"]:
-                    return True  # truncated sidecar: read the file
-                bl = Bloom(
-                    np.frombuffer(raw, dtype=np.uint8),
-                    f["bloom_bits"],
-                    f["bloom_k"],
-                )
-                return bool(bl.contains(wanted_series).any())
-            except Exception:
-                return True
-
+        bloom_may = sidecar_tester(lakefs(lake_dir))
         sub = {
             pid: kept
             for pid, files in sub.items()
-            if (kept := [f for f in files if bloom_may_contain(f)])
+            if (kept := [f for f in files if bloom_may(f, wanted_sorted)])
         }
     if not any(sub.values()):
         return _empty_like(m, columns)

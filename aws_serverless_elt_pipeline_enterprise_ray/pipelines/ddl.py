@@ -104,15 +104,18 @@ def drop_column(
     (data file bytes remain until the next ``compact`` rewrites to the
     current schema). Key columns and ``ts`` are structural."""
     spec = spec or default_spec()
-    protected = set(spec.key_cols) | {"ts"}
-    if name in protected:
-        raise ValueError(
-            f"cannot drop {name!r}: key columns and ts are structural"
-        )
     store = ManifestStore(lake_dir)
     m = store.load()
     if m is None:
         raise FileNotFoundError(f"no committed version at {lake_dir}")
+    # the LAKE's structural columns, not the default spec's: a lake
+    # committed with custom key_cols records them in the manifest
+    key_cols = tuple(m.partitioning.get("key_cols") or spec.key_cols)
+    protected = set(key_cols) | {"ts"}
+    if name in protected:
+        raise ValueError(
+            f"cannot drop {name!r}: key columns and ts are structural"
+        )
     payload = manifest_payload_schema(m)
     if name not in payload.names:
         raise KeyError(f"unknown column {name!r}; lake has {payload.names}")

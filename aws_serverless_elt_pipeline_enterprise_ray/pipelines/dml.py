@@ -57,7 +57,12 @@ def _check_pred(where, payload: pa.Schema) -> list[list[tuple]]:
     single conjunction ``[(col, op, val), ...]`` (ANDed) or a
     disjunction of conjunctions ``[[...], [...]]`` (each inner list
     ANDed, groups ORed). Returns the list of groups."""
-    if where and isinstance(where[0], (list,)):
+    if not where:
+        raise ValueError(
+            "empty predicate: an unconditional statement must say so "
+            "explicitly (e.g. ('turn_idx', '>=', 0))"
+        )
+    if isinstance(where[0], (list,)):
         groups = [list(g) for g in where]
         if not all(groups):
             raise ValueError("empty conjunction group in OR predicate")
@@ -120,7 +125,10 @@ def _file_may_match(pred: list[tuple]):
                 if v is None or not (lo <= v <= hi):
                     return False
             elif op == "between":
-                if _zone_val(val[0]) > hi or _zone_val(val[1]) < lo:
+                blo, bhi = _zone_val(val[0]), _zone_val(val[1])
+                if blo is None or bhi is None:  # NULL bound: matches nothing
+                    return False
+                if blo > hi or bhi < lo:
                     return False
             elif op == "in":
                 if not any(
@@ -129,12 +137,14 @@ def _file_may_match(pred: list[tuple]):
                 ):
                     return False
             elif op in ("<", "<="):
+                v = _zone_val(val)
                 cmpf = operator.lt if op == "<" else operator.le
-                if not cmpf(lo, _zone_val(val)):
+                if v is None or not cmpf(lo, v):
                     return False
             elif op in (">", ">="):
+                v = _zone_val(val)
                 cmpf = operator.gt if op == ">" else operator.ge
-                if not cmpf(hi, _zone_val(val)):
+                if v is None or not cmpf(hi, v):
                     return False
             # "!=" never prunes (min==max==v files are rare; not worth
             # the stats-equality special case)
@@ -195,43 +205,13 @@ def _group_key_values(pred, key_col):
 
 
 def _bloom_tester(lake_dir):
-    """Per-call cached reader of the per-file key Bloom sidecars
-    (written by ``file_entry``): "may this file contain any of these
-    keys" with ~1% FP at a ~10-bits/key sidecar read. Missing/corrupt
-    sidecar -> read the file."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.bloom import Bloom
+    """Shared per-file key-Bloom sidecar tester (see
+    ``functions.bloom.sidecar_tester``), bound to this lake's
+    filesystem with a per-call cache."""
+    from ..functions.bloom import sidecar_tester
     from ..state.lakefs import lakefs
 
-    fs = lakefs(lake_dir)
-    cache: dict = {}
-
-    def may(f: dict, keys: list) -> bool:
-        bp = f.get("bloom")
-        if not bp:
-            return True
-        bl = cache.get(bp)
-        if bl is None:
-            try:
-                raw = fs.read_bytes(fs.full(bp))
-                bl = (
-                    Bloom(
-                        np.frombuffer(raw, dtype=np.uint8),
-                        f["bloom_bits"], f["bloom_k"],
-                    )
-                    if len(raw) * 8 == f["bloom_bits"]
-                    else True  # truncated sidecar: read the file
-                )
-            except Exception:
-                bl = True
-            cache[bp] = bl
-        if bl is True:
-            return True
-        return bool(bl.contains(pd.Series(keys)).any())
-
-    return may
+    return sidecar_tester(lakefs(lake_dir))
 
 
 def _prune_files(lake_dir: str, m, pred: list[list[tuple]]):
@@ -280,6 +260,7 @@ def _prune_files(lake_dir: str, m, pred: list[list[tuple]]):
 def _matched_rows(
     lake_dir: str, store: ManifestStore, m, pred: list[list[tuple]],
     columns: list[str],
+    sub: dict | None = None,
 ) -> rd.Dataset | None:
     """Distributed scan of CURRENT rows matching ``pred``:
 
@@ -291,7 +272,8 @@ def _matched_rows(
       proves free of key K cannot contribute to K's LWW state, and any
       other key a partial stack mis-merges is filtered by the key
       conjunct's own mask before it can match."""
-    sub, _ = _prune_files(lake_dir, m, pred)
+    if sub is None:
+        sub, _ = _prune_files(lake_dir, m, pred)
     if not sub:
         return None
     read_cols = list(
@@ -320,10 +302,11 @@ def explain_where(lake_dir: str, where: list[tuple]) -> dict:
         raise FileNotFoundError(f"no committed version at {lake_dir}")
     payload = manifest_payload_schema(m)
     pred = _check_pred(where, payload)
-    _, stats = _prune_files(lake_dir, m, pred)
+    sub, stats = _prune_files(lake_dir, m, pred)
     ds = _matched_rows(
         lake_dir, store, m, pred,
         [payload.names[0]],  # cheapest projection: count needs one col
+        sub=sub,
     )
     matched = int(ds.count()) if ds is not None else 0
     return {"version": int(m.version), **stats, "matched_rows": matched}

@@ -321,6 +321,12 @@ class ManifestStore:
         immutable once written; the CURRENT pointer swap is the single
         visibility point (exactly-once sink semantics)."""
         cur = self.current_version()
+        if not self.fs.is_object:
+            # make committed-but-unswapped rivals visible FIRST, then
+            # validate the parent against the true head — a committer
+            # that already built against the rolled-forward head (e.g.
+            # a retry) need not pay an extra conflict round
+            cur = self._roll_forward(cur)
         if manifest.parent_version != cur:
             raise CommitConflict(
                 f"stale commit: parent={manifest.parent_version} current={cur}"
@@ -346,18 +352,23 @@ class ManifestStore:
             # found), and instead of aging corpses behind a grace
             # window. Retired history (rollback/reset floor) is never
             # rolled forward.
-            rolled = self._roll_forward(cur)
-            if rolled != cur:
-                raise CommitConflict(
-                    f"stale commit: parent={manifest.parent_version} but a "
-                    f"concurrent commit advanced the lake to {rolled}"
-                )
             vs = self.versions()
             newest = vs[-1] if vs else 0
             if newest >= manifest.version:
-                # above-floor unreadable corpses are impossible with
-                # crash-atomic creates; anything left above CURRENT here
-                # is retired history - burn past it
+                if newest > self._posix_retired_floor():
+                    # a NON-retired file at/above our number appeared
+                    # AFTER the roll-forward listing above: a racing
+                    # sibling won its create in that window. Burning
+                    # past it here would commit our same-parent state
+                    # over the rival's — the silent lost-update this
+                    # path must never reintroduce. Conflict instead;
+                    # the retry's roll-forward makes the rival visible.
+                    raise CommitConflict(
+                        f"stale commit: version {newest} appeared above "
+                        f"CURRENT={cur} during commit (concurrent "
+                        "committer); retry against the fresh parent"
+                    )
+                # retired history (rollback/reset floor): burn past it
                 manifest = dataclasses.replace(manifest, version=newest + 1)
         vpath = self.fs.full("_manifest", f"manifest-{manifest.version:06d}.json")
         # Exclusive create makes version creation atomic (O_EXCL /

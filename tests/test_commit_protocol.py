@@ -110,3 +110,52 @@ def test_rollback_then_write_stays_on_retired_floor(tmp_path):
     assert ms
     m = s2.load()
     assert m.parent_version == 1 and m.version == head + 1
+
+
+def test_sibling_appearing_mid_commit_conflicts_not_clobbers(tmp_path, monkeypatch):
+    """The narrowest race: a rival's exclusive create lands AFTER this
+    committer's roll-forward check but BEFORE its version listing. The
+    commit must CONFLICT — burning past the fresh sibling would publish
+    same-parent state over the rival's commit (lost update)."""
+    ch, lake = _lake(tmp_path)
+    store = ManifestStore(lake)
+    m1 = store.load()
+
+    real_versions = store.versions
+    state = {"calls": 0, "planted": None}
+
+    def versions_with_injection():
+        state["calls"] += 1
+        # after the roll-forward pass has used the listing once, a
+        # rival commits; plant it exactly before the second listing
+        if state["calls"] == 2 and state["planted"] is None:
+            state["planted"] = _plant_corpse(store)
+        return real_versions()
+
+    monkeypatch.setattr(store, "versions", versions_with_injection)
+
+    stale = dataclasses.replace(
+        m1,
+        version=m1.version + 1,
+        parent_version=m1.version,
+        metrics={"planted": "late-racer"},
+        lineage={},
+    )
+    try:
+        store.commit(stale)
+        raise AssertionError("mid-commit sibling must conflict")
+    except CommitConflict:
+        pass
+    # the rival's commit survives untouched at the head number
+    assert store.load(state["planted"]).metrics == {"planted": "corpse"}
+    # and a retry against the rolled-forward parent succeeds cleanly
+    retry = dataclasses.replace(
+        m1,
+        version=state["planted"] + 1,
+        parent_version=state["planted"],
+        metrics={"planted": "retry"},
+        lineage={},
+    )
+    monkeypatch.setattr(store, "versions", real_versions)
+    committed = store.commit(retry)
+    assert committed.version == state["planted"] + 1

@@ -557,3 +557,18 @@ def test_zorder_compact_enables_value_pruning(base, tmp_path):
     delete_where(lake, where, SPEC)
     want = final[~final["turn_idx"].between(0, 4)]
     pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+
+
+def test_dml_predicate_validation_errors(base):
+    """Review-pass hardening: empty predicates and NULL range values
+    fail/behave cleanly instead of crashing in workers."""
+    root, changes, final = base
+    lake = _fresh_lake(root, changes, "valid")
+    with pytest.raises(ValueError):
+        delete_where(lake, [], SPEC)
+    with pytest.raises(ValueError):
+        delete_where(lake, [[("turn_idx", "<", 3)], []], SPEC)
+    # NULL comparison value: SQL semantics, matches nothing, no commit
+    assert delete_where(lake, [("turn_idx", "<", None)], SPEC) == []
+    assert delete_where(lake, [("turn_idx", "between", (None, 5))], SPEC) == []
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(final))
