@@ -572,3 +572,40 @@ def test_dml_predicate_validation_errors(base):
     assert delete_where(lake, [("turn_idx", "<", None)], SPEC) == []
     assert delete_where(lake, [("turn_idx", "between", (None, 5))], SPEC) == []
     pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(final))
+
+
+def test_cross_lake_dml_atomic_visibility(base, tmp_path):
+    """DML composes with the transactional catalog: deletes on TWO
+    lakes become visible to catalog readers in ONE atomic catalog
+    commit — at the old catalog version both lakes read pre-DML, at the
+    new one both read post-DML; never a torn mix."""
+    from aws_serverless_elt_pipeline_enterprise_ray.state.txn import TxnCatalog, read_table_at
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+    root, changes, final = base
+    a = _fresh_lake(root, changes, "txna")
+    b = _fresh_lake(root, changes, "txnb")
+    cat = TxnCatalog(str(tmp_path / "cat"))
+    cat.commit_pins(
+        {"a": {"lake_dir": a, "version": 1},
+         "b": {"lake_dir": b, "version": 1}},
+        None,
+    )
+    v0 = cat.current_version()
+
+    txn = cat.begin()
+    ms_a = delete_where(a, [("turn_idx", ">=", 30)], SPEC)
+    ms_b = delete_where(b, [("turn_idx", "<", 5)], SPEC)
+    txn.pin("a", a, ms_a[-1].version)
+    txn.pin("b", b, ms_b[-1].version)
+    # before the catalog commit: catalog readers still see v1 on both
+    assert read_table_at(cat, "a").count() == len(final)
+    assert read_table_at(cat, "b").count() == len(final)
+    v1 = txn.commit()
+
+    na = int((final["turn_idx"] < 30).sum())
+    nb = int((final["turn_idx"] >= 5).sum())
+    assert read_table_at(cat, "a", catalog_version=v0).count() == len(final)
+    assert read_table_at(cat, "b", catalog_version=v0).count() == len(final)
+    assert read_table_at(cat, "a", catalog_version=v1).count() == na
+    assert read_table_at(cat, "b", catalog_version=v1).count() == nb
