@@ -609,3 +609,28 @@ def test_cross_lake_dml_atomic_visibility(base, tmp_path):
     assert read_table_at(cat, "b", catalog_version=v0).count() == len(final)
     assert read_table_at(cat, "a", catalog_version=v1).count() == na
     assert read_table_at(cat, "b", catalog_version=v1).count() == nb
+
+
+def test_dml_compact_gc_lifecycle(base, tmp_path):
+    """Full lifecycle after DML: tombstones purge via compact, gc
+    drops the superseded files, the surviving state is exact, and the
+    surviving manifest versions still read."""
+    from aws_serverless_elt_pipeline_enterprise_ray.pipelines.compact import compact
+    from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+
+    root, changes, final = base
+    lake = str(tmp_path / "lc")
+    apply_changes(changes, lake, SPEC)
+    delete_where(lake, [("turn_idx", ">=", 25)], SPEC)
+    update_where(lake, [("role", "==", "user")], {"role": "Z"}, SPEC)
+
+    compact(lake, SPEC, min_files_to_compact=1, purge_tombstones=True)
+    removed = ManifestStore(lake).gc(keep_versions=1, min_age_seconds=0)
+    assert removed, "gc must drop superseded COW files"
+
+    want = final[final["turn_idx"] < 25].copy()
+    want.loc[want["role"] == "user", "role"] = "Z"
+    pd.testing.assert_frame_equal(_canon(_state(lake)), _canon(want))
+    # the kept (current) version reads; its tombstones are gone
+    m = ManifestStore(lake).load()
+    assert m.total_rows() == len(want)
