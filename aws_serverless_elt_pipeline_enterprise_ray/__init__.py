@@ -42,6 +42,28 @@ _logging.getLogger(
 ).addFilter(_EmptyBlockSchemaNoise())
 
 
+class _EmptyBlockSizeNoise(_logging.Filter):
+    """Drop ONLY the zero-row variant of Ray's pandas size-estimation
+    warning. ``PandasBlockAccessor.size_bytes`` np.vectorizes
+    ``getsizeof`` over object columns; on a ZERO-ROW block (a join
+    bucket with no matches, a sort partition with no keys) vectorize
+    refuses size-0 input, Ray logs one warning PER COLUMN per empty
+    block and falls back — the fallback (size 0) is exactly right, so
+    the warning is pure spam. Genuine size-estimation failures on
+    non-empty columns still pass through."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not (
+            "Error calculating size" in msg and "size 0 inputs" in msg
+        )
+
+
+_logging.getLogger("ray.data._internal.pandas_block").addFilter(
+    _EmptyBlockSizeNoise()
+)
+
+
 def _prewarm_fragile_imports() -> None:
     """Ray's path resolution runs ``from fsspec.implementations.http
     import HTTPFileSystem`` on every ``read_parquet``. When aiohttp is

@@ -1455,11 +1455,13 @@ class DecodeStub:
             )
         n = len(payload)
         head = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash
+            checksum = int(np.uint64(head) * np.uint64(1000003) + np.uint64(n))
         return {
             "width": 64 + head % 1024,
             "height": 64 + (head >> 10) % 1024,
             "n_frames": 1 + n % 16,
-            "feat_checksum": int(np.uint64(head) * np.uint64(1000003) + np.uint64(n)),
+            "feat_checksum": checksum,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -31,10 +31,14 @@ import ray.data as rd
 
 from .windows import _buckets_for_cluster
 
+# partial-agg is named by STRING ("sum"/"max"/"min"): handing pandas
+# the numpy/builtin callable hits the "provided callable will be used
+# directly" FutureWarning, and when pandas flips that behavior the
+# combine semantics would change silently
 _OPS = {
-    "sum": (np.sum, lambda s: s.cumsum(), 0.0),
-    "max": (np.max, lambda s: s.cummax(), -np.inf),
-    "min": (np.min, lambda s: s.cummin(), np.inf),
+    "sum": (lambda s: s.cumsum(), 0.0),
+    "max": (lambda s: s.cummax(), -np.inf),
+    "min": (lambda s: s.cummin(), np.inf),
 }
 
 
@@ -55,7 +59,7 @@ def ordered_prefix_scan(
     the whole stream = NULL/NaN). Output value dtype is float64 —
     exact for |values| < 2^53; cast downstream if int is wanted."""
     assert op in _OPS, op
-    agg_fn, cum_fn, identity = _OPS[op]
+    cum_fn, identity = _OPS[op]
     P = num_buckets or _buckets_for_cluster()
 
     if boundaries is None:
@@ -79,7 +83,7 @@ def ordered_prefix_scan(
         out = (
             pd.DataFrame({"_rb": rb, "_v": v})
             .groupby("_rb", sort=True)["_v"]
-            .agg(agg_fn)
+            .agg(op)
             .reset_index()
         )
         return out
@@ -88,7 +92,7 @@ def ordered_prefix_scan(
     # driver combine: P values -> exclusive offsets per range
     per_range = np.full(len(boundaries) + 1, identity, dtype=np.float64)
     if len(parts):
-        combined = parts.groupby("_rb", sort=True)["_v"].agg(agg_fn)
+        combined = parts.groupby("_rb", sort=True)["_v"].agg(op)
         per_range[combined.index.to_numpy()] = combined.to_numpy()
     nonempty = np.zeros(len(per_range), dtype=bool)
     if len(parts):

@@ -356,7 +356,13 @@ def merge_branch(
         out = pd.DataFrame(index=range(n_rows))
         rvis_b = w_vis_b[keep].to_numpy()
         out["op"] = np.where(rvis_b, "U", "D")
-        rb_seq = rows["_seq__b"].fillna(rows["_seq__base"]).fillna(0)
+        # branch-ABSENT rows (tombstone purged by a branch compact
+        # between fork and merge) synthesize a delete: restamp it ONE
+        # ABOVE the base credentials, not equal to them — an event with
+        # (base ts, base _seq) exactly ties the fork row main still
+        # holds and whether the delete lands becomes sort-order luck.
+        # Branch TOMBSTONES carry their own _seq__b and skip this.
+        rb_seq = rows["_seq__b"].fillna(rows["_seq__base"] + 1).fillna(1)
         rm_seq = rows["_seq__m"].fillna(-1)
         rforced = forced[keep].to_numpy()
         # saturating restamp: an input seq already in the forced epoch

@@ -381,6 +381,14 @@ def _derive_run_spec(
                 f"runtime hashes with {hash_impl_id()}; re-partitioning "
                 "required (full replay into a fresh lake)"
             )
+        rec_keys = tuple(pp.get("key_cols") or ())
+        if rec_keys and tuple(run_spec.key_cols) != rec_keys:
+            raise RuntimeError(
+                f"lake is keyed on {rec_keys} but the apply spec says "
+                f"{tuple(run_spec.key_cols)}; applying with mismatched "
+                "key columns would mis-partition and merge on the "
+                "wrong grain (pass a spec matching the lake)"
+            )
         run_spec = dataclasses.replace(
             run_spec,
             num_partitions=pp["num_partitions"],
@@ -1193,7 +1201,15 @@ def read_table(
     store = ManifestStore(lake_dir)
     m = store.load(version)
     if m is None or not m.all_files():
-        return _empty_like(m, columns)
+        empty = _empty_like(m, columns)
+        if include_internal:
+            sch = pa.schema(
+                list(empty.schema().base_schema)
+                + [pa.field("_deleted", pa.bool_()),
+                   pa.field("_seq", pa.int64())]
+            )
+            return rd.from_arrow(sch.empty_table())
+        return empty
 
     return _read_lake_partitions(
         lake_dir, m.partitions, m,

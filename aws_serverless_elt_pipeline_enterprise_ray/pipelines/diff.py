@@ -49,13 +49,30 @@ def diff_lakes(
     from ..functions.joins import hash_join
     from .cdc import read_table
 
-    spec = spec or default_spec()
-    key_cols = list(spec.key_cols)
-
     ma = ManifestStore(a_dir).load(version_a)
     mb = ManifestStore(b_dir).load(version_b)
     if ma is None or mb is None:
         raise FileNotFoundError("both sides need a committed version")
+    # Key columns are a property of the LAKES (recorded in each
+    # manifest's partitioning block), not of the caller's default
+    # config: a custom-key lake must diff on its own key grain.
+    ka = tuple(ma.partitioning.get("key_cols") or ())
+    kb = tuple(mb.partitioning.get("key_cols") or ())
+    if ka and kb and ka != kb:
+        raise ValueError(
+            f"key_cols disagree between sides: {a_dir} has {ka}, "
+            f"{b_dir} has {kb}; diff needs one key grain"
+        )
+    recorded = ka or kb
+    if spec is None:
+        key_cols = list(recorded) if recorded else list(default_spec().key_cols)
+    else:
+        if recorded and tuple(spec.key_cols) != recorded:
+            raise ValueError(
+                f"spec.key_cols {tuple(spec.key_cols)} do not match the "
+                f"lakes' recorded key_cols {recorded}"
+            )
+        key_cols = list(spec.key_cols)
     pa_names = set(manifest_payload_schema(ma).names)
     pb_names = set(manifest_payload_schema(mb).names)
     # compare the shared payload surface; a column present on one side

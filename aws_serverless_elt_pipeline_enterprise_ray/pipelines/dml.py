@@ -35,6 +35,7 @@ source ts, so the committed row survives when it is strictly newer.
 
 from __future__ import annotations
 
+import dataclasses
 import operator
 import uuid
 
@@ -97,6 +98,36 @@ def _check_conj(conj, payload: pa.Schema) -> list[tuple]:
             val = conv(val)
         out.append((col, op, val))
     return out
+
+
+def _resolve_spec(m, spec: TableSpec | None) -> TableSpec:
+    """The statement's effective TableSpec. Key columns are a property
+    of the LAKE — recorded in the manifest's ``partitioning`` block at
+    first commit (the same source ``_prune_files`` and ``ddl`` use) —
+    not of the caller's default config: on a custom-key lake whose
+    payload happens to contain conv_id/turn_idx, synthesizing events
+    with ``default_spec()``'s keys would emit null-key tombstones
+    instead of the matched rows. With no ``spec``, derive key columns
+    (and the payload schema) from the manifest; with one, validate its
+    key_cols against the manifest and raise on mismatch."""
+    if m is None:
+        return spec or default_spec()
+    recorded = tuple(m.partitioning.get("key_cols") or ())
+    if spec is None:
+        base = default_spec()
+        if recorded and tuple(base.key_cols) != recorded:
+            base = dataclasses.replace(
+                base,
+                key_cols=recorded,
+                payload_schema=manifest_payload_schema(m),
+            )
+        return base
+    if recorded and tuple(spec.key_cols) != recorded:
+        raise ValueError(
+            f"spec.key_cols {tuple(spec.key_cols)} do not match the "
+            f"lake's recorded key_cols {recorded}"
+        )
+    return spec
 
 
 def _zone_val(scalar: pa.Scalar):
@@ -469,8 +500,8 @@ def delete_where(
     ``where``: list of ``(col, op, value)`` conjuncts, op in
     ``== != < <= > >= between in`` (``between`` takes ``(lo, hi)``
     inclusive, ``in`` a list)."""
-    spec = spec or default_spec()
     store = ManifestStore(lake_dir)
+    spec = _resolve_spec(store.load(), spec)
 
     def synthesize(m):
         if m is None:
@@ -505,8 +536,8 @@ def update_where(
     ``lambda b: pc.binary_join_element_wise(pa.scalar("X:"), b["text"],
     "")``). Key columns and ``ts`` cannot be assigned. Serializable
     under concurrent writers (see ``_run_serializable``)."""
-    spec = spec or default_spec()
     store = ManifestStore(lake_dir)
+    spec = _resolve_spec(store.load(), spec)
     key_cols = list(spec.key_cols)
     for col in set:
         if col in key_cols or col == "ts":
@@ -570,7 +601,10 @@ def merge_into(
       when source ts >= committed ts, LWW-decided — the idempotent
       backfill clause) | ``"delete"`` | ``"ignore"``.
     - ``when_not_matched``: ``"insert"`` (source row inserted with its
-      own ts) | ``"ignore"``.
+      own ts; if the key currently holds a NEWER tombstone the event is
+      restamped to the tombstone's ts so the insert still wins LWW —
+      MERGE inserts land unconditionally, like the matched clauses) |
+      ``"ignore"``.
 
     Match detection is one co-partitioning ``hash_join`` between the
     source and a key-column projection of the lake — both sides may be
@@ -582,10 +616,11 @@ def merge_into(
 
     assert when_matched in ("update", "update_if_newer", "delete", "ignore")
     assert when_not_matched in ("insert", "ignore")
-    spec = spec or default_spec()
     store = ManifestStore(lake_dir)
-    if store.load() is None:
+    m0 = store.load()
+    if m0 is None:
         raise FileNotFoundError(f"no lake at {lake_dir} (bootstrap first)")
+    spec = _resolve_spec(m0, spec)
     key_cols = list(spec.key_cols)
 
     def synthesize(m):
@@ -594,15 +629,23 @@ def merge_into(
         payload = manifest_payload_schema(m)
         seq = int(m.watermark) + 1
 
-        lake_keys = read_table(lake_dir, version=m.version,
-                               columns=key_cols + ["ts"])
+        # tombstones kept: a not-matched key may still hold a NEWER
+        # tombstone whose (ts, _seq) would LWW-beat a plain insert —
+        # its credentials must surface so the insert can restamp
+        lake_keys = read_table(
+            lake_dir, version=m.version, columns=key_cols + ["ts"],
+            include_internal=True, keep_tombstones=True,
+        ).select_columns(key_cols + ["ts", "_deleted"])
         joined = hash_join(
             source, lake_keys, on=key_cols, how="left",
-            right_cols=["ts"], suffix="_lake",
+            right_cols=["ts", "_deleted"], suffix="_lake",
         )
 
         def to_events(b: pa.Table) -> pa.Table:
-            matched = pc.fill_null(pc.is_valid(b["ts_lake"]), False)
+            present = pc.fill_null(pc.is_valid(b["ts_lake"]), False)
+            matched = pc.and_(
+                present, pc.invert(pc.fill_null(b["_deleted"], False))
+            )
             out = []
             mb = b.filter(matched)
             if len(mb) and when_matched != "ignore":
@@ -618,6 +661,15 @@ def merge_into(
                     out.append(_event_table(mb, payload, "U", seq))
             ub = b.filter(pc.invert(matched))
             if len(ub) and when_not_matched == "insert":
+                # restamp against any tombstone's credentials: event ts
+                # = max(source ts, tombstone ts); with seq = wm+1 the
+                # insert then wins the tie-break unconditionally, like
+                # the matched clauses (an insert silently no-oping
+                # against a newer tombstone is not SQL MERGE)
+                ts_new = pc.max_element_wise(ub["ts"], ub["ts_lake"])
+                ub = ub.set_column(
+                    ub.column_names.index("ts"), "ts", ts_new
+                )
                 out.append(_event_table(ub, payload, "U", seq))
             if not out:
                 sch = _event_table(b.slice(0, 0), payload, "U", seq).schema

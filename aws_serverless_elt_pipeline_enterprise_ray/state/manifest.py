@@ -442,8 +442,14 @@ class ManifestStore:
     def _update_current_monotonic(self, version: int) -> None:
         """Advance CURRENT to ``version`` unless it already points at or
         beyond it - a delayed committer's swap must never regress the
-        pointer past a rival (or roll-forward) that moved it first."""
+        pointer past a rival (or roll-forward) that moved it first.
+        Versions at or below the RETIRED floor are demoted history
+        (rollback/reset landed after our exclusive create): swapping to
+        them would silently undo the demotion, so they stay invisible -
+        mirroring ``_roll_forward``'s floor check."""
         with self._current_lock():
+            if version <= self._posix_retired_floor():
+                return
             p = self.fs.full("_manifest", "CURRENT")
             cur = (
                 json.loads(self.fs.read_text(p))["version"]
