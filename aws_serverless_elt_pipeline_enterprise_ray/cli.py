@@ -96,11 +96,18 @@ def main(argv=None) -> int:
     t.add_argument("--lake", required=True)
     t.add_argument("--partitions", type=int, default=64)
     t.add_argument("--poll-seconds", type=float, default=1.0)
-    t.add_argument("--max-idle-rounds", type=int, default=5)
+    t.add_argument("--max-idle-rounds", type=int, default=5,
+                   help="negative = run forever")
     t.add_argument(
         "--maintain-every", type=int, default=None,
         help="run policy-driven maintenance after every N commits",
     )
+    t.add_argument(
+        "--supervise", action="store_true",
+        help="run the loop in a restart-on-crash child process "
+             "(survives Ray-core faults; see pipelines.tail.supervised_tail)",
+    )
+    t.add_argument("--max-restarts", type=int, default=10)
 
     r = sub.add_parser("replay", help="re-apply from a checkpoint version")
     r.add_argument("--changelog", required=True)
@@ -401,6 +408,26 @@ def main(argv=None) -> int:
         print(json.dumps({"removed": len(removed)}))
         return 0
 
+    if args.cmd == "tail" and args.supervise:
+        # the supervisor must hold NO Ray session: it has to outlive
+        # child sessions that die to Ray-core faults
+        from .pipelines.tail import supervised_tail
+
+        stats = supervised_tail(
+            args.changelog,
+            args.lake,
+            partitions=args.partitions,
+            poll_seconds=args.poll_seconds,
+            max_idle_rounds=(
+                None if args.max_idle_rounds < 0 else args.max_idle_rounds
+            ),
+            maintain_every=args.maintain_every,
+            max_restarts=args.max_restarts,
+            num_cpus=args.num_cpus,
+        )
+        print(json.dumps(stats))
+        return 0
+
     _ray_up(args.num_cpus)
     import ray
 
@@ -444,7 +471,10 @@ def main(argv=None) -> int:
                 args.lake,
                 default_spec(num_partitions=args.partitions),
                 poll_seconds=args.poll_seconds,
-                max_idle_rounds=args.max_idle_rounds,
+                max_idle_rounds=(
+                    None if args.max_idle_rounds < 0
+                    else args.max_idle_rounds
+                ),
                 maintain_every=args.maintain_every,
             )
             print(json.dumps(stats))

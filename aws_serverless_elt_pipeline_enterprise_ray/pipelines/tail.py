@@ -119,3 +119,87 @@ def tail(
         "version": cur.version if cur else None,
         "watermark": cur.watermark if cur else None,
     }
+
+
+def supervised_tail(
+    changelog_dir: str,
+    lake_dir: str,
+    *,
+    partitions: int = 64,
+    poll_seconds: float = 1.0,
+    max_idle_rounds: int | None = 5,
+    maintain_every: int | None = None,
+    max_restarts: int = 10,
+    restart_backoff: float = 1.0,
+    num_cpus: int | None = None,
+    on_spawn=None,
+) -> dict:
+    """Crash-shielded always-on tailer: run the ``tail`` loop in a
+    CHILD process (its own Ray session) and restart it whenever it
+    dies abnormally — the supervisor pattern a long-lived driver needs
+    against faults *outside* the engine's control, e.g. the Ray-core
+    task-GC race (``task_manager.cc:930 Check failed``, Ray 2.49)
+    that can kill a driver between Dataset executions. Restart is safe
+    by construction: every poll round is one idempotent exactly-once
+    ``apply_changes`` (checkpoint fence + manifest commit), so a new
+    incarnation re-discovers pending files against the committed
+    checkpoint and never double-applies (proved by
+    ``tests/test_kill_resume.py`` / ``tests/test_tail_supervisor.py``).
+
+    The supervisor itself holds NO Ray session (it must outlive them);
+    each incarnation is ``python -m ...cli tail`` with ``RAY_ADDRESS``
+    cleared so it owns a private session — on a real cluster, leave
+    the children to ``ray job submit`` instead and keep this loop as
+    the job's restart policy.
+
+    Returns the last clean incarnation's stats plus ``restarts`` and
+    ``incarnations``. ``on_spawn(popen)`` is a per-incarnation hook
+    (metrics / fault-injection in tests). Raises ``RuntimeError``
+    after ``max_restarts`` abnormal deaths with no clean exit."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # children own private sessions
+    env.setdefault("PYTHONPATH", os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ))
+    cmd = [sys.executable, "-m",
+           "aws_serverless_elt_pipeline_enterprise_ray.cli"]
+    if num_cpus:
+        cmd += ["--num-cpus", str(num_cpus)]
+    cmd += ["tail", "--changelog", changelog_dir, "--lake", lake_dir,
+            "--partitions", str(partitions),
+            "--poll-seconds", str(poll_seconds)]
+    cmd += ["--max-idle-rounds",
+            str(-1 if max_idle_rounds is None else max_idle_rounds)]
+    if maintain_every is not None:
+        cmd += ["--maintain-every", str(maintain_every)]
+
+    restarts = 0
+    incarnations = 0
+    while True:
+        incarnations += 1
+        proc = subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+            preexec_fn=os.setsid,  # killable as a tree, with its Ray
+        )
+        if on_spawn is not None:
+            on_spawn(proc)
+        out, _ = proc.communicate()
+        if proc.returncode == 0:
+            stats = json.loads(out.strip().splitlines()[-1])
+            stats["restarts"] = restarts
+            stats["incarnations"] = incarnations
+            return stats
+        restarts += 1
+        if restarts > max_restarts:
+            raise RuntimeError(
+                f"tailer died {restarts} times (last rc "
+                f"{proc.returncode}); giving up after max_restarts="
+                f"{max_restarts}"
+            )
+        time.sleep(restart_backoff)
