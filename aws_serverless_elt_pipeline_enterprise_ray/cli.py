@@ -63,6 +63,19 @@ def _parse_where(items: list) -> list[tuple]:
     return out
 
 
+def _where_arg(args) -> list:
+    """One predicate from either surface: ``--where COL:OP:VALUE``
+    conjuncts (scripting-friendly) or ``--where-sql`` text (the SQL
+    users of the reference's Athena surface speak). Exactly one."""
+    if bool(args.where) == bool(args.where_sql):
+        raise SystemExit("pass exactly one of --where / --where-sql")
+    if args.where_sql:
+        from .sqlpred import parse_where
+
+        return parse_where(args.where_sql)
+    return _parse_where(args.where)
+
+
 def _parse_set(items: list) -> dict:
     out = {}
     for item in items:
@@ -278,17 +291,23 @@ def main(argv=None) -> int:
     )
     dl.add_argument("--lake", required=True)
     dl.add_argument(
-        "--where", action="append", required=True, metavar="COL:OP:VALUE",
+        "--where", action="append", default=None, metavar="COL:OP:VALUE",
         help="conjunct, e.g. role:==:assistant or turn_idx:between:[5,9]; "
         "VALUE parses as JSON, falling back to a raw string",
+    )
+    dl.add_argument(
+        "--where-sql", default=None, metavar="SQL",
+        help="SQL boolean expression instead of --where, e.g. "
+        "\"role = 'assistant' AND turn_idx BETWEEN 5 AND 9\"",
     )
 
     up = sub.add_parser(
         "update", help="UPDATE lake SET col=value WHERE <conjunction>"
     )
     up.add_argument("--lake", required=True)
-    up.add_argument("--where", action="append", required=True,
+    up.add_argument("--where", action="append", default=None,
                     metavar="COL:OP:VALUE")
+    up.add_argument("--where-sql", default=None, metavar="SQL")
     up.add_argument(
         "--set", action="append", required=True, metavar="COL=VALUE",
         help="scalar assignment; VALUE parses as JSON else raw string",
@@ -329,11 +348,21 @@ def main(argv=None) -> int:
         "scan", help="predicate scan of the committed state (DNF where)"
     )
     sw.add_argument("--lake", required=True)
-    sw.add_argument("--where", action="append", required=True,
+    sw.add_argument("--where", action="append", default=None,
                     metavar="COL:OP:VALUE")
+    sw.add_argument("--where-sql", default=None, metavar="SQL")
     sw.add_argument("--columns", default=None,
                     help="comma-separated projection")
     sw.add_argument("--limit", type=int, default=20)
+
+    sq = sub.add_parser(
+        "sql",
+        help="one DELETE / UPDATE / SELECT statement against a lake "
+        "(the table name in the statement is informational; --lake "
+        "addresses the data)",
+    )
+    sq.add_argument("--lake", required=True)
+    sq.add_argument("--statement", required=True, metavar="SQL")
 
     sc = sub.add_parser(
         "scaffold", help="stamp spec YAML + transform + sample for a new table"
@@ -569,7 +598,7 @@ def main(argv=None) -> int:
             from .pipelines.dml import scan_where
 
             cols = args.columns.split(",") if args.columns else None
-            ds = scan_where(args.lake, _parse_where(args.where), columns=cols)
+            ds = scan_where(args.lake, _where_arg(args), columns=cols)
             n = ds.count()
             rows = ds.limit(args.limit).to_pandas()
             print(json.dumps({
@@ -590,7 +619,7 @@ def main(argv=None) -> int:
         elif args.cmd == "delete":
             from .pipelines.dml import delete_where
 
-            ms = delete_where(args.lake, _parse_where(args.where))
+            ms = delete_where(args.lake, _where_arg(args))
             print(json.dumps({
                 "committed": [m.version for m in ms],
                 "metrics": ms[-1].metrics if ms else {},
@@ -599,12 +628,48 @@ def main(argv=None) -> int:
             from .pipelines.dml import update_where
 
             ms = update_where(
-                args.lake, _parse_where(args.where), _parse_set(args.set)
+                args.lake, _where_arg(args), _parse_set(args.set)
             )
             print(json.dumps({
                 "committed": [m.version for m in ms],
                 "metrics": ms[-1].metrics if ms else {},
             }))
+        elif args.cmd == "sql":
+            from .pipelines.dml import delete_where, scan_where, update_where
+            from .sqlpred import parse_statement
+
+            stmt = parse_statement(args.statement)
+            if stmt["kind"] == "delete":
+                ms = delete_where(args.lake, stmt["where"])
+                print(json.dumps({
+                    "kind": "delete",
+                    "committed": [m.version for m in ms],
+                    "metrics": ms[-1].metrics if ms else {},
+                }))
+            elif stmt["kind"] == "update":
+                ms = update_where(args.lake, stmt["where"], stmt["set"])
+                print(json.dumps({
+                    "kind": "update",
+                    "committed": [m.version for m in ms],
+                    "metrics": ms[-1].metrics if ms else {},
+                }))
+            else:  # select
+                if stmt["where"] is None:
+                    from .pipelines.cdc import read_table
+
+                    ds = read_table(args.lake, columns=stmt["columns"])
+                else:
+                    ds = scan_where(
+                        args.lake, stmt["where"], columns=stmt["columns"]
+                    )
+                n = ds.count()
+                rows = ds.limit(stmt["limit"] or 20).to_pandas()
+                print(json.dumps({
+                    "kind": "select",
+                    "matched": int(n),
+                    "rows": json.loads(rows.to_json(orient="records",
+                                                    date_format="iso")),
+                }))
         elif args.cmd == "merge-branch":
             from .pipelines.branch import merge_branch
 

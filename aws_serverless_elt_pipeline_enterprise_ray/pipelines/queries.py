@@ -7214,6 +7214,34 @@ def q_cdc_scan_dnf(sf_dir: str):
 
 
 
+#: the one WHERE text both the engine and the oracle evaluate — NOT /
+#: parens / IN / NOT BETWEEN exercise the parser's negation + DNF
+#: normalization end-to-end
+SQL_FRONTEND_WHERE = (
+    "NOT (role IN ('click', 'view') OR turn_idx NOT BETWEEN 5 AND 30)"
+)
+
+
+def q_cdc_sql_frontend(sf_dir: str):
+    """SQL text front-end (``sqlpred.parse_where``): the WHERE text in
+    ``SQL_FRONTEND_WHERE`` parses to the engine's DNF predicate and
+    runs through the same pruned ``scan_where`` path; the oracle
+    evaluates the IDENTICAL text in DuckDB."""
+    from ..sqlpred import parse_where
+    from .cdc import apply_changes
+    from .dml import scan_where
+
+    changes, lake = _write_changelog(sf_dir), _scratch("lake")
+    apply_changes(changes, lake, _spec(sf_dir), max_rows_per_file=500)
+    df = scan_where(
+        lake,
+        parse_where(SQL_FRONTEND_WHERE),
+        columns=["conv_id", "turn_idx", "role", "ts"],
+    ).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+
 def q_cdc_delete_by_aggregate(sf_dir: str):
     """Aggregate-driven DML composition: conversations whose surviving
     turn count exceeds 30 are deleted WHOLE — the victim set comes from
@@ -7619,6 +7647,15 @@ SCAN_DNF_SQL = f"""
 """
 
 
+SQL_FRONTEND_SQL = f"""
+  WITH final AS ({FINAL_SQL})
+  SELECT conv_id, turn_idx, role, ts
+  FROM final
+  WHERE NOT (role IN ('click', 'view') OR turn_idx NOT BETWEEN 5 AND 30)
+  ORDER BY conv_id, turn_idx
+"""
+
+
 DDL_CYCLE_SQL = f"""
   WITH final AS ({FINAL_SQL})
   SELECT conv_id, turn_idx, role, text, ts,
@@ -7947,6 +7984,7 @@ QUERIES = {
     "cdc_delete_where_or": q_cdc_delete_where_or,
     "cdc_ddl_cycle": q_cdc_ddl_cycle,
     "cdc_scan_dnf": q_cdc_scan_dnf,
+    "cdc_sql_frontend": q_cdc_sql_frontend,
     "cdc_delete_by_aggregate": q_cdc_delete_by_aggregate,
     "cdc_lake_diff": q_cdc_lake_diff,
     "preference_cycles": q_preference_cycles,
@@ -11408,6 +11446,7 @@ ORACLES = {
     "cdc_delete_where_or": DELETE_WHERE_OR_SQL,
     "cdc_ddl_cycle": DDL_CYCLE_SQL,
     "cdc_scan_dnf": SCAN_DNF_SQL,
+    "cdc_sql_frontend": SQL_FRONTEND_SQL,
     "cdc_delete_by_aggregate": DELETE_BY_AGG_SQL,
     "cdc_lake_diff": LAKE_DIFF_SQL,
     "preference_cycles": PREFERENCE_CYCLES_SQL,
