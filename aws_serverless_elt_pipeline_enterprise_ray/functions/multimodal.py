@@ -10,12 +10,14 @@ is split honestly:
   inflate + all five defilters), JPEG baseline SOF0 AND progressive
   SOF2 (generic Huffman entropy decode, spectral-selection /
   successive-approximation scans, batched IDCT + JFIF color), and
-  lossless WebP / VP8L (functions/webp.py) - plus a vectorized
-  nearest-neighbor resize and integer-exact features
+  WebP both lossless (VP8L, functions/webp.py) and LOSSY (VP8 key
+  frames, functions/vp8.py — full RFC 6386 codec, bit-exact vs
+  libwebp) - plus a vectorized nearest-neighbor resize and
+  integer-exact features
   (``decode_image`` / ``resize_nearest`` / ``ImageFeatures``,
   ``decode_audio`` / ``AudioFeatures``);
 * ``DecodeStub`` for the codecs that genuinely need libraries absent
-  from this container (lossy-VP8 WebP, MP3/AAC, video codecs): it
+  from this container (MP3/AAC, AVIF/HEIC, video codecs): it
   raises ``NotImplementedError`` unless ``fake=True``, which derives
   deterministic pseudo-metadata so pipelines exercise the full path.
 """
@@ -769,9 +771,10 @@ def _jpeg_reconstruct(frame, store, hmax, vmax) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
     BMP, (compressed) 8-bit PNG, JPEG (baseline SOF0 + progressive
-    SOF2) and lossless WebP (VP8L, all transforms); None for formats
-    still needing a codec library (lossy-VP8 WebP / AVIF / ...), which
-    keep the stub path."""
+    SOF2) and WebP — lossless VP8L (all transforms) AND lossy VP8 key
+    frames (full RFC 6386 codec, ``vp8.py``, bit-exact vs libwebp);
+    None for formats still needing a codec library (AVIF / HEIC ...),
+    which keep the stub path."""
     from .webp import decode_webp
 
     for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg, decode_webp):

@@ -11,9 +11,11 @@ subtract-green, color-indexing with sub-byte bundling).
 covering the same feature surface — it exists so decode correctness is
 provable analytically in-repo: tests round-trip closed-form images
 through every transform/code path and the ``image_webp_decode`` oracle
-query verifies pixel sums value-for-value in SQL. Lossy VP8 stays a
-documented stub (``decode_webp`` returns None for VP8/VP8X payloads),
-like progressive-audio codecs in multimodal.py.
+query verifies pixel sums value-for-value in SQL. Lossy VP8 decodes
+through the full RFC 6386 key-frame codec in ``vp8.py`` (round-5):
+bool decoder, B_PRED intra prediction, token/dequant/IWHT/IDCT, loop
+filter — validated bit-exact against libwebp-encoded streams AND by
+encoder-reconstruction equality (``test_vp8.py``).
 
 Reference parity: the reference pipeline treats media as opaque S3
 objects (lambdas/ingest/app.py:47-49); decode stages are
@@ -718,9 +720,13 @@ def _decode_image_stream(
 
 
 def decode_webp(payload: bytes) -> np.ndarray | None:
-    """RIFF walk + VP8L decode -> (h, w, 3) uint8 RGB (alpha dropped,
-    matching decode_png's convention); None for non-WebP payloads and
-    for lossy VP8 / extended VP8X (documented stub path)."""
+    """RIFF walk + decode -> (h, w, 3) uint8 RGB (alpha dropped,
+    matching decode_png's convention). Lossless ``VP8L`` decodes here;
+    lossy ``VP8 `` key frames decode through the full RFC 6386 codec
+    in ``vp8.py`` (bit-exact against libwebp; YUV420 -> RGB via the
+    integer BT.601 inverse). ``VP8X`` extended containers are walked
+    through to their inner image chunk (alpha/EXIF chunks skipped).
+    None for non-WebP payloads and genuinely undecodable data."""
     try:
         if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
             return None
@@ -731,8 +737,12 @@ def decode_webp(payload: bytes) -> np.ndarray | None:
             body = payload[off + 8:off + 8 + size]
             if fourcc == b"VP8L":
                 return _decode_vp8l(body)
-            if fourcc in (b"VP8 ", b"VP8X"):
-                return None  # lossy / extended: stub
+            if fourcc == b"VP8 ":
+                from .vp8 import decode_vp8_rgb
+
+                return decode_vp8_rgb(body)
+            # VP8X (and ALPH/EXIF/XMP/ICCP): keep walking to the
+            # inner VP8/VP8L chunk
             off += 8 + size + (size & 1)
         return None
     except (ValueError, IndexError, ZeroDivisionError):

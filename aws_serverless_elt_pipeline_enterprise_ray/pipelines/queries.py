@@ -3044,6 +3044,61 @@ def q_image_webp_decode(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_image_webp_lossy_decode(sf_dir: str):
+    """REAL lossy-WebP (VP8 key frame) decode, SQL-exact: per doc a
+    FLAT 16x16 RGB image (channels closed-form in doc_id) is encoded
+    by the in-repo RFC 6386 VP8 encoder (``functions/vp8.py``) with a
+    per-doc quantizer index and a nonzero loop-filter level, then
+    decoded + summed by the same actor-pool ImageFeatures stage as
+    PNG/JPEG/VP8L. A flat image makes the LOSSY chain a closed form
+    the oracle replays in integer SQL: RGB→YUV (BT.601), the
+    encoder's 16x16 mode pick (DC 128 / V 127 / H 129 edge
+    constants), forward-DCT DC, the Y2 WHT round trip, dc-table
+    quantization, inverse transforms and the YUV→RGB inverse — any
+    bool-coder / token / dequant / transform / filter bug breaks the
+    hash. The codec itself is additionally validated bit-exact
+    against libwebp-encoded streams in ``tests/test_vp8.py``."""
+    from ..functions.multimodal import ImageFeatures
+    from ..functions.vp8 import encode_webp_lossy
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_webp(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            rgb = np.full(
+                (16, 16, 3),
+                [i % 200, (i * 7) % 200, (i * 13) % 200],
+                np.uint8,
+            )
+            payloads.append(
+                encode_webp_lossy(rgb, qi=8 + (i % 80), filter_level=9)
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_webp, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(16, 16)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_image_jpeg_decode(sf_dir: str):
     """REAL baseline-JPEG decode, SQL-exact: per doc a 16x16 4:2:0
     DC-only JPEG (custom canonical Huffman tables carried in DHT, hand
@@ -7865,6 +7920,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_png_decode": q_image_png_decode,
     "image_webp_decode": q_image_webp_decode,
+    "image_webp_lossy_decode": q_image_webp_lossy_decode,
     "image_jpeg_decode": q_image_jpeg_decode,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "video_frames": q_video_frames,
@@ -9690,6 +9746,73 @@ ORACLES = {
              CAST(64 * ((doc_id * 11) % 140) + 640 AS BIGINT) AS sum_g,
              CAST(64 * ((doc_id * 17) % 140) + 640 AS BIGINT) AS sum_b
       FROM documents
+      ORDER BY media_id
+    """,
+    "image_webp_lossy_decode": """
+      WITH c0 AS (
+        SELECT doc_id AS i, doc_id % 200 AS R, (doc_id*7) % 200 AS G,
+               (doc_id*13) % 200 AS B, 8 + (doc_id % 80) AS qi
+        FROM documents
+      ),
+      c1 AS (
+        SELECT *,
+          CAST(floor((66*R + 129*G + 25*B + 128)/256.0) AS BIGINT) + 16 AS Yv,
+          CAST(floor((-38*R - 74*G + 112*B + 128)/256.0) AS BIGINT) + 128 AS Uv,
+          CAST(floor((112*R - 94*G - 18*B + 128)/256.0) AS BIGINT) + 128 AS Vv,
+          list_extract([4,5,6,7,8,9,10,10,11,12,13,14,15,16,17,17,18,19,20,20,21,21,22,22,23,23,24,25,25,26,27,28,29,30,31,32,33,34,35,36,37,37,38,39,40,41,42,43,44,45,46,46,47,48,49,50,51,52,53,54,55,56,57,58,59,60,61,62,63,64,65,66,67,68,69,70,71,72,73,74,75,76,76,77,78,79,80,81,82,83,84,85,86,87,88,89,91,93,95,96,98,100,101,102,104,106,108,110,112,114,116,118,122,124,126,128,130,132,134,136,138,140,143,145,148,151,154,157], qi + 1) AS dcq
+        FROM c0
+      ),
+      c2 AS (
+        SELECT *,
+          CASE WHEN abs(Yv-129) < least(abs(Yv-128), abs(Yv-127)) THEN 129
+               WHEN abs(Yv-127) < abs(Yv-128) THEN 127 ELSE 128 END AS P,
+          CASE WHEN abs(Uv-129)+abs(Vv-129)
+                    < least(abs(Uv-128)+abs(Vv-128), abs(Uv-127)+abs(Vv-127))
+               THEN 129
+               WHEN abs(Uv-127)+abs(Vv-127) < abs(Uv-128)+abs(Vv-128) THEN 127
+               ELSE 128 END AS Pc
+        FROM c1
+      ),
+      c3 AS (
+        SELECT *,
+          64*(8*(Yv-P)) + CASE WHEN Yv != P THEN 4 ELSE 0 END AS a2,
+          2*dcq AS q2, least(dcq, 132) AS qv
+        FROM c2
+      ),
+      c4 AS (
+        SELECT *,
+          CAST(floor((a2 + CASE WHEN a2 < 0 THEN 1 ELSE 0 END + 3)/8.0)
+               AS BIGINT) AS cy0,
+          8*(Uv-Pc) AS cu0, 8*(Vv-Pc) AS cv0
+        FROM c3
+      ),
+      c5 AS (
+        SELECT *,
+          CASE WHEN cy0 < 0 THEN -((abs(cy0) + q2//2) // q2)
+               ELSE (cy0 + q2//2) // q2 END * q2 AS ty,
+          CASE WHEN cu0 < 0 THEN -((abs(cu0) + qv//2) // qv)
+               ELSE (cu0 + qv//2) // qv END * qv AS tu,
+          CASE WHEN cv0 < 0 THEN -((abs(cv0) + qv//2) // qv)
+               ELSE (cv0 + qv//2) // qv END * qv AS tv
+        FROM c4
+      ),
+      c6 AS (
+        SELECT *,
+          greatest(0, least(255, P + CAST(floor((CAST(floor((ty + 3)/8.0)
+            AS BIGINT) + 4)/8.0) AS BIGINT))) AS Yr,
+          greatest(0, least(255, Pc + CAST(floor((tu + 4)/8.0) AS BIGINT))) AS Ur,
+          greatest(0, least(255, Pc + CAST(floor((tv + 4)/8.0) AS BIGINT))) AS Vr
+        FROM c5
+      )
+      SELECT i AS media_id, CAST(16 AS BIGINT) AS width,
+             CAST(16 AS BIGINT) AS height,
+             256*greatest(0, least(255, CAST(floor((298*(Yr-16) + 409*(Vr-128)
+               + 128)/256.0) AS BIGINT))) AS sum_r,
+             256*greatest(0, least(255, CAST(floor((298*(Yr-16) - 100*(Ur-128)
+               - 208*(Vr-128) + 128)/256.0) AS BIGINT))) AS sum_g,
+             256*greatest(0, least(255, CAST(floor((298*(Yr-16) + 516*(Ur-128)
+               + 128)/256.0) AS BIGINT))) AS sum_b
+      FROM c6
       ORDER BY media_id
     """,
     "image_jpeg_decode": """
