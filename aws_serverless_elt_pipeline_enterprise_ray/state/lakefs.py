@@ -260,19 +260,86 @@ if _HAVE_FSSPEC:
 # credentials/endpoint configuration is shared, not duplicated.
 
 
-def _s3_error_conflict(exc) -> bool:
-    """True when a botocore-style error means 'key already exists'."""
+#: Retry policy for the conditional put (the ONE primitive the commit
+#: arbiter needs; every other op inherits fsspec's own retries):
+#: * DEFINITIVE EXISTS (412 PreconditionFailed / GCS ifGenerationMatch
+#:   failure) -> FileExistsError immediately: a rival committed.
+#: * IN-FLIGHT (S3 409 ConditionalRequestConflict): a RIVAL conditional
+#:   put on the same key is mid-air and the outcome is UNKNOWN - the
+#:   rival may yet fail. Re-attempt with jittered backoff until the
+#:   store answers definitively (200 = we won after the rival failed,
+#:   412 = the rival won). Mapping 409 straight to 'exists' would be
+#:   safe (the statement-level retry re-resolves) but wasteful: it
+#:   forces a whole fresh commit attempt where one PUT retry settles it.
+#: * TRANSIENT (503 SlowDown / throttling / 500 InternalError /
+#:   RequestTimeout / 502): jittered exponential backoff, bounded by
+#:   GRAFT_COND_PUT_ATTEMPTS (default 8, ~6s worst case); then raise so
+#:   a genuinely down store surfaces instead of hanging the committer.
+_COND_PUT_ATTEMPTS_ENV = "GRAFT_COND_PUT_ATTEMPTS"
+
+_TRANSIENT_S3_CODES = frozenset(
+    {"SlowDown", "Throttling", "ThrottlingException", "RequestTimeout",
+     "RequestTimeoutException", "InternalError", "ServiceUnavailable",
+     "502", "503", "500"}
+)
+
+
+def _s3_error_exists(exc) -> bool:
+    """Definitive 'key already exists': 412 PreconditionFailed."""
     r = getattr(exc, "response", None)
     if not isinstance(r, dict):
         return False
-    code = r.get("Error", {}).get("Code")
-    if code in ("PreconditionFailed", "ConditionalRequestConflict"):
+    if r.get("Error", {}).get("Code") == "PreconditionFailed":
         return True
-    return r.get("ResponseMetadata", {}).get("HTTPStatusCode") in (409, 412)
+    return r.get("ResponseMetadata", {}).get("HTTPStatusCode") == 412
+
+
+def _s3_error_in_flight(exc) -> bool:
+    """409 ConditionalRequestConflict: rival conditional PUT mid-air."""
+    r = getattr(exc, "response", None)
+    if not isinstance(r, dict):
+        return False
+    if r.get("Error", {}).get("Code") == "ConditionalRequestConflict":
+        return True
+    return r.get("ResponseMetadata", {}).get("HTTPStatusCode") == 409
+
+
+def _s3_error_transient(exc) -> bool:
+    r = getattr(exc, "response", None)
+    if not isinstance(r, dict):
+        return False
+    if r.get("Error", {}).get("Code") in _TRANSIENT_S3_CODES:
+        return True
+    return r.get("ResponseMetadata", {}).get("HTTPStatusCode") in (
+        500, 502, 503,
+    )
+
+
+def _retry_cond_put(do_put, key: str, is_exists, is_retryable) -> None:
+    """Drive one conditional put to a DEFINITIVE outcome under the
+    documented policy: success, FileExistsError, or - after bounded
+    jittered backoff on retryable faults - the last fault re-raised."""
+    import random
+    import time as _time
+
+    attempts = int(os.environ.get(_COND_PUT_ATTEMPTS_ENV, 8))
+    delay = 0.05
+    for attempt in range(attempts):
+        try:
+            do_put()
+            return
+        except Exception as e:  # noqa: BLE001 - classified below
+            if is_exists(e):
+                raise FileExistsError(key) from None
+            if not is_retryable(e) or attempt == attempts - 1:
+                raise
+            _time.sleep(min(2.0, delay) * (0.5 + random.random()))
+            delay *= 2
 
 
 def _s3_conditional_put(fs):
-    """put-if-absent over real S3: conditional ``PutObject``."""
+    """put-if-absent over real S3: conditional ``PutObject`` with the
+    documented retry policy (throttle backoff, 409 re-drive)."""
     client = getattr(fs, "_sync_s3_client", None)
     if client is None:  # pragma: no cover - needs boto3 + network
         import boto3
@@ -285,12 +352,14 @@ def _s3_conditional_put(fs):
 
     def cond_put(key: str, data: bytes) -> None:
         bucket, _, k = key.lstrip("/").partition("/")
-        try:
-            client.put_object(Bucket=bucket, Key=k, Body=data, IfNoneMatch="*")
-        except Exception as e:
-            if _s3_error_conflict(e):
-                raise FileExistsError(key) from None
-            raise
+        _retry_cond_put(
+            lambda: client.put_object(
+                Bucket=bucket, Key=k, Body=data, IfNoneMatch="*"
+            ),
+            key,
+            _s3_error_exists,
+            lambda e: _s3_error_in_flight(e) or _s3_error_transient(e),
+        )
         inv = getattr(fs, "invalidate_cache", None)
         if inv is not None:  # listings may be dircached by fsspec
             inv()
@@ -306,18 +375,30 @@ def _gcs_conditional_put(fs):
 
         client = storage.Client()
 
+    def _exists(e) -> bool:
+        return (
+            getattr(e, "code", None) == 412
+            or "412" in type(e).__name__
+            or "PreconditionFailed" in type(e).__name__
+        )
+
+    def _retryable(e) -> bool:
+        return getattr(e, "code", None) in (429, 500, 502, 503) or any(
+            t in type(e).__name__
+            for t in ("TooManyRequests", "ServiceUnavailable",
+                      "InternalServerError", "GatewayTimeout")
+        )
+
     def cond_put(key: str, data: bytes) -> None:
         bucket, _, k = key.lstrip("/").partition("/")
-        try:
-            client.bucket(bucket).blob(k).upload_from_string(
+        _retry_cond_put(
+            lambda: client.bucket(bucket).blob(k).upload_from_string(
                 data, if_generation_match=0
-            )
-        except Exception as e:
-            if getattr(e, "code", None) == 412 or "412" in type(e).__name__:
-                raise FileExistsError(key) from None
-            if "PreconditionFailed" in type(e).__name__:
-                raise FileExistsError(key) from None
-            raise
+            ),
+            key,
+            _exists,
+            _retryable,
+        )
         inv = getattr(fs, "invalidate_cache", None)
         if inv is not None:
             inv()

@@ -38,13 +38,26 @@ class FakeClientError(Exception):
 
 
 class FakeS3Client:
-    """The one boto3 S3 method the engine's adapter calls."""
+    """The one boto3 S3 method the engine's adapter calls.
+
+    Fault injection: ``FakeS3Client.faults`` is a CLASS-level queue of
+    ``(code, status)`` pairs consumed one per ``put_object`` call
+    (shared across instances because fsspec caches filesystems);
+    ``("ok", 0)`` passes through. Lets contract tests drive throttle
+    storms (SlowDown/503), 5xx, and ConditionalRequestConflict/409
+    races through the adapter's REAL retry path."""
+
+    faults: list = []
 
     def __init__(self, calls: list | None = None):
         self.calls = calls if calls is not None else []
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
         self.calls.append({"Bucket": Bucket, "Key": Key, "IfNoneMatch": IfNoneMatch})
+        if FakeS3Client.faults:
+            code, status = FakeS3Client.faults.pop(0)
+            if code != "ok":
+                raise FakeClientError(code, status)
         lp = "/" + Bucket.strip("/") + "/" + Key.lstrip("/")
         os.makedirs(os.path.dirname(lp), exist_ok=True)
         data = Body if isinstance(Body, bytes) else bytes(Body)
@@ -78,14 +91,30 @@ class FakePreconditionFailed(Exception):
     code = 412
 
 
+class FakeGCSTransient(Exception):
+    """google-api-core-style transient error: carries ``.code``."""
+
+    def __init__(self, code: int):
+        super().__init__(f"transient {code}")
+        self.code = code
+
+
 class FakeGCSClient:
-    """The google-cloud-storage surface the GCS adapter calls."""
+    """The google-cloud-storage surface the GCS adapter calls.
+    ``FakeGCSClient.faults``: class-level queue of status ints consumed
+    one per upload (429/500/503 transient shapes); 0 passes through."""
+
+    faults: list = []
 
     class _Blob:
         def __init__(self, bucket: str, key: str):
             self._lp = "/" + bucket.strip("/") + "/" + key.lstrip("/")
 
         def upload_from_string(self, data, if_generation_match=None, **kw):
+            if FakeGCSClient.faults:
+                status = FakeGCSClient.faults.pop(0)
+                if status:
+                    raise FakeGCSTransient(status)
             os.makedirs(os.path.dirname(self._lp), exist_ok=True)
             if isinstance(data, str):
                 data = data.encode()

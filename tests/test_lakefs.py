@@ -194,14 +194,25 @@ def test_backend_without_conditional_create_is_refused():
         fs.create_exclusive("memory://lake/_manifest/m1", b"x")
 
 
-def test_s3_error_conflict_shapes():
+def test_s3_error_classifier_shapes():
     from aws_serverless_elt_pipeline_enterprise_ray.state.lakefs import (
-        _s3_error_conflict,
+        _s3_error_exists,
+        _s3_error_in_flight,
+        _s3_error_transient,
     )
     from mocks3 import FakeClientError
 
-    assert _s3_error_conflict(FakeClientError("PreconditionFailed", 412))
-    assert _s3_error_conflict(FakeClientError("ConditionalRequestConflict", 409))
-    assert _s3_error_conflict(FakeClientError("SlowDown", 412))  # status wins
-    assert not _s3_error_conflict(FakeClientError("AccessDenied", 403))
-    assert not _s3_error_conflict(ValueError("no response attr"))
+    assert _s3_error_exists(FakeClientError("PreconditionFailed", 412))
+    assert _s3_error_exists(FakeClientError("SlowDown", 412))  # status wins
+    assert not _s3_error_exists(FakeClientError("AccessDenied", 403))
+    assert not _s3_error_exists(ValueError("no response attr"))
+    # 409 = rival PUT mid-air: NOT definitive-exists, IS retryable
+    assert _s3_error_in_flight(
+        FakeClientError("ConditionalRequestConflict", 409)
+    )
+    assert not _s3_error_exists(
+        FakeClientError("ConditionalRequestConflict", 409)
+    )
+    assert _s3_error_transient(FakeClientError("SlowDown", 503))
+    assert _s3_error_transient(FakeClientError("InternalError", 500))
+    assert not _s3_error_transient(FakeClientError("AccessDenied", 403))
