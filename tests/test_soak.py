@@ -17,7 +17,6 @@ interleaving:
 Each surface is stress-tested alone elsewhere; this is the first test
 that interleaves them all on one lake (round-4 verdict item 5)."""
 
-import glob
 import os
 import random
 import shutil
@@ -25,7 +24,6 @@ import subprocess
 import sys
 import time
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -43,7 +41,10 @@ from aws_serverless_elt_pipeline_enterprise_ray.pipelines.dml import (
     delete_where,
     update_where,
 )
-from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import ManifestStore
+from aws_serverless_elt_pipeline_enterprise_ray.state.manifest import (
+    CommitConflict,
+    ManifestStore,
+)
 
 TS0 = pd.Timestamp("2026-01-01 00:00:00")
 
@@ -152,61 +153,78 @@ def test_mixed_workload_soak(tmp_path):
                     m.version, f["path"],
                 )
 
+    counts = {k: 0 for k in
+              ("update", "delete", "compact", "gc", "merge", "read",
+               "travel", "conflict")}
+
+    def run_op(op):
+        if op == "update":
+            update_where(
+                lake, [("conv_id", "==", f"dml_upd_{rng.randrange(5)}")],
+                {"text": "soaked"},
+            )
+        elif op == "delete":
+            delete_where(
+                lake, [("conv_id", "==", f"dml_del_{rng.randrange(5)}")]
+            )
+        elif op == "compact":
+            compact(lake, min_files_to_compact=2)
+        elif op == "gc":
+            store.gc(keep_versions=8, min_age_seconds=30)
+        elif op == "merge":
+            merge_branch(branch, lake, policy="lww")
+        elif op == "read":
+            check_read()
+        else:  # travel
+            vs = store.versions()
+            if len(vs) > 8:
+                check_read(rng.choice(vs[-8:]))
+        counts[op] += 1
+
     fed = 0
-    merges = deletes = updates = compacts = gcs = reads = 0
     soak_secs = 90
     feed_gap = soak_secs / (len(stream_files) + 2)
     t0 = time.monotonic()
     t_end = t0 + soak_secs
-    while time.monotonic() < t_end or fed < len(stream_files):
-        # drip one stream file per feed_gap so the tailer stays busy
-        # for the WHOLE soak window
-        if fed < len(stream_files) and time.monotonic() - t0 >= fed * feed_gap:
-            f = stream_files[fed]
-            shutil.copy(os.path.join(staging, f), os.path.join(changes, f))
-            fed += 1
-        op = rng.choice(
-            ["update", "delete", "compact", "gc", "merge", "read", "travel"]
-        )
-        try:
-            if op == "update":
-                update_where(
-                    lake, [("conv_id", "==", f"dml_upd_{rng.randrange(5)}")],
-                    {"text": "soaked"},
+    try:
+        while time.monotonic() < t_end or fed < len(stream_files):
+            # drip one stream file per feed_gap so the tailer stays
+            # busy for the WHOLE soak window
+            if fed < len(stream_files) and (
+                time.monotonic() - t0 >= fed * feed_gap
+            ):
+                f = stream_files[fed]
+                shutil.copy(
+                    os.path.join(staging, f), os.path.join(changes, f)
                 )
-                updates += 1
-            elif op == "delete":
-                delete_where(
-                    lake, [("conv_id", "==", f"dml_del_{rng.randrange(5)}")]
-                )
-                deletes += 1
-            elif op == "compact":
-                compact(lake, min_files_to_compact=2)
-                compacts += 1
-            elif op == "gc":
-                store.gc(keep_versions=8, min_age_seconds=30)
-                gcs += 1
-            elif op == "merge":
-                merge_branch(branch, lake, policy="lww")
-                merges += 1
-            elif op == "read":
-                check_read()
-                reads += 1
-            else:
-                vs = store.versions()
-                if len(vs) > 8:
-                    check_read(rng.choice(vs[-8:]))
-                    reads += 1
-        except FileNotFoundError:
-            # a gc'd time-travel version is legitimate; anything else is not
-            assert op == "travel"
-        if tailer.poll() is not None and fed >= len(stream_files):
-            break
-        time.sleep(0.05)
+                fed += 1
+            op = rng.choice(
+                ["update", "delete", "compact", "gc", "merge", "read",
+                 "travel"]
+            )
+            try:
+                run_op(op)
+            except CommitConflict:
+                # losing a commit race to the live tailer is legitimate
+                # for any single op (compaction has no statement retry
+                # by design; DML retries are bounded) - it just doesn't
+                # count this round
+                counts["conflict"] += 1
+            except FileNotFoundError:
+                # a gc'd time-travel version is legitimate; others not
+                assert op == "travel"
+            if tailer.poll() is not None and fed >= len(stream_files):
+                break
+            time.sleep(0.05)
 
-    # quiesce: let the tailer drain the stream and exit idle
-    out, _ = tailer.communicate(timeout=180)
-    assert tailer.returncode == 0, out
+        # quiesce: let the tailer drain the stream and exit idle
+        out, _ = tailer.communicate(timeout=180)
+        assert tailer.returncode == 0, out
+    finally:
+        if tailer.poll() is None:
+            import signal
+
+            os.killpg(os.getpgid(tailer.pid), signal.SIGKILL)
 
     # make the DML namespaces deterministic regardless of random draws
     update_where(lake, [("role", "==", "seed"),
@@ -245,6 +263,7 @@ def test_mixed_workload_soak(tmp_path):
     assert br["text"].tolist() == ["branched-0", "branched-1", "branched-2"]
 
     # the soak actually mixed the workloads
-    assert min(updates, deletes, compacts, gcs, merges, reads) >= 1, (
-        updates, deletes, compacts, gcs, merges, reads,
-    )
+    assert min(
+        counts["update"], counts["delete"], counts["compact"],
+        counts["gc"], counts["merge"], counts["read"],
+    ) >= 1, counts
