@@ -31,17 +31,25 @@ os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 
-def _ray_up(num_cpus: int | None):
+def _ray_up(num_cpus: int | None) -> bool:
+    """Attach to (or start) a Ray session. Returns True only when THIS
+    call started it — the CLI must then shut it down on exit, but must
+    NEVER tear down an ambient session it merely joined (a `ray job
+    submit` runtime's session, or the caller's when `main()` is
+    invoked in-process)."""
     import ray
 
+    started = False
     if not ray.is_initialized():
         kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        started = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return started
 
 
 
@@ -457,7 +465,7 @@ def main(argv=None) -> int:
         print(json.dumps(stats))
         return 0
 
-    _ray_up(args.num_cpus)
+    ray_owned = _ray_up(args.num_cpus)
     import ray
 
     try:
@@ -762,7 +770,8 @@ def main(argv=None) -> int:
             print(json.dumps(report, default=str))
             return 0 if report.get("ok") else 1
     finally:
-        ray.shutdown()
+        if ray_owned:  # never tear down a session we merely joined
+            ray.shutdown()
     return 0
 
 
