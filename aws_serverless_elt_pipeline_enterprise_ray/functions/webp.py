@@ -720,33 +720,56 @@ def _decode_image_stream(
 
 
 def decode_webp(payload: bytes) -> np.ndarray | None:
-    """RIFF walk + decode -> (h, w, 3) uint8 RGB (alpha dropped,
-    matching decode_png's convention). Lossless ``VP8L`` decodes here;
-    lossy ``VP8 `` key frames decode through the full RFC 6386 codec
-    in ``vp8.py`` (bit-exact against libwebp; YUV420 -> RGB via the
-    integer BT.601 inverse). ``VP8X`` extended containers are walked
-    through to their inner image chunk (alpha/EXIF chunks skipped).
-    None for non-WebP payloads and genuinely undecodable data."""
+    """Decode WebP -> (h, w, 3) uint8 RGB (alpha dropped, matching
+    decode_png's convention). When the system carries libwebp, the
+    ctypes fast path (``webp_native.py``) handles it ~100x faster with
+    BIT-IDENTICAL output (lossy planes are normative and the YUV->RGB
+    inverse stays ours); otherwise, or when it declines (animated
+    containers), the pure codecs here decode: lossless ``VP8L`` in
+    this module, lossy ``VP8 `` key frames through the full RFC 6386
+    codec in ``vp8.py`` (bit-exact against libwebp). ``VP8X`` extended
+    containers are walked to their inner image chunk; animated
+    containers (``ANIM``/``ANMF``) yield their FIRST frame. None for
+    non-WebP payloads and genuinely undecodable data."""
+    from .webp_native import decode_webp_native
+
+    if (
+        len(payload) >= 20
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        native = decode_webp_native(payload)
+        if native is not None:
+            return native
     try:
         if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
             return None
-        off = 12
-        while off + 8 <= len(payload):
-            fourcc = payload[off:off + 4]
-            size = int.from_bytes(payload[off + 4:off + 8], "little")
-            body = payload[off + 8:off + 8 + size]
-            if fourcc == b"VP8L":
-                return _decode_vp8l(body)
-            if fourcc == b"VP8 ":
-                from .vp8 import decode_vp8_rgb
-
-                return decode_vp8_rgb(body)
-            # VP8X (and ALPH/EXIF/XMP/ICCP): keep walking to the
-            # inner VP8/VP8L chunk
-            off += 8 + size + (size & 1)
-        return None
+        return _walk_chunks(payload, 12, len(payload))
     except (ValueError, IndexError, ZeroDivisionError):
         return None
+
+
+def _walk_chunks(payload: bytes, off: int, end: int) -> np.ndarray | None:
+    while off + 8 <= end:
+        fourcc = payload[off:off + 4]
+        size = int.from_bytes(payload[off + 4:off + 8], "little")
+        body = payload[off + 8:off + 8 + size]
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            from .vp8 import decode_vp8_rgb
+
+            return decode_vp8_rgb(body)
+        if fourcc == b"ANMF" and size > 16:
+            # animated frame: 16-byte frame header (x/y/w/h/duration/
+            # flags) then the frame's own image chunks - decode the
+            # FIRST frame encountered (thumbnail/feature convention)
+            inner = _walk_chunks(payload, off + 8 + 16, off + 8 + size)
+            if inner is not None:
+                return inner
+        # VP8X/ANIM/ALPH/EXIF/XMP/ICCP: keep walking
+        off += 8 + size + (size & 1)
+    return None
 
 
 def _decode_vp8l(body: bytes) -> np.ndarray | None:

@@ -22,6 +22,9 @@ def pytest_configure(config):
         "filterwarnings",
         "ignore:.*`free` is a deprecated API.*:DeprecationWarning",
     )
+    config.addinivalue_line(
+        "markers", "slow: long-running endurance/stress test"
+    )
 
 _TESTS = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_TESTS)
