@@ -772,12 +772,17 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
     BMP, (compressed) 8-bit PNG, JPEG (baseline SOF0 + progressive
     SOF2) and WebP — lossless VP8L (all transforms) AND lossy VP8 key
-    frames (full RFC 6386 codec, ``vp8.py``, bit-exact vs libwebp);
-    None for formats still needing a codec library (AVIF / HEIC ...),
-    which keep the stub path."""
+    frames (full RFC 6386 codec, ``vp8.py``, bit-exact vs libwebp).
+    AVIF decodes through the optional libavif binding when the system
+    carries it (``avif_native.py``; no pure fallback — AV1 intra is
+    beyond in-repo proof); with the library absent, AVIF (like
+    MP3/AAC, HEIC) stays undecodable and the coverage metrics count
+    it."""
+    from .avif_native import decode_avif
     from .webp import decode_webp
 
-    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg, decode_webp):
+    for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg,
+                decode_webp, decode_avif):
         img = dec(payload)
         if img is not None:
             return img
@@ -1405,6 +1410,41 @@ def image_metadata(payload: bytes | None) -> dict | None:
                     }
                 off += 8 + size + (size & 1)
             return None
+        if payload[4:8] == b"ftyp" and (
+            b"avif" in payload[8:32] or b"avis" in payload[8:32]
+        ):
+            # ISO-BMFF: walk meta/iprp/ipco to the ispe property box
+            def ispe(buf, start, end):
+                off = start
+                while off + 8 <= end:
+                    size = int.from_bytes(buf[off:off + 4], "big")
+                    typ = buf[off + 4:off + 8]
+                    if size == 0:
+                        size = end - off
+                    if typ == b"ispe" and size >= 20:
+                        return (
+                            int.from_bytes(buf[off + 12:off + 16], "big"),
+                            int.from_bytes(buf[off + 16:off + 20], "big"),
+                        )
+                    if typ in (b"meta", b"iprp", b"ipco"):
+                        # meta is a FullBox (4 extra version/flag bytes)
+                        inner = off + (12 if typ == b"meta" else 8)
+                        r = ispe(buf, inner, min(off + size, end))
+                        if r is not None:
+                            return r
+                    off += max(size, 8)
+                return None
+
+            dims = ispe(payload, 0, len(payload))
+            if dims is None:
+                return None
+            return {
+                "format": "avif",
+                "width": dims[0],
+                "height": dims[1],
+                "bit_depth": 8,
+                "channels": None,  # pixi box optional; not asserted
+            }
     except (IndexError, ValueError):
         return None
     return None
