@@ -123,3 +123,49 @@ def test_animated_first_frame_decodes_via_pure_walk():
     out = decode_webp(animated)
     assert out is not None and out.shape == (16, 16, 3)
     assert np.array_equal(out, decode_webp(lossy))
+
+
+@pytest.mark.parametrize("content", ["noise", "grad", "palette", "repeat"])
+def test_pure_vp8l_decodes_libwebp_lossless_streams(content):
+    """The PURE VP8L decoder against REAL libwebp-encoded lossless
+    streams (not just the in-repo encoder's output): libwebp's
+    encoder mixes predictor modes, meta prefix groups and LZ77
+    decisions our encoder never emits — pixels must still round-trip
+    exactly (lossless is normative)."""
+    if not _have_native():
+        pytest.skip("libwebp absent")
+    lib = ctypes.CDLL("libwebp.so.7")
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    rng = np.random.default_rng(hash(content) % 2**32)
+    for (h, w) in [(1, 1), (7, 13), (61, 47)]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        if content == "noise":
+            rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif content == "grad":
+            rgb = np.stack(
+                [(xx * 3 + yy) % 256, (xx + yy * 5) % 256,
+                 (xx ^ yy) % 256], -1
+            ).astype(np.uint8)
+        elif content == "palette":
+            pal = np.array(
+                [[10, 200, 30], [250, 5, 80], [0, 0, 0], [255, 255, 255]],
+                np.uint8,
+            )
+            rgb = pal[rng.integers(0, 4, (h, w))]
+        else:
+            rgb = np.repeat(
+                rng.integers(0, 256, (1, w, 3)).astype(np.uint8), h, axis=0
+            )
+        buf = ctypes.c_void_p()
+        n = lib.WebPEncodeLosslessRGB(
+            rgb.tobytes(), w, h, w * 3, ctypes.byref(buf)
+        )
+        assert n > 0
+        data = ctypes.string_at(buf, n)
+        lib.WebPFree(buf)
+        out = _pure(data)
+        assert out is not None and np.array_equal(out, rgb), (content, h, w)
