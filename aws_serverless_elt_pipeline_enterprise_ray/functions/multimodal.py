@@ -771,7 +771,8 @@ def _jpeg_reconstruct(frame, store, hmax, vmax) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes: REAL decode for PPM P6, uncompressed
     BMP, (compressed) 8-bit PNG, JPEG (baseline SOF0 + progressive
-    SOF2) and WebP — lossless VP8L (all transforms) AND lossy VP8 key
+    SOF2), GIF (LZW, interlace, palettes; first frame of animations)
+    and WebP — lossless VP8L (all transforms) AND lossy VP8 key
     frames (full RFC 6386 codec, ``vp8.py``, bit-exact vs libwebp).
     AVIF decodes through the optional libavif binding when the system
     carries it (``avif_native.py``; no pure fallback — AV1 intra is
@@ -779,10 +780,11 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     MP3/AAC, HEIC) stays undecodable and the coverage metrics count
     it."""
     from .avif_native import decode_avif
+    from .gif import decode_gif
     from .webp import decode_webp
 
     for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg,
-                decode_webp, decode_avif):
+                decode_webp, decode_gif, decode_avif):
         img = dec(payload)
         if img is not None:
             return img

@@ -3099,6 +3099,63 @@ def q_image_webp_lossy_decode(sf_dir: str):
     return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
 
 
+def q_image_gif_decode(sf_dir: str):
+    """REAL GIF decode, SQL-exact: per doc an 8x8 four-color
+    palettized image with closed-form palette (channel values derived
+    from doc_id) and a uniform (row+col)%4 index pattern - 16 pixels
+    per color - GIF-encoded by the in-repo LZW encoder (odd doc_ids
+    interlaced, exercising the four-pass row order), then decoded +
+    summed by the same actor-pool ImageFeatures stage. Lossless
+    decode makes the oracle a closed form of doc_id: any LZW / palette
+    / interlace bug breaks the hash. The codec is additionally
+    validated against SYSTEM-giflib-encoded streams in
+    ``tests/test_gif.py``."""
+    from ..functions.gif import encode_gif
+    from ..functions.multimodal import ImageFeatures
+
+    docs = _documents(sf_dir, ["doc_id"])
+
+    def make_gif(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        idx = ((rr + cc) % 4).astype(np.uint8)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            pal = np.stack(
+                [
+                    np.array([(i + 31 * k) % 256 for k in range(4)]),
+                    np.array([(i * 3 + 57 * k) % 256 for k in range(4)]),
+                    np.array([(i * 7 + 89 * k) % 256 for k in range(4)]),
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            payloads.append(
+                encode_gif(pal[idx], interlace=bool(i % 2))
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    out = (
+        docs.map_batches(make_gif, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatures(target_size=(8, 8)),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for c in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype("int64")
+    return out[["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]]
+
+
 def q_image_jpeg_decode(sf_dir: str):
     """REAL baseline-JPEG decode, SQL-exact: per doc a 16x16 4:2:0
     DC-only JPEG (custom canonical Huffman tables carried in DHT, hand
@@ -7921,6 +7978,7 @@ QUERIES = {
     "image_png_decode": q_image_png_decode,
     "image_webp_decode": q_image_webp_decode,
     "image_webp_lossy_decode": q_image_webp_lossy_decode,
+    "image_gif_decode": q_image_gif_decode,
     "image_jpeg_decode": q_image_jpeg_decode,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "video_frames": q_video_frames,
@@ -9813,6 +9871,22 @@ ORACLES = {
              256*greatest(0, least(255, CAST(floor((298*(Yr-16) + 516*(Ur-128)
                + 128)/256.0) AS BIGINT))) AS sum_b
       FROM c6
+      ORDER BY media_id
+    """,
+    "image_gif_decode": """
+      SELECT doc_id AS media_id,
+             CAST(8 AS BIGINT) AS width,
+             CAST(8 AS BIGINT) AS height,
+             CAST(16 * ((doc_id) % 256 + (doc_id + 31) % 256
+                        + (doc_id + 62) % 256 + (doc_id + 93) % 256)
+                  AS BIGINT) AS sum_r,
+             CAST(16 * ((doc_id * 3) % 256 + (doc_id * 3 + 57) % 256
+                        + (doc_id * 3 + 114) % 256 + (doc_id * 3 + 171) % 256)
+                  AS BIGINT) AS sum_g,
+             CAST(16 * ((doc_id * 7) % 256 + (doc_id * 7 + 89) % 256
+                        + (doc_id * 7 + 178) % 256 + (doc_id * 7 + 267) % 256)
+                  AS BIGINT) AS sum_b
+      FROM documents
       ORDER BY media_id
     """,
     "image_jpeg_decode": """
