@@ -154,8 +154,8 @@ def decode_avif(payload: bytes) -> np.ndarray | None:
         head = ctypes.string_at(img, 8)
         w = int.from_bytes(head[0:4], "little")
         h = int.from_bytes(head[4:8], "little")
-        if w == 0 or h == 0:
-            return None
+        if w == 0 or h == 0 or w * h > 64 << 20:
+            return None  # incl. the 64 MP decompression-bomb guard
         buf = _rgb_struct(lib, img)
         lib.avifRGBImageAllocatePixels(ctypes.byref(buf))
         try:

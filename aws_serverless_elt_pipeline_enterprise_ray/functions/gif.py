@@ -152,9 +152,15 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 # ------------------------------------------------------------------ decode
 
 
+#: decompression-bomb guard: a corrupt/hostile header claiming huge
+#: dimensions (GIF allows 65535x65535 = 4G pixels) must not allocate
+#: gigabytes in a decode worker - beyond this, quarantine (None)
+MAX_PIXELS = 64 << 20  # 64 MP
+
+
 def decode_gif(payload: bytes) -> np.ndarray | None:
     """GIF -> (h, w, 3) uint8 RGB (first frame of animations), or
-    None for non-GIF / corrupt payloads."""
+    None for non-GIF / corrupt / bomb-sized payloads."""
     try:
         return _decode_gif_inner(payload)
     except (ValueError, IndexError):
@@ -205,6 +211,8 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray | None:
             pos += 3 * n
         if pal is None or iw == 0 or ih == 0:
             raise ValueError("gif: image without a color table")
+        if iw * ih > MAX_PIXELS or sw * sh > MAX_PIXELS:
+            raise ValueError("gif: dimensions exceed the bomb guard")
         mcs = payload[pos]
         pos += 1
         chunks = []

@@ -783,6 +783,16 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     from .gif import decode_gif
     from .webp import decode_webp
 
+    # decompression-bomb gate: the header-only triage knows claimed
+    # dimensions before any entropy decode or allocation; a payload
+    # claiming more than 64 MP is quarantined (None), not decoded -
+    # a hostile 65535x65535 header must not allocate gigabytes in a
+    # decode worker
+    meta = image_metadata(payload)
+    if meta is not None and meta.get("width") and meta.get("height"):
+        if meta["width"] * meta["height"] > 64 << 20:
+            return None
+
     for dec in (decode_ppm, decode_bmp, decode_png, decode_jpeg,
                 decode_webp, decode_gif, decode_avif):
         img = dec(payload)

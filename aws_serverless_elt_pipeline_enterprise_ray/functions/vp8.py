@@ -950,6 +950,8 @@ def _decode_vp8_inner(data: bytes) -> dict | None:
     height = int.from_bytes(data[8:10], "little") & 0x3FFF
     if width == 0 or height == 0:
         return None
+    if width * height > 64 << 20:  # 64 MP decompression-bomb guard
+        return None
     body = data[10:]
     if part1_len > len(body):
         return None

@@ -149,3 +149,16 @@ def test_decodes_giflib_encoded_streams(tmp_path, interlace):
     assert np.array_equal(out, img)
     # and through the dispatch
     assert np.array_equal(decode_image(data), img)
+
+
+def test_decompression_bomb_quarantined():
+    """A hostile header claiming 65535x65535 must be quarantined
+    (None) in milliseconds, not allocate gigabytes."""
+    bomb = (
+        b"GIF89a" + (65535).to_bytes(2, "little") * 2
+        + bytes([0x80 | 7, 0, 0]) + bytes(768)
+        + b"\x2c" + bytes(4) + (65535).to_bytes(2, "little") * 2
+        + b"\x00" + b"\x08" + b"\x01\x00" + b"\x00\x3b"
+    )
+    assert decode_gif(bomb) is None
+    assert decode_image(bomb) is None

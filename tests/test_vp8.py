@@ -253,3 +253,15 @@ def test_interop_decode_libwebp_streams_bit_exact(h, w, quality):
     assert np.array_equal(mine["y"], ly)
     assert np.array_equal(mine["u"], lu)
     assert np.array_equal(mine["v"], lv)
+
+
+def test_decompression_bomb_guard():
+    """A frame header claiming 16383x16383 (268 MP) is quarantined
+    before the MB loop ever runs."""
+    tag = (0 | (1 << 4) | (1 << 5)).to_bytes(3, "little")
+    frame = (
+        tag + b"\x9d\x01\x2a"
+        + (16383).to_bytes(2, "little") + (16383).to_bytes(2, "little")
+        + bytes(64)
+    )
+    assert vp8.decode_vp8(frame) is None
