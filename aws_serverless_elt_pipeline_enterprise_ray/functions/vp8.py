@@ -1068,9 +1068,6 @@ def _decode_vp8_inner(data: bytes) -> dict | None:
                         left_nz[name][sr] = int(nz)
                         has_coeffs |= nz
                         arr[i] = blk
-                if has_y2 and not hdr["mb_no_skip"]:
-                    pass  # contexts already updated above
-
             _reconstruct_mb(
                 y, u, v, r, c, ymode, submodes, uvmode, blocks,
                 ublocks, vblocks, skip, has_y2,
@@ -1190,7 +1187,8 @@ def _sad(a, b) -> int:
 
 
 def _write_header(be: BoolEncoder, qi: int, filter_type: int,
-                  filter_level: int, sharpness: int) -> None:
+                  filter_level: int, sharpness: int,
+                  parts_log2: int = 0) -> None:
     """Mirror of ``_parse_header`` with this encoder's fixed choices:
     no segmentation, no lf deltas, one token partition, no quantizer
     deltas, default coefficient probs (all update flags 0), skip
@@ -1202,7 +1200,7 @@ def _write_header(be: BoolEncoder, qi: int, filter_type: int,
     be.literal(6, filter_level)
     be.literal(3, sharpness)
     be.literal(1, 0)  # lf delta enable
-    be.literal(2, 0)  # log2 token partitions
+    be.literal(2, parts_log2)  # log2 token partitions
     be.literal(7, qi)
     for _ in range(5):
         be.literal(1, 0)  # quant delta flags
@@ -1231,10 +1229,13 @@ def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
 def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
                qi: int = 40, filter_level: int = 0, sharpness: int = 0,
                filter_type: int = 0, force_bpred: bool = False,
-               with_recon: bool = False):
+               token_partitions: int = 1, with_recon: bool = False):
     """Encode YUV420 planes as one VP8 key frame. ``force_bpred``
     makes every MB use 4x4 (B_PRED) mode search — exercises the
-    context-coded bmode path. Returns the frame bytes, or
+    context-coded bmode path. ``token_partitions`` (1/2/4/8) splits
+    residual coding by MB row across that many partitions (§9.5) —
+    exercises the decoder's multi-partition path. Returns the frame
+    bytes, or
     ``(bytes, recon_dict)`` with the encoder's own reconstruction
     (loop-filtered exactly like the decoder) when ``with_recon``."""
     height, width = y.shape
@@ -1247,8 +1248,11 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
     probs = DEFAULT_COEFF_PROBS
 
     ry, ru, rv = _alloc_planes(mb_w, mb_h)
-    be1, be2 = BoolEncoder(), BoolEncoder()
-    _write_header(be1, qi, filter_type, filter_level, sharpness)
+    assert token_partitions in (1, 2, 4, 8)
+    parts_log2 = token_partitions.bit_length() - 1
+    be1 = BoolEncoder()
+    be2s = [BoolEncoder() for _ in range(token_partitions)]
+    _write_header(be1, qi, filter_type, filter_level, sharpness, parts_log2)
 
     above_nz = {
         "y": np.zeros(mb_w * 4, np.int8), "u": np.zeros(mb_w * 2, np.int8),
@@ -1267,6 +1271,7 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
         left_nz = {"y": np.zeros(4, np.int8), "u": np.zeros(2, np.int8),
                    "v": np.zeros(2, np.int8), "y2": 0}
         left_bmode = np.full(4, B_DC, np.int8)
+        be2 = be2s[r % token_partitions]  # §9.5 row -> partition map
         for c in range(mb_w):
             y0, x0 = r * 16, c * 16
             src = ys[y0:y0 + 16, x0:x0 + 16].astype(np.int64)
@@ -1466,7 +1471,10 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
             )
 
     part1 = be1.getvalue()
-    part2 = be2.getvalue()
+    token_parts = [b.getvalue() for b in be2s]
+    sizes = b"".join(
+        len(pt).to_bytes(3, "little") for pt in token_parts[:-1]
+    )
     tag = (0) | (1 << 4) | (len(part1) << 5)
     frame = (
         tag.to_bytes(3, "little")
@@ -1474,7 +1482,8 @@ def encode_vp8(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
         + (width & 0x3FFF).to_bytes(2, "little")
         + (height & 0x3FFF).to_bytes(2, "little")
         + part1
-        + part2
+        + sizes
+        + b"".join(token_parts)
     )
     if not with_recon:
         return frame

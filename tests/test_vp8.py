@@ -265,3 +265,19 @@ def test_decompression_bomb_guard():
         + bytes(64)
     )
     assert vp8.decode_vp8(frame) is None
+
+
+@pytest.mark.parametrize("nparts", [2, 4, 8])
+def test_multi_token_partition_roundtrip(nparts):
+    """The decoder's multi-partition path (MB row r reads partition
+    r % N, sizes prefix) — libwebp encodes one partition by default,
+    so only the in-repo encoder exercises this surface."""
+    y, u, v = _yuv(80, 96, nparts)
+    frame, recon = vp8.encode_vp8(
+        y, u, v, qi=40, filter_level=15, token_partitions=nparts,
+        with_recon=True,
+    )
+    out = vp8.decode_vp8(frame)
+    assert out is not None
+    for p in "yuv":
+        assert np.array_equal(out[p], recon[p]), (p, nparts)
