@@ -281,3 +281,29 @@ def test_multi_token_partition_roundtrip(nparts):
     assert out is not None
     for p in "yuv":
         assert np.array_equal(out[p], recon[p]), (p, nparts)
+
+
+@pytest.mark.parametrize("h,w,quality", [(64, 48, 50), (120, 160, 75)])
+def test_interop_segmentation_streams_bit_exact(h, w, quality):
+    """Mixed-complexity images (flat quadrant + noise) push libwebp's
+    encoder to ENABLE SEGMENTATION (per-MB segment ids, per-segment
+    quantizers) — a decoder surface plain images never exercise; the
+    pure decoder must still match libwebp's planes exactly."""
+    lib = _libwebp()
+    rng = np.random.default_rng(h + w + quality)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack(
+        [(xx * 5 + yy * 3) % 256, (xx + yy * 7) % 256,
+         rng.integers(0, 256, (h, w))], -1
+    ).astype(np.uint8)
+    rgb[: h // 2, : w // 2] = 128
+    data = _lw_encode(lib, rgb, quality)
+    pl = _vp8_payload(data)
+    bd = vp8.BoolDecoder(pl[10:10 + (int.from_bytes(pl[0:3], "little") >> 5)])
+    hdr = vp8._parse_header(bd)
+    assert hdr["segmentation"]["enabled"], "fixture no longer segments"
+    mine = vp8.decode_vp8(pl)
+    ly, lu, lv = _lw_decode_yuv(lib, data)
+    assert np.array_equal(mine["y"], ly)
+    assert np.array_equal(mine["u"], lu)
+    assert np.array_equal(mine["v"], lv)
